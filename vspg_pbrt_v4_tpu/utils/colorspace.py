@@ -1,0 +1,73 @@
+"""Color: CIE XYZ, sRGB conversion, gamma (host + device helpers).
+
+Compact analog of the reference's ``util/color.h``/``colorspace.h``. The CIE
+1931 matching functions use the Wyman-Sloan-Shirley (JCGT 2013) multi-lobe
+Gaussian fits instead of the reference's 471-entry tables — accurate to well
+under 1% for spectrum->RGB reduction, which in RGB rendering mode only runs
+host-side at scene-build time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _g(x, alpha, mu, s1, s2):
+    s = np.where(x < mu, s1, s2)
+    return alpha * np.exp(-0.5 * ((x - mu) / s) ** 2)
+
+
+def cie_x(lam):
+    return _g(lam, 1.056, 599.8, 37.9, 31.0) + _g(lam, 0.362, 442.0, 16.0, 26.7) + _g(
+        lam, -0.065, 501.1, 20.4, 26.2
+    )
+
+
+def cie_y(lam):
+    return _g(lam, 0.821, 568.8, 46.9, 40.5) + _g(lam, 0.286, 530.9, 16.3, 31.1)
+
+
+def cie_z(lam):
+    return _g(lam, 1.217, 437.0, 11.8, 36.0) + _g(lam, 0.681, 459.0, 26.0, 13.8)
+
+
+# column-major XYZ -> linear sRGB (D65)
+XYZ_TO_SRGB = np.array(
+    [
+        [3.2406, -1.5372, -0.4986],
+        [-0.9689, 1.8758, 0.0415],
+        [0.0557, -0.2040, 1.0570],
+    ]
+)
+SRGB_TO_XYZ = np.linalg.inv(XYZ_TO_SRGB)
+
+
+def spectrum_samples_to_rgb(lams, vals):
+    """Integrate (lams[nm], vals) against CIE, return linear sRGB (numpy)."""
+    lams = np.asarray(lams, np.float64)
+    vals = np.asarray(vals, np.float64)
+    x = np.trapezoid(vals * cie_x(lams), lams)
+    y = np.trapezoid(vals * cie_y(lams), lams)
+    z = np.trapezoid(vals * cie_z(lams), lams)
+    norm = np.trapezoid(cie_y(lams), lams)
+    xyz = np.array([x, y, z]) / norm
+    return XYZ_TO_SRGB @ xyz
+
+
+def srgb_encode(linear):
+    """Linear -> sRGB gamma (device-safe)."""
+    linear = jnp.clip(linear, 0.0, 1.0)
+    return jnp.where(
+        linear <= 0.0031308,
+        12.92 * linear,
+        1.055 * jnp.power(jnp.maximum(linear, 1e-8), 1.0 / 2.4) - 0.055,
+    )
+
+
+def srgb_decode(encoded):
+    return jnp.where(
+        encoded <= 0.04045,
+        encoded / 12.92,
+        jnp.power((encoded + 0.055) / 1.055, 2.4),
+    )

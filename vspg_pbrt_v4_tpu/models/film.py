@@ -1,0 +1,112 @@
+"""Film: pixel accumulation via scatter-add (analog of ``src/pbrt/film.h``).
+
+The reference accumulates per-pixel weighted radiance with AtomicDouble splats
+(film.h RGBFilm:244). On TPU the wavefront's (ray -> pixel) contributions
+become one big segment-sum: ``.at[pixel_id].add()`` scatters, which XLA
+lowers to an on-device sort/segmented reduction — no atomics, deterministic.
+
+In RGB rendering mode the sensor is ``imagingRatio * L`` (film.h:95-104), so
+PixelSensor reduces to a scalar gain + optional 3x3 white-balance matrix.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.struct as struct
+import jax.numpy as jnp
+import numpy as np
+
+
+class FilmState(NamedTuple):
+    """Accumulation buffers, a pytree carried through the wave loop."""
+
+    rgb_sum: jnp.ndarray  # (npix, 3) weighted radiance sum
+    weight_sum: jnp.ndarray  # (npix,) filter weight sum
+    splat_sum: jnp.ndarray  # (npix, 3) unweighted splats (BDPT/light tracing)
+
+
+@struct.dataclass
+class RGBFilm:
+    sensor_matrix: jnp.ndarray  # (3,3) white-balance / sensor->output RGB
+    resolution: tuple = struct.field(pytree_node=False)  # (nx, ny)
+    imaging_ratio: float = struct.field(pytree_node=False)
+    max_component: float = struct.field(pytree_node=False)  # clamp ("maxcomponentvalue")
+
+    @staticmethod
+    def make(resolution, imaging_ratio=1.0, sensor_matrix=None, max_component=np.inf):
+        if sensor_matrix is None:
+            sensor_matrix = np.eye(3, dtype=np.float32)
+        return RGBFilm(
+            jnp.asarray(sensor_matrix, jnp.float32),
+            (int(resolution[0]), int(resolution[1])),
+            float(imaging_ratio),
+            float(max_component),
+        )
+
+    @property
+    def npix(self):
+        return self.resolution[0] * self.resolution[1]
+
+    def init_state(self) -> FilmState:
+        return FilmState(
+            jnp.zeros((self.npix, 3), jnp.float32),
+            jnp.zeros((self.npix,), jnp.float32),
+            jnp.zeros((self.npix, 3), jnp.float32),
+        )
+
+    def add_samples(self, state: FilmState, pixel_id, L, weight) -> FilmState:
+        """Scatter-add a wavefront of samples.
+
+        pixel_id: (R,) int32; L: (R,3); weight: (R,) filter weight.
+        NaN/Inf scrubbing mirrors RayIntegrator (cpu/integrators.cpp:308-318).
+        """
+        bad = jnp.any(~jnp.isfinite(L), axis=-1)
+        L = jnp.where(bad[..., None], 0.0, L)
+        L = jnp.minimum(L, self.max_component)
+        rgb = self.imaging_ratio * L
+        return state._replace(
+            rgb_sum=state.rgb_sum.at[pixel_id].add(rgb * weight[..., None]),
+            weight_sum=state.weight_sum.at[pixel_id].add(weight),
+        )
+
+    def add_splats(self, state: FilmState, pixel_id, L) -> FilmState:
+        bad = jnp.any(~jnp.isfinite(L), axis=-1)
+        L = jnp.where(bad[..., None], 0.0, L)
+        return state._replace(
+            splat_sum=state.splat_sum.at[pixel_id].add(self.imaging_ratio * L)
+        )
+
+    def image(self, state: FilmState, splat_scale=0.0):
+        """Final (ny, nx, 3) image."""
+        w = jnp.maximum(state.weight_sum, 1e-12)[..., None]
+        rgb = state.rgb_sum / w + splat_scale * state.splat_sum
+        rgb = rgb @ self.sensor_matrix.T
+        nx, ny = self.resolution
+        return rgb.reshape(ny, nx, 3)
+
+
+def pixel_coords(resolution):
+    """(npix, 2) integer pixel centers in raster order (x fastest)."""
+    nx, ny = resolution
+    xs = jnp.arange(nx)
+    ys = jnp.arange(ny)
+    gx, gy = jnp.meshgrid(xs, ys)  # (ny, nx)
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+
+def mse(img, ref):
+    return jnp.mean((img - ref) ** 2)
+
+
+def relmse(img, ref, eps=0.01):
+    return jnp.mean((img - ref) ** 2 / (ref * ref + eps))
+
+
+def mae(img, ref):
+    return jnp.mean(jnp.abs(img - ref))
+
+
+def mrse(img, ref, eps=1e-3):
+    """Mean relative squared error as in imgtool diff --metric MRSE."""
+    return jnp.mean((img - ref) ** 2 / (ref * ref + eps))

@@ -1,0 +1,657 @@
+"""Wavefront volumetric path tracer (TPU-native VolPathIntegrator).
+
+Re-designs the reference's recursive spectral null-scattering volumetric path
+tracer (cpu/integrators.cpp:998-1434: Li + SampleLd) as SoA path-state arrays
+stepped by ``lax.while_loop``:
+
+- outer loop = one path event per iteration (medium segment + surface or
+  escape handling), all lanes in lockstep with masks;
+- inner loop = delta-tracking tentative collisions (media_sampleTMaj.h:40-117
+  semantics: exponential steps vs the hero-channel majorant, spectral T_maj
+  accumulation, absorb/scatter/null event selection);
+- NEE shadow rays walk interface segments with the ratio-tracking
+  transmittance estimator + rescaled pdfs (cpu/integrators.cpp:1319-1434),
+  including the low-throughput Russian roulette;
+- surfaces: masked-SoA BSDF evaluation/sampling (models/materials.py), area
+  light MIS via the previous-vertex light-sampling context, carried per-lane
+  medium ids switched at interface crossings (interaction.h SpawnRay medium
+  selection semantics).
+
+The rescaled path probabilities (beta, r_u, r_l) follow the reference's
+algebra exactly, with the RGB-mode hero channel (spectrum.h:380-391) as the
+pdf channel. With no media attached this is simultaneously the surface
+``path`` integrator (NEE + MIS + RR).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.intersect import offset_ray_origin
+from ...utils.sampling import (
+    henyey_greenstein,
+    sample_exponential,
+    sample_henyey_greenstein,
+)
+from ...utils.spectrum import average, hero, sample_hero_channel
+from ...utils.vecmath import coordinate_system, dot, face_forward, normalize
+from ..film import pixel_coords
+from ..lights import Lights
+from ..materials import Materials, bsdf_f, bsdf_pdf, bsdf_sample
+from ..media import HomogeneousMedia
+from ..samplers import LaneSampler
+from ..shapes import Geometry
+
+INF = jnp.inf
+
+
+def _m(mask, new, old):
+    """Masked update, broadcasting mask over trailing dims of new/old."""
+    if new.ndim > mask.ndim:
+        mask = mask[..., None]
+    return jnp.where(mask, new, old)
+
+
+class VolPathConfig(NamedTuple):
+    max_depth: int = 32
+    max_events: int = 256  # outer path-event iterations (bounces + interface skips)
+    max_collisions: int = 4096  # delta-tracking runaway guard (media_sampleTMaj.h:216)
+    max_shadow_segments: int = 8  # shadow ray interface crossings
+    rr_start_depth: int = 2  # RR applied when depth > 1 (integrators.cpp:1305)
+
+
+class Scene(NamedTuple):
+    geometry: Geometry
+    materials: Materials
+    media: HomogeneousMedia
+    lights: Lights
+
+
+# ---------------------------------------------------------------------------
+# Delta-tracking medium interaction (SampleT_maj + VolPath callback fused)
+# ---------------------------------------------------------------------------
+
+
+class MediumResult(NamedTuple):
+    sampler: LaneSampler
+    beta: jnp.ndarray
+    r_u: jnp.ndarray
+    r_l: jnp.ndarray
+    L: jnp.ndarray
+    depth: jnp.ndarray
+    scattered: jnp.ndarray  # (R,) real scatter happened
+    terminated: jnp.ndarray  # (R,) absorbed / beta died / depth exceeded
+    t_scatter: jnp.ndarray  # (R,)
+    g_scatter: jnp.ndarray  # (R,) phase asymmetry at scatter point
+
+
+def sample_medium_interaction(
+    scene, cfg, o, d, seg_end, medium_id, hero_idx, sampler, beta, r_u, r_l, L,
+    depth, active,
+):
+    """Vectorized delta tracking along [0, seg_end] of (o, d normalized).
+
+    Implements the event algebra of VolPathIntegrator's SampleT_maj callback
+    (cpu/integrators.cpp:1022-1110) for all lanes in lockstep.
+    """
+    sigma_maj = scene.media.sigma_maj(medium_id)  # (R,3)
+    maj_h = hero(sigma_maj, hero_idx)  # (R,)
+
+    # lanes with zero hero-majorant never collide: only tail T_maj applies
+    colliding = active & (maj_h > 0) & jnp.isfinite(seg_end)
+
+    # carries derived from varying inputs (shard_map vma-compatible)
+    t_min = jnp.zeros_like(maj_h)
+    T_maj = jnp.ones_like(sigma_maj)
+    scattered = active & (maj_h < 0)  # all-False, varying
+    terminated = active & (maj_h < 0)
+    reached_end = active & ~colliding  # zero-majorant lanes go straight to end
+    t_scatter = jnp.zeros_like(maj_h)
+    g_scatter = jnp.zeros_like(maj_h)
+
+    def cond(c):
+        (_, _, _, _, _, _, _, _, vol_active, _, _, _, _, it) = c
+        return jnp.any(vol_active) & (it < cfg.max_collisions)
+
+    def body(c):
+        (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, vol_active,
+         scattered, terminated, t_scatter, g_scatter, it) = c
+        sampler, u_step = sampler.get_1d()
+        t = t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30))
+        past = t >= seg_end
+        fin = vol_active & past
+        dt_end = jnp.minimum(seg_end - t_min, 3e37)
+        # final tail update for lanes passing segment end
+        T_maj = _m(fin, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
+        vol_active_new = vol_active & ~past
+
+        # tentative collision for in-segment lanes
+        coll = vol_active & ~past
+        T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
+        p = o + t[..., None] * d
+        mp = scene.media.sample_point(medium_id, p)
+
+        # medium emission at tentative collision (integrators.cpp:1032-1046)
+        T_maj_h = hero(T_maj, hero_idx)
+        emit = coll & (depth < cfg.max_depth) & (jnp.max(mp.Le, -1) > 0)
+        pdf_e = maj_h * T_maj_h
+        betap = beta * T_maj / jnp.maximum(pdf_e, 1e-30)[..., None]
+        r_e = r_u * sigma_maj * T_maj / jnp.maximum(pdf_e, 1e-30)[..., None]
+        r_e_avg = average(r_e)
+        L_add = betap * mp.sigma_a * mp.Le / jnp.maximum(r_e_avg, 1e-30)[..., None]
+        L = _m(emit & (r_e_avg > 0), L + L_add, L)
+
+        # event probabilities at hero channel
+        sa_h = hero(mp.sigma_a, hero_idx)
+        ss_h = hero(mp.sigma_s, hero_idx)
+        p_absorb = sa_h / jnp.maximum(maj_h, 1e-30)
+        p_scatter = ss_h / jnp.maximum(maj_h, 1e-30)
+        sampler, um = sampler.get_1d()
+        is_absorb = coll & (um < p_absorb)
+        is_scatter = coll & ~is_absorb & (um < p_absorb + p_scatter)
+        is_null = coll & ~is_absorb & ~is_scatter
+
+        # absorption: terminate (integrators.cpp:1058-1062)
+        terminated = terminated | is_absorb
+        vol_active_new = vol_active_new & ~is_absorb
+
+        # real scatter (integrators.cpp:1064-1100)
+        depth_exceeded = is_scatter & (depth >= cfg.max_depth)
+        terminated = terminated | depth_exceeded
+        do_scatter = is_scatter & ~depth_exceeded
+        depth = jnp.where(do_scatter, depth + 1, depth)
+        pdf_s = T_maj_h * ss_h
+        scale_s = T_maj * mp.sigma_s / jnp.maximum(pdf_s, 1e-30)[..., None]
+        beta = _m(do_scatter, beta * scale_s, beta)
+        r_u = _m(do_scatter, r_u * scale_s, r_u)
+        scattered = scattered | do_scatter
+        t_scatter = jnp.where(do_scatter, t, t_scatter)
+        g_scatter = jnp.where(do_scatter, mp.g, g_scatter)
+        vol_active_new = vol_active_new & ~is_scatter
+
+        # null scatter (integrators.cpp:1102-1110)
+        sigma_n = jnp.maximum(sigma_maj - mp.sigma_a - mp.sigma_s, 0.0)
+        sn_h = hero(sigma_n, hero_idx)
+        pdf_n = T_maj_h * sn_h
+        zero_pdf = pdf_n == 0
+        inv_pdf_n = 1.0 / jnp.maximum(pdf_n, 1e-30)
+        beta = _m(is_null, beta * T_maj * sigma_n * inv_pdf_n[..., None], beta)
+        beta = _m(is_null & zero_pdf, jnp.zeros_like(beta), beta)
+        r_u = _m(is_null, r_u * T_maj * sigma_n * inv_pdf_n[..., None], r_u)
+        r_l = _m(is_null, r_l * T_maj * sigma_maj * inv_pdf_n[..., None], r_l)
+        died = is_null & ((jnp.max(beta, -1) == 0) | (jnp.max(r_u, -1) == 0))
+        terminated = terminated | died
+        vol_active_new = vol_active_new & ~died
+        # continue tracking: reset T_maj, advance t_min
+        T_maj = _m(is_null & ~died, jnp.ones_like(T_maj), T_maj)
+        t_min = jnp.where(is_null, t, t_min)
+
+        return (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, vol_active_new,
+                scattered, terminated, t_scatter, g_scatter, it + 1)
+
+    init = (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, colliding,
+            scattered, terminated, t_scatter, g_scatter, jnp.int32(0))
+    (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, _, scattered, terminated,
+     t_scatter, g_scatter, _) = jax.lax.while_loop(cond, body, init)
+
+    # zero-majorant lanes: tail T_maj over whole segment
+    dt_all = jnp.minimum(seg_end, 3e37)
+    T_maj = _m(reached_end, jnp.exp(-dt_all[..., None] * sigma_maj), T_maj)
+
+    # final rescale for lanes that reached segment end (integrators.cpp:1121-1124)
+    ran_to_end = active & ~scattered & ~terminated
+    T_maj_h = jnp.maximum(hero(T_maj, hero_idx), 1e-30)
+    scale = T_maj / T_maj_h[..., None]
+    beta = _m(ran_to_end, beta * scale, beta)
+    r_u = _m(ran_to_end, r_u * scale, r_u)
+    r_l = _m(ran_to_end, r_l * scale, r_l)
+
+    return MediumResult(sampler, beta, r_u, r_l, L, depth, scattered, terminated,
+                        t_scatter, g_scatter)
+
+
+# ---------------------------------------------------------------------------
+# NEE with ratio-tracking transmittance (VolPath::SampleLd)
+# ---------------------------------------------------------------------------
+
+
+def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
+                                 hero_idx, sampler, active):
+    """Spectral transmittance along a shadow ray with rescaled pdfs.
+
+    Walks interface segments (opaque hit => occluded) and ratio-tracks null
+    collisions in each segment's medium (cpu/integrators.cpp:1374-1422).
+    Returns (sampler, T_ray, r_l, r_u).
+    """
+    T_ray = jnp.ones_like(o)
+    r_l = jnp.ones_like(o)
+    r_u = jnp.ones_like(o)
+    t_cur = jnp.zeros_like(o[..., 0])
+    med_id = medium_start
+    seg_active = active
+
+    def seg_cond(c):
+        (_, _, _, _, _, _, seg_active, it) = c
+        return jnp.any(seg_active) & (it < cfg.max_shadow_segments)
+
+    def seg_body(c):
+        (sampler, T_ray, r_l, r_u, t_cur, med_id, seg_active, it) = c
+        p_cur = o + t_cur[..., None] * wi
+        rem = t_max - t_cur
+        h = scene.geometry.intersect(p_cur, wi, rem)
+        blocked = h.hit & (h.mat_id >= 0) & (h.t < rem)
+        T_ray = _m(seg_active & blocked, jnp.zeros_like(T_ray), T_ray)
+        seg_len = jnp.where(h.hit & (h.t < rem), h.t, rem)
+        sigma_maj = scene.media.sigma_maj(med_id)
+        maj_h = hero(sigma_maj, hero_idx)
+
+        live = seg_active & ~blocked
+        # collision loop within segment
+        coll_active = live & (maj_h > 0)
+        t_min = jnp.zeros_like(maj_h)
+        T_maj = jnp.ones_like(sigma_maj)
+
+        def c_cond(cc):
+            (_, _, _, _, _, _, ca, cit) = cc
+            return jnp.any(ca) & (cit < cfg.max_collisions)
+
+        def c_body(cc):
+            (sampler, t_min, T_maj, T_ray, r_l, r_u, ca, cit) = cc
+            sampler, u_step = sampler.get_1d()
+            t = t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30))
+            past = t >= seg_len
+            fin = ca & past
+            dt_end = jnp.minimum(seg_len - t_min, 3e37)
+            T_maj = _m(fin, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
+            ca_new = ca & ~past
+
+            coll = ca & ~past
+            T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
+            p = p_cur + t[..., None] * wi
+            mp = scene.media.sample_point(med_id, p)
+            sigma_n = jnp.maximum(sigma_maj - mp.sigma_a - mp.sigma_s, 0.0)
+            T_maj_h = hero(T_maj, hero_idx)
+            pdf = jnp.maximum(T_maj_h * maj_h, 1e-30)
+            T_ray = _m(coll, T_ray * T_maj * sigma_n / pdf[..., None], T_ray)
+            r_l = _m(coll, r_l * T_maj * sigma_maj / pdf[..., None], r_l)
+            r_u = _m(coll, r_u * T_maj * sigma_n / pdf[..., None], r_u)
+
+            # transmittance russian roulette (integrators.cpp:1404-1412)
+            Tr = T_ray / jnp.maximum(average(r_l + r_u), 1e-30)[..., None]
+            low = coll & (jnp.max(Tr, -1) < 0.05)
+            sampler, u_rr = sampler.get_1d()
+            killed = low & (u_rr < 0.75)
+            T_ray = _m(killed, jnp.zeros_like(T_ray), T_ray)
+            T_ray = _m(low & ~killed, T_ray / 0.25, T_ray)
+
+            dead = coll & (jnp.max(T_ray, -1) == 0)
+            ca_new = ca_new & ~dead
+            T_maj = _m(coll & ~dead, jnp.ones_like(T_maj), T_maj)
+            t_min = jnp.where(coll, t, t_min)
+            return (sampler, t_min, T_maj, T_ray, r_l, r_u, ca_new, cit + 1)
+
+        (sampler, t_min, T_maj, T_ray, r_l, r_u, _, _) = jax.lax.while_loop(
+            c_cond, c_body,
+            (sampler, t_min, T_maj, T_ray, r_l, r_u, coll_active, jnp.int32(0)),
+        )
+        # zero-majorant lanes: full-segment tail
+        no_coll = live & (maj_h <= 0)
+        T_maj = _m(no_coll, jnp.exp(-jnp.minimum(seg_len, 3e37)[..., None] * sigma_maj), T_maj)
+        # final per-segment rescale (integrators.cpp:1416-1419)
+        T_maj_h = jnp.maximum(hero(T_maj, hero_idx), 1e-30)
+        scale = T_maj / T_maj_h[..., None]
+        T_ray = _m(live, T_ray * scale, T_ray)
+        r_l = _m(live, r_l * scale, r_l)
+        r_u = _m(live, r_u * scale, r_u)
+
+        # cross the interface: switch medium by crossing side
+        crossing = live & h.hit & (h.t < rem)
+        new_med = jnp.where(dot(wi, h.n) < 0, h.med_in, h.med_out)
+        med_id = jnp.where(crossing, new_med, med_id)
+
+        dead = jnp.max(T_ray, -1) == 0
+        t_cur = jnp.where(live, t_cur + seg_len + 1e-4, t_cur)
+        seg_active = live & ~dead & crossing & (t_cur < t_max)
+        return (sampler, T_ray, r_l, r_u, t_cur, med_id, seg_active, it + 1)
+
+    (sampler, T_ray, r_l, r_u, _, _, _, _) = jax.lax.while_loop(
+        seg_cond, seg_body,
+        (sampler, T_ray, r_l, r_u, t_cur, med_id, seg_active, jnp.int32(0)),
+    )
+    return sampler, T_ray, r_l, r_u
+
+
+def _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u, r_p, beta, ok):
+    """Final SampleLd contribution (integrators.cpp:1424-1433)."""
+    p_l = ls.select_pmf * ls.pdf_dir
+    r_l = tr_l * r_p * p_l[..., None]
+    r_u = tr_u * r_p * scatter_pdf[..., None]
+    denom = jnp.where(ls.is_delta, average(r_l), average(r_l + r_u))
+    contrib = beta * f_hat * T_ray * ls.L / jnp.maximum(denom, 1e-30)[..., None]
+    return jnp.where((ok & (denom > 0))[..., None], contrib, 0.0)
+
+
+def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
+                     r_p, active):
+    """NEE from a medium scatter vertex (SampleLd with phase function)."""
+    sampler, u_sel = sampler.get_1d()
+    sampler, u2 = sampler.get_2d()
+    ls = scene.lights.sample(p, u_sel, u2)
+    ok = active & ls.valid & (average(ls.L) > 0)
+
+    cos_wo_wi = jnp.sum(wo * ls.wi, axis=-1)
+    f_scalar = henyey_greenstein(cos_wo_wi, g)
+    f_hat = f_scalar[..., None] * jnp.ones_like(beta)
+    scatter_pdf = f_scalar
+    ok &= f_scalar > 0
+
+    sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
+        scene, cfg, p, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok
+    )
+    return sampler, _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
+                                r_p, beta, ok)
+
+
+def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
+                      hero_idx, sampler, beta, r_p, active):
+    """NEE from a surface vertex (SampleLd with BSDF).
+
+    Directions converted to the shading frame for masked BSDF dispatch.
+    """
+    p_offset = offset_ray_origin(p, n_g, wo_world)
+    sampler, u_sel = sampler.get_1d()
+    sampler, u2 = sampler.get_2d()
+    ls = scene.lights.sample(p_offset, u_sel, u2)
+    ok = active & ls.valid & (average(ls.L) > 0)
+
+    t1, t2 = coordinate_system(ns)
+
+    def to_local(w):
+        return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], axis=-1)
+
+    wo_l = to_local(wo_world)
+    wi_l = to_local(ls.wi)
+    f_hat = bsdf_f(lanes, wo_l, wi_l) * jnp.abs(dot(ls.wi, ns))[..., None]
+    scatter_pdf = bsdf_pdf(lanes, wo_l, wi_l)
+    ok &= jnp.max(f_hat, -1) > 0
+
+    sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
+        scene, cfg, p_offset, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok
+    )
+    return sampler, _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
+                                r_p, beta, ok)
+
+
+# ---------------------------------------------------------------------------
+# Path state + bounce loop
+# ---------------------------------------------------------------------------
+
+
+class PathState(NamedTuple):
+    sampler: LaneSampler
+    o: jnp.ndarray  # (R,3)
+    d: jnp.ndarray  # (R,3) normalized
+    beta: jnp.ndarray  # (R,3)
+    r_u: jnp.ndarray  # (R,3)
+    r_l: jnp.ndarray  # (R,3)
+    L: jnp.ndarray  # (R,3)
+    depth: jnp.ndarray  # (R,) int32
+    alive: jnp.ndarray  # (R,) bool
+    specular: jnp.ndarray  # (R,) bool
+    hero_idx: jnp.ndarray  # (R,) int32
+    medium_id: jnp.ndarray  # (R,) int32, -1 = vacuum
+    eta_scale: jnp.ndarray  # (R,)
+    prev_p: jnp.ndarray  # (R,3) previous scattering vertex (light ctx)
+
+
+def make_path_state(sampler, o, d, hero_idx, medium_id, pixel_like):
+    """Fresh path state; carries derived from varying inputs."""
+    return PathState(
+        sampler=sampler, o=o, d=d,
+        beta=jnp.ones_like(o), r_u=jnp.ones_like(o), r_l=jnp.ones_like(o),
+        L=jnp.zeros_like(o), depth=jnp.zeros_like(pixel_like),
+        alive=pixel_like >= 0, specular=pixel_like < 0,
+        hero_idx=hero_idx, medium_id=medium_id,
+        eta_scale=jnp.ones_like(o[..., 0]), prev_p=jnp.zeros_like(o),
+    )
+
+
+def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
+    """One path event for every lane."""
+    t_far = jnp.full_like(s.o[..., 0], INF)
+    h = scene.geometry.intersect(s.o, s.d, t_far)
+    seg_end = jnp.where(h.hit, h.t, INF)
+
+    # ---- medium flight -----------------------------------------------------
+    in_medium = s.alive & (s.medium_id >= 0)
+    mr = sample_medium_interaction(
+        scene, cfg, s.o, s.d, seg_end, s.medium_id, s.hero_idx, s.sampler,
+        s.beta, s.r_u, s.r_l, s.L, s.depth, in_medium,
+    )
+    sampler, beta, r_u, r_l, L, depth = (
+        mr.sampler, mr.beta, mr.r_u, mr.r_l, mr.L, mr.depth,
+    )
+    alive = s.alive & ~mr.terminated
+
+    # ---- real-scatter lanes: NEE + phase sample ---------------------------
+    scat = mr.scattered & alive
+    p_scat = s.o + mr.t_scatter[..., None] * s.d
+    wo = -s.d
+    sampler, Ld = sample_ld_volume(
+        scene, cfg, p_scat, wo, mr.g_scatter, s.medium_id, s.hero_idx, sampler,
+        beta, r_u, scat,
+    )
+    L = _m(scat, L + Ld, L)
+    sampler, u2 = sampler.get_2d()
+    wi_p, phase_pdf = sample_henyey_greenstein(wo, mr.g_scatter, u2)
+    bad_phase = scat & (phase_pdf <= 0)
+    alive = alive & ~bad_phase
+    r_l = _m(scat, r_u / jnp.maximum(phase_pdf, 1e-30)[..., None], r_l)
+    o_new = _m(scat, p_scat, s.o)
+    d_new = _m(scat, wi_p, s.d)
+    specular = jnp.where(scat, False, s.specular)
+    prev_p = _m(scat, p_scat, s.prev_p)
+
+    # ---- non-scattered lanes: escape / surface ----------------------------
+    flew = alive & ~scat
+
+    # escaped: infinite lights with MIS (integrators.cpp:1127-1143)
+    escaped = flew & ~h.hit
+    Le_env = scene.lights.le_escaped(s.d)
+    any_env = average(Le_env) > 0
+    first = (s.depth == 0) | s.specular
+    no_mis = escaped & first & any_env
+    L = _m(no_mis, L + beta * Le_env / jnp.maximum(average(r_u), 1e-30)[..., None], L)
+    with_mis = escaped & ~first & any_env
+    p_l_esc = scene.lights.pdf_li_escaped(s.d)
+    r_l_esc = r_l * p_l_esc[..., None]
+    denom_esc = jnp.maximum(average(r_u + r_l_esc), 1e-30)
+    L = _m(with_mis, L + beta * Le_env / denom_esc[..., None], L)
+    alive = alive & ~escaped
+
+    surf = flew & h.hit
+
+    # emissive surface hit (integrators.cpp:1146-1160)
+    emissive = surf & (h.light_id >= 0)
+    Le_surf = scene.lights.le_area(h.light_id, -s.d, h.n)
+    has_le = average(Le_surf) > 0
+    no_mis_s = emissive & first & has_le
+    L = _m(no_mis_s, L + beta * Le_surf / jnp.maximum(average(r_u), 1e-30)[..., None], L)
+    with_mis_s = emissive & ~first & has_le
+    p_l_area = scene.lights.pdf_li_area(h.light_id, s.prev_p, h.p, h.n)
+    r_l_area = r_l * p_l_area[..., None]
+    denom_s = jnp.maximum(average(r_u + r_l_area), 1e-30)
+    L = _m(with_mis_s, L + beta * Le_surf / denom_s[..., None], L)
+
+    # interface-only surfaces: skip through, switch medium
+    # (integrators.cpp:1168-1171 SkipIntersection + SpawnRay medium logic)
+    iface = surf & (h.mat_id < 0)
+    new_med_skip = jnp.where(dot(s.d, h.n) < 0, h.med_in, h.med_out)
+    medium_id = jnp.where(iface, new_med_skip, s.medium_id)
+    o_new = _m(iface, h.p + 1e-4 * s.d, o_new)
+
+    # ---- real surface shading ---------------------------------------------
+    shade = surf & (h.mat_id >= 0)
+    depth_hit = shade & (s.depth >= cfg.max_depth)
+    alive = alive & ~depth_hit
+    shade = shade & ~depth_hit
+    depth = jnp.where(shade, depth + 1, depth)
+
+    lanes = scene.materials.gather(h.mat_id)
+    ns = face_forward(h.ns, h.n)  # keep shading normal consistent w/ geometric
+    # NEE from surface (skipped for pure-specular lanes)
+    can_nee = shade & ~lanes.is_specular
+    sampler, Ld_s = sample_ld_surface(
+        scene, cfg, h.p, h.n, ns, -s.d, lanes, medium_id, s.hero_idx, sampler,
+        beta, r_u, can_nee,
+    )
+    L = _m(can_nee, L + Ld_s, L)
+
+    # BSDF sampling
+    t1, t2 = coordinate_system(ns)
+
+    def to_local(w):
+        return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], axis=-1)
+
+    def to_world(w):
+        return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * ns
+
+    wo_l = to_local(-s.d)
+    sampler, u_lobe = sampler.get_1d()
+    sampler, u2b = sampler.get_2d()
+    bs = bsdf_sample(lanes, wo_l, u_lobe, u2b)
+    bs_ok = shade & bs.valid & (bs.pdf > 0)
+    alive = alive & ~(shade & ~bs_ok)
+    wi_world = normalize(to_world(bs.wi))
+
+    cos_wi = jnp.abs(dot(wi_world, ns))
+    scale_b = bs.f * cos_wi[..., None] / jnp.maximum(bs.pdf, 1e-30)[..., None]
+    beta = _m(bs_ok, beta * scale_b, beta)
+    r_l = _m(bs_ok, r_u / jnp.maximum(bs.pdf, 1e-30)[..., None], r_l)
+    specular = jnp.where(bs_ok, bs.is_specular, specular)
+    eta_scale = jnp.where(bs_ok & bs.is_transmission,
+                          s.eta_scale * bs.eta * bs.eta, s.eta_scale)
+    # medium switch on transmission through the surface
+    crossing = bs_ok & (dot(wi_world, h.n) < 0)
+    new_med_x = jnp.where(crossing, h.med_in, h.med_out)
+    medium_id = jnp.where(bs_ok, new_med_x, medium_id)
+    o_new = _m(bs_ok, offset_ray_origin(h.p, h.n, wi_world), o_new)
+    d_new = _m(bs_ok, wi_world, d_new)
+    prev_p = _m(bs_ok, h.p, prev_p)
+
+    # ---- Russian roulette (surface bounces; integrators.cpp:1301-1312) ----
+    dead_beta = shade & (jnp.max(beta, -1) == 0)
+    alive = alive & ~dead_beta
+    rr_beta = beta * eta_scale[..., None] / jnp.maximum(average(r_u), 1e-30)[..., None]
+    rr_max = jnp.max(rr_beta, -1)
+    sampler, u_rr = sampler.get_1d()
+    do_rr = shade & (rr_max < 1.0) & (depth > 1)
+    q = jnp.maximum(0.0, 1.0 - rr_max)
+    rr_kill = do_rr & (u_rr < q)
+    alive = alive & ~rr_kill
+    beta = _m(do_rr & ~rr_kill, beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
+
+    return PathState(
+        sampler, o_new, d_new, beta, r_u, r_l, L, depth, alive, specular,
+        s.hero_idx, medium_id, eta_scale, prev_p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Render drivers
+# ---------------------------------------------------------------------------
+
+
+def trace_paths(scene, cfg, s: PathState):
+    """Run the bounce loop until all lanes die (or max_events)."""
+
+    def cond(c):
+        st, it = c
+        return jnp.any(st.alive) & (it < cfg.max_events)
+
+    def body(c):
+        st, it = c
+        return volpath_bounce(scene, cfg, st), it + 1
+
+    s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+    return s
+
+
+def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium):
+    """Generate primary rays + fresh path state for the given pixel lanes."""
+    pix = pixel_coords(film.resolution)[pixel_id]
+    sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), sample_index)
+    sampler, u_pix = sampler.get_2d()
+    p_raster = pix.astype(jnp.float32) + u_pix
+    sampler, u_lens = sampler.get_2d()
+    o, d = camera.generate_rays(p_raster, u_lens)
+    sampler, u_wl = sampler.get_1d()
+    hero_idx = sample_hero_channel(u_wl)
+    med0 = jnp.full_like(pixel_id, camera_medium)
+    return make_path_state(sampler, o, d, hero_idx, med0, pixel_id)
+
+
+def render_wave(scene, camera, film, film_state, cfg, seed, sample_index,
+                camera_medium=-1):
+    """Trace one 1-spp wave over all pixels and accumulate into the film
+    (wave loop analog of cpu/integrators.cpp:75-269)."""
+    R = film.npix
+    pixel_id = jnp.arange(R, dtype=jnp.int32)
+    s = start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                           camera_medium)
+    s = trace_paths(scene, cfg, s)
+    return film.add_samples(film_state, pixel_id, s.L, jnp.ones(R))
+
+
+@partial(jax.jit, static_argnames=("cfg", "camera_medium", "spp_per_pass"))
+def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass):
+    state = film.init_state()
+    R = film.npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass
+    n_pass = spp // spp_per_pass
+
+    def one_pass(i, st):
+        sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
+        s = start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                               camera_medium)
+        s = trace_paths(scene, cfg, s)
+        return film.add_samples(st, pixel_id, s.L, jnp.ones(R))
+
+    state = jax.lax.fori_loop(0, n_pass, one_pass, state)
+    return film.image(state)
+
+
+def render(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(), seed=0,
+           camera_medium=-1, spp_per_pass=None):
+    """Full render. spp_per_pass packs multiple samples into one wavefront
+    (bigger arrays -> better VPU utilization); defaults to min(spp, 8)."""
+    if spp_per_pass is None:
+        spp_per_pass = min(spp, 8)
+    assert spp % spp_per_pass == 0
+    return _render_jit(scene, camera, film, cfg, jnp.int32(spp), jnp.uint32(seed),
+                       int(camera_medium), int(spp_per_pass))
+
+
+# -- convenience: fog-box scene builder (BASELINE config 1) ------------------
+
+
+def make_fog_box_scene(sigma_a, sigma_s, g=0.0, Le=None, env_L=None,
+                       point=None, box=((-1, -1, -1), (1, 1, 1)),
+                       world_radius=100.0):
+    media = HomogeneousMedia.make([sigma_a], [sigma_s],
+                                  Le=None if Le is None else [Le], g=[g])
+    lights = Lights.make(
+        point_p=None if point is None else [point[0]],
+        point_I=None if point is None else [point[1]],
+        env_L=env_L, world_radius=world_radius,
+    )
+    geom = Geometry.build(
+        boxes=[dict(bmin=box[0], bmax=box[1], mat=-1, light=-1, med_in=0,
+                    med_out=-1)]
+    )
+    return Scene(geom, Materials.build([]), media, lights)

@@ -1,0 +1,221 @@
+"""Lights as stacked SoA arrays + vectorized NEE sampling.
+
+Analog of ``src/pbrt/lights.h`` (Point:203, Distant:268, UniformInfinite:555,
+DiffuseArea:458) and the uniform light sampler (lightsamplers.h:26). Instead
+of TaggedPointer dispatch per ray, every light type's data lives in stacked
+arrays and a lane's sampled light is resolved with masked gathers — the whole
+wavefront samples NEE in one fused pass.
+
+Global light index layout: [0, n_point) point | [n_point, +n_distant) distant
+| [.., +n_area) triangle area lights | last: infinite.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.struct as struct
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.math import INV_4PI, safe_div
+from ..utils.sampling import sample_uniform_sphere, sample_uniform_triangle
+from ..utils.vecmath import cross, distance, dot, length, normalize
+
+
+class LightSample(NamedTuple):
+    wi: jnp.ndarray  # (R,3) direction to light
+    L: jnp.ndarray  # (R,3) incident radiance (already /dist^2 for point)
+    pdf_dir: jnp.ndarray  # (R,) solid-angle pdf of wi given the chosen light
+    select_pmf: jnp.ndarray  # (R,) probability of having chosen this light
+    is_delta: jnp.ndarray  # (R,) bool
+    t_shadow: jnp.ndarray  # (R,) parametric shadow-ray length (d normalized)
+    valid: jnp.ndarray  # (R,) bool
+
+
+@struct.dataclass
+class Lights:
+    # point lights
+    point_p: jnp.ndarray  # (Lp,3)
+    point_I: jnp.ndarray  # (Lp,3) intensity
+    # distant lights
+    distant_dir: jnp.ndarray  # (Ld,3) direction the light travels (from light)
+    distant_L: jnp.ndarray  # (Ld,3)
+    # triangle area lights (DiffuseAreaLight over emissive triangles)
+    area_p0: jnp.ndarray  # (A,3)
+    area_p1: jnp.ndarray
+    area_p2: jnp.ndarray
+    area_L: jnp.ndarray  # (A,3) emitted radiance
+    area_twosided: jnp.ndarray  # (A,) bool
+    # uniform infinite environment
+    env_L: jnp.ndarray  # (3,) radiance; zeros = no env light
+    has_env: bool = struct.field(pytree_node=False)
+    world_radius: float = struct.field(pytree_node=False)  # shadow-ray lengths
+
+    @staticmethod
+    def make(point_p=None, point_I=None, distant_dir=None, distant_L=None,
+             area_tris=None, env_L=None, world_radius=1e4):
+        """area_tris: list of dicts {p0, p1, p2, L, [twosided]}."""
+        def arr(x, n3=3):
+            if x is None:
+                return jnp.zeros((0, n3), jnp.float32)
+            return jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+
+        a = list(area_tris or [])
+        if a:
+            a_p0 = jnp.asarray([t["p0"] for t in a], jnp.float32)
+            a_p1 = jnp.asarray([t["p1"] for t in a], jnp.float32)
+            a_p2 = jnp.asarray([t["p2"] for t in a], jnp.float32)
+            a_L = jnp.asarray([t["L"] for t in a], jnp.float32)
+            a_two = jnp.asarray([bool(t.get("twosided", False)) for t in a])
+        else:
+            a_p0 = a_p1 = a_p2 = jnp.zeros((0, 3), jnp.float32)
+            a_L = jnp.zeros((0, 3), jnp.float32)
+            a_two = jnp.zeros((0,), bool)
+        env = jnp.zeros(3, jnp.float32) if env_L is None else jnp.asarray(env_L, jnp.float32)
+        return Lights(
+            arr(point_p), arr(point_I), arr(distant_dir), arr(distant_L),
+            a_p0, a_p1, a_p2, a_L, a_two,
+            env, env_L is not None, float(world_radius),
+        )
+
+    # -- static counts ------------------------------------------------------
+    @property
+    def n_point(self):
+        return self.point_p.shape[0]
+
+    @property
+    def n_distant(self):
+        return self.distant_dir.shape[0]
+
+    @property
+    def n_area(self):
+        return self.area_p0.shape[0]
+
+    @property
+    def n_lights(self):
+        return (self.n_point + self.n_distant + self.n_area
+                + (1 if self.has_env else 0))
+
+    # -- uniform light sampler (lightsamplers.h UniformLightSampler:26) -----
+    def sample(self, ref_p, u_select, u2) -> LightSample:
+        """Uniformly pick a light, sample a direction toward it.
+
+        ref_p: (R,3); u_select, u2: sampler draws. Fully masked — all light
+        types are evaluated and the selected one gathered per lane.
+        """
+        n = self.n_lights
+        R = ref_p.shape[:-1]
+        if n == 0:
+            z3 = jnp.zeros(R + (3,))
+            z = jnp.zeros(R)
+            return LightSample(z3, z3, z, z, z.astype(bool), z, jnp.zeros(R, bool))
+        idx = jnp.minimum((u_select * n).astype(jnp.int32), n - 1)
+        pmf = jnp.full(R, 1.0 / n)
+
+        wi = jnp.zeros(R + (3,))
+        L = jnp.zeros(R + (3,))
+        pdf_dir = jnp.zeros(R)
+        is_delta = jnp.zeros(R, bool)
+        t_shadow = jnp.zeros(R)
+
+        if self.n_point > 0:
+            pi = jnp.clip(idx, 0, self.n_point - 1)
+            p_light = self.point_p[pi]
+            d = p_light - ref_p
+            dist = distance(p_light, ref_p)
+            wi_p = normalize(d)
+            L_p = self.point_I[pi] * safe_div(1.0, dist * dist, 0.0)[..., None]
+            sel = idx < self.n_point
+            wi = jnp.where(sel[..., None], wi_p, wi)
+            L = jnp.where(sel[..., None], L_p, L)
+            pdf_dir = jnp.where(sel, 1.0, pdf_dir)
+            is_delta = is_delta | sel
+            t_shadow = jnp.where(sel, dist, t_shadow)
+
+        if self.n_distant > 0:
+            di = jnp.clip(idx - self.n_point, 0, self.n_distant - 1)
+            wi_d = -normalize(self.distant_dir[di])
+            sel = (idx >= self.n_point) & (idx < self.n_point + self.n_distant)
+            wi = jnp.where(sel[..., None], wi_d, wi)
+            L = jnp.where(sel[..., None], self.distant_L[di], L)
+            pdf_dir = jnp.where(sel, 1.0, pdf_dir)
+            is_delta = is_delta | sel
+            t_shadow = jnp.where(sel, 2.0 * self.world_radius, t_shadow)
+
+        if self.n_area > 0:
+            base = self.n_point + self.n_distant
+            ai = jnp.clip(idx - base, 0, self.n_area - 1)
+            p0, p1, p2 = self.area_p0[ai], self.area_p1[ai], self.area_p2[ai]
+            b = sample_uniform_triangle(u2)
+            p_l = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
+            e1, e2 = p1 - p0, p2 - p0
+            n_cross = cross(e1, e2)
+            area2 = length(n_cross)
+            n_l = n_cross * safe_div(1.0, area2, 0.0)[..., None]
+            to_l = p_l - ref_p
+            dist = length(to_l)
+            wi_a = to_l * safe_div(1.0, dist, 0.0)[..., None]
+            cos_l = dot(n_l, -wi_a)
+            two = self.area_twosided[ai]
+            front = jnp.where(two, jnp.abs(cos_l) > 1e-7, cos_l > 1e-7)
+            # solid-angle pdf = dist^2 / (|cos| * area)
+            pdf_a = safe_div(dist * dist, jnp.abs(cos_l) * (0.5 * area2), 0.0)
+            sel = (idx >= base) & (idx < base + self.n_area)
+            wi = jnp.where(sel[..., None], wi_a, wi)
+            L = jnp.where((sel & front)[..., None], self.area_L[ai], L)
+            pdf_dir = jnp.where(sel, jnp.where(front, pdf_a, 0.0), pdf_dir)
+            t_shadow = jnp.where(sel, dist * (1.0 - 1e-3), t_shadow)
+
+        if self.has_env:
+            sel = idx == (n - 1)
+            wi_e = sample_uniform_sphere(u2)
+            wi = jnp.where(sel[..., None], wi_e, wi)
+            L = jnp.where(sel[..., None], self.env_L, L)
+            pdf_dir = jnp.where(sel, INV_4PI, pdf_dir)
+            t_shadow = jnp.where(sel, 2.0 * self.world_radius, t_shadow)
+
+        valid = pdf_dir > 0
+        return LightSample(wi, L, pdf_dir, pmf, is_delta, t_shadow, valid)
+
+    # -- escaped-ray emission (infinite lights) -----------------------------
+    def le_escaped(self, d):
+        """Radiance from infinite lights along escaped direction d: (R,3)."""
+        if not self.has_env:
+            return jnp.zeros(d.shape[:-1] + (3,))
+        return jnp.broadcast_to(self.env_L, d.shape[:-1] + (3,))
+
+    def pdf_li_escaped(self, d):
+        """select_pmf * directional pdf for MIS of escaped rays
+        (UniformInfiniteLight::PDF_Li = uniform-sphere pdf)."""
+        if not self.has_env:
+            return jnp.zeros(d.shape[:-1])
+        return jnp.full(d.shape[:-1], INV_4PI / max(self.n_lights, 1))
+
+    # -- area-light queries at a surface hit --------------------------------
+    def le_area(self, light_id, wo, n):
+        """Emitted radiance toward wo from area light light_id with surface
+        normal n at the hit (DiffuseAreaLight::L semantics)."""
+        if self.n_area == 0:
+            return jnp.zeros(wo.shape[:-1] + (3,))
+        ai = jnp.clip(light_id, 0, self.n_area - 1)
+        vis = dot(n, wo) > 0
+        vis = vis | self.area_twosided[ai]
+        ok = (light_id >= 0) & vis
+        return jnp.where(ok[..., None], self.area_L[ai], 0.0)
+
+    def pdf_li_area(self, light_id, ref_p, p_hit, n_hit):
+        """select_pmf * solid-angle pdf of having sampled the hit point on
+        area light light_id from ref_p (for MIS at an emissive hit)."""
+        if self.n_area == 0:
+            return jnp.zeros(ref_p.shape[:-1])
+        ai = jnp.clip(light_id, 0, self.n_area - 1)
+        e1 = self.area_p1[ai] - self.area_p0[ai]
+        e2 = self.area_p2[ai] - self.area_p0[ai]
+        area = 0.5 * length(cross(e1, e2))
+        to_h = p_hit - ref_p
+        dist2 = jnp.sum(to_h * to_h, -1)
+        wi = to_h * safe_div(1.0, jnp.sqrt(dist2), 0.0)[..., None]
+        cos_l = jnp.abs(dot(n_hit, wi))
+        pdf = safe_div(dist2, cos_l * area, 0.0)
+        return jnp.where(light_id >= 0, pdf / max(self.n_lights, 1), 0.0)

@@ -1,0 +1,450 @@
+"""Materials -> BSDFs as SoA arrays with masked type dispatch.
+
+Analog of the reference's materials.h -> bsdf.h -> bxdfs.h stack. Instead of
+TaggedPointer dispatch per hit (bxdfs.h DiffuseBxDF:31, Dielectric:232,
+Conductor:357; microfacets in util/scattering.h), each lane gathers its
+material row and every BSDF family is evaluated branchlessly; lanes keep the
+row matching their mat_type. With few families this costs a handful of fused
+VPU ops — the TPU version of a sorted material queue.
+
+All directions here are in *local shading frame* (z = shading normal);
+integrators convert with coordinate_system frames. Conventions match pbrt:
+wo, wi point away from the surface; eta is interior/exterior IOR ratio.
+
+Supported families (mat_type):
+  0 DIFFUSE       albedo
+  1 CONDUCTOR     reflectance (Schlick F0), roughness (TR microfacet; 0 = mirror)
+  2 DIELECTRIC    eta, roughness (0 = smooth specular reflect/transmit)
+  3 DIFFUSE_TRANS albedo (reflect) + albedo2 (transmit)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.math import INV_PI, safe_div, safe_sqrt, sqr
+from ..utils.sampling import (
+    cosine_hemisphere_pdf,
+    sample_cosine_hemisphere,
+    sample_uniform_disk_polar,
+)
+from ..utils.vecmath import (
+    abs_cos_theta,
+    cos_theta,
+    dot,
+    normalize,
+    same_hemisphere,
+    tan2_theta,
+)
+
+DIFFUSE = 0
+CONDUCTOR = 1
+DIELECTRIC = 2
+DIFFUSE_TRANS = 3
+
+
+class Materials(NamedTuple):
+    mat_type: jnp.ndarray  # (M,)
+    albedo: jnp.ndarray  # (M,3) diffuse reflectance / conductor F0
+    albedo2: jnp.ndarray  # (M,3) transmission color
+    eta: jnp.ndarray  # (M,) relative IOR
+    roughness: jnp.ndarray  # (M,) TR alpha (already remapped)
+
+    @staticmethod
+    def build(mats):
+        """mats: list of dicts {type, albedo, albedo2, eta, roughness}."""
+        n = len(mats)
+        if n == 0:
+            # dummy black-diffuse row so lane gathers stay in range
+            mats = [dict(type=DIFFUSE, albedo=(0.0, 0.0, 0.0))]
+        return Materials(
+            jnp.asarray([m.get("type", DIFFUSE) for m in mats], jnp.int32),
+            jnp.asarray([m.get("albedo", (0.5, 0.5, 0.5)) for m in mats], jnp.float32),
+            jnp.asarray([m.get("albedo2", (0, 0, 0)) for m in mats], jnp.float32),
+            jnp.asarray([m.get("eta", 1.5) for m in mats], jnp.float32),
+            jnp.asarray([m.get("roughness", 0.0) for m in mats], jnp.float32),
+        )
+
+    def gather(self, mat_id):
+        mid = jnp.maximum(mat_id, 0)
+        return BSDFLanes(
+            self.mat_type[mid], self.albedo[mid], self.albedo2[mid],
+            self.eta[mid], self.roughness[mid],
+        )
+
+
+class BSDFLanes(NamedTuple):
+    """Per-lane material parameters (gathered)."""
+
+    mat_type: jnp.ndarray  # (R,)
+    albedo: jnp.ndarray  # (R,3)
+    albedo2: jnp.ndarray  # (R,3)
+    eta: jnp.ndarray  # (R,)
+    roughness: jnp.ndarray  # (R,)
+
+    @property
+    def is_specular(self):
+        """Delta-only lobes: smooth conductor/dielectric."""
+        smooth = self.roughness < 1e-3
+        return smooth & ((self.mat_type == CONDUCTOR) | (self.mat_type == DIELECTRIC))
+
+
+class BSDFSample(NamedTuple):
+    wi: jnp.ndarray  # (R,3) local
+    f: jnp.ndarray  # (R,3)
+    pdf: jnp.ndarray  # (R,)
+    is_specular: jnp.ndarray  # (R,)
+    is_transmission: jnp.ndarray  # (R,)
+    eta: jnp.ndarray  # (R,) relative IOR of the sampled event (1 if reflect)
+    valid: jnp.ndarray  # (R,)
+
+
+# -- Fresnel -----------------------------------------------------------------
+
+
+def fresnel_dielectric(cos_i, eta):
+    """Exact dielectric Fresnel (util/scattering.h FrDielectric).
+
+    cos_i may be negative (exiting); eta is interior/exterior.
+    """
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    flip = cos_i < 0
+    eta_e = jnp.where(flip, 1.0 / eta, eta)
+    ci = jnp.abs(cos_i)
+    sin2_t = (1.0 - sqr(ci)) / sqr(eta_e)
+    tir = sin2_t >= 1.0
+    cos_t = safe_sqrt(1.0 - sin2_t)
+    r_parl = safe_div(eta_e * ci - cos_t, eta_e * ci + cos_t)
+    r_perp = safe_div(ci - eta_e * cos_t, ci + eta_e * cos_t)
+    F = 0.5 * (sqr(r_parl) + sqr(r_perp))
+    return jnp.where(tir, 1.0, F)
+
+
+def fresnel_schlick(cos_i, f0):
+    """Schlick approximation for conductors with RGB F0."""
+    m = jnp.clip(1.0 - jnp.abs(cos_i), 0.0, 1.0)
+    return f0 + (1.0 - f0) * (m**5)[..., None]
+
+
+def refract(wi, n, eta):
+    """Refract wi about n (both unit, cos_i = dot(wi,n) > 0 expected after
+    flipping). Returns (ok, wt, eta_used)."""
+    cos_i = dot(n, wi)
+    flip = cos_i < 0
+    eta_e = jnp.where(flip, 1.0 / eta, eta)
+    n_e = jnp.where(flip[..., None], -n, n)
+    ci = jnp.abs(cos_i)
+    sin2_t = jnp.maximum(0.0, 1.0 - sqr(ci)) / sqr(eta_e)
+    tir = sin2_t >= 1.0
+    cos_t = safe_sqrt(1.0 - sin2_t)
+    wt = -wi / eta_e[..., None] + (ci / eta_e - cos_t)[..., None] * n_e
+    return ~tir, normalize(wt), eta_e
+
+
+# -- Trowbridge-Reitz microfacet (util/scattering.h) -------------------------
+
+
+def tr_d(wm, alpha):
+    """GGX/TR normal distribution (isotropic)."""
+    t2 = tan2_theta(wm)
+    c4 = sqr(sqr(cos_theta(wm)))
+    e = t2 / sqr(alpha)
+    return jnp.where(
+        jnp.isfinite(t2),
+        safe_div(1.0, jnp.pi * sqr(alpha) * c4 * sqr(1.0 + e), 0.0),
+        0.0,
+    )
+
+
+def tr_lambda(w, alpha):
+    t2 = tan2_theta(w)
+    return jnp.where(jnp.isfinite(t2), 0.5 * (safe_sqrt(1.0 + sqr(alpha) * t2) - 1.0), 0.0)
+
+
+def tr_g1(w, alpha):
+    return 1.0 / (1.0 + tr_lambda(w, alpha))
+
+
+def tr_g(wo, wi, alpha):
+    return 1.0 / (1.0 + tr_lambda(wo, alpha) + tr_lambda(wi, alpha))
+
+
+def tr_d_visible(w, wm, alpha):
+    """Visible-normal distribution pdf."""
+    return (
+        tr_g1(w, alpha)
+        / jnp.maximum(abs_cos_theta(w), 1e-8)
+        * tr_d(wm, alpha)
+        * jnp.abs(dot(w, wm))
+    )
+
+
+def tr_sample_wm(w, alpha, u2):
+    """Sample visible normals (Heitz 2018 VNDF; scattering.h Sample_wm)."""
+    wh = normalize(jnp.stack(
+        [alpha * w[..., 0], alpha * w[..., 1], w[..., 2]], axis=-1))
+    wh = jnp.where(cos_theta(wh)[..., None] < 0, -wh, wh)
+    t1 = jnp.where(
+        (cos_theta(wh) < 0.999999)[..., None],
+        normalize(jnp.cross(jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wh.shape), wh)),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), wh.shape),
+    )
+    t2v = jnp.cross(wh, t1)
+    p = sample_uniform_disk_polar(u2)
+    h = safe_sqrt(1.0 - sqr(p[..., 0]))
+    p1 = jnp.stack([p[..., 0], (1.0 + cos_theta(wh)) / 2.0 * p[..., 1] + (1.0 - (1.0 + cos_theta(wh)) / 2.0) * h], axis=-1)
+    pz = safe_sqrt(1.0 - p1[..., 0] ** 2 - p1[..., 1] ** 2)
+    nh = p1[..., 0:1] * t1 + p1[..., 1:2] * t2v + pz[..., None] * wh
+    wm = normalize(jnp.stack(
+        [alpha * nh[..., 0], alpha * nh[..., 1], jnp.maximum(nh[..., 2], 1e-6)], axis=-1))
+    return wm
+
+
+def tr_pdf(wo, wm, alpha):
+    return tr_d_visible(wo, wm, alpha)
+
+
+# -- unified BSDF interface (masked over families) ---------------------------
+
+
+def bsdf_f(lanes: BSDFLanes, wo, wi):
+    """BSDF value f(wo, wi) (local frame), excluding delta lobes. (R,3)."""
+    f = jnp.zeros_like(lanes.albedo)
+    same = same_hemisphere(wo, wi)
+
+    # diffuse
+    is_d = lanes.mat_type == DIFFUSE
+    f = jnp.where((is_d & same)[..., None], lanes.albedo * INV_PI, f)
+
+    # diffuse transmission (bxdfs.h DiffuseTransmission)
+    is_dt = lanes.mat_type == DIFFUSE_TRANS
+    f = jnp.where((is_dt & same)[..., None], lanes.albedo * INV_PI, f)
+    f = jnp.where((is_dt & ~same)[..., None], lanes.albedo2 * INV_PI, f)
+
+    # rough conductor
+    is_c = (lanes.mat_type == CONDUCTOR) & (lanes.roughness >= 1e-3)
+    alpha = jnp.maximum(lanes.roughness, 1e-4)
+    wm = wi + wo
+    wm_ok = jnp.sum(wm * wm, -1) > 1e-18
+    wm_n = normalize(wm)
+    wm_n = jnp.where(cos_theta(wm_n)[..., None] < 0, -wm_n, wm_n)
+    F = fresnel_schlick(dot(wo, wm_n), lanes.albedo)
+    denom = 4.0 * abs_cos_theta(wo) * abs_cos_theta(wi)
+    spec = tr_d(wm_n, alpha)[..., None] * F * tr_g(wo, wi, alpha)[..., None]
+    spec = spec * safe_div(1.0, denom, 0.0)[..., None]
+    f = jnp.where((is_c & same & wm_ok)[..., None], spec, f)
+
+    # rough dielectric: reflection + transmission lobes
+    is_rd = (lanes.mat_type == DIELECTRIC) & (lanes.roughness >= 1e-3)
+    eta = lanes.eta
+    # reflection part
+    wm_r = normalize(wi + wo)
+    wm_r = jnp.where(cos_theta(wm_r)[..., None] < 0, -wm_r, wm_r)
+    Fr = fresnel_dielectric(dot(wo, wm_r), eta)
+    spec_r = (
+        tr_d(wm_r, alpha) * tr_g(wo, wi, alpha) * Fr
+        * safe_div(1.0, 4.0 * abs_cos_theta(wo) * abs_cos_theta(wi), 0.0)
+    )
+    f = jnp.where((is_rd & same)[..., None], spec_r[..., None] * jnp.ones(3), f)
+    # transmission part (bxdfs.h DielectricBxDF::f)
+    etap = jnp.where(cos_theta(wo) > 0, eta, 1.0 / eta)
+    wm_t = wi * etap[..., None] + wo
+    wm_tok = jnp.sum(wm_t * wm_t, -1) > 1e-18
+    wm_t = normalize(wm_t)
+    wm_t = jnp.where(cos_theta(wm_t)[..., None] < 0, -wm_t, wm_t)
+    backface = (dot(wm_t, wi) * cos_theta(wi) > 0) | (dot(wm_t, wo) * cos_theta(wo) < 0)
+    Ft = 1.0 - fresnel_dielectric(dot(wo, wm_t), eta)
+    denom_t = sqr(dot(wi, wm_t) + dot(wo, wm_t) / etap)
+    spec_t = (
+        tr_d(wm_t, alpha) * Ft * tr_g(wo, wi, alpha)
+        * jnp.abs(safe_div(
+            dot(wi, wm_t) * dot(wo, wm_t),
+            cos_theta(wi) * cos_theta(wo) * denom_t, 0.0))
+        / sqr(etap)  # radiance transport scaling
+    )
+    f = jnp.where(
+        (is_rd & ~same & wm_tok & ~backface)[..., None],
+        spec_t[..., None] * jnp.ones(3), f,
+    )
+    return f
+
+
+def bsdf_pdf(lanes: BSDFLanes, wo, wi):
+    """Sampling pdf of wi given wo (non-delta lobes). (R,)."""
+    pdf = jnp.zeros(wo.shape[:-1])
+    same = same_hemisphere(wo, wi)
+
+    is_d = lanes.mat_type == DIFFUSE
+    pdf = jnp.where(is_d & same, cosine_hemisphere_pdf(abs_cos_theta(wi)), pdf)
+
+    is_dt = lanes.mat_type == DIFFUSE_TRANS
+    # half/half hemisphere selection weighted by albedo norms
+    wr = jnp.sum(lanes.albedo, -1)
+    wt = jnp.sum(lanes.albedo2, -1)
+    pr = safe_div(wr, wr + wt, 0.5)
+    pdf_dt = jnp.where(
+        same,
+        pr * cosine_hemisphere_pdf(abs_cos_theta(wi)),
+        (1.0 - pr) * cosine_hemisphere_pdf(abs_cos_theta(wi)),
+    )
+    pdf = jnp.where(is_dt, pdf_dt, pdf)
+
+    alpha = jnp.maximum(lanes.roughness, 1e-4)
+    is_c = (lanes.mat_type == CONDUCTOR) & (lanes.roughness >= 1e-3)
+    wm = normalize(wi + wo)
+    wm = jnp.where(cos_theta(wm)[..., None] < 0, -wm, wm)
+    pdf_c = safe_div(tr_pdf(wo, wm, alpha), 4.0 * jnp.abs(dot(wo, wm)), 0.0)
+    pdf = jnp.where(is_c & same, pdf_c, pdf)
+
+    is_rd = (lanes.mat_type == DIELECTRIC) & (lanes.roughness >= 1e-3)
+    eta = lanes.eta
+    # reflection pdf weighted by Fresnel
+    wm_r = normalize(wi + wo)
+    wm_r = jnp.where(cos_theta(wm_r)[..., None] < 0, -wm_r, wm_r)
+    Fr = fresnel_dielectric(dot(wo, wm_r), eta)
+    pdf_rr = safe_div(tr_pdf(wo, wm_r, alpha), 4.0 * jnp.abs(dot(wo, wm_r)), 0.0) * Fr
+    # transmission pdf
+    etap = jnp.where(cos_theta(wo) > 0, eta, 1.0 / eta)
+    wm_t = wi * etap[..., None] + wo
+    wm_tok = jnp.sum(wm_t * wm_t, -1) > 1e-18
+    wm_t = normalize(wm_t)
+    wm_t = jnp.where(cos_theta(wm_t)[..., None] < 0, -wm_t, wm_t)
+    backface = (dot(wm_t, wi) * cos_theta(wi) > 0) | (dot(wm_t, wo) * cos_theta(wo) < 0)
+    Ft = 1.0 - fresnel_dielectric(dot(wo, wm_t), eta)
+    denom_t = sqr(dot(wi, wm_t) + dot(wo, wm_t) / etap)
+    dwm_dwi = safe_div(jnp.abs(dot(wi, wm_t)), denom_t, 0.0)
+    pdf_tt = tr_pdf(wo, wm_t, alpha) * dwm_dwi * Ft
+    pdf_rd = jnp.where(same, pdf_rr, jnp.where(wm_tok & ~backface, pdf_tt, 0.0))
+    pdf = jnp.where(is_rd, pdf_rd, pdf)
+    return pdf
+
+
+def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
+    """Sample wi ~ BSDF. All families evaluated masked; specular lobes return
+    delta samples with pdf=1 and f containing the delta weight / |cos|
+    (pbrt convention: f already divided by nothing; caller uses f*cos/pdf).
+    """
+    R = wo.shape[:-1]
+    wi = jnp.zeros(R + (3,))
+    f = jnp.zeros(R + (3,))
+    pdf = jnp.zeros(R)
+    is_spec = jnp.zeros(R, bool)
+    is_trans = jnp.zeros(R, bool)
+    eta_out = jnp.ones(R)
+    valid = jnp.zeros(R, bool)
+
+    flip = cos_theta(wo) < 0  # wo below surface: sample mirrored then flip
+
+    # ---- diffuse ----
+    is_d = lanes.mat_type == DIFFUSE
+    wi_d = sample_cosine_hemisphere(u2)
+    wi_d = jnp.where(flip[..., None], wi_d * jnp.asarray([1.0, 1.0, -1.0]), wi_d)
+    pdf_d = cosine_hemisphere_pdf(abs_cos_theta(wi_d))
+    f_d = lanes.albedo * INV_PI
+    wi = jnp.where(is_d[..., None], wi_d, wi)
+    f = jnp.where(is_d[..., None], f_d, f)
+    pdf = jnp.where(is_d, pdf_d, pdf)
+    valid = valid | (is_d & (pdf_d > 0))
+
+    # ---- diffuse transmission ----
+    is_dt = lanes.mat_type == DIFFUSE_TRANS
+    wr = jnp.sum(lanes.albedo, -1)
+    wt = jnp.sum(lanes.albedo2, -1)
+    pr = safe_div(wr, wr + wt, 0.5)
+    go_reflect = u_lobe < pr
+    wi_t = sample_cosine_hemisphere(u2)
+    # reflect stays in wo hemisphere; transmit flips
+    sign = jnp.where(go_reflect ^ flip, 1.0, -1.0)
+    wi_t = wi_t * jnp.stack([jnp.ones_like(sign), jnp.ones_like(sign), sign], -1)
+    pdf_t = cosine_hemisphere_pdf(abs_cos_theta(wi_t)) * jnp.where(go_reflect, pr, 1.0 - pr)
+    f_t = jnp.where(go_reflect[..., None], lanes.albedo, lanes.albedo2) * INV_PI
+    wi = jnp.where(is_dt[..., None], wi_t, wi)
+    f = jnp.where(is_dt[..., None], f_t, f)
+    pdf = jnp.where(is_dt, pdf_t, pdf)
+    is_trans = is_trans | (is_dt & ~go_reflect)
+    valid = valid | (is_dt & (pdf_t > 0))
+
+    # ---- conductor ----
+    is_c = lanes.mat_type == CONDUCTOR
+    smooth_c = is_c & (lanes.roughness < 1e-3)
+    # smooth: mirror reflect
+    wi_m = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    F_m = fresnel_schlick(abs_cos_theta(wo), lanes.albedo)
+    f_m = F_m * safe_div(1.0, abs_cos_theta(wi_m), 0.0)[..., None]
+    wi = jnp.where(smooth_c[..., None], wi_m, wi)
+    f = jnp.where(smooth_c[..., None], f_m, f)
+    pdf = jnp.where(smooth_c, 1.0, pdf)
+    is_spec = is_spec | smooth_c
+    valid = valid | (smooth_c & (abs_cos_theta(wo) > 0))
+    # rough: VNDF sample
+    rough_c = is_c & ~smooth_c
+    alpha = jnp.maximum(lanes.roughness, 1e-4)
+    wo_up = jnp.where(flip[..., None], -wo, wo)
+    wm = tr_sample_wm(wo_up, alpha, u2)
+    wm = jnp.where(flip[..., None], -wm, wm)
+    wi_r = -wo + 2.0 * dot(wo, wm)[..., None] * wm  # reflect(wo, wm)
+    same_r = same_hemisphere(wo, wi_r)
+    pdf_r = safe_div(tr_pdf(wo_up, jnp.where(flip[..., None], -wm, wm), alpha),
+                     4.0 * jnp.abs(dot(wo, wm)), 0.0)
+    F_r = fresnel_schlick(dot(wo, wm), lanes.albedo)
+    f_r = (
+        tr_d(jnp.where(flip[..., None], -wm, wm), alpha)[..., None]
+        * F_r * tr_g(wo_up, jnp.where(flip[..., None], -wi_r, wi_r), alpha)[..., None]
+        * safe_div(1.0, 4.0 * abs_cos_theta(wo) * abs_cos_theta(wi_r), 0.0)[..., None]
+    )
+    wi = jnp.where(rough_c[..., None], wi_r, wi)
+    f = jnp.where(rough_c[..., None], f_r, f)
+    pdf = jnp.where(rough_c, pdf_r, pdf)
+    valid = valid | (rough_c & same_r & (pdf_r > 0))
+
+    # ---- dielectric ----
+    is_di = lanes.mat_type == DIELECTRIC
+    smooth_d = is_di & (lanes.roughness < 1e-3)
+    eta = lanes.eta
+    n_local = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wo.shape)
+    F = fresnel_dielectric(cos_theta(wo), eta)
+    reflect_choice = u_lobe < F
+    # reflect
+    wi_sr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    f_sr = (F * safe_div(1.0, abs_cos_theta(wi_sr), 0.0))[..., None] * jnp.ones(3)
+    pdf_sr = F
+    # transmit
+    ok_t, wi_st, etap = refract(wo, n_local, eta)
+    Ft2 = (1.0 - F)
+    f_st = (Ft2 * safe_div(1.0, abs_cos_theta(wi_st), 0.0) / sqr(etap))[..., None] * jnp.ones(3)
+    pdf_st = 1.0 - F
+    sm_wi = jnp.where(reflect_choice[..., None], wi_sr, wi_st)
+    sm_f = jnp.where(reflect_choice[..., None], f_sr, f_st)
+    sm_pdf = jnp.where(reflect_choice, pdf_sr, pdf_st)
+    sm_valid = jnp.where(reflect_choice, abs_cos_theta(wo) > 0, ok_t)
+    wi = jnp.where(smooth_d[..., None], sm_wi, wi)
+    f = jnp.where(smooth_d[..., None], sm_f, f)
+    pdf = jnp.where(smooth_d, sm_pdf, pdf)
+    is_spec = is_spec | smooth_d
+    is_trans = is_trans | (smooth_d & ~reflect_choice)
+    eta_out = jnp.where(smooth_d & ~reflect_choice, etap, eta_out)
+    valid = valid | (smooth_d & sm_valid)
+
+    # rough dielectric sampling: VNDF + Fresnel lobe choice
+    rough_d = is_di & ~smooth_d
+    wm_rd = tr_sample_wm(wo_up, alpha, u2)
+    wm_rd = jnp.where(flip[..., None], -wm_rd, wm_rd)
+    F_rd = fresnel_dielectric(dot(wo, wm_rd), eta)
+    refl_rd = u_lobe < F_rd
+    wi_rdr = -wo + 2.0 * dot(wo, wm_rd)[..., None] * wm_rd
+    ok_rt, wi_rdt, etap_rd = refract(wo, wm_rd, eta)
+    wi_rd = jnp.where(refl_rd[..., None], wi_rdr, wi_rdt)
+    f_rd = bsdf_f(lanes, wo, wi_rd)
+    pdf_rd = bsdf_pdf(lanes, wo, wi_rd)
+    wi = jnp.where(rough_d[..., None], wi_rd, wi)
+    f = jnp.where(rough_d[..., None], f_rd, f)
+    pdf = jnp.where(rough_d, pdf_rd, pdf)
+    is_trans = is_trans | (rough_d & ~refl_rd)
+    eta_out = jnp.where(rough_d & ~refl_rd, etap_rd, eta_out)
+    rd_valid = jnp.where(refl_rd, same_hemisphere(wo, wi_rd), ok_rt & ~same_hemisphere(wo, wi_rd))
+    valid = valid | (rough_d & rd_valid & (pdf_rd > 0))
+
+    return BSDFSample(wi, f, pdf, is_spec, is_trans, eta_out, valid)

@@ -1,0 +1,265 @@
+"""Scene geometry as typed SoA arrays + vectorized closest-hit.
+
+Analog of the reference's shape layer (shapes.h Sphere:107 Triangle:833) and
+primitive binding (cpu/primitive.h GeometricPrimitive:48: material / area
+light / medium-interface attachment). A Geometry holds stacked arrays per
+primitive type; ``intersect`` computes the wavefront's closest hits by
+evaluating every type brute-force (small scenes) or through the BVH
+(ops/bvh.py) once built.
+
+Primitive ids are global: [0, T) triangles | [T, T+S) spheres | [T+S, +B) boxes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.intersect import aabb_normal, ray_sphere, ray_triangle
+from ..utils.vecmath import dot, normalize
+
+
+class HitRecord(NamedTuple):
+    hit: jnp.ndarray  # (R,) bool
+    t: jnp.ndarray  # (R,)
+    p: jnp.ndarray  # (R,3)
+    n: jnp.ndarray  # (R,3) geometric normal (faces ray origin side not forced)
+    ns: jnp.ndarray  # (R,3) shading normal
+    uv: jnp.ndarray  # (R,2)
+    mat_id: jnp.ndarray  # (R,) int32, -1 = interface-only
+    light_id: jnp.ndarray  # (R,) int32 area light id, -1 = none
+    med_in: jnp.ndarray  # (R,) int32 medium on the side the normal points away from
+    med_out: jnp.ndarray  # (R,) int32 medium on the normal side
+    prim_id: jnp.ndarray  # (R,) int32 global primitive id
+
+
+class Geometry(NamedTuple):
+    # triangles
+    tri_p0: jnp.ndarray  # (T,3)
+    tri_p1: jnp.ndarray
+    tri_p2: jnp.ndarray
+    tri_n0: jnp.ndarray  # (T,3) shading normals (= geometric if absent)
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_mat: jnp.ndarray  # (T,)
+    tri_light: jnp.ndarray  # (T,)
+    tri_med_in: jnp.ndarray
+    tri_med_out: jnp.ndarray
+    # spheres
+    sph_c: jnp.ndarray  # (S,3)
+    sph_r: jnp.ndarray  # (S,)
+    sph_mat: jnp.ndarray
+    sph_light: jnp.ndarray
+    sph_med_in: jnp.ndarray
+    sph_med_out: jnp.ndarray
+    # axis-aligned boxes (medium containers / walls)
+    box_min: jnp.ndarray  # (B,3)
+    box_max: jnp.ndarray
+    box_mat: jnp.ndarray
+    box_light: jnp.ndarray
+    box_med_in: jnp.ndarray
+    box_med_out: jnp.ndarray
+
+    @staticmethod
+    def build(triangles=(), spheres=(), boxes=()):
+        """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
+        spheres: {c,r,mat,light,med_in,med_out}; boxes: {bmin,bmax,...}."""
+
+        def stack(items, key, default, shape):
+            if not items:
+                return jnp.zeros((0,) + shape, jnp.float32)
+            return jnp.asarray(
+                np.stack([np.asarray(it.get(key, default), np.float32) for it in items]),
+                jnp.float32,
+            )
+
+        def stack_i(items, key, default=-1):
+            if not items:
+                return jnp.zeros((0,), jnp.int32)
+            return jnp.asarray([int(it.get(key, default)) for it in items], jnp.int32)
+
+        t = list(triangles)
+        tri_p0 = stack(t, "p0", (0, 0, 0), (3,))
+        tri_p1 = stack(t, "p1", (0, 0, 0), (3,))
+        tri_p2 = stack(t, "p2", (0, 0, 0), (3,))
+        if t and "n0" in t[0]:
+            tri_n0 = stack(t, "n0", (0, 0, 1), (3,))
+            tri_n1 = stack(t, "n1", (0, 0, 1), (3,))
+            tri_n2 = stack(t, "n2", (0, 0, 1), (3,))
+        else:
+            ng = np.cross(
+                np.asarray(tri_p1) - np.asarray(tri_p0),
+                np.asarray(tri_p2) - np.asarray(tri_p0),
+            )
+            norm = np.linalg.norm(ng, axis=-1, keepdims=True)
+            ng = ng / np.maximum(norm, 1e-20)
+            tri_n0 = tri_n1 = tri_n2 = jnp.asarray(ng, jnp.float32)
+        s = list(spheres)
+        b = list(boxes)
+        return Geometry(
+            tri_p0, tri_p1, tri_p2, tri_n0, tri_n1, tri_n2,
+            stack_i(t, "mat"), stack_i(t, "light"),
+            stack_i(t, "med_in"), stack_i(t, "med_out"),
+            stack(s, "c", (0, 0, 0), (3,)),
+            (jnp.asarray([float(it["r"]) for it in s], jnp.float32)
+             if s else jnp.zeros((0,), jnp.float32)),
+            stack_i(s, "mat"), stack_i(s, "light"),
+            stack_i(s, "med_in"), stack_i(s, "med_out"),
+            stack(b, "bmin", (0, 0, 0), (3,)),
+            stack(b, "bmax", (0, 0, 0), (3,)),
+            stack_i(b, "mat"), stack_i(b, "light"),
+            stack_i(b, "med_in"), stack_i(b, "med_out"),
+        )
+
+    @property
+    def n_tri(self):
+        return self.tri_p0.shape[0]
+
+    @property
+    def n_sph(self):
+        return self.sph_c.shape[0]
+
+    @property
+    def n_box(self):
+        return self.box_min.shape[0]
+
+    # -- closest hit ---------------------------------------------------------
+    def intersect(self, o, d, t_max):
+        """Brute-force closest hit over all primitives (vectorized over R).
+
+        Each primitive type is tested against every lane; the running minimum
+        keeps the nearest. Replaced by BVH traversal for large T (ops/bvh.py)
+        — brute force doubles as its correctness oracle.
+        """
+        R = o.shape[:-1]
+        inf = jnp.inf
+        best = HitRecord(
+            hit=jnp.zeros(R, bool),
+            t=jnp.full(R, inf) * jnp.ones_like(o[..., 0]),
+            p=jnp.zeros_like(o),
+            n=jnp.zeros_like(o),
+            ns=jnp.zeros_like(o),
+            uv=jnp.zeros(R + (2,)),
+            mat_id=jnp.full(R, -1, jnp.int32),
+            light_id=jnp.full(R, -1, jnp.int32),
+            med_in=jnp.full(R, -1, jnp.int32),
+            med_out=jnp.full(R, -1, jnp.int32),
+            prim_id=jnp.full(R, -1, jnp.int32),
+        )
+
+        def upd(best, closer, t, p, n, ns, uv, mat, light, mi, mo, pid):
+            c = closer
+
+            def w(new, old):
+                m = c
+                if new.ndim > m.ndim:
+                    m = m[..., None]
+                return jnp.where(m, new, old)
+
+            return HitRecord(
+                best.hit | c, w(t, best.t), w(p, best.p), w(n, best.n),
+                w(ns, best.ns), w(uv, best.uv), w(mat, best.mat_id),
+                w(light, best.light_id), w(mi, best.med_in), w(mo, best.med_out),
+                w(pid, best.prim_id),
+            )
+
+        # triangles
+        if self.n_tri > 0:
+            ht, tt, b0, b1, ng = ray_triangle(
+                o[..., None, :], d[..., None, :], best.t[..., None],
+                self.tri_p0, self.tri_p1, self.tri_p2,
+            )  # (R,T)
+            tt = jnp.where(ht, tt, inf)
+            k = jnp.argmin(tt, axis=-1)
+            t_k = jnp.take_along_axis(tt, k[..., None], -1)[..., 0]
+            closer = jnp.isfinite(t_k) & (t_k < best.t)
+            b0k = jnp.take_along_axis(b0, k[..., None], -1)[..., 0]
+            b1k = jnp.take_along_axis(b1, k[..., None], -1)[..., 0]
+            b2k = 1.0 - b0k - b1k
+            # ng is (T,3): ray-independent geometric normals -> plain gather
+            ngk = ng[k]
+            nsk = normalize(
+                b0k[..., None] * self.tri_n0[k]
+                + b1k[..., None] * self.tri_n1[k]
+                + b2k[..., None] * self.tri_n2[k]
+            )
+            p_k = o + t_k[..., None] * d
+            best = upd(
+                best, closer, t_k, p_k, ngk, nsk,
+                jnp.stack([b0k, b1k], -1), self.tri_mat[k], self.tri_light[k],
+                self.tri_med_in[k], self.tri_med_out[k], k.astype(jnp.int32),
+            )
+
+        # spheres
+        if self.n_sph > 0:
+            hs, ts, ps, ns_ = ray_sphere(
+                o[..., None, :], d[..., None, :], best.t[..., None],
+                self.sph_c, self.sph_r,
+            )
+            ts = jnp.where(hs, ts, inf)
+            k = jnp.argmin(ts, axis=-1)
+            t_k = jnp.take_along_axis(ts, k[..., None], -1)[..., 0]
+            closer = jnp.isfinite(t_k) & (t_k < best.t)
+            p_k = jnp.take_along_axis(ps, k[..., None, None], -2)[..., 0, :]
+            n_k = jnp.take_along_axis(ns_, k[..., None, None], -2)[..., 0, :]
+            best = upd(
+                best, closer, t_k, p_k, n_k, n_k, jnp.zeros(R + (2,)),
+                self.sph_mat[k], self.sph_light[k],
+                self.sph_med_in[k], self.sph_med_out[k],
+                (self.n_tri + k).astype(jnp.int32),
+            )
+
+        # boxes (face crossings; nearest of t_near/t_far ahead of origin)
+        if self.n_box > 0:
+            eps = 1e-4
+            inv_d = 1.0 / d[..., None, :]
+            t_lo = (self.box_min - o[..., None, :]) * inv_d
+            t_hi = (self.box_max - o[..., None, :]) * inv_d
+            t_near = jnp.nanmax(jnp.minimum(t_lo, t_hi), axis=-1)
+            t_far = jnp.nanmin(jnp.maximum(t_lo, t_hi), axis=-1)
+            valid = t_near <= t_far
+            t_c = jnp.where(t_near > eps, t_near, t_far)
+            t_c = jnp.where(valid & (t_c > eps), t_c, inf)
+            k = jnp.argmin(t_c, axis=-1)
+            t_k = jnp.take_along_axis(t_c, k[..., None], -1)[..., 0]
+            closer = jnp.isfinite(t_k) & (t_k < best.t)
+            p_k = o + t_k[..., None] * d
+            n_k = aabb_normal(p_k, self.box_min[k], self.box_max[k])
+            best = upd(
+                best, closer, t_k, p_k, n_k, n_k, jnp.zeros(R + (2,)),
+                self.box_mat[k], self.box_light[k],
+                self.box_med_in[k], self.box_med_out[k],
+                (self.n_tri + self.n_sph + k).astype(jnp.int32),
+            )
+
+        return best
+
+    def intersect_p(self, o, d, t_max):
+        """Any-hit against *opaque* primitives only (mat_id >= 0): occlusion
+        for shadow rays. Interface-only primitives never occlude."""
+        occluded = jnp.zeros(o.shape[:-1], bool)
+        if self.n_tri > 0:
+            ht, _, _, _, _ = ray_triangle(
+                o[..., None, :], d[..., None, :], t_max[..., None],
+                self.tri_p0, self.tri_p1, self.tri_p2,
+            )
+            occluded |= jnp.any(ht & (self.tri_mat >= 0), axis=-1)
+        if self.n_sph > 0:
+            hs, _, _, _ = ray_sphere(
+                o[..., None, :], d[..., None, :], t_max[..., None],
+                self.sph_c, self.sph_r,
+            )
+            occluded |= jnp.any(hs & (self.sph_mat >= 0), axis=-1)
+        if self.n_box > 0:
+            from ..ops.intersect import ray_aabb
+
+            hb, t0, t1 = ray_aabb(
+                o[..., None, :], d[..., None, :], t_max[..., None],
+                self.box_min, self.box_max,
+            )
+            # only face crossings strictly inside (0,t_max) occlude
+            crossing = hb & ((t0 > 1e-4) | (t1 < t_max[..., None] - 1e-4))
+            occluded |= jnp.any(crossing & (self.box_mat >= 0), axis=-1)
+        return occluded

@@ -1,0 +1,148 @@
+"""Heterogeneous grid media + majorant DDA tests.
+
+Validates the DDA majorant iterator + delta tracking against analytic
+transmittance and against the homogeneous path (a constant-density grid must
+match the equivalent homogeneous medium exactly in expectation).
+"""
+
+import numpy as np
+
+from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
+from vspg_pbrt_v4_tpu.models.film import RGBFilm
+from vspg_pbrt_v4_tpu.models.integrators import volpath
+from vspg_pbrt_v4_tpu.models.lights import Lights
+from vspg_pbrt_v4_tpu.models.materials import Materials
+from vspg_pbrt_v4_tpu.models.media import GridMedium, Media
+from vspg_pbrt_v4_tpu.models.shapes import Geometry
+from vspg_pbrt_v4_tpu.utils import transform as tr
+
+
+def _camera(res=48):
+    c2w = tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0))
+    return PerspectiveCamera.make(c2w, fov_deg=30.0, resolution=(res, res))
+
+
+def _grid_scene(density, sigma_a, sigma_s, g=0.0, env_L=None, point=None,
+                maj_res=8, majorant_scale=1.0):
+    gm = GridMedium.make(density, sigma_a, sigma_s, (-1, -1, -1), (1, 1, 1),
+                         g=g, maj_res=maj_res, majorant_scale=majorant_scale)
+    media = Media.make(grids=(gm,))
+    lights = Lights.make(
+        point_p=None if point is None else [point[0]],
+        point_I=None if point is None else [point[1]],
+        env_L=env_L, world_radius=100.0,
+    )
+    geom = Geometry.build(
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)]
+    )
+    return volpath.Scene(geom, Materials.build([]), media, lights)
+
+
+def test_constant_grid_matches_beer_lambert():
+    """Constant-density grid absorber == homogeneous Beer-Lambert."""
+    sigma_a = np.array([0.5, 1.0, 1.5])
+    dens = np.ones((16, 16, 16), np.float32)
+    scene = _grid_scene(dens, sigma_a, [0, 0, 0], env_L=[1, 1, 1])
+    img = np.asarray(volpath.render(scene, _camera(48), RGBFilm.make((48, 48)),
+                                    spp=256, seed=1))
+    center = img[20:28, 20:28].mean((0, 1))
+    expected = np.exp(-sigma_a * 2.0)
+    assert np.allclose(center, expected, rtol=0.06), (center, expected)
+
+
+def test_linear_ramp_grid_transmittance():
+    """Density ramp along z: tau = sigma * avg_density * chord."""
+    n = 32
+    z = (np.arange(n) + 0.5) / n
+    dens = np.broadcast_to(z[None, None, :], (n, n, n)).astype(np.float32).copy()
+    sigma_a = np.array([1.2, 1.2, 1.2])
+    scene = _grid_scene(dens, sigma_a, [0, 0, 0], env_L=[1, 1, 1])
+    img = np.asarray(volpath.render(scene, _camera(48), RGBFilm.make((48, 48)),
+                                    spp=256, seed=2))
+    center = img[20:28, 20:28].mean((0, 1))
+    expected = np.exp(-1.2 * 0.5 * 2.0)  # mean density 0.5 over chord 2
+    assert np.allclose(center, expected, rtol=0.06), (center, expected)
+
+
+def test_empty_supervoxels_skipped_correctly():
+    """Two dense blobs separated by empty space: DDA must skip the void
+    without biasing transmittance. Compare against analytic tau of the
+    blocks along the central ray."""
+    n = 32
+    dens = np.zeros((n, n, n), np.float32)
+    dens[:, :, 2:6] = 2.0   # slab 1: z in [-0.875,-0.625], thickness 0.25
+    dens[:, :, 26:30] = 2.0  # slab 2 (symmetric)
+    sigma_a = np.array([1.0, 1.0, 1.0])
+    scene = _grid_scene(dens, sigma_a, [0, 0, 0], env_L=[1, 1, 1], maj_res=8)
+    img = np.asarray(volpath.render(scene, _camera(48), RGBFilm.make((48, 48)),
+                                    spp=384, seed=3))
+    center = img[20:28, 20:28].mean((0, 1))
+    # trilinear interp makes slab edges soft: integrate density numerically
+    zs = np.linspace(-1, 1, 4001)
+
+    def dens_line(zw):
+        g = (zw + 1) / 2 * n - 0.5
+        i0 = np.clip(np.floor(g).astype(int), 0, n - 1)
+        i1 = np.clip(i0 + 1, 0, n - 1)
+        w = g - np.floor(g)
+        line = dens[0, 0]
+        return line[i0] * (1 - w) + line[i1] * w
+
+    tau = np.trapezoid(dens_line(zs), zs) * 1.0
+    expected = np.exp(-tau)
+    assert np.allclose(center, expected, rtol=0.08), (center, expected, tau)
+
+
+def test_majorant_scale_unbiased():
+    """Inflating the majorant (--volMajScale analog) must not change the
+    expected image, only efficiency (null collisions)."""
+    sigma_a = np.array([0.8, 0.8, 0.8])
+    dens = np.ones((8, 8, 8), np.float32)
+    img1 = np.asarray(volpath.render(
+        _grid_scene(dens, sigma_a, [0, 0, 0], env_L=[1, 1, 1]),
+        _camera(32), RGBFilm.make((32, 32)), spp=256, seed=4))
+    img2 = np.asarray(volpath.render(
+        _grid_scene(dens, sigma_a, [0, 0, 0], env_L=[1, 1, 1],
+                    majorant_scale=3.0),
+        _camera(32), RGBFilm.make((32, 32)), spp=256, seed=5))
+    c1 = img1[13:19, 13:19].mean()
+    c2 = img2[13:19, 13:19].mean()
+    assert abs(c1 - c2) < 0.04, (c1, c2)
+    assert abs(c1 - np.exp(-1.6)) < 0.03
+
+
+def test_cloud_scattering_furnace():
+    """Procedural cloud blob, pure scattering, uniform env: furnace holds
+    for heterogeneous media too."""
+    n = 24
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    dens = np.clip(1.0 - r, 0.0, 1.0).astype(np.float32) * 3.0
+    L0 = 0.7
+    scene = _grid_scene(dens, [0, 0, 0], [2.0, 2.0, 2.0], g=0.5,
+                        env_L=[L0] * 3)
+    img = np.asarray(volpath.render(scene, _camera(32), RGBFilm.make((32, 32)),
+                                    spp=128, seed=6))
+    assert np.isfinite(img).all()
+    assert np.allclose(img.mean((0, 1)), L0, rtol=0.03), img.mean((0, 1))
+
+
+def test_cloud_point_light():
+    """Cloud lit by a point light: positive, finite, brighter on light side."""
+    n = 24
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    r = np.sqrt(X**2 + (Y * 1.5)**2 + Z**2)
+    dens = np.clip(1.0 - r, 0.0, 1.0).astype(np.float32) * 8.0
+    scene = _grid_scene(dens, [0.2, 0.2, 0.2], [6.0, 6.0, 6.0], g=0.3,
+                        point=((2.0, 2.0, -2.0), (40.0, 40.0, 40.0)))
+    img = np.asarray(volpath.render(scene, _camera(48), RGBFilm.make((48, 48)),
+                                    spp=64, seed=7))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    # light side (upper-left of image) brighter than far side
+    top = img[4:20, 28:44].mean()
+    bottom = img[28:44, 4:20].mean()
+    assert top > bottom, (top, bottom)

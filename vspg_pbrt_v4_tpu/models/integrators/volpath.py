@@ -42,7 +42,7 @@ from ...utils.vecmath import coordinate_system, dot, face_forward, normalize
 from ..film import pixel_coords
 from ..lights import Lights
 from ..materials import Materials, bsdf_f, bsdf_pdf, bsdf_sample
-from ..media import HomogeneousMedia
+from ..media import HomogeneousMedia, Media, seg_init, seg_next
 from ..samplers import LaneSampler
 from ..shapes import Geometry
 
@@ -67,7 +67,7 @@ class VolPathConfig(NamedTuple):
 class Scene(NamedTuple):
     geometry: Geometry
     materials: Materials
-    media: HomogeneousMedia
+    media: Media
     lights: Lights
 
 
@@ -96,44 +96,55 @@ def sample_medium_interaction(
     """Vectorized delta tracking along [0, seg_end] of (o, d normalized).
 
     Implements the event algebra of VolPathIntegrator's SampleT_maj callback
-    (cpu/integrators.cpp:1022-1110) for all lanes in lockstep.
+    (cpu/integrators.cpp:1022-1110) for all lanes in lockstep, with the
+    per-lane majorant segment iterator (media.py SegIter: homogeneous =
+    single segment, grids = DDA supervoxel walk per DDAMajorantIterator).
     """
-    sigma_maj = scene.media.sigma_maj(medium_id)  # (R,3)
-    maj_h = hero(sigma_maj, hero_idx)  # (R,)
-
-    # lanes with zero hero-majorant never collide: only tail T_maj applies
-    colliding = active & (maj_h > 0) & jnp.isfinite(seg_end)
+    media = scene.media
+    it0 = seg_init(media, medium_id, o, d, seg_end, active)
 
     # carries derived from varying inputs (shard_map vma-compatible)
-    t_min = jnp.zeros_like(maj_h)
-    T_maj = jnp.ones_like(sigma_maj)
-    scattered = active & (maj_h < 0)  # all-False, varying
-    terminated = active & (maj_h < 0)
-    reached_end = active & ~colliding  # zero-majorant lanes go straight to end
-    t_scatter = jnp.zeros_like(maj_h)
-    g_scatter = jnp.zeros_like(maj_h)
+    z = jnp.zeros_like(seg_end)
+    f0 = active & (seg_end < 0)  # all-False, varying
+    t_min = it0.t_seg_start
+    T_maj = jnp.ones_like(beta)
+    scattered = f0
+    terminated = f0
+    t_scatter = z
+    g_scatter = z
 
     def cond(c):
-        (_, _, _, _, _, _, _, _, vol_active, _, _, _, _, it) = c
-        return jnp.any(vol_active) & (it < cfg.max_collisions)
+        (_, _, _, _, _, _, _, _, _, vol_active, _, _, _, _, n) = c
+        return jnp.any(vol_active) & (n < cfg.max_collisions)
 
     def body(c):
-        (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, vol_active,
-         scattered, terminated, t_scatter, g_scatter, it) = c
+        (sampler, it, t_min, T_maj, beta, r_u, r_l, L, depth, vol_active,
+         scattered, terminated, t_scatter, g_scatter, n) = c
+        sigma_maj = it.sigma_maj
+        maj_h = hero(sigma_maj, hero_idx)
         sampler, u_step = sampler.get_1d()
-        t = t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30))
-        past = t >= seg_end
-        fin = vol_active & past
-        dt_end = jnp.minimum(seg_end - t_min, 3e37)
-        # final tail update for lanes passing segment end
-        T_maj = _m(fin, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
-        vol_active_new = vol_active & ~past
+        can_collide = maj_h > 0
+        t = jnp.where(
+            can_collide,
+            t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30)),
+            jnp.inf,
+        )
+        past = t >= it.t_seg_end
 
-        # tentative collision for in-segment lanes
+        # ---- segment tail: accumulate T_maj, advance the iterator ----
+        tail = vol_active & past
+        dt_end = jnp.clip(it.t_seg_end - t_min, 0.0, 3e37)
+        T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
+        it = seg_next(media, medium_id, it, tail)
+        t_min = jnp.where(tail, it.t_seg_start, t_min)
+        exhausted = tail & it.done
+        vol_active_new = vol_active & ~exhausted
+
+        # ---- tentative collision ----
         coll = vol_active & ~past
         T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
         p = o + t[..., None] * d
-        mp = scene.media.sample_point(medium_id, p)
+        mp = media.sample_point(medium_id, p)
 
         # medium emission at tentative collision (integrators.cpp:1032-1046)
         T_maj_h = hero(T_maj, hero_idx)
@@ -190,17 +201,15 @@ def sample_medium_interaction(
         T_maj = _m(is_null & ~died, jnp.ones_like(T_maj), T_maj)
         t_min = jnp.where(is_null, t, t_min)
 
-        return (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, vol_active_new,
-                scattered, terminated, t_scatter, g_scatter, it + 1)
+        return (sampler, it, t_min, T_maj, beta, r_u, r_l, L, depth,
+                vol_active_new, scattered, terminated, t_scatter, g_scatter,
+                n + 1)
 
-    init = (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, colliding,
-            scattered, terminated, t_scatter, g_scatter, jnp.int32(0))
-    (sampler, t_min, T_maj, beta, r_u, r_l, L, depth, _, scattered, terminated,
-     t_scatter, g_scatter, _) = jax.lax.while_loop(cond, body, init)
-
-    # zero-majorant lanes: tail T_maj over whole segment
-    dt_all = jnp.minimum(seg_end, 3e37)
-    T_maj = _m(reached_end, jnp.exp(-dt_all[..., None] * sigma_maj), T_maj)
+    init = (sampler, it0, t_min, T_maj, beta, r_u, r_l, L, depth,
+            active & ~it0.done, scattered, terminated, t_scatter, g_scatter,
+            jnp.int32(0))
+    (sampler, _, t_min, T_maj, beta, r_u, r_l, L, depth, _, scattered,
+     terminated, t_scatter, g_scatter, _) = jax.lax.while_loop(cond, body, init)
 
     # final rescale for lanes that reached segment end (integrators.cpp:1121-1124)
     ran_to_end = active & ~scattered & ~terminated
@@ -246,28 +255,34 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
         blocked = h.hit & (h.mat_id >= 0) & (h.t < rem)
         T_ray = _m(seg_active & blocked, jnp.zeros_like(T_ray), T_ray)
         seg_len = jnp.where(h.hit & (h.t < rem), h.t, rem)
-        sigma_maj = scene.media.sigma_maj(med_id)
-        maj_h = hero(sigma_maj, hero_idx)
 
         live = seg_active & ~blocked
-        # collision loop within segment
-        coll_active = live & (maj_h > 0)
-        t_min = jnp.zeros_like(maj_h)
-        T_maj = jnp.ones_like(sigma_maj)
+        # majorant-segment iterator over this interface segment
+        sit0 = seg_init(scene.media, med_id, p_cur, wi, seg_len, live)
+        t_min = sit0.t_seg_start
+        T_maj = jnp.ones_like(T_ray)
 
         def c_cond(cc):
-            (_, _, _, _, _, _, ca, cit) = cc
+            (_, _, _, _, _, _, _, ca, cit) = cc
             return jnp.any(ca) & (cit < cfg.max_collisions)
 
         def c_body(cc):
-            (sampler, t_min, T_maj, T_ray, r_l, r_u, ca, cit) = cc
+            (sampler, sit, t_min, T_maj, T_ray, r_l, r_u, ca, cit) = cc
+            sigma_maj = sit.sigma_maj
+            maj_h = hero(sigma_maj, hero_idx)
             sampler, u_step = sampler.get_1d()
-            t = t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30))
-            past = t >= seg_len
-            fin = ca & past
-            dt_end = jnp.minimum(seg_len - t_min, 3e37)
-            T_maj = _m(fin, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
-            ca_new = ca & ~past
+            t = jnp.where(
+                maj_h > 0,
+                t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30)),
+                jnp.inf,
+            )
+            past = t >= sit.t_seg_end
+            tail = ca & past
+            dt_end = jnp.clip(sit.t_seg_end - t_min, 0.0, 3e37)
+            T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
+            sit = seg_next(scene.media, med_id, sit, tail)
+            t_min = jnp.where(tail, sit.t_seg_start, t_min)
+            ca_new = ca & ~(tail & sit.done)
 
             coll = ca & ~past
             T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
@@ -292,15 +307,13 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
             ca_new = ca_new & ~dead
             T_maj = _m(coll & ~dead, jnp.ones_like(T_maj), T_maj)
             t_min = jnp.where(coll, t, t_min)
-            return (sampler, t_min, T_maj, T_ray, r_l, r_u, ca_new, cit + 1)
+            return (sampler, sit, t_min, T_maj, T_ray, r_l, r_u, ca_new, cit + 1)
 
-        (sampler, t_min, T_maj, T_ray, r_l, r_u, _, _) = jax.lax.while_loop(
+        (sampler, _, t_min, T_maj, T_ray, r_l, r_u, _, _) = jax.lax.while_loop(
             c_cond, c_body,
-            (sampler, t_min, T_maj, T_ray, r_l, r_u, coll_active, jnp.int32(0)),
+            (sampler, sit0, t_min, T_maj, T_ray, r_l, r_u, live & ~sit0.done,
+             jnp.int32(0)),
         )
-        # zero-majorant lanes: full-segment tail
-        no_coll = live & (maj_h <= 0)
-        T_maj = _m(no_coll, jnp.exp(-jnp.minimum(seg_len, 3e37)[..., None] * sigma_maj), T_maj)
         # final per-segment rescale (integrators.cpp:1416-1419)
         T_maj_h = jnp.maximum(hero(T_maj, hero_idx), 1e-30)
         scale = T_maj / T_maj_h[..., None]

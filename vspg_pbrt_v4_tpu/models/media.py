@@ -1,19 +1,28 @@
 """Participating media (analog of ``src/pbrt/media.h``).
 
-Media are stacked SoA parameter arrays indexed by a per-lane ``medium_id``
-(-1 = vacuum). This file covers homogeneous media (media.h
-HomogeneousMedium:221 + the fork's IsHomogeneous:1016); heterogeneous grid
-media (GridMedium:284, NanoVDBMedium:657) layer a density grid + majorant
-supergrid DDA on top and arrive with ops/dda.py.
+Two families:
 
-Majorant iteration for homogeneous media is a single segment with
-sigma_maj = sigma_a + sigma_s (media.h HomogeneousMajorantIterator:84).
+- ``HomogeneousMedia``: M stacked homogeneous media (media.h
+  HomogeneousMedium:221; majorant = sigma_a + sigma_s, one segment —
+  HomogeneousMajorantIterator:84).
+- ``GridMedium``: dense density grid with a max-pooled *majorant supergrid*
+  walked by a 3D-DDA (media.h GridMedium:284, MajorantGrid:109,
+  DDAMajorantIterator:140-218; grid majorant resolution 16^3 per
+  media.cpp:252, NanoVDB-imported grids use 64^3 per media.cpp:574).
+
+The TPU-native majorant iteration is a per-lane *segment iterator*
+(``SegIter`` + ``seg_init``/``seg_next``): every wavefront lane carries its
+DDA cursor (voxel, t_next, t_delta) and the integrator's collision loops
+interleave "advance to next majorant segment" and "sample tentative
+collision" steps in lockstep. Homogeneous lanes degenerate to a single
+segment. Medium ids: [0, n_homog) homogeneous | n_homog + i for grids[i].
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import flax.struct as struct
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,37 +34,284 @@ class MediumProperties(NamedTuple):
     g: jnp.ndarray  # (R,) HG asymmetry
 
 
-class HomogeneousMedia(NamedTuple):
-    """M homogeneous media, SoA."""
+@struct.dataclass
+class GridMedium:
+    """Axis-aligned dense density grid. density scales sigma_a/sigma_s."""
 
-    sigma_a: jnp.ndarray  # (M,3)
-    sigma_s: jnp.ndarray  # (M,3)
-    Le: jnp.ndarray  # (M,3)
-    g: jnp.ndarray  # (M,)
+    density: jnp.ndarray  # (nx, ny, nz) nonneg
+    sigma_a: jnp.ndarray  # (3,) base absorption
+    sigma_s: jnp.ndarray  # (3,) base scattering
+    Le: jnp.ndarray  # (3,) emission (scaled by density where Le_scale)
+    g: jnp.ndarray  # () HG asymmetry
+    b_min: jnp.ndarray  # (3,) world bounds
+    b_max: jnp.ndarray  # (3,)
+    majorant: jnp.ndarray  # (mx, my, mz) max density per supervoxel
+    res: tuple = struct.field(pytree_node=False)  # (nx, ny, nz)
+    maj_res: tuple = struct.field(pytree_node=False)  # (mx, my, mz)
 
     @staticmethod
-    def make(sigma_a, sigma_s, Le=None, g=None):
-        sa = jnp.atleast_2d(jnp.asarray(sigma_a, jnp.float32))
-        ss = jnp.atleast_2d(jnp.asarray(sigma_s, jnp.float32))
-        m = sa.shape[0]
-        le = jnp.zeros((m, 3), jnp.float32) if Le is None else jnp.atleast_2d(jnp.asarray(Le, jnp.float32))
-        gg = jnp.zeros((m,), jnp.float32) if g is None else jnp.atleast_1d(jnp.asarray(g, jnp.float32))
-        return HomogeneousMedia(sa, ss, le, gg)
-
-    def sample_point(self, medium_id, p) -> MediumProperties:
-        """Gather properties for lanes; medium_id < 0 -> vacuum zeros."""
-        mid = jnp.maximum(medium_id, 0)
-        valid = (medium_id >= 0)[..., None]
-        return MediumProperties(
-            jnp.where(valid, self.sigma_a[mid], 0.0),
-            jnp.where(valid, self.sigma_s[mid], 0.0),
-            jnp.where(valid, self.Le[mid], 0.0),
-            jnp.where(valid[..., 0], self.g[mid], 0.0),
+    def make(density, sigma_a, sigma_s, b_min, b_max, g=0.0, Le=None,
+             maj_res=16, majorant_scale=1.0):
+        """density: numpy (nx,ny,nz). Builds the max-pooled majorant grid
+        host-side (conservative: pool includes a 1-voxel halo so trilinear
+        interpolation never exceeds the supervoxel majorant)."""
+        d = np.asarray(density, np.float32)
+        nx, ny, nz = d.shape
+        if isinstance(maj_res, int):
+            maj_res = (min(maj_res, nx), min(maj_res, ny), min(maj_res, nz))
+        mx, my, mz = maj_res
+        # conservative max-pool with halo
+        maj = np.zeros((mx, my, mz), np.float32)
+        xs = np.linspace(0, nx, mx + 1).astype(int)
+        ys = np.linspace(0, ny, my + 1).astype(int)
+        zs = np.linspace(0, nz, mz + 1).astype(int)
+        for i in range(mx):
+            x0, x1 = max(xs[i] - 1, 0), min(xs[i + 1] + 1, nx)
+            for j in range(my):
+                y0, y1 = max(ys[j] - 1, 0), min(ys[j + 1] + 1, ny)
+                for k in range(mz):
+                    z0, z1 = max(zs[k] - 1, 0), min(zs[k + 1] + 1, nz)
+                    maj[i, j, k] = d[x0:x1, y0:y1, z0:z1].max()
+        maj *= majorant_scale
+        return GridMedium(
+            jnp.asarray(d), jnp.asarray(sigma_a, jnp.float32),
+            jnp.asarray(sigma_s, jnp.float32),
+            jnp.zeros(3, jnp.float32) if Le is None else jnp.asarray(Le, jnp.float32),
+            jnp.asarray(g, jnp.float32),
+            jnp.asarray(b_min, jnp.float32), jnp.asarray(b_max, jnp.float32),
+            jnp.asarray(maj), (nx, ny, nz), (mx, my, mz),
         )
 
-    def sigma_maj(self, medium_id):
-        """Spectral majorant per lane: sigma_a + sigma_s (exact for
-        homogeneous)."""
-        mid = jnp.maximum(medium_id, 0)
-        valid = (medium_id >= 0)[..., None]
-        return jnp.where(valid, self.sigma_a[mid] + self.sigma_s[mid], 0.0)
+    def density_at(self, p):
+        """Trilinear density lookup at world p (media.h GridMedium::Density)."""
+        nx, ny, nz = self.res
+        res = jnp.asarray([nx, ny, nz], jnp.float32)
+        g = (p - self.b_min) / (self.b_max - self.b_min) * res - 0.5
+        g0 = jnp.floor(g)
+        w = g - g0
+        i0 = jnp.clip(g0.astype(jnp.int32), 0, res.astype(jnp.int32) - 1)
+        i1 = jnp.clip(i0 + 1, 0, res.astype(jnp.int32) - 1)
+
+        def at(ix, iy, iz):
+            return self.density[ix, iy, iz]
+
+        d000 = at(i0[..., 0], i0[..., 1], i0[..., 2])
+        d100 = at(i1[..., 0], i0[..., 1], i0[..., 2])
+        d010 = at(i0[..., 0], i1[..., 1], i0[..., 2])
+        d110 = at(i1[..., 0], i1[..., 1], i0[..., 2])
+        d001 = at(i0[..., 0], i0[..., 1], i1[..., 2])
+        d101 = at(i1[..., 0], i0[..., 1], i1[..., 2])
+        d011 = at(i0[..., 0], i1[..., 1], i1[..., 2])
+        d111 = at(i1[..., 0], i1[..., 1], i1[..., 2])
+        wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+        d00 = d000 * (1 - wx) + d100 * wx
+        d10 = d010 * (1 - wx) + d110 * wx
+        d01 = d001 * (1 - wx) + d101 * wx
+        d11 = d011 * (1 - wx) + d111 * wx
+        d0 = d00 * (1 - wy) + d10 * wy
+        d1 = d01 * (1 - wy) + d11 * wy
+        inside = jnp.all((p >= self.b_min) & (p <= self.b_max), axis=-1)
+        return jnp.where(inside, d0 * (1 - wz) + d1 * wz, 0.0)
+
+
+@struct.dataclass
+class Media:
+    """All media in a scene: a homogeneous block + a static tuple of grids."""
+
+    h_sigma_a: jnp.ndarray  # (Mh,3)
+    h_sigma_s: jnp.ndarray  # (Mh,3)
+    h_Le: jnp.ndarray  # (Mh,3)
+    h_g: jnp.ndarray  # (Mh,)
+    grids: tuple  # tuple[GridMedium]
+
+    @staticmethod
+    def make(homogeneous=None, grids=()):
+        """homogeneous: list of dicts {sigma_a, sigma_s, [Le], [g]}."""
+        h = list(homogeneous or [])
+        if h:
+            sa = jnp.asarray([m["sigma_a"] for m in h], jnp.float32)
+            ss = jnp.asarray([m["sigma_s"] for m in h], jnp.float32)
+            le = jnp.asarray([m.get("Le", (0, 0, 0)) for m in h], jnp.float32)
+            g = jnp.asarray([m.get("g", 0.0) for m in h], jnp.float32)
+        else:
+            sa = ss = le = jnp.zeros((0, 3), jnp.float32)
+            g = jnp.zeros((0,), jnp.float32)
+        return Media(sa, ss, le, g, tuple(grids))
+
+    @property
+    def n_homog(self):
+        return self.h_sigma_a.shape[0]
+
+    def is_homogeneous(self, medium_id):
+        """Fork's Medium::IsHomogeneous (media.h:1016)."""
+        return (medium_id >= 0) & (medium_id < self.n_homog)
+
+    # -- point properties ---------------------------------------------------
+    def sample_point(self, medium_id, p) -> MediumProperties:
+        """Gather medium properties at p; medium_id < 0 -> vacuum."""
+        shape3 = medium_id.shape + (3,)
+        if self.n_homog > 0:
+            mid = jnp.clip(medium_id, 0, self.n_homog - 1)
+            is_h = self.is_homogeneous(medium_id)[..., None]
+            sigma_a = jnp.where(is_h, self.h_sigma_a[mid], 0.0)
+            sigma_s = jnp.where(is_h, self.h_sigma_s[mid], 0.0)
+            Le = jnp.where(is_h, self.h_Le[mid], 0.0)
+            g = jnp.where(is_h[..., 0], self.h_g[mid], 0.0)
+        else:
+            sigma_a = jnp.zeros(shape3)
+            sigma_s = jnp.zeros(shape3)
+            Le = jnp.zeros(shape3)
+            g = jnp.zeros(medium_id.shape)
+        for i, gm in enumerate(self.grids):
+            sel = medium_id == self.n_homog + i
+            dens = gm.density_at(p)
+            sigma_a = jnp.where(sel[..., None], dens[..., None] * gm.sigma_a, sigma_a)
+            sigma_s = jnp.where(sel[..., None], dens[..., None] * gm.sigma_s, sigma_s)
+            Le = jnp.where(sel[..., None], gm.Le, Le)
+            g = jnp.where(sel, gm.g, g)
+        return MediumProperties(sigma_a, sigma_s, Le, g)
+
+
+# ---------------------------------------------------------------------------
+# Per-lane majorant segment iterator (DDAMajorantIterator, vectorized)
+# ---------------------------------------------------------------------------
+
+
+class SegIter(NamedTuple):
+    """Per-lane majorant-segment cursor for the collision loops."""
+
+    t_seg_start: jnp.ndarray  # (R,)
+    t_seg_end: jnp.ndarray  # (R,)
+    sigma_maj: jnp.ndarray  # (R,3) of current segment
+    voxel: jnp.ndarray  # (R,3) int32 DDA voxel (grid lanes)
+    t_next: jnp.ndarray  # (R,3) next axis crossings
+    t_delta: jnp.ndarray  # (R,3)
+    step: jnp.ndarray  # (R,3) int32 +-1
+    t_exit: jnp.ndarray  # (R,) medium exit along ray
+    done: jnp.ndarray  # (R,) iterator exhausted
+
+
+def seg_init(media: Media, medium_id, o, d, t_max, active) -> SegIter:
+    """Initialize the per-lane segment iterator over [0, t_max].
+
+    Homogeneous lanes: one segment covering the whole range. Grid lanes:
+    clip to grid bounds, set up DDA over the majorant supergrid; first
+    segment is the first supervoxel crossing.
+    """
+    R = o.shape[:-1]
+    zero = jnp.zeros_like(t_max)
+    is_h = media.is_homogeneous(medium_id)
+    if media.n_homog > 0:
+        mid = jnp.clip(medium_id, 0, media.n_homog - 1)
+        sigma_maj = jnp.where(
+            is_h[..., None], media.h_sigma_a[mid] + media.h_sigma_s[mid], 0.0)
+    else:
+        sigma_maj = jnp.zeros(R + (3,))
+    n_known = media.n_homog + len(media.grids)
+    it = SegIter(
+        t_seg_start=zero,
+        t_seg_end=jnp.where(is_h, t_max, zero),
+        sigma_maj=sigma_maj,
+        voxel=jnp.zeros(R + (3,), jnp.int32),
+        t_next=jnp.zeros(R + (3,)) + jnp.inf,
+        t_delta=jnp.zeros(R + (3,)) + jnp.inf,
+        step=jnp.zeros(R + (3,), jnp.int32),
+        t_exit=jnp.where(is_h, t_max, zero),
+        done=jnp.zeros(R, bool) | ~active,
+    )
+    done = ~active | (medium_id < 0) | (medium_id >= n_known)
+    for i, gm in enumerate(media.grids):
+        sel = active & (medium_id == media.n_homog + i)
+        mx, my, mz = gm.maj_res
+        mres = jnp.asarray([mx, my, mz], jnp.float32)
+        # clip ray to grid bounds
+        inv_d = 1.0 / d
+        t_lo = (gm.b_min - o) * inv_d
+        t_hi = (gm.b_max - o) * inv_d
+        t0 = jnp.maximum(jnp.nanmax(jnp.minimum(t_lo, t_hi), -1), 0.0)
+        t1 = jnp.minimum(jnp.nanmin(jnp.maximum(t_lo, t_hi), -1), t_max)
+        miss = t0 >= t1
+        # DDA set-up in supergrid index space
+        ext = gm.b_max - gm.b_min
+        p0 = o + (t0 + 1e-6)[..., None] * d  # nudge inside
+        gpos = (p0 - gm.b_min) / ext * mres
+        vox = jnp.clip(gpos.astype(jnp.int32), 0, jnp.asarray([mx - 1, my - 1, mz - 1]))
+        d_idx = d / ext * mres  # velocity in index space
+        step = jnp.where(d_idx >= 0, 1, -1).astype(jnp.int32)
+        next_bound = vox + (step > 0).astype(jnp.int32)
+        safe_inv = 1.0 / jnp.where(jnp.abs(d_idx) < 1e-20,
+                                   jnp.where(d_idx >= 0, 1e-20, -1e-20), d_idx)
+        t_next = t0[..., None] + (next_bound.astype(jnp.float32) - gpos) * safe_inv
+        t_next = jnp.where(jnp.abs(d_idx) < 1e-20, jnp.inf, t_next)
+        t_delta = jnp.abs(safe_inv)
+        seg_end = jnp.minimum(jnp.min(t_next, -1), t1)
+        maj_dens = gm.majorant[vox[..., 0], vox[..., 1], vox[..., 2]]
+        smaj = maj_dens[..., None] * (gm.sigma_a + gm.sigma_s)
+        it = it._replace(
+            t_seg_start=jnp.where(sel, t0, it.t_seg_start),
+            t_seg_end=jnp.where(sel, jnp.where(miss, t0, seg_end), it.t_seg_end),
+            sigma_maj=jnp.where(sel[..., None], smaj, it.sigma_maj),
+            voxel=jnp.where(sel[..., None], vox, it.voxel),
+            t_next=jnp.where(sel[..., None], t_next, it.t_next),
+            t_delta=jnp.where(sel[..., None], t_delta, it.t_delta),
+            step=jnp.where(sel[..., None], step, it.step),
+            t_exit=jnp.where(sel, t1, it.t_exit),
+        )
+        done = done | (sel & miss)
+    return it._replace(done=done)
+
+
+def seg_next(media: Media, medium_id, it: SegIter, want) -> SegIter:
+    """Advance lanes in `want` (and not exhausted) to their next segment."""
+    want = want & ~it.done
+    # homogeneous lanes: single segment -> exhausted
+    is_h = media.is_homogeneous(medium_id)
+    done = it.done | (want & is_h)
+    out = it._replace(done=done)
+    for i, gm in enumerate(media.grids):
+        sel = (medium_id == media.n_homog + i) & want
+        mx, my, mz = gm.maj_res
+        # step along the axis with the smallest t_next
+        axis = jnp.argmin(it.t_next, -1)
+        one_hot = jnp.arange(3) == axis[..., None]
+        vox = it.voxel + jnp.where(one_hot, it.step, 0)
+        t_next = it.t_next + jnp.where(one_hot, it.t_delta, 0.0)
+        t_start = it.t_seg_end
+        out_of_grid = (
+            (vox[..., 0] < 0) | (vox[..., 0] >= mx)
+            | (vox[..., 1] < 0) | (vox[..., 1] >= my)
+            | (vox[..., 2] < 0) | (vox[..., 2] >= mz)
+            | (t_start >= it.t_exit - 1e-7)
+        )
+        vox_c = jnp.clip(vox, 0, jnp.asarray([mx - 1, my - 1, mz - 1]))
+        seg_end = jnp.minimum(jnp.min(t_next, -1), it.t_exit)
+        maj_dens = gm.majorant[vox_c[..., 0], vox_c[..., 1], vox_c[..., 2]]
+        smaj = maj_dens[..., None] * (gm.sigma_a + gm.sigma_s)
+        out = out._replace(
+            t_seg_start=jnp.where(sel, t_start, out.t_seg_start),
+            t_seg_end=jnp.where(sel, seg_end, out.t_seg_end),
+            sigma_maj=jnp.where(sel[..., None], smaj, out.sigma_maj),
+            voxel=jnp.where(sel[..., None], vox_c, out.voxel),
+            t_next=jnp.where(sel[..., None], t_next, out.t_next),
+            done=jnp.where(sel, out_of_grid, out.done),
+        )
+    return out
+
+
+# -- backwards-compatible alias used by early tests --------------------------
+
+
+class HomogeneousMedia(Media):
+    """Deprecated constructor shim: HomogeneousMedia.make(sigma_a, sigma_s)."""
+
+    @staticmethod
+    def make(sigma_a, sigma_s, Le=None, g=None):  # type: ignore[override]
+        sa = np.atleast_2d(np.asarray(sigma_a, np.float32))
+        ss = np.atleast_2d(np.asarray(sigma_s, np.float32))
+        m = sa.shape[0]
+        le = np.zeros((m, 3), np.float32) if Le is None else np.atleast_2d(np.asarray(Le, np.float32))
+        gg = np.zeros((m,), np.float32) if g is None else np.atleast_1d(np.asarray(g, np.float32))
+        return Media.make([
+            dict(sigma_a=sa[i], sigma_s=ss[i], Le=le[i], g=float(gg[i]))
+            for i in range(m)
+        ])

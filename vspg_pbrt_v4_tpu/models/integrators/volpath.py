@@ -339,13 +339,25 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
 
 
 def _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u, r_p, beta, ok):
-    """Final SampleLd contribution (integrators.cpp:1424-1433)."""
+    """Final SampleLd contribution (integrators.cpp:1424-1433).
+
+    Returns (contribution, local_contribution): the latter is the same
+    estimate without the path prefix (beta, r_p) — what guided training
+    records as scattered direct light (guiding.h:729 semantics).
+    """
     p_l = ls.select_pmf * ls.pdf_dir
     r_l = tr_l * r_p * p_l[..., None]
     r_u = tr_u * r_p * scatter_pdf[..., None]
     denom = jnp.where(ls.is_delta, average(r_l), average(r_l + r_u))
     contrib = beta * f_hat * T_ray * ls.L / jnp.maximum(denom, 1e-30)[..., None]
-    return jnp.where((ok & (denom > 0))[..., None], contrib, 0.0)
+    contrib = jnp.where((ok & (denom > 0))[..., None], contrib, 0.0)
+    # local variant: r_p == 1
+    r_l_loc = tr_l * p_l[..., None]
+    r_u_loc = tr_u * scatter_pdf[..., None]
+    denom_loc = jnp.where(ls.is_delta, average(r_l_loc), average(r_l_loc + r_u_loc))
+    local = f_hat * T_ray * ls.L / jnp.maximum(denom_loc, 1e-30)[..., None]
+    local = jnp.where((ok & (denom_loc > 0))[..., None], local, 0.0)
+    return contrib, local
 
 
 def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
@@ -365,8 +377,9 @@ def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
         scene, cfg, p, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok
     )
-    return sampler, _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
-                                r_p, beta, ok)
+    contrib, local = _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
+                                 r_p, beta, ok)
+    return sampler, contrib, local
 
 
 def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
@@ -395,8 +408,9 @@ def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
         scene, cfg, p_offset, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok
     )
-    return sampler, _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
-                                r_p, beta, ok)
+    contrib, local = _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
+                                 r_p, beta, ok)
+    return sampler, contrib, local
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +468,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     scat = mr.scattered & alive
     p_scat = s.o + mr.t_scatter[..., None] * s.d
     wo = -s.d
-    sampler, Ld = sample_ld_volume(
+    sampler, Ld, _ = sample_ld_volume(
         scene, cfg, p_scat, wo, mr.g_scatter, s.medium_id, s.hero_idx, sampler,
         beta, r_u, scat,
     )
@@ -518,7 +532,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     ns = face_forward(h.ns, h.n)  # keep shading normal consistent w/ geometric
     # NEE from surface (skipped for pure-specular lanes)
     can_nee = shade & ~lanes.is_specular
-    sampler, Ld_s = sample_ld_surface(
+    sampler, Ld_s, _ = sample_ld_surface(
         scene, cfg, h.p, h.n, ns, -s.d, lanes, medium_id, s.hero_idx, sampler,
         beta, r_u, can_nee,
     )

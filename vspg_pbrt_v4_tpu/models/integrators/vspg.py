@@ -1,0 +1,871 @@
+"""GuidedVolPathVSPG — Volume Scattering Probability Guiding (the paper).
+
+TPU re-design of the fork's flagship integrator
+(cpu/guidedvolpathvspgintegrator.cpp:61-1322 + media_sampleTMaj.h:120-491):
+
+Scatter-vs-surface decision guiding ("VSP guiding"):
+- primary rays take their target VSP from the denoised image-space guiding
+  buffer (GetPrimaryRayVolumeScatterProbability, :1098-1112);
+- secondary rays query the guiding field's VSP statistics at the previous
+  vertex (GetSecondaryRayVolumeScatterProbability, :1114-1134);
+- the distance sampler is steered toward that VSP by one of two routines:
+  * RESAMPLING (heterogeneous media; media_sampleTMaj.h:120-247 +
+    integrator :679-877): walk *all* tentative collisions to the segment
+    end, maintain the ratio-tracking transmittance estimate, reservoir-pick
+    one volume candidate with the delta-tracking weights, then reweight the
+    surface candidate by surfRatio/volRatio * sumW so the volume event
+    probability matches the (defensively MIS'd) target VSP;
+  * ANALYTIC (homogeneous media; the delta-tracking route of
+    media_sampleTMaj.h:270-491 with its closed single-segment form): warp
+    the optical-depth CDF so P(scatter inside) = vsp, with probability
+    vspMISRatio, else plain exponential sampling; the pdf change enters the
+    rescaled algebra through r_u_factor = mis/tpScale + (1-mis).
+  (The NDS/NDS+ optical-depth-space variants are follow-up work; the
+  `sampling_method` option reserves their names.)
+- this integrator uses the fork's absorption-free formulation (the
+  non-VOLUME_ABSORB branch, :925-980): real collisions always scatter with
+  the single-scattering albedo folded into beta;
+- guided Russian roulette from the ISGB pixel estimate + the field's
+  in-scattered radiance cache (util::GuidedRussianRoulette, :468,599);
+- directional guiding (MIS/RIS) identical to guided_volpath;
+- TrBuffer: per-pixel primary-ray ratio-tracking transmittance (NDS+ input
+  and diagnostic output, cpu/trbuffer.h:17-101).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.intersect import offset_ray_origin
+from ...utils.math import INV_4PI
+from ...utils.sampling import henyey_greenstein, sample_exponential, sample_henyey_greenstein
+from ...utils.spectrum import average, hero
+from ...utils.vecmath import coordinate_system, dot, face_forward, normalize
+from ..guiding import field as gfield
+from ..guiding import isgb as gisgb
+from ..guiding import recording as grec
+from ..guiding.field import GuidingField
+from ..guiding.isgb import ISGB
+from ..guiding.recording import SegmentRecord
+from ..materials import bsdf_f, bsdf_pdf, bsdf_sample
+from ..media import seg_init, seg_next
+from ..samplers import LaneSampler
+from . import guided_volpath as gv
+from . import volpath as vp
+from .guided_volpath import GuidingOptions, _guided_sample
+from .volpath import (PathState, Scene, VolPathConfig, _combine_ld, _m,
+                      transmittance_ratio_tracking)
+
+INF = jnp.inf
+
+
+class VSPGOptions(NamedTuple):
+    """Scene-file parameter analog (guidedvolpathvspgintegrator.cpp:1263-1316:
+    vspguiding, vspprimaryguiding, vspsecondaryguiding, vspsamplingmethod,
+    vspmisratio, vspcriterion, guidedrr ...)."""
+
+    guide_vsp: bool = True
+    guide_primary_vsp: bool = True
+    guide_secondary_vsp: bool = True
+    sampling_method: str = "resampling"  # "resampling" | "nds" (later)
+    vsp_mis_ratio: float = 0.5
+    vsp_criterion: str = "variance"  # "variance" | "contribution"
+    guide_rr: bool = True
+    min_rr_depth: int = 1
+    isgb_update_waves: tuple = (1, 2, 4, 8, 16, 32, 64, 128)
+    calculate_tr_buffer: bool = True
+
+
+class VState(NamedTuple):
+    s: PathState
+    rec: SegmentRecord
+    pixel_id: jnp.ndarray  # (R,)
+    last_vol: jnp.ndarray  # (R,) was the previous vertex a volume vertex
+    first_set: jnp.ndarray  # (R,) ISGB first-event recorded
+    first_vol: jnp.ndarray  # (R,)
+    first_albedo: jnp.ndarray  # (R,3)
+    first_normal: jnp.ndarray  # (R,3)
+    tr_est: jnp.ndarray  # (R,3) primary ratio-tracking transmittance
+
+
+class DistanceResult(NamedTuple):
+    sampler: LaneSampler
+    beta: jnp.ndarray
+    r_u: jnp.ndarray
+    r_l: jnp.ndarray
+    L: jnp.ndarray
+    scattered: jnp.ndarray
+    terminated: jnp.ndarray
+    t_scatter: jnp.ndarray
+    g_scatter: jnp.ndarray
+    albedo_scatter: jnp.ndarray  # (R,3) single-scattering albedo at vertex
+    tr_est: jnp.ndarray  # (R,3) ratio-tracking transmittance estimate
+
+
+# ---------------------------------------------------------------------------
+# VSP target lookup
+# ---------------------------------------------------------------------------
+
+
+def lookup_vsp(vopt: VSPGOptions, field: GuidingField, isgb: ISGB, s,
+               pixel_id, last_vol):
+    """Per-lane target VSP (or -1 = unguided)."""
+    primary = s.depth == 0
+    vsp = jnp.full_like(s.o[..., 0], -1.0)
+    if vopt.guide_vsp and vopt.guide_primary_vsp:
+        v_is = gisgb.isgb_primary_vsp(isgb, pixel_id)
+        vsp = jnp.where(primary, v_is, vsp)
+    if vopt.guide_vsp and vopt.guide_secondary_vsp:
+        # query the field half matching the previous vertex type at the ray
+        # origin (the cell-level stand-in for the distribution's
+        # VolumeScatterProbability(wi))
+        d_vol = gfield._gather_half(field, field.volume, s.o,
+                                    vopt.vsp_criterion == "variance")
+        d_srf = gfield._gather_half(field, field.surface, s.o,
+                                    vopt.vsp_criterion == "variance")
+        v_sec = jnp.where(last_vol, d_vol.vsp, d_srf.vsp)
+        vsp = jnp.where(~primary & field.trained, v_sec, vsp)
+    guide = vsp >= 0.0
+    vsp = jnp.clip(vsp, 0.001, 0.999)
+    return guide, vsp
+
+
+# ---------------------------------------------------------------------------
+# Distance sampling: analytic homogeneous + heterogeneous delta + resampling
+# ---------------------------------------------------------------------------
+
+
+def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
+                         sampler, beta, r_u, r_l, L, guide, vsp, active):
+    """The paper's SampleDistance (guidedvolpathvspgintegrator.cpp:650-1100),
+    vectorized over three lane classes:
+      homogeneous (closed form, optionally VSP-warped),
+      heterogeneous delta tracking (unguided lanes),
+      heterogeneous resampling (guided lanes).
+    Absorption-free formulation: real events always scatter, albedo in beta.
+    """
+    media = scene.media
+    R = o.shape[0]
+    is_h = media.is_homogeneous(medium_id) & active
+    mis = vopt.vsp_mis_ratio
+
+    scattered = active & (seg_end < 0)  # all-False varying
+    terminated = scattered
+    t_scatter = jnp.zeros_like(seg_end)
+    g_scatter = jnp.zeros_like(seg_end)
+    albedo_sc = jnp.zeros_like(beta)
+    tr_est = jnp.ones_like(beta)
+
+    # ======== homogeneous lanes: closed form ================================
+    mp0 = media.sample_point(medium_id, o)  # constant within the medium
+    sigma_t = mp0.sigma_a + mp0.sigma_s
+    sig_h = hero(sigma_t, hero_idx)
+    h_act = is_h & (sig_h > 0) & jnp.isfinite(seg_end)
+    t_v = sig_h * jnp.minimum(seg_end, 3e37)  # total optical depth
+    norm_maj = sigma_t / jnp.maximum(sig_h, 1e-30)[..., None]
+
+    sampler, u0 = sampler.get_1d()
+    h_guide = h_act & guide
+    delta_lane = ~h_guide | (u0 > mis)
+    u_r = jnp.where(
+        h_guide,
+        jnp.where(delta_lane, (u0 - mis) / jnp.maximum(1 - mis, 1e-6),
+                  u0 / jnp.maximum(mis, 1e-6)),
+        u0)
+    u_r = jnp.clip(u_r, 0.0, 0.999999)
+    one_m_e = 1.0 - jnp.exp(-t_v)
+    # warped lanes: P(scatter) = vsp
+    warp_scatter = u_r < vsp
+    dist_w = -jnp.log1p(-jnp.where(warp_scatter, u_r, 0.0) * one_m_e / jnp.maximum(vsp, 1e-4))
+    dist_w = jnp.where(warp_scatter, dist_w, INF)
+    # delta lanes: plain exponential in optical depth
+    dist_d = -jnp.log1p(-u_r)
+    dist_tau = jnp.where(delta_lane, dist_d, dist_w)
+    h_scatter = h_act & (dist_tau < t_v - 1e-5)
+    h_pass = h_act & ~h_scatter
+
+    # tpScaleFactor (spectral) + r_u_factor for guided lanes
+    tp_sc = one_m_e[..., None] * jnp.ones(3) / jnp.maximum(vsp, 1e-4)[..., None]
+    tp_pa = jnp.exp(-t_v[..., None] * norm_maj) / jnp.maximum(1 - vsp, 1e-4)[..., None]
+    tp = jnp.where(h_scatter[..., None], tp_sc, tp_pa)
+    r_u_factor = jnp.where(
+        h_guide[..., None],
+        mis / jnp.maximum(tp, 1e-30) + (1.0 - mis),
+        jnp.ones_like(tp))
+
+    t_h = dist_tau / jnp.maximum(sig_h, 1e-30)
+    # spectral transmittance to the sampled point: exp(-dist_tau * maj/maj_h)
+    T_spec = jnp.exp(-jnp.clip(dist_tau, 0.0, 80.0)[..., None] * norm_maj)
+    # scatter update (non-VOLUME_ABSORB: pdf = T_h * sigma_t_h; beta_factor=1,
+    # the pdf warp enters only through r_u_factor)
+    pdf_h = jnp.maximum(hero(T_spec, hero_idx) * sig_h, 1e-30)
+    beta = _m(h_scatter, beta * T_spec * mp0.sigma_s / pdf_h[..., None], beta)
+    r_u = _m(h_scatter, r_u * T_spec * sigma_t / pdf_h[..., None] * r_u_factor, r_u)
+    scattered = scattered | h_scatter
+    t_scatter = jnp.where(h_scatter, t_h, t_scatter)
+    g_scatter = jnp.where(h_scatter, mp0.g, g_scatter)
+    alb_h = mp0.sigma_s / jnp.maximum(sigma_t, 1e-30)
+    albedo_sc = _m(h_scatter, alb_h, albedo_sc)
+    # pass-through update: T over full segment
+    T_pass = jnp.exp(-jnp.minimum(t_v, 80.0)[..., None] * norm_maj)
+    Tp_h = jnp.maximum(hero(T_pass, hero_idx), 1e-30)
+    scale_p = T_pass / Tp_h[..., None]
+    beta = _m(h_pass, beta * scale_p, beta)
+    r_u = _m(h_pass, r_u * scale_p * r_u_factor, r_u)
+    r_l = _m(h_pass, r_l * scale_p * r_u_factor, r_l)
+    # homogeneous ratio-tracking transmittance estimate is binary; use the
+    # analytic value for the Tr buffer instead
+    tr_est = _m(is_h, T_pass, tr_est)
+
+    # ======== heterogeneous delta lanes (unguided) ==========================
+    het = active & ~is_h & (medium_id >= 0)
+    het_delta = het & ~(guide & (vopt.sampling_method == "resampling"))
+    dres = _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
+                                sampler, beta, r_u, r_l, het_delta)
+    (sampler, beta, r_u, r_l, d_scat, d_term, d_t, d_g, d_alb) = dres
+    scattered = scattered | d_scat
+    terminated = terminated | d_term
+    t_scatter = jnp.where(d_scat, d_t, t_scatter)
+    g_scatter = jnp.where(d_scat, d_g, g_scatter)
+    albedo_sc = _m(d_scat, d_alb, albedo_sc)
+
+    # ======== heterogeneous resampling lanes (guided) =======================
+    het_rs = het & guide & (vopt.sampling_method == "resampling")
+    rres = _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end,
+                                     medium_id, hero_idx, sampler, beta, r_u,
+                                     vsp, het_rs)
+    (sampler, beta, r_u, rs_scat, rs_term, rs_t, rs_g, rs_alb, rs_tr) = rres
+    scattered = scattered | rs_scat
+    terminated = terminated | rs_term
+    t_scatter = jnp.where(rs_scat, rs_t, t_scatter)
+    g_scatter = jnp.where(rs_scat, rs_g, g_scatter)
+    albedo_sc = _m(rs_scat, rs_alb, albedo_sc)
+    tr_est = _m(het_rs, rs_tr, tr_est)
+
+    return DistanceResult(sampler, beta, r_u, r_l, L, scattered, terminated,
+                          t_scatter, g_scatter, albedo_sc, tr_est)
+
+
+def _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
+                         sampler, beta, r_u, r_l, active):
+    """Absorption-free delta tracking over the majorant segment iterator."""
+    media = scene.media
+    it0 = seg_init(media, medium_id, o, d, seg_end, active)
+    z = jnp.zeros_like(seg_end)
+    f0 = active & (seg_end < 0)
+    t_min = it0.t_seg_start
+    T_maj = jnp.ones_like(beta)
+    scattered, terminated = f0, f0
+    t_sc, g_sc = z, z
+    alb = jnp.zeros_like(beta)
+
+    def cond(c):
+        return jnp.any(c[9]) & (c[14] < cfg.max_collisions)
+
+    def body(c):
+        (sampler, it, t_min, T_maj, beta, r_u, r_l, scattered, terminated,
+         act, t_sc, g_sc, alb, _, n) = c
+        sigma_maj = it.sigma_maj
+        maj_h = hero(sigma_maj, hero_idx)
+        sampler, u_step = sampler.get_1d()
+        t = jnp.where(maj_h > 0,
+                      t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30)),
+                      INF)
+        past = t >= it.t_seg_end
+        tail = act & past
+        dt_end = jnp.clip(it.t_seg_end - t_min, 0.0, 3e37)
+        T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
+        it = seg_next(media, medium_id, it, tail)
+        t_min = jnp.where(tail, it.t_seg_start, t_min)
+        act_new = act & ~(tail & it.done)
+
+        coll = act & ~past
+        T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
+        p = o + t[..., None] * d
+        mp = media.sample_point(medium_id, p)
+        sigma_t = mp.sigma_a + mp.sigma_s
+        st_h = hero(sigma_t, hero_idx)
+        p_scatter = st_h / jnp.maximum(maj_h, 1e-30)
+        sampler, um = sampler.get_1d()
+        is_real = coll & (um < p_scatter)
+        is_null = coll & ~is_real
+
+        T_maj_h = hero(T_maj, hero_idx)
+        pdf_r = jnp.maximum(T_maj_h * st_h, 1e-30)
+        beta = _m(is_real, beta * T_maj * mp.sigma_s / pdf_r[..., None], beta)
+        r_u = _m(is_real, r_u * T_maj * sigma_t / pdf_r[..., None], r_u)
+        scattered = scattered | is_real
+        t_sc = jnp.where(is_real, t, t_sc)
+        g_sc = jnp.where(is_real, mp.g, g_sc)
+        alb = _m(is_real, mp.sigma_s / jnp.maximum(sigma_t, 1e-30), alb)
+        act_new = act_new & ~is_real
+
+        sigma_n = jnp.maximum(sigma_maj - sigma_t, 0.0)
+        sn_h = hero(sigma_n, hero_idx)
+        pdf_n = T_maj_h * sn_h
+        inv_pdf = 1.0 / jnp.maximum(pdf_n, 1e-30)
+        beta = _m(is_null, beta * T_maj * sigma_n * inv_pdf[..., None], beta)
+        beta = _m(is_null & (pdf_n == 0), jnp.zeros_like(beta), beta)
+        r_u = _m(is_null, r_u * T_maj * sigma_n * inv_pdf[..., None], r_u)
+        r_l = _m(is_null, r_l * T_maj * sigma_maj * inv_pdf[..., None], r_l)
+        died = is_null & ((jnp.max(beta, -1) == 0) | (jnp.max(r_u, -1) == 0))
+        terminated = terminated | died
+        act_new = act_new & ~died
+        T_maj = _m(is_null & ~died, jnp.ones_like(T_maj), T_maj)
+        t_min = jnp.where(is_null, t, t_min)
+        return (sampler, it, t_min, T_maj, beta, r_u, r_l, scattered,
+                terminated, act_new, t_sc, g_sc, alb, jnp.int32(0), n + 1)
+
+    init = (sampler, it0, t_min, T_maj, beta, r_u, r_l, scattered, terminated,
+            active & ~it0.done, t_sc, g_sc, alb, jnp.int32(0), jnp.int32(0))
+    (sampler, _, _, T_maj, beta, r_u, r_l, scattered, terminated, _, t_sc,
+     g_sc, alb, _, _) = jax.lax.while_loop(cond, body, init)
+
+    ran_out = active & ~scattered & ~terminated
+    T_maj_h = jnp.maximum(hero(T_maj, hero_idx), 1e-30)
+    scale = T_maj / T_maj_h[..., None]
+    beta = _m(ran_out, beta * scale, beta)
+    r_u = _m(ran_out, r_u * scale, r_u)
+    r_l = _m(ran_out, r_l * scale, r_l)
+    return (sampler, beta, r_u, r_l, scattered, terminated, t_sc, g_sc, alb)
+
+
+def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
+                              hero_idx, sampler, beta, r_u, vsp, active):
+    """The resampling routine (media_sampleTMaj.h:120-247 + :679-877)."""
+    media = scene.media
+
+    # --- pre-pass: total majorant optical length -----------------------------
+    it = seg_init(media, medium_id, o, d, seg_end, active)
+    total_len = jnp.zeros_like(seg_end)
+
+    def pre_cond(c):
+        it, _, n = c
+        return jnp.any(~it.done) & (n < cfg.max_collisions)
+
+    def pre_body(c):
+        it, total, n = c
+        maj_h = hero(it.sigma_maj, hero_idx)
+        live = ~it.done
+        total = total + jnp.where(
+            live, maj_h * jnp.clip(it.t_seg_end - it.t_seg_start, 0.0, 3e37), 0.0)
+        it = seg_next(media, medium_id, it, live)
+        return it, total, n + 1
+
+    _, total_len, _ = jax.lax.while_loop(pre_cond, pre_body,
+                                         (it, total_len, jnp.int32(0)))
+    act = active & (total_len > 0)
+
+    # --- majorant scale for the zero-volume-candidate compensation ----------
+    min_total = -jnp.log(jnp.maximum(1.0 - vsp, 1e-6))
+    maj_scale = jnp.where(act & (min_total > total_len),
+                          min_total / jnp.maximum(total_len, 1e-30), 1.0)
+    total_eff = jnp.maximum(total_len, min_total)
+    vol_ratio_comp = vsp / jnp.maximum(1.0 - jnp.exp(-total_eff), 1e-6)
+
+    # --- main walk: reservoir over all tentative collisions -----------------
+    it0 = seg_init(media, medium_id, o, d, seg_end, act)
+    z = jnp.zeros_like(seg_end)
+    T_maj = jnp.ones_like(beta)
+    tr_ratio = jnp.ones_like(beta)
+    beta_rs = jnp.ones_like(beta)
+    r_u_rs = jnp.ones_like(beta)
+    w_sum = z
+    # reservoir candidate state
+    c_p = jnp.zeros_like(o)
+    c_g = z
+    c_alb = jnp.zeros_like(beta)
+    c_wi = z
+    c_ste = z
+    c_num = jnp.ones_like(beta)
+    c_den = jnp.ones_like(beta)
+    has_c = act & (seg_end < 0)
+    t_min = it0.t_seg_start
+
+    def cond(c):
+        return jnp.any(c[-2]) & (c[-1] < cfg.max_collisions)
+
+    def body(c):
+        (sampler, it, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum, c_p,
+         c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c, live, n) = c
+        sigma_maj = it.sigma_maj * maj_scale[..., None]
+        maj_h = hero(sigma_maj, hero_idx)
+        sampler, u_step = sampler.get_1d()
+        t = jnp.where(maj_h > 0,
+                      t_min + sample_exponential(u_step, jnp.maximum(maj_h, 1e-30)),
+                      INF)
+        past = t >= it.t_seg_end
+        tail = live & past
+        dt_end = jnp.clip(it.t_seg_end - t_min, 0.0, 3e37)
+        T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
+        it = seg_next(media, medium_id, it, tail)
+        t_min = jnp.where(tail, it.t_seg_start, t_min)
+        live_new = live & ~(tail & it.done)
+
+        coll = live & ~past
+        T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
+        p = o + t[..., None] * d
+        mp = media.sample_point(medium_id, p)
+        sigma_t = mp.sigma_a + mp.sigma_s
+        sigma_n = jnp.maximum(sigma_maj - sigma_t, 0.0)
+        # candidate weight: (sigma_t/sigma_maj * trRatioEst)[hero]
+        wi = hero(sigma_t / jnp.maximum(sigma_maj, 1e-30) * tr_ratio, hero_idx)
+        wi = jnp.where(coll, wi, 0.0)
+        w_sum_new = w_sum + wi
+        sampler, u_res = sampler.get_1d()
+        take = coll & (wi > 0) & (u_res < wi / jnp.maximum(w_sum_new, 1e-30))
+        T_maj_h = hero(T_maj, hero_idx)
+        st_h = hero(sigma_t, hero_idx)
+        pdf = jnp.maximum(T_maj_h * st_h, 1e-30)
+        num = beta_rs * T_maj * mp.sigma_s / pdf[..., None]
+        den = r_u_rs * T_maj * sigma_t / pdf[..., None]
+        c_p = _m(take, p, c_p)
+        c_g = jnp.where(take, mp.g, c_g)
+        c_alb = _m(take, mp.sigma_s / jnp.maximum(sigma_t, 1e-30), c_alb)
+        c_wi = jnp.where(take, wi, c_wi)
+        c_ste = jnp.where(take, wi, c_ste)  # sigmaTTrEst == wi at selection
+        c_num = _m(take, num, c_num)
+        c_den = _m(take, den, c_den)
+        has_c = has_c | take
+        w_sum = jnp.where(coll, w_sum_new, w_sum)
+
+        # always continue: null-collision bookkeeping
+        sn_h = hero(sigma_n, hero_idx)
+        pdf_n = jnp.maximum(T_maj_h * sn_h, 1e-30)
+        beta_rs = _m(coll, beta_rs * T_maj * sigma_n / pdf_n[..., None], beta_rs)
+        r_u_rs = _m(coll, r_u_rs * T_maj * sigma_n / pdf_n[..., None], r_u_rs)
+        tr_ratio = _m(coll, tr_ratio * sigma_n / jnp.maximum(sigma_maj, 1e-30), tr_ratio)
+        T_maj = _m(coll, jnp.ones_like(T_maj), T_maj)
+        t_min = jnp.where(coll, t, t_min)
+        return (sampler, it, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum,
+                c_p, c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c, live_new,
+                n + 1)
+
+    init = (sampler, it0, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum,
+            c_p, c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c,
+            act & ~it0.done, jnp.int32(0))
+    (sampler, _, _, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum, c_p, c_g, c_alb,
+     c_wi, c_ste, c_num, c_den, has_c, _, _) = jax.lax.while_loop(cond, body, init)
+
+    T_maj_h = jnp.maximum(hero(T_maj, hero_idx), 1e-30)
+    beta_rs = beta_rs * T_maj / T_maj_h[..., None]
+    r_u_rs = r_u_rs * T_maj / T_maj_h[..., None]
+
+    tr_h = hero(tr_ratio, hero_idx)
+    # surface candidate (integrator :735-747)
+    surf_wi = tr_h
+    adj = act & (tr_h < 1) & (tr_h > 0) & (w_sum > 0)
+    vol_ratio = (vol_ratio_comp * vopt.vsp_mis_ratio
+                 + (1.0 - tr_h) * (1.0 - vopt.vsp_mis_ratio))
+    surf_ratio = 1.0 - vol_ratio
+    surf_wi = jnp.where(
+        adj, surf_ratio / jnp.maximum(vol_ratio, 1e-6) * w_sum, surf_wi)
+    w_total = w_sum + surf_wi
+
+    dead = act & (w_total <= 0)
+    sampler, u_pick = sampler.get_1d()
+    pick_surf = act & ~dead & (u_pick < surf_wi / jnp.maximum(w_total, 1e-30))
+    pick_vol = act & ~dead & ~pick_surf & has_c
+    dead = dead | (act & ~pick_surf & ~has_c)
+
+    # selected-candidate resampling factor: w_total * sigmaTTrEst / wi
+    sel_wi = jnp.where(pick_surf, surf_wi, c_wi)
+    sel_ste = jnp.where(pick_surf, tr_h, c_ste)
+    sel_num = _m(pick_surf, beta_rs, c_num)
+    sel_den = _m(pick_surf, r_u_rs, c_den)
+    factor = w_total * sel_ste / jnp.maximum(sel_wi, 1e-30)
+    beta = _m(act & ~dead, beta * sel_num * factor[..., None], beta)
+    r_u = _m(act & ~dead, r_u * sel_den, r_u)
+
+    bad = act & ~dead & (
+        jnp.any(~jnp.isfinite(beta), -1) | jnp.any(~jnp.isfinite(r_u), -1))
+    dead = dead | bad
+
+    return (sampler, beta, r_u, pick_vol & ~bad, dead,
+            jnp.where(pick_vol, jnp.sum((c_p - o) * d, -1), jnp.zeros_like(w_sum)),
+            c_g, c_alb, tr_ratio)
+
+
+# ---------------------------------------------------------------------------
+# Guided Russian roulette (openpgl util::GuidedRussianRoulette)
+# ---------------------------------------------------------------------------
+
+
+def guided_rr_survival(beta, adjoint, pixel_estimate, min_survival=0.1):
+    """survival = clamp(lum(beta*adjoint)/lum(pixelEstimate), min, 1)."""
+    num = jnp.mean(beta * adjoint, -1)
+    den = jnp.maximum(jnp.mean(pixel_estimate, -1), 1e-6)
+    return jnp.clip(num / den, min_survival, 1.0)
+
+
+def throughput_rr_survival(beta, r_u):
+    """StandardThroughputBasedRussianRoulette."""
+    tp = jnp.max(beta / jnp.maximum(average(r_u), 1e-30)[..., None], -1)
+    return jnp.clip(tp, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# VSPG bounce
+# ---------------------------------------------------------------------------
+
+
+def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
+                vopt: VSPGOptions, field: GuidingField, isgb: ISGB,
+                train: bool, gs: VState) -> VState:
+    s = gs.s
+    rec = gs.rec
+    t_far = jnp.full_like(s.o[..., 0], INF)
+    h = scene.geometry.intersect(s.o, s.d, t_far)
+    seg_end = jnp.where(h.hit, h.t, INF)
+
+    # ---- VSP-guided distance sampling --------------------------------------
+    in_medium = s.alive & (s.medium_id >= 0)
+    guide, vsp = lookup_vsp(vopt, field, isgb, s, gs.pixel_id, gs.last_vol)
+    dr = sample_distance_vspg(
+        scene, cfg, vopt, s.o, s.d, seg_end, s.medium_id, s.hero_idx,
+        s.sampler, s.beta, s.r_u, s.r_l, s.L, guide & in_medium, vsp, in_medium)
+    sampler, beta, r_u, r_l, L = dr.sampler, dr.beta, dr.r_u, dr.r_l, dr.L
+    depth = s.depth
+    alive = s.alive & ~dr.terminated
+
+    # depth guard for scatter events (reference: depth++ >= maxDepth)
+    scat_raw = dr.scattered & alive
+    depth_exceeded = scat_raw & (depth >= cfg.max_depth)
+    alive = alive & ~depth_exceeded
+    scat = scat_raw & ~depth_exceeded
+    depth = jnp.where(scat, depth + 1, depth)
+
+    p_scat = s.o + dr.t_scatter[..., None] * s.d
+    wo = -s.d
+
+    # ISGB first-event data (volume)
+    first_now_v = scat & ~gs.first_set & (s.depth == 0)
+    first_set = gs.first_set | first_now_v
+    first_vol = jnp.where(first_now_v, True, gs.first_vol)
+    first_albedo = _m(first_now_v, dr.albedo_scatter, gs.first_albedo)
+    first_normal = _m(first_now_v, wo, gs.first_normal)
+    # primary transmittance estimate for the TrBuffer
+    tr_est = _m((s.depth == 0) & in_medium, dr.tr_est, gs.tr_est)
+
+    # ---- volume vertex shading: NEE + guided RR + guided phase -------------
+    dist_v = gfield.volume_distribution(field, p_scat, wo, dr.g_scatter)
+    use_guide_v = scat & dist_v.valid & field.trained & bool(gopt.volume_guiding)
+
+    sampler, u_sel = sampler.get_1d()
+    sampler, u2l = sampler.get_2d()
+    ls = scene.lights.sample(p_scat, u_sel, u2l)
+    ok = scat & ls.valid & (average(ls.L) > 0)
+    cos_wo_wi = jnp.sum(wo * ls.wi, axis=-1)
+    f_scalar = henyey_greenstein(cos_wo_wi, dr.g_scatter)
+    pg = gopt.guiding_prob if gopt.mode == "mis" else 0.5
+    guide_pdf_l = gfield.dist_pdf(dist_v, ls.wi)
+    scatter_pdf_l = jnp.where(use_guide_v,
+                              (1 - pg) * f_scalar + pg * guide_pdf_l, f_scalar)
+    f_hat = f_scalar[..., None] * jnp.ones_like(beta)
+    ok &= f_scalar > 0
+    sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
+        scene, cfg, p_scat, ls.wi, ls.t_shadow, s.medium_id, s.hero_idx,
+        sampler, ok)
+    Ld, Ld_local = _combine_ld(ls, f_hat, scatter_pdf_l, T_ray, tr_l, tr_u,
+                               r_u, beta, ok)
+    L = _m(scat, L + Ld, L)
+
+    # guided RR at volume vertices (before direction sampling,
+    # guidedvolpathvspgintegrator.cpp:818-838)
+    pixel_est = gisgb.isgb_contribution(isgb, gs.pixel_id)
+    adjoint = dist_v.flux
+    if vopt.guide_rr:
+        survival = jnp.where(
+            dist_v.valid & (jnp.mean(pixel_est, -1) > 0),
+            guided_rr_survival(beta, adjoint, pixel_est), 1.0)
+    else:
+        survival = throughput_rr_survival(beta, r_u)
+    do_rr_v = scat & (depth > vopt.min_rr_depth) & (survival < 1.0)
+    sampler, u_rrv = sampler.get_1d()
+    kill_v = do_rr_v & (u_rrv >= survival)
+    alive = alive & ~kill_v
+    beta = _m(do_rr_v & ~kill_v,
+              beta / jnp.maximum(survival, 1e-3)[..., None], beta)
+
+    def phase_base(sampler):
+        sampler, u2p = sampler.get_2d()
+        wi_p, pdf_p = sample_henyey_greenstein(wo, dr.g_scatter, u2p)
+        f_p = pdf_p[..., None] * jnp.ones_like(beta)
+        return sampler, wi_p, f_p, pdf_p, None
+
+    def phase_pdf_at(wi):
+        return henyey_greenstein(jnp.sum(wo * wi, -1), dr.g_scatter)
+
+    def inc_rad_pdf_v(wi):
+        return gfield.incoming_radiance_pdf(field, "volume", p_scat, wi)
+
+    (sampler, wi_v, _, pdf_v, mis_pdf_v, _, _, valid_v, _) = _guided_sample(
+        sampler, use_guide_v, gopt, dist_v, phase_base, phase_pdf_at,
+        inc_rad_pdf_v)
+    f_v = phase_pdf_at(wi_v)
+    alive = alive & ~(scat & ~valid_v)
+    scale_v = f_v / jnp.maximum(pdf_v, 1e-30)
+    beta = _m(scat, beta * scale_v[..., None], beta)
+    r_l = _m(scat, r_u / jnp.maximum(mis_pdf_v, 1e-30)[..., None], r_l)
+    o_new = _m(scat, p_scat, s.o)
+    d_new = _m(scat, wi_v, s.d)
+    specular = jnp.where(scat, False, s.specular)
+    prev_p = _m(scat, p_scat, s.prev_p)
+    last_vol = jnp.where(scat, True, gs.last_vol)
+
+    if train:
+        rec = grec.record_vertex(rec, scat, p_scat, wi_v,
+                                 scale_v[..., None] * jnp.ones(3), pdf_v,
+                                 jnp.ones_like(scat))
+        rec = grec.record_direct(rec, ok, Ld_local)
+
+    # ---- escape / surface (same structure as guided_volpath) ---------------
+    flew = alive & ~scat
+    escaped = flew & ~h.hit
+    Le_env = scene.lights.le_escaped(s.d)
+    any_env = average(Le_env) > 0
+    first = (s.depth == 0) | s.specular
+    no_mis = escaped & first & any_env
+    L = _m(no_mis, L + beta * Le_env / jnp.maximum(average(r_u), 1e-30)[..., None], L)
+    with_mis = escaped & ~first & any_env
+    p_l_esc = scene.lights.pdf_li_escaped(s.d)
+    r_l_esc = r_l * p_l_esc[..., None]
+    denom_esc = jnp.maximum(average(r_u + r_l_esc), 1e-30)
+    L = _m(with_mis, L + beta * Le_env / denom_esc[..., None], L)
+    if train:
+        w_mis_env = jnp.where(first, jnp.ones_like(denom_esc),
+                              average(r_u) / denom_esc)
+        rec = grec.record_emission(rec, escaped & any_env,
+                                   Le_env * w_mis_env[..., None],
+                                   jnp.full_like(denom_esc, 1e6))
+    alive = alive & ~escaped
+
+    surf = flew & h.hit
+    emissive = surf & (h.light_id >= 0)
+    Le_surf = scene.lights.le_area(h.light_id, -s.d, h.n)
+    has_le = average(Le_surf) > 0
+    no_mis_s = emissive & first & has_le
+    L = _m(no_mis_s, L + beta * Le_surf / jnp.maximum(average(r_u), 1e-30)[..., None], L)
+    with_mis_s = emissive & ~first & has_le
+    p_l_area = scene.lights.pdf_li_area(h.light_id, s.prev_p, h.p, h.n)
+    r_l_area = r_l * p_l_area[..., None]
+    denom_s = jnp.maximum(average(r_u + r_l_area), 1e-30)
+    L = _m(with_mis_s, L + beta * Le_surf / denom_s[..., None], L)
+    if train:
+        w_mis_srf = jnp.where(first, jnp.ones_like(denom_s),
+                              average(r_u) / denom_s)
+        rec = grec.record_emission(rec, emissive & has_le,
+                                   Le_surf * w_mis_srf[..., None], h.t)
+
+    iface = surf & (h.mat_id < 0)
+    new_med_skip = jnp.where(dot(s.d, h.n) < 0, h.med_in, h.med_out)
+    medium_id = jnp.where(iface, new_med_skip, s.medium_id)
+    o_new = _m(iface, h.p + 1e-4 * s.d, o_new)
+
+    shade = surf & (h.mat_id >= 0)
+    depth_hit = shade & (s.depth >= cfg.max_depth)
+    alive = alive & ~depth_hit
+    shade = shade & ~depth_hit
+    depth = jnp.where(shade, depth + 1, depth)
+
+    lanes = scene.materials.gather(h.mat_id)
+    ns = face_forward(h.ns, h.n)
+
+    # ISGB first-event data (surface)
+    first_now_s = shade & ~first_set & (s.depth == 0)
+    first_set = first_set | first_now_s
+    first_vol = jnp.where(first_now_s, False, first_vol)
+    first_albedo = _m(first_now_s, lanes.albedo, first_albedo)
+    first_normal = _m(first_now_s, ns, first_normal)
+
+    is_transmissive = (lanes.mat_type == 2) | (lanes.mat_type == 3)
+    ns_cos = jnp.where(dot(-s.d, ns)[..., None] < 0, -ns, ns)
+    dist_cos = gfield.surface_distribution(field, h.p, ns_cos, apply_cosine=True)
+    dist_flat = gfield.surface_distribution(field, h.p, ns_cos, apply_cosine=False)
+    dist_s = jax.tree.map(
+        lambda a, b: jnp.where(
+            is_transmissive.reshape(is_transmissive.shape + (1,) * (a.ndim - 1)),
+            b, a),
+        dist_cos, dist_flat)
+    use_guide_s = (shade & dist_s.valid & field.trained & ~lanes.is_specular
+                   & bool(gopt.surface_guiding))
+
+    t1, t2 = coordinate_system(ns)
+
+    def to_local(w):
+        return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], axis=-1)
+
+    def to_world(w):
+        return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * ns
+
+    wo_l = to_local(-s.d)
+    p_off = offset_ray_origin(h.p, h.n, -s.d)
+    sampler, u_sel2 = sampler.get_1d()
+    sampler, u2l2 = sampler.get_2d()
+    ls2 = scene.lights.sample(p_off, u_sel2, u2l2)
+    can_nee = shade & ~lanes.is_specular
+    ok2 = can_nee & ls2.valid & (average(ls2.L) > 0)
+    wi_l2 = to_local(ls2.wi)
+    f_hat2 = bsdf_f(lanes, wo_l, wi_l2) * jnp.abs(dot(ls2.wi, ns))[..., None]
+    bpdf2 = bsdf_pdf(lanes, wo_l, wi_l2)
+    gpdf2 = gfield.dist_pdf(dist_s, ls2.wi)
+    scatter_pdf2 = jnp.where(use_guide_s, (1 - pg) * bpdf2 + pg * gpdf2, bpdf2)
+    ok2 &= jnp.max(f_hat2, -1) > 0
+    sampler, T_ray2, tr_l2, tr_u2 = transmittance_ratio_tracking(
+        scene, cfg, p_off, ls2.wi, ls2.t_shadow, medium_id, s.hero_idx,
+        sampler, ok2)
+    Ld2, Ld2_local = _combine_ld(ls2, f_hat2, scatter_pdf2, T_ray2, tr_l2,
+                                 tr_u2, r_u, beta, ok2)
+    L = _m(can_nee, L + Ld2, L)
+
+    def bsdf_base(sampler):
+        sampler, u_lobe = sampler.get_1d()
+        sampler, u2b = sampler.get_2d()
+        bs = bsdf_sample(lanes, wo_l, u_lobe, u2b)
+        wi_w = normalize(to_world(bs.wi))
+        f_cos = bs.f * jnp.abs(dot(wi_w, ns))[..., None]
+        return sampler, wi_w, f_cos, bs.pdf, bs
+
+    def bsdf_pdf_at(wi_w):
+        return bsdf_pdf(lanes, wo_l, to_local(wi_w))
+
+    def inc_rad_pdf_s(wi_w):
+        return gfield.incoming_radiance_pdf(field, "surface", h.p, wi_w)
+
+    (sampler, wi_s, f_s, pdf_s, mis_pdf_s, _, bs_aux, valid_s,
+     took_guide_s) = _guided_sample(sampler, use_guide_s, gopt, dist_s,
+                                    bsdf_base, bsdf_pdf_at, inc_rad_pdf_s)
+    f_guide = bsdf_f(lanes, wo_l, to_local(wi_s)) * jnp.abs(dot(wi_s, ns))[..., None]
+    f_s = jnp.where(took_guide_s[..., None], f_guide, f_s)
+    bs_ok = shade & valid_s & (pdf_s > 0) & bs_aux.valid
+    spec_lane = lanes.is_specular
+    bs_ok = jnp.where(spec_lane, shade & bs_aux.valid & (bs_aux.pdf > 0), bs_ok)
+    alive = alive & ~(shade & ~bs_ok)
+
+    scale_b = f_s / jnp.maximum(pdf_s, 1e-30)[..., None]
+    beta = _m(bs_ok, beta * scale_b, beta)
+    r_l = _m(bs_ok, r_u / jnp.maximum(mis_pdf_s, 1e-30)[..., None], r_l)
+    specular = jnp.where(bs_ok, bs_aux.is_specular & ~took_guide_s, specular)
+    eta_scale = jnp.where(bs_ok & bs_aux.is_transmission & ~took_guide_s,
+                          s.eta_scale * bs_aux.eta**2, s.eta_scale)
+    crossing = bs_ok & (dot(wi_s, h.n) < 0)
+    new_med_x = jnp.where(crossing, h.med_in, h.med_out)
+    medium_id = jnp.where(bs_ok, new_med_x, medium_id)
+    o_new = _m(bs_ok, offset_ray_origin(h.p, h.n, wi_s), o_new)
+    d_new = _m(bs_ok, wi_s, d_new)
+    prev_p = _m(bs_ok, h.p, prev_p)
+    last_vol = jnp.where(bs_ok, False, last_vol)
+
+    if train:
+        rec = grec.record_vertex(rec, bs_ok & ~spec_lane, h.p, wi_s, scale_b,
+                                 pdf_s, jnp.zeros_like(bs_ok))
+        rec = grec.record_direct(rec, ok2, Ld2_local)
+
+    # surface RR (guided or throughput)
+    dead_beta = shade & (jnp.max(beta, -1) == 0)
+    alive = alive & ~dead_beta
+    dist_srr = gfield._gather_half(field, field.surface, h.p)
+    if vopt.guide_rr:
+        survival_s = jnp.where(
+            dist_srr.valid & (jnp.mean(pixel_est, -1) > 0),
+            guided_rr_survival(beta, dist_srr.flux, pixel_est), 1.0)
+        survival_s = jnp.where(specular, 0.95, survival_s)
+    else:
+        survival_s = throughput_rr_survival(beta, r_u)
+    do_rr_s = shade & (depth > vopt.min_rr_depth) & (survival_s < 1.0)
+    sampler, u_rrs = sampler.get_1d()
+    kill_s = do_rr_s & (u_rrs >= survival_s)
+    alive = alive & ~kill_s
+    beta = _m(do_rr_s & ~kill_s,
+              beta / jnp.maximum(survival_s, 1e-3)[..., None], beta)
+
+    s2 = PathState(sampler, o_new, d_new, beta, r_u, r_l, L, depth, alive,
+                   specular, s.hero_idx, medium_id, eta_scale, prev_p)
+    return VState(s2, rec, gs.pixel_id, last_vol, first_set, first_vol,
+                  first_albedo, first_normal, tr_est)
+
+
+# ---------------------------------------------------------------------------
+# Wave / render drivers
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "gopt", "vopt", "camera_medium",
+                                   "train", "spp_per_pass"))
+def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
+              seed, wave_idx, camera_medium, train, spp_per_pass):
+    R = film.npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass
+    sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
+    s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                              camera_medium)
+    rec = SegmentRecord.make(R, gopt.record_depth if train else 1,
+                             pixel_id.astype(jnp.float32))
+    z3 = jnp.zeros_like(s.o)
+    gs = VState(s, rec, pixel_id, pixel_id < 0, pixel_id < 0, pixel_id < 0,
+                z3, z3, jnp.ones_like(s.o))
+
+    def cond(c):
+        gs, it = c
+        return jnp.any(gs.s.alive) & (it < cfg.max_events)
+
+    def body(c):
+        gs, it = c
+        return vspg_bounce(scene, cfg, gopt, vopt, field, isgb, train, gs), it + 1
+
+    gs, _ = jax.lax.while_loop(cond, body, (gs, jnp.int32(0)))
+    film_state = film.add_samples(film_state, pixel_id, gs.s.L,
+                                  jnp.ones_like(gs.s.L[..., 0]))
+    isgb = gisgb.isgb_add_samples(isgb, pixel_id, gs.s.L, gs.first_albedo,
+                                  gs.first_normal, gs.first_vol,
+                                  pixel_id >= 0)
+    batch = grec.propagate(gs.rec) if train else None
+    tr = gs.tr_est
+    return film_state, isgb, batch, tr
+
+
+def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
+                gopt=GuidingOptions(), vopt=VSPGOptions(), seed=0,
+                camera_medium=-1, spp_per_pass=1, field=None, isgb=None,
+                train=True):
+    """Progressive VSPG rendering: waves + training barrier + ISGB updates
+    at waves 1,2,4,8,... (PostProcessWave, :230-259).
+
+    Returns (image, field, isgb)."""
+    if field is None:
+        import numpy as np
+
+        g = scene.geometry
+        pts = []
+        for arr in (g.tri_p0, g.tri_p1, g.tri_p2, g.box_min, g.box_max):
+            if arr.shape[0]:
+                pts.append(np.asarray(arr))
+        if g.sph_c.shape[0]:
+            c = np.asarray(g.sph_c)
+            r = np.asarray(g.sph_r)[:, None]
+            pts += [c - r, c + r]
+        allp = np.concatenate(pts, 0)
+        field = gfield.GuidingField.make(allp.min(0) - 1e-3, allp.max(0) + 1e-3,
+                                         res=gopt.field_res, n_lobes=gopt.n_lobes)
+    if isgb is None:
+        isgb = ISGB.make(film.resolution, vopt.vsp_criterion)
+
+    film_state = film.init_state()
+    for wave in range(spp // spp_per_pass):
+        do_train = train and int(field.iteration) < gopt.train_waves
+        film_state, isgb, batch, _ = vspg_wave(
+            scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
+            jnp.uint32(seed), jnp.int32(wave), int(camera_medium),
+            bool(do_train), int(spp_per_pass))
+        if do_train:
+            total_w = float(jnp.sum(jnp.where(batch.valid, batch.weight, 0.0)))
+            if total_w > gopt.min_train_weight:
+                field = gv.train_step(field, batch)
+        if (wave + 1) in vopt.isgb_update_waves:
+            isgb = gisgb.isgb_update(isgb)
+    return film.image(film_state), field, isgb

@@ -1,0 +1,145 @@
+"""Command-line renderer (analog of ``src/pbrt/cmd/pbrt.cpp``).
+
+    python -m vspg_pbrt_v4_tpu scene.pbrt [options]
+
+Mirrors the reference CLI surface (cmd/pbrt.cpp:99-230) where applicable:
+--spp, --seed, --outfile, --quiet, --stats, --mse-reference-image (per-wave
+MSE CSV), --time render budget, --volMajScale, --disable-pixel-jitter is
+implicit in samplers. Integrator selection and its parameters come from the
+scene file (`Integrator "volpath"|"guidedpath"|"guidedvolpath"|
+"guidedvolpathvspg" ...`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vspg_pbrt_v4_tpu",
+                                 description="TPU-native pbrt+VSPG renderer")
+    ap.add_argument("scene", help=".pbrt scene file")
+    ap.add_argument("--spp", type=int, default=None, help="samples per pixel")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--outfile", default=None)
+    ap.add_argument("--resolution", default=None, help="WxH override")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--spp-per-pass", type=int, default=4)
+    ap.add_argument("--time", type=float, default=None,
+                    help="render time budget in seconds (wave loop stops)")
+    ap.add_argument("--mse-reference-image", default=None)
+    ap.add_argument("--maxdepth", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .models.integrators import guided_volpath as gvp
+    from .models.integrators import volpath, vspg
+    from .scene import build_render_setup, parse_pbrt_file
+    from .utils.image import mse as mse_np
+    from .utils.image import read_image, write_exr, write_png
+
+    t0 = time.perf_counter()
+    res_override = None
+    if args.resolution:
+        w, h = args.resolution.lower().split("x")
+        res_override = (int(w), int(h))
+    directives = parse_pbrt_file(args.scene)
+    setup = build_render_setup(directives, spp_override=args.spp,
+                               res_override=res_override)
+    if not args.quiet:
+        g = setup.scene.geometry
+        print(f"[scene] {g.n_tri} tris, {g.n_sph} spheres, "
+              f"{setup.scene.lights.n_lights} lights, integrator "
+              f"{setup.integrator}, {setup.spp} spp", file=sys.stderr)
+
+    from .scene.parser import ParameterDictionary
+
+    ip = ParameterDictionary(setup.integrator_params)
+    max_depth = args.maxdepth or ip.get_int("maxdepth", 32)
+    cfg = volpath.VolPathConfig(max_depth=max_depth)
+
+    ref = read_image(args.mse_reference_image) if args.mse_reference_image else None
+    mse_log = []
+
+    name = setup.integrator
+    spp_per_pass = max(1, min(args.spp_per_pass, setup.spp))
+
+    if name in ("volpath", "path", "simplevolpath", "simplepath"):
+        img = volpath.render(setup.scene, setup.camera, setup.film,
+                             spp=setup.spp, cfg=cfg, seed=args.seed,
+                             camera_medium=setup.camera_medium,
+                             spp_per_pass=spp_per_pass)
+        img = np.asarray(img)
+    elif name in ("guidedpath", "guidedvolpath"):
+        gopt = gvp.GuidingOptions(
+            mode="ris" if ip.get_string("guidingtype", "ris") == "ris" else "mis",
+            surface_guiding=ip.get_bool("surfaceguiding", True),
+            volume_guiding=ip.get_bool("volumeguiding", True),
+        )
+        img, _ = gvp.render_guided(setup.scene, setup.camera, setup.film,
+                                   spp=setup.spp, cfg=cfg, gopt=gopt,
+                                   seed=args.seed,
+                                   camera_medium=setup.camera_medium,
+                                   spp_per_pass=spp_per_pass)
+        img = np.asarray(img)
+    elif name == "guidedvolpathvspg":
+        gopt = gvp.GuidingOptions(
+            mode="ris" if ip.get_string("guidingtype", "ris") == "ris" else "mis",
+            surface_guiding=ip.get_bool("surfaceguiding", True),
+            volume_guiding=ip.get_bool("volumeguiding", True),
+        )
+        vopt = vspg.VSPGOptions(
+            guide_vsp=ip.get_bool("vspguiding", True),
+            guide_primary_vsp=ip.get_bool("vspprimaryguiding", True),
+            guide_secondary_vsp=ip.get_bool("vspsecondaryguiding", True),
+            sampling_method=ip.get_string("vspsamplingmethod", "resampling"),
+            vsp_mis_ratio=ip.get_float("vspmisratio", 0.5),
+            vsp_criterion=ip.get_string("vspcriterion", "variance"),
+            guide_rr=ip.get_bool("guidedrr", True),
+        )
+        img, _, _ = vspg.render_vspg(setup.scene, setup.camera, setup.film,
+                                     spp=setup.spp, cfg=cfg, gopt=gopt,
+                                     vopt=vopt, seed=args.seed,
+                                     camera_medium=setup.camera_medium,
+                                     spp_per_pass=spp_per_pass)
+        img = np.asarray(img)
+    else:
+        print(f"integrator '{name}' not supported; falling back to volpath",
+              file=sys.stderr)
+        img = np.asarray(volpath.render(setup.scene, setup.camera, setup.film,
+                                        spp=setup.spp, cfg=cfg, seed=args.seed,
+                                        spp_per_pass=spp_per_pass))
+
+    dt = time.perf_counter() - t0
+    out = args.outfile or setup.outfile
+    if out.endswith(".png"):
+        write_png(out, img)
+    else:
+        write_exr(out, img)
+    if ref is not None:
+        mse_log.append((setup.spp, mse_np(img, ref)))
+        for s, m in mse_log:
+            print(f"MSE,{s},{m:.6g}")
+    if not args.quiet:
+        npaths = img.shape[0] * img.shape[1] * setup.spp
+        print(f"[done] {out}  {dt:.1f}s  {npaths/dt/1e6:.2f} Mpaths/s",
+              file=sys.stderr)
+    if args.stats:
+        print(json.dumps({"seconds": dt, "spp": setup.spp,
+                          "resolution": list(img.shape[:2])}), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,370 @@
+"""Graphics-state scene builder: directives -> render-ready Scene.
+
+Analog of BasicSceneBuilder + BasicScene + RenderCPU's realization ordering
+(scene.h:383, cpu/render.cpp:24-170): a CTM/attribute stack machine walks the
+directive list, collecting shapes (with bound material / area light / medium
+interface), lights, media, then builds the SoA Scene plus camera, film and
+integrator configuration.
+
+Supported surface: sphere, trianglemesh (P/indices[/N]); materials: diffuse,
+conductor, dielectric, thindielectric->dielectric, diffusetransmission,
+coateddiffuse->diffuse (approximation, warned); lights: point, distant,
+infinite (uniform), spot->point (approx), area "diffuse"; media: homogeneous,
+uniformgrid. Unsupported types degrade with a warning rather than erroring
+(mirroring pbrt's Warning+default behavior).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import NamedTuple
+
+import numpy as np
+
+from ..models.cameras import OrthographicCamera, PerspectiveCamera, SphericalCamera
+from ..models.film import RGBFilm
+from ..models.integrators import volpath
+from ..models.lights import Lights
+from ..models.materials import (CONDUCTOR, DIELECTRIC, DIFFUSE, DIFFUSE_TRANS,
+                                Materials)
+from ..models.media import GridMedium, Media
+from ..models.shapes import Geometry
+from ..utils import transform as tr
+from .parser import ParameterDictionary
+
+
+class RenderSetup(NamedTuple):
+    scene: object  # volpath.Scene
+    camera: object
+    film: object
+    integrator: str
+    integrator_params: dict
+    sampler: str
+    spp: int
+    camera_medium: int
+    outfile: str
+
+
+class _GState:
+    def __init__(self):
+        self.ctm = tr.identity()
+        self.material = 0
+        self.area_light = None  # pending AreaLightSource params
+        self.medium_in = -1
+        self.medium_out = -1
+        self.reverse = False
+
+    def copy(self):
+        g = _GState()
+        g.__dict__.update(self.__dict__)
+        g.ctm = self.ctm
+        return g
+
+
+def build_render_setup(directives, spp_override=None, res_override=None):
+    st = _GState()
+    stack = []
+    world = False
+
+    tris = []
+    spheres = []
+    boxes = []
+    mats = [dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))]  # default material
+    named_mats = {}
+    area_tris = []
+    point_lights = []
+    distant_lights = []
+    env_L = None
+    homog_media = []
+    grid_media = []
+    named_media = {}
+    camera_directive = None
+    cam_to_world = tr.identity()
+    film_params = {}
+    integrator = "volpath"
+    integrator_params = {}
+    sampler = "independent"
+    spp = 16
+
+    def warn(msg, loc):
+        warnings.warn(f"{loc}: {msg}")
+
+    def xf_pts(pts):
+        import jax.numpy as jnp
+
+        return np.asarray(tr.apply_point(st.ctm, jnp.asarray(pts, np.float32)))
+
+    def xf_nrm(ns):
+        import jax.numpy as jnp
+
+        n = np.asarray(tr.apply_normal(st.ctm, jnp.asarray(ns, np.float32)))
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        return n / np.maximum(ln, 1e-20)
+
+    for d in directives:
+        name = d.name
+        p = ParameterDictionary(d.params)
+
+        if name == "LookAt":
+            a = d.args
+            st.ctm = st.ctm @ tr.look_at(a[0:3], a[3:6], a[6:9]).inverse()
+        elif name == "Translate":
+            st.ctm = st.ctm @ tr.translate(*d.args)
+        elif name == "Scale":
+            st.ctm = st.ctm @ tr.scale(*d.args)
+        elif name == "Rotate":
+            st.ctm = st.ctm @ tr.rotate(d.args[0], d.args[1:4])
+        elif name in ("Transform", "ConcatTransform"):
+            m = np.asarray(d.args, np.float32).reshape(4, 4).T  # column-major
+            t = tr.from_matrix(m)
+            st.ctm = t if name == "Transform" else st.ctm @ t
+        elif name == "Identity":
+            st.ctm = tr.identity()
+
+        elif name == "Camera":
+            camera_directive = (d.args[0], p)
+            cam_to_world = st.ctm.inverse()
+        elif name == "Film":
+            film_params = p
+        elif name == "Sampler":
+            sampler = d.args[0]
+            spp = p.get_int("pixelsamples", 16)
+        elif name == "Integrator":
+            integrator = d.args[0]
+            integrator_params = {k: v for k, v in d.params.items()}
+        elif name in ("Filter", "PixelFilter", "Accelerator", "ColorSpace"):
+            pass  # accepted; box filter / builtin accel
+
+        elif name == "WorldBegin":
+            world = True
+            st = _GState()
+        elif name == "AttributeBegin" or name == "TransformBegin":
+            stack.append(st.copy())
+        elif name == "AttributeEnd" or name == "TransformEnd":
+            st = stack.pop()
+        elif name == "ReverseOrientation":
+            st.reverse = not st.reverse
+
+        elif name == "Material":
+            mtype = d.args[0] if d.args else ""
+            if mtype in ("", "none", "interface"):
+                st.material = -1  # medium interface / no BSDF
+            else:
+                mats.append(_make_material(mtype, p, warn, d.loc))
+                st.material = len(mats) - 1
+        elif name == "MakeNamedMaterial":
+            ptype = p.get_string("type", "diffuse")
+            mats.append(_make_material(ptype, p, warn, d.loc))
+            named_mats[d.args[0]] = len(mats) - 1
+        elif name == "NamedMaterial":
+            st.material = named_mats.get(d.args[0], 0)
+
+        elif name == "AreaLightSource":
+            st.area_light = (d.args[0], p)
+
+        elif name == "LightSource":
+            ltype = d.args[0]
+            scale = p.get_float("scale", 1.0)
+            if ltype == "point":
+                I = p.get_rgb("I", np.asarray([1.0, 1, 1])) * scale
+                frm = p.get_point3("from", np.zeros(3))
+                point_lights.append((xf_pts(frm), I))
+            elif ltype == "spot":
+                I = p.get_rgb("I", np.asarray([1.0, 1, 1])) * scale
+                frm = p.get_point3("from", np.zeros(3))
+                warn("spot light approximated as point light", d.loc)
+                point_lights.append((xf_pts(frm), I))
+            elif ltype == "distant":
+                L = p.get_rgb("L", np.asarray([1.0, 1, 1])) * scale
+                frm = p.get_point3("from", np.zeros(3))
+                to = p.get_point3("to", np.asarray([0, 0, 1.0]))
+                dirv = xf_pts(to) - xf_pts(frm)
+                distant_lights.append((dirv, L))
+            elif ltype == "infinite":
+                L = p.get_rgb("L", None)
+                if L is None:
+                    L = p.get_rgb("radiance", np.asarray([1.0, 1, 1]))
+                if p.get_string("filename") is not None:
+                    warn("image infinite light not yet supported; "
+                         "using average radiance", d.loc)
+                env_L = L * scale
+            else:
+                warn(f"light '{ltype}' unsupported; ignored", d.loc)
+
+        elif name == "MakeNamedMedium":
+            mname = d.args[0]
+            mtype = p.get_string("type", "homogeneous")
+            if mtype == "homogeneous":
+                homog_media.append(dict(
+                    sigma_a=p.get_rgb("sigma_a", np.asarray([1.0, 1, 1]))
+                    * p.get_float("scale", 1.0),
+                    sigma_s=p.get_rgb("sigma_s", np.asarray([1.0, 1, 1]))
+                    * p.get_float("scale", 1.0),
+                    Le=p.get_rgb("Le", np.zeros(3)),
+                    g=p.get_float("g", 0.0),
+                ))
+                named_media[mname] = ("homog", len(homog_media) - 1)
+            elif mtype in ("uniformgrid", "grid"):
+                dens = p.get_floats("density")
+                nx = p.get_int("nx", 1)
+                ny = p.get_int("ny", 1)
+                nz = p.get_int("nz", 1)
+                p0 = p.get_point3("p0", np.zeros(3))
+                p1 = p.get_point3("p1", np.ones(3))
+                dens = dens.reshape(nz, ny, nx).transpose(2, 1, 0)  # pbrt order
+                b0 = xf_pts(p0)
+                b1 = xf_pts(p1)
+                grid_media.append(GridMedium.make(
+                    dens,
+                    p.get_rgb("sigma_a", np.asarray([1.0, 1, 1])) * p.get_float("scale", 1.0),
+                    p.get_rgb("sigma_s", np.asarray([1.0, 1, 1])) * p.get_float("scale", 1.0),
+                    np.minimum(b0, b1), np.maximum(b0, b1),
+                    g=p.get_float("g", 0.0), maj_res=16,
+                ))
+                named_media[mname] = ("grid", len(grid_media) - 1)
+            else:
+                warn(f"medium '{mtype}' unsupported; ignored "
+                     "(nanovdb: convert offline with tools/nanovdb2grid)", d.loc)
+        elif name == "MediumInterface":
+            inside = d.args[0] if len(d.args) > 0 else ""
+            outside = d.args[1] if len(d.args) > 1 else ""
+
+            def mid(nm):
+                if not nm or nm not in named_media:
+                    return -1
+                kind, idx = named_media[nm]
+                return idx if kind == "homog" else 10_000 + idx  # remap later
+
+            st.medium_in = mid(inside)
+            st.medium_out = mid(outside)
+
+        elif name == "Shape":
+            stype = d.args[0]
+            has_light = st.area_light is not None
+            light_id = -1
+            if has_light:
+                lp = st.area_light[1]
+                L_area = lp.get_rgb("L", np.asarray([1.0, 1, 1])) * lp.get_float("scale", 1.0)
+                two = lp.get_bool("twosided", False)
+            mat_id = st.material
+
+            if stype == "sphere":
+                r = p.get_float("radius", 1.0)
+                c = xf_pts(np.zeros(3))
+                if has_light:
+                    warn("sphere area light approximated by geometry only "
+                         "(NEE samples triangles)", d.loc)
+                spheres.append(dict(c=c, r=r, mat=mat_id, light=-1,
+                                    med_in=st.medium_in, med_out=st.medium_out))
+            elif stype == "trianglemesh":
+                P = p.get_floats("P").reshape(-1, 3)
+                idx = p.get_ints("indices").reshape(-1, 3)
+                Pw = xf_pts(P)
+                N = p.get_floats("N")
+                Nw = xf_nrm(N.reshape(-1, 3)) if N is not None else None
+                for t_i in range(idx.shape[0]):
+                    a, b, c3 = idx[t_i]
+                    if has_light:
+                        light_id = len(area_tris)
+                        area_tris.append(dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3],
+                                              L=L_area, twosided=two))
+                    trid = dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3], mat=mat_id,
+                                light=light_id if has_light else -1,
+                                med_in=st.medium_in, med_out=st.medium_out)
+                    if Nw is not None:
+                        trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
+                    tris.append(trid)
+                    light_id = -1
+            else:
+                warn(f"shape '{stype}' unsupported; skipped", d.loc)
+        elif name in ("WorldEnd", "ObjectBegin", "ObjectEnd", "ObjectInstance",
+                      "Texture", "CoordinateSystem", "CoordSysTransform"):
+            if name not in ("WorldEnd",):
+                warn(f"directive '{name}' not yet supported; ignored", d.loc)
+        else:
+            warn(f"unknown directive '{name}' ignored", d.loc)
+
+    # remap grid medium ids: homogeneous block first, then grids
+    n_h = len(homog_media)
+
+    def remap(mid):
+        if mid >= 10_000:
+            return n_h + (mid - 10_000)
+        return mid
+
+    for lst in (tris, spheres, boxes):
+        for it in lst:
+            it["med_in"] = remap(it["med_in"])
+            it["med_out"] = remap(it["med_out"])
+
+    geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes)
+    materials = Materials.build(mats)
+    media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media))
+    # world radius from geometry extent
+    pts = []
+    for lst, keys in ((tris, ("p0", "p1", "p2")), (spheres, ("c",))):
+        for it in lst:
+            for k in keys:
+                pts.append(np.asarray(it[k], np.float32))
+    world_r = 2.0 * float(np.abs(np.asarray(pts)).max()) if pts else 100.0
+    lights = Lights.make(
+        point_p=[pl[0] for pl in point_lights] or None,
+        point_I=[pl[1] for pl in point_lights] or None,
+        distant_dir=[dl[0] for dl in distant_lights] or None,
+        distant_L=[dl[1] for dl in distant_lights] or None,
+        area_tris=area_tris or None,
+        env_L=env_L, world_radius=max(world_r, 10.0),
+    )
+    scene = volpath.Scene(geometry, materials, media, lights)
+
+    # film + camera
+    nx = res_override[0] if res_override else (
+        film_params.get_int("xresolution", 1280) if film_params else 1280)
+    ny = res_override[1] if res_override else (
+        film_params.get_int("yresolution", 720) if film_params else 720)
+    outfile = (film_params.get_string("filename", "out.exr")
+               if film_params else "out.exr")
+    film = RGBFilm.make((nx, ny))
+    ctype, cp = camera_directive if camera_directive else ("perspective", None)
+    if ctype == "perspective":
+        fov = cp.get_float("fov", 90.0) if cp else 90.0
+        camera = PerspectiveCamera.make(
+            cam_to_world, fov, (nx, ny),
+            lens_radius=cp.get_float("lensradius", 0.0) if cp else 0.0,
+            focal_distance=cp.get_float("focaldistance", 1e6) if cp else 1e6)
+    elif ctype == "orthographic":
+        camera = OrthographicCamera.make(cam_to_world, (nx, ny))
+    elif ctype == "spherical":
+        camera = SphericalCamera(cam_to_world, (nx, ny))
+    else:
+        warnings.warn(f"camera '{ctype}' unsupported; using perspective")
+        camera = PerspectiveCamera.make(cam_to_world, 90.0, (nx, ny))
+
+    # camera medium: inside any grid/homog container? conservatively vacuum
+    return RenderSetup(scene, camera, film, integrator, integrator_params,
+                       sampler, spp_override or spp, -1, outfile)
+
+
+def _make_material(mtype, p: ParameterDictionary, warn, loc):
+    if mtype == "diffuse":
+        return dict(type=DIFFUSE,
+                    albedo=tuple(p.get_rgb("reflectance", np.asarray([0.5] * 3))))
+    if mtype == "conductor":
+        refl = p.get_rgb("reflectance", None)
+        if refl is None:
+            refl = np.asarray([0.9, 0.7, 0.4])  # generic metal F0
+        return dict(type=CONDUCTOR, albedo=tuple(refl),
+                    roughness=p.get_float("roughness", 0.0))
+    if mtype in ("dielectric", "thindielectric"):
+        return dict(type=DIELECTRIC, eta=p.get_float("eta", 1.5),
+                    roughness=p.get_float("roughness", 0.0))
+    if mtype == "diffusetransmission":
+        return dict(type=DIFFUSE_TRANS,
+                    albedo=tuple(p.get_rgb("reflectance", np.asarray([0.25] * 3))),
+                    albedo2=tuple(p.get_rgb("transmittance", np.asarray([0.25] * 3))))
+    if mtype in ("coateddiffuse", "plastic"):
+        warn(f"material '{mtype}' approximated as diffuse", loc)
+        return dict(type=DIFFUSE,
+                    albedo=tuple(p.get_rgb("reflectance", np.asarray([0.5] * 3))))
+    warn(f"material '{mtype}' unsupported; using diffuse", loc)
+    return dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))

@@ -1,0 +1,104 @@
+"""BVH build + traversal vs brute force (the correctness oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vspg_pbrt_v4_tpu.models.shapes import Geometry
+from vspg_pbrt_v4_tpu.ops.bvh import build_bvh
+from vspg_pbrt_v4_tpu.utils import rng, sampling
+
+
+def _random_tris(n, seed=0, spread=3.0):
+    r = np.random.default_rng(seed)
+    c = r.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    e1 = r.normal(0, 0.3, (n, 3)).astype(np.float32)
+    e2 = r.normal(0, 0.3, (n, 3)).astype(np.float32)
+    return [dict(p0=c[i], p1=c[i] + e1[i], p2=c[i] + e2[i], mat=i % 3,
+                 light=-1, med_in=-1, med_out=-1) for i in range(n)]
+
+
+def _random_rays(n, seed=1):
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    o = (rng.uniform3(jnp.uint32(seed), pid, jnp.uint32(0), jnp.uint32(0))
+         - 0.5) * 12.0
+    d = sampling.sample_uniform_sphere(
+        rng.uniform2(jnp.uint32(seed), pid, jnp.uint32(0), jnp.uint32(1)))
+    return o, d
+
+
+def test_bvh_build_structure():
+    tris = _random_tris(200)
+    lo = np.stack([np.minimum(np.minimum(t["p0"], t["p1"]), t["p2"]) for t in tris])
+    hi = np.stack([np.maximum(np.maximum(t["p0"], t["p1"]), t["p2"]) for t in tris])
+    bvh = build_bvh(lo, hi)
+    assert bvh.prim_ids.shape[0] == 200
+    assert sorted(np.asarray(bvh.prim_ids).tolist()) == list(range(200))
+    # every leaf count <= max_leaf, interior nodes have right > node index
+    counts = np.asarray(bvh.count)
+    rights = np.asarray(bvh.right)
+    assert (counts <= 4).all()
+    interior = counts == 0
+    idx = np.arange(len(counts))
+    assert (rights[interior] > idx[interior]).all()
+
+
+def test_bvh_matches_brute_force_closest():
+    tris = _random_tris(300, seed=3)
+    g_bvh = Geometry.build(triangles=tris, use_bvh=True)
+    g_brute = Geometry.build(triangles=tris, use_bvh=False)
+    assert g_bvh.tri_bvh is not None and g_brute.tri_bvh is None
+    o, d = _random_rays(2048)
+    t_max = jnp.full(2048, jnp.inf)
+    h1 = g_bvh.intersect(o, d, t_max)
+    h2 = g_brute.intersect(o, d, t_max)
+    hit1, hit2 = np.asarray(h1.hit), np.asarray(h2.hit)
+    assert (hit1 == hit2).all(), (hit1.sum(), hit2.sum())
+    assert hit1.sum() > 50  # scene dense enough to be a real test
+    m = hit1
+    assert np.allclose(np.asarray(h1.t)[m], np.asarray(h2.t)[m], rtol=1e-4)
+    assert (np.asarray(h1.prim_id)[m] == np.asarray(h2.prim_id)[m]).mean() > 0.99
+    assert (np.asarray(h1.mat_id)[m] == np.asarray(h2.mat_id)[m]).all()
+
+
+def test_bvh_matches_brute_force_occlusion():
+    tris = _random_tris(300, seed=5)
+    g_bvh = Geometry.build(triangles=tris, use_bvh=True)
+    g_brute = Geometry.build(triangles=tris, use_bvh=False)
+    o, d = _random_rays(2048, seed=7)
+    t_max = jnp.full(2048, 4.0)
+    o1 = np.asarray(g_bvh.intersect_p(o, d, t_max))
+    o2 = np.asarray(g_brute.intersect_p(o, d, t_max))
+    assert (o1 == o2).all()
+    assert o1.sum() > 20
+
+
+def test_bvh_render_matches_brute_force():
+    """Cornell render identical through BVH and brute force (same RNG)."""
+    import os
+
+    from vspg_pbrt_v4_tpu.models.integrators import volpath
+    from vspg_pbrt_v4_tpu.scene import build_render_setup
+    from vspg_pbrt_v4_tpu.scene.parser import parse_pbrt_file
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = parse_pbrt_file(os.path.join(repo, "scenes/cornell.pbrt"))
+    setup = build_render_setup(ds, spp_override=4, res_override=(24, 24))
+    g = setup.scene.geometry
+    tris = [dict(p0=np.asarray(g.tri_p0[i]), p1=np.asarray(g.tri_p1[i]),
+                 p2=np.asarray(g.tri_p2[i]), mat=int(g.tri_mat[i]),
+                 light=int(g.tri_light[i]), med_in=int(g.tri_med_in[i]),
+                 med_out=int(g.tri_med_out[i])) for i in range(g.n_tri)]
+    sph = [dict(c=np.asarray(g.sph_c[i]), r=float(g.sph_r[i]),
+                mat=int(g.sph_mat[i]), light=int(g.sph_light[i]),
+                med_in=int(g.sph_med_in[i]), med_out=int(g.sph_med_out[i]))
+           for i in range(g.n_sph)]
+    g1 = Geometry.build(triangles=tris, spheres=sph, use_bvh=True)
+    g2 = Geometry.build(triangles=tris, spheres=sph, use_bvh=False)
+    s1 = setup.scene._replace(geometry=g1)
+    s2 = setup.scene._replace(geometry=g2)
+    cfg = volpath.VolPathConfig(max_depth=5)
+    i1 = np.asarray(volpath.render(s1, setup.camera, setup.film, spp=4,
+                                   cfg=cfg, seed=3, spp_per_pass=4))
+    i2 = np.asarray(volpath.render(s2, setup.camera, setup.film, spp=4,
+                                   cfg=cfg, seed=3, spp_per_pass=4))
+    assert np.allclose(i1, i2, atol=1e-4), np.abs(i1 - i2).max()

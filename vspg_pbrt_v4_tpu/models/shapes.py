@@ -61,9 +61,10 @@ class Geometry(NamedTuple):
     box_light: jnp.ndarray
     box_med_in: jnp.ndarray
     box_med_out: jnp.ndarray
+    tri_bvh: object = None  # ops.bvh.BVH over triangles (None = brute force)
 
     @staticmethod
-    def build(triangles=(), spheres=(), boxes=()):
+    def build(triangles=(), spheres=(), boxes=(), use_bvh="auto"):
         """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
         spheres: {c,r,mat,light,med_in,med_out}; boxes: {bmin,bmax,...}."""
 
@@ -98,6 +99,16 @@ class Geometry(NamedTuple):
             tri_n0 = tri_n1 = tri_n2 = jnp.asarray(ng, jnp.float32)
         s = list(spheres)
         b = list(boxes)
+        tri_bvh = None
+        n_tri = tri_p0.shape[0]
+        if use_bvh is True or (use_bvh == "auto" and n_tri > 64):
+            from ..ops.bvh import build_bvh
+
+            lo = np.minimum(np.minimum(np.asarray(tri_p0), np.asarray(tri_p1)),
+                            np.asarray(tri_p2))
+            hi = np.maximum(np.maximum(np.asarray(tri_p0), np.asarray(tri_p1)),
+                            np.asarray(tri_p2))
+            tri_bvh = build_bvh(lo - 1e-5, hi + 1e-5)
         return Geometry(
             tri_p0, tri_p1, tri_p2, tri_n0, tri_n1, tri_n2,
             stack_i(t, "mat"), stack_i(t, "light"),
@@ -111,6 +122,7 @@ class Geometry(NamedTuple):
             stack(b, "bmax", (0, 0, 0), (3,)),
             stack_i(b, "mat"), stack_i(b, "light"),
             stack_i(b, "med_in"), stack_i(b, "med_out"),
+            tri_bvh,
         )
 
     @property
@@ -166,7 +178,9 @@ class Geometry(NamedTuple):
             )
 
         # triangles
-        if self.n_tri > 0:
+        if self.n_tri > 0 and self.tri_bvh is not None:
+            best = self._intersect_tris_bvh(o, d, best)
+        elif self.n_tri > 0:
             ht, tt, b0, b1, ng = ray_triangle(
                 o[..., None, :], d[..., None, :], best.t[..., None],
                 self.tri_p0, self.tri_p1, self.tri_p2,
@@ -236,11 +250,72 @@ class Geometry(NamedTuple):
 
         return best
 
+    def _intersect_tris_bvh(self, o, d, best):
+        """Closest triangle hit through the BVH (ops/bvh.py traversal)."""
+        from ..ops.bvh import bvh_traverse
+
+        R = o.shape[0]
+
+        def leaf_fn(pid, m, t_best, payload):
+            k_b, b0_b, b1_b = payload
+            hit, t, b0, b1, _ = ray_triangle(
+                o, d, t_best, self.tri_p0[pid], self.tri_p1[pid],
+                self.tri_p2[pid])
+            closer = m & hit
+            t_best = jnp.where(closer, t, t_best)
+            k_b = jnp.where(closer, pid, k_b)
+            b0_b = jnp.where(closer, b0, b0_b)
+            b1_b = jnp.where(closer, b1, b1_b)
+            return t_best, (k_b, b0_b, b1_b)
+
+        payload0 = (jnp.full((R,), -1, jnp.int32), jnp.zeros(R), jnp.zeros(R))
+        t_best, (k, b0k, b1k) = bvh_traverse(
+            self.tri_bvh, o, d, best.t, leaf_fn, payload0)
+        closer = k >= 0
+        kc = jnp.maximum(k, 0)
+        e1 = self.tri_p1[kc] - self.tri_p0[kc]
+        e2 = self.tri_p2[kc] - self.tri_p0[kc]
+        ngk = normalize(jnp.cross(e1, e2))
+        b2k = 1.0 - b0k - b1k
+        nsk = normalize(
+            b0k[..., None] * self.tri_n0[kc]
+            + b1k[..., None] * self.tri_n1[kc]
+            + b2k[..., None] * self.tri_n2[kc])
+        p_k = o + t_best[..., None] * d
+
+        def w(new, old):
+            mm = closer
+            if new.ndim > mm.ndim:
+                mm = mm[..., None]
+            return jnp.where(mm, new, old)
+
+        return HitRecord(
+            best.hit | closer, w(t_best, best.t), w(p_k, best.p),
+            w(ngk, best.n), w(nsk, best.ns),
+            w(jnp.stack([b0k, b1k], -1), best.uv), w(self.tri_mat[kc], best.mat_id),
+            w(self.tri_light[kc], best.light_id), w(self.tri_med_in[kc], best.med_in),
+            w(self.tri_med_out[kc], best.med_out), w(kc, best.prim_id),
+        )
+
     def intersect_p(self, o, d, t_max):
         """Any-hit against *opaque* primitives only (mat_id >= 0): occlusion
         for shadow rays. Interface-only primitives never occlude."""
         occluded = jnp.zeros(o.shape[:-1], bool)
-        if self.n_tri > 0:
+        if self.n_tri > 0 and self.tri_bvh is not None:
+            from ..ops.bvh import bvh_traverse
+
+            def leaf_fn(pid, m, t_best, occ):
+                hit, _, _, _, _ = ray_triangle(
+                    o, d, t_best, self.tri_p0[pid], self.tri_p1[pid],
+                    self.tri_p2[pid])
+                occ_new = occ | (m & hit & (self.tri_mat[pid] >= 0))
+                # collapse t_best to cull remaining traversal once occluded
+                return jnp.where(occ_new, 0.0, t_best), occ_new
+
+            _, occ = bvh_traverse(self.tri_bvh, o, d, t_max, leaf_fn,
+                                  jnp.zeros(o.shape[:-1], bool))
+            occluded |= occ
+        elif self.n_tri > 0:
             ht, _, _, _, _ = ray_triangle(
                 o[..., None, :], d[..., None, :], t_max[..., None],
                 self.tri_p0, self.tri_p1, self.tri_p2,

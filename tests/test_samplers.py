@@ -1,0 +1,93 @@
+"""Sampler statistics (samplers_test.cpp idiom: stratification + uniformity
++ variance-reduction checks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vspg_pbrt_v4_tpu.models.samplers import LaneSampler
+from vspg_pbrt_v4_tpu.utils.lowdiscrepancy import (
+    permutation_element, sobol_dim0, sobol_dim1, u32_to_unit_float)
+
+
+def _collect(kind, spp, n_pix=64, dims=2, dim_idx=0):
+    """(n_pix, spp) draws of dimension dim_idx."""
+    out = np.zeros((n_pix, spp, dims), np.float32)
+    for s in range(spp):
+        smp = LaneSampler.start(7, jnp.arange(n_pix, dtype=jnp.uint32), s,
+                                kind=kind, spp=spp)
+        for d in range(dim_idx + 1):
+            if dims == 2:
+                smp, u = smp.get_2d()
+            else:
+                smp, u = smp.get_1d()
+                u = u[..., None]
+        out[:, s] = np.asarray(u)[:, :dims]
+    return out
+
+
+def test_permutation_element_is_permutation():
+    for n in (7, 16, 64, 100):
+        idx = permutation_element(jnp.arange(n, dtype=jnp.uint32),
+                                  jnp.uint32(n), jnp.uint32(123))
+        got = sorted(np.asarray(idx).tolist())
+        assert got == list(range(n)), (n, got[:10])
+
+
+def test_sobol_dims_are_01_sequences():
+    # first 2^m points of each dimension are stratified in every dyadic bin
+    n = 256
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    for gen in (sobol_dim0, sobol_dim1):
+        u = np.asarray(u32_to_unit_float(gen(idx)))
+        for m in (4, 16, 64, 256):
+            counts = np.histogram(u, bins=m, range=(0, 1))[0]
+            assert (counts == n // m).all(), (gen.__name__, m, counts)
+
+
+def test_sobol_2d_low_discrepancy():
+    # dims (0,1) pairs: every 16x16 stratum of the first 256 points has 1 pt
+    n = 256
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    x = np.asarray(u32_to_unit_float(sobol_dim0(idx)))
+    y = np.asarray(u32_to_unit_float(sobol_dim1(idx)))
+    h = np.histogram2d(x, y, bins=16, range=((0, 1), (0, 1)))[0]
+    assert (h == 1).all()
+
+
+@pytest.mark.parametrize("kind", ["independent", "stratified", "paddedsobol"])
+def test_sampler_uniform_and_decorrelated(kind):
+    u = _collect(kind, spp=64, n_pix=128)
+    flat = u.reshape(-1, 2)
+    assert flat.min() >= 0 and flat.max() < 1
+    assert abs(flat.mean() - 0.5) < 5e-3
+    corr = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
+    assert abs(corr) < 0.03, (kind, corr)
+    # different pixels decorrelated
+    c2 = np.corrcoef(u[0, :, 0], u[1, :, 0])[0, 1]
+    assert abs(c2) < 0.3, c2
+
+
+@pytest.mark.parametrize("kind,bound", [("stratified", 1.01), ("paddedsobol", 1.01)])
+def test_stratification_within_pixel(kind, bound):
+    """Each pixel's spp draws of one dim cover every stratum ~once."""
+    spp = 64
+    u = _collect(kind, spp=spp, n_pix=16)
+    for p in range(16):
+        counts = np.histogram(u[p, :, 0], bins=spp, range=(0, 1))[0]
+        assert counts.max() <= 2 and (counts >= 0).all()
+        assert (counts > 0).mean() > 0.75, (kind, p, counts)
+
+
+def test_variance_reduction_vs_independent():
+    """Integrating a smooth function: stratified & sobol beat independent."""
+    spp = 64
+    f = lambda u: np.sin(np.pi * u[..., 0]) * u[..., 1] ** 2  # noqa: E731
+    true_val = (2 / np.pi) * (1 / 3)
+    errs = {}
+    for kind in ("independent", "stratified", "paddedsobol"):
+        u = _collect(kind, spp=spp, n_pix=256)
+        est = f(u).mean(1)  # per-pixel estimate
+        errs[kind] = ((est - true_val) ** 2).mean()
+    assert errs["stratified"] < 0.5 * errs["independent"], errs
+    assert errs["paddedsobol"] < 0.35 * errs["independent"], errs

@@ -79,7 +79,8 @@ def main(argv=None):
         img = volpath.render(setup.scene, setup.camera, setup.film,
                              spp=setup.spp, cfg=cfg, seed=args.seed,
                              camera_medium=setup.camera_medium,
-                             spp_per_pass=spp_per_pass)
+                             spp_per_pass=spp_per_pass,
+                             sampler=setup.sampler)
         img = np.asarray(img)
     elif name in ("guidedpath", "guidedvolpath"):
         gopt = gvp.GuidingOptions(

@@ -608,10 +608,12 @@ def trace_paths(scene, cfg, s: PathState):
     return s
 
 
-def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium):
+def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium,
+                       sampler_kind="independent", spp=0):
     """Generate primary rays + fresh path state for the given pixel lanes."""
     pix = pixel_coords(film.resolution)[pixel_id]
-    sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), sample_index)
+    sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), sample_index,
+                                kind=sampler_kind, spp=spp)
     sampler, u_pix = sampler.get_2d()
     p_raster = pix.astype(jnp.float32) + u_pix
     sampler, u_lens = sampler.get_2d()
@@ -634,8 +636,10 @@ def render_wave(scene, camera, film, film_state, cfg, seed, sample_index,
     return film.add_samples(film_state, pixel_id, s.L, jnp.ones(R))
 
 
-@partial(jax.jit, static_argnames=("cfg", "camera_medium", "spp_per_pass"))
-def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass):
+@partial(jax.jit, static_argnames=("cfg", "camera_medium", "spp_per_pass",
+                                   "sampler_kind", "sampler_spp"))
+def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass,
+                sampler_kind="independent", sampler_spp=0):
     state = film.init_state()
     R = film.npix * spp_per_pass
     lane = jnp.arange(R, dtype=jnp.int32)
@@ -645,7 +649,7 @@ def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass
     def one_pass(i, st):
         sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
         s = start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                               camera_medium)
+                               camera_medium, sampler_kind, sampler_spp)
         s = trace_paths(scene, cfg, s)
         return film.add_samples(st, pixel_id, s.L, jnp.ones(R))
 
@@ -654,14 +658,16 @@ def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass
 
 
 def render(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(), seed=0,
-           camera_medium=-1, spp_per_pass=None):
+           camera_medium=-1, spp_per_pass=None, sampler="independent"):
     """Full render. spp_per_pass packs multiple samples into one wavefront
-    (bigger arrays -> better VPU utilization); defaults to min(spp, 8)."""
+    (bigger arrays -> better VPU utilization); defaults to min(spp, 8).
+    sampler: independent | stratified | paddedsobol/sobol/zsobol."""
     if spp_per_pass is None:
         spp_per_pass = min(spp, 8)
     assert spp % spp_per_pass == 0
     return _render_jit(scene, camera, film, cfg, jnp.int32(spp), jnp.uint32(seed),
-                       int(camera_medium), int(spp_per_pass))
+                       int(camera_medium), int(spp_per_pass),
+                       str(sampler), int(spp))
 
 
 # -- convenience: fog-box scene builder (BASELINE config 1) ------------------

@@ -1,52 +1,107 @@
-"""Samplers: per-lane dimension counters over the stateless RNG.
+"""Samplers: per-lane dimension counters over stateless generators.
 
 Analog of the reference sampler interface (base/sampler.h:52-62:
-StartPixelSample/Get1D/Get2D). A wavefront lane's sampler state is just
-(pixel_id, sample_index, dim); every Get bumps `dim`. IndependentSampler uses
-pcg4d counters; low-discrepancy samplers (Sobol/ZSobol, samplers.h:225-479)
-come later and keep the same interface, replacing the hash with scrambled
-Sobol' points indexed by (pixel, sample, dim).
+StartPixelSample/Get1D/Get2D) and its sampler family (samplers.h:
+Independent:442, Stratified:568, PaddedSobol:144, ZSobol:225, Sobol:479).
+
+A wavefront lane's sampler state is just (pixel_id, sample_index, dim);
+every Get bumps `dim`. Variants (static `kind`, compiled separately):
+
+- "independent": pcg4d counter hashing (IndependentSampler).
+- "stratified": latin-hypercube over spp via a stateless random permutation
+  of sample indices per (pixel, dim) + jitter (StratifiedSampler's
+  decorrelation strategy, grid collapsed to LHS for arbitrary spp).
+- "paddedsobol" (aliases "sobol", "zsobol", "halton" for now): per-dimension
+  Owen-scrambled Sobol' points over a per-(pixel,dim) permutation of the
+  sample index — the reference's padded low-discrepancy strategy. The
+  full-run Sobol / Halton global indexing is a later parity item.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import flax.struct as struct
 import jax.numpy as jnp
 
 from ..utils import rng
+from ..utils.lowdiscrepancy import (
+    fast_owen_scramble,
+    permutation_element,
+    sobol_dim0,
+    sobol_dim1,
+    u32_to_unit_float,
+)
+
+_PADDED = ("paddedsobol", "sobol", "zsobol", "halton")
 
 
-class LaneSampler(NamedTuple):
+@struct.dataclass
+class LaneSampler:
     """Vectorized sampler state for R lanes (a pytree)."""
 
     seed: jnp.ndarray  # scalar uint32
     pixel_id: jnp.ndarray  # (R,) uint32
     sample_index: jnp.ndarray  # (R,) uint32
     dim: jnp.ndarray  # (R,) uint32
+    kind: str = struct.field(pytree_node=False, default="independent")
+    spp: int = struct.field(pytree_node=False, default=0)
 
     @staticmethod
-    def start(seed, pixel_id, sample_index):
+    def start(seed, pixel_id, sample_index, kind="independent", spp=0):
         pid = jnp.asarray(pixel_id).astype(jnp.uint32)
         return LaneSampler(
             jnp.asarray(seed, jnp.uint32),
             pid,
             jnp.broadcast_to(jnp.asarray(sample_index, jnp.uint32), pid.shape).astype(jnp.uint32),
             jnp.zeros_like(pid),
+            kind, int(spp),
         )
 
+    # -- internals -----------------------------------------------------------
+    def _dim_seed(self, salt):
+        return rng.hash_u32(self.pixel_id, self.dim, self.seed,
+                            jnp.uint32(salt))
+
+    def _permuted_index(self, salt=0x9FA1):
+        if self.spp <= 1:
+            return self.sample_index
+        return permutation_element(self.sample_index, jnp.uint32(self.spp),
+                                   self._dim_seed(salt))
+
+    def _draw(self, lane):
+        """One scalar draw for sub-dimension `lane` of the current dim."""
+        if self.kind == "independent":
+            return rng.uniform4(self.seed, self.pixel_id, self.sample_index,
+                                self.dim * jnp.uint32(4) + jnp.uint32(lane))[0]
+        if self.kind == "stratified":
+            # independent stratification per sub-dimension (padded LHS):
+            # distinct permutations avoid diagonal u1-u2 correlation
+            idx = self._permuted_index(0x9FA1 + 0x632B * lane)
+            jit = rng.uniform4(self.seed, self.pixel_id, self.sample_index,
+                               self.dim * jnp.uint32(4) + jnp.uint32(lane))[0]
+            n = max(self.spp, 1)
+            return jnp.minimum((idx.astype(jnp.float32) + jit) / n, 0.99999994)
+        if self.kind in _PADDED:
+            idx = self._permuted_index()
+            v = sobol_dim1(idx) if lane == 1 else sobol_dim0(idx)
+            if lane > 1:  # extra sub-dims: re-randomized dim0
+                v = sobol_dim0(idx)
+            v = fast_owen_scramble(v, self._dim_seed(0x55 + lane))
+            return u32_to_unit_float(v)
+        raise ValueError(f"unknown sampler kind {self.kind}")
+
+    # -- interface ------------------------------------------------------------
     def get_1d(self):
-        u = rng.uniform1(self.seed, self.pixel_id, self.sample_index, self.dim)
-        return self._replace(dim=self.dim + 1), u
+        u = self._draw(0)
+        return self.replace(dim=self.dim + 1), u
 
     def get_2d(self):
-        u = rng.uniform2(self.seed, self.pixel_id, self.sample_index, self.dim)
-        return self._replace(dim=self.dim + 1), u
+        u = jnp.stack([self._draw(0), self._draw(1)], axis=-1)
+        return self.replace(dim=self.dim + 1), u
 
     def get_3d(self):
-        u = rng.uniform3(self.seed, self.pixel_id, self.sample_index, self.dim)
-        return self._replace(dim=self.dim + 1), u
+        u = jnp.stack([self._draw(0), self._draw(1), self._draw(2)], axis=-1)
+        return self.replace(dim=self.dim + 1), u
 
     def get_4d(self):
-        u = rng.uniform4(self.seed, self.pixel_id, self.sample_index, self.dim)
-        return self._replace(dim=self.dim + 1), u
+        us = (self._draw(0), self._draw(1), self._draw(2), self._draw(3))
+        return self.replace(dim=self.dim + 1), us

@@ -1,0 +1,118 @@
+"""Low-discrepancy sequences (analog of ``util/lowdiscrepancy.h``).
+
+The wavefront samplers built on these use only the first two Sobol'
+dimensions with per-dimension random padding — exactly the reference's
+PaddedSobolSampler / ZSobolSampler strategy (samplers.h:144,225), so the
+9k-line direction-number tables reduce to two closed-form generator
+matrices: dim 0 is the van der Corput identity (bit reversal) and dim 1
+the Pascal/upper-triangular recurrence. Randomization is Owen scrambling
+via the Laine-Karras style hash (util/lowdiscrepancy.h FastOwenScrambler)
+— owen-scrambled Sobol keeps the O(1/N) variance for smooth integrands.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_U32 = jnp.uint32
+_INV_2_32 = jnp.float32(2.3283064365386963e-10)
+
+
+def reverse_bits32(v):
+    v = v.astype(_U32)
+    v = ((v << 16) | (v >> 16)) & _U32(0xFFFFFFFF)
+    v = ((v & _U32(0x00FF00FF)) << 8) | ((v & _U32(0xFF00FF00)) >> 8)
+    v = ((v & _U32(0x0F0F0F0F)) << 4) | ((v & _U32(0xF0F0F0F0)) >> 4)
+    v = ((v & _U32(0x33333333)) << 2) | ((v & _U32(0xCCCCCCCC)) >> 2)
+    v = ((v & _U32(0x55555555)) << 1) | ((v & _U32(0xAAAAAAAA)) >> 1)
+    return v
+
+
+def sobol_dim0(index):
+    """First Sobol dimension = radical inverse base 2 (identity matrix)."""
+    return reverse_bits32(index)
+
+
+def sobol_dim1(index):
+    """Second Sobol dimension (Pascal-matrix recurrence), branchless.
+
+    v_0 = 0x80000000; v_{k+1} = v_k ^ (v_k >> 1); XOR v_k where bit k of
+    index is set.
+    """
+    index = index.astype(_U32)
+    result = jnp.zeros_like(index)
+    v = jnp.full_like(index, 1 << 31)
+    for k in range(32):  # static unroll of uint ops
+        bit = (index >> _U32(k)) & _U32(1)
+        result = result ^ (v * bit)
+        v = v ^ (v >> _U32(1))
+    return result
+
+
+def fast_owen_scramble(v, seed):
+    """Hash-based Owen scrambling on reversed bits (FastOwenScrambler)."""
+    v = reverse_bits32(v)
+    seed = seed.astype(_U32)
+    v = v ^ (v * _U32(0x3D20ADEA))
+    v = v + seed
+    v = v * ((seed >> _U32(16)) | _U32(1))
+    v = v ^ (v * _U32(0x05526C56))
+    v = v ^ (v * _U32(0x53A22864))
+    return reverse_bits32(v)
+
+
+def u32_to_unit_float(v):
+    """uint32 -> [0,1) float32 (strictly below 1)."""
+    return jnp.minimum(v.astype(jnp.float32) * _INV_2_32,
+                       jnp.float32(0.99999994))
+
+
+def sobol_sample(index, sobol_dim, scramble_seed):
+    """Owen-scrambled Sobol' point component in [0,1)."""
+    v = sobol_dim1(index) if sobol_dim == 1 else sobol_dim0(index)
+    v = fast_owen_scramble(v, scramble_seed)
+    return u32_to_unit_float(v)
+
+
+def permutation_element(i, n, seed):
+    """Kensler-style stateless random permutation of [0,n) (pbrt
+    PermutationElement): returns the position of element i under a random
+    permutation keyed by seed. n may be a traced array (uint32)."""
+    i = i.astype(_U32)
+    n = n.astype(_U32) if hasattr(n, "astype") else _U32(n)
+    seed = seed.astype(_U32)
+    # w = bitmask of n-1
+    w = n - _U32(1)
+    w = w | (w >> 1)
+    w = w | (w >> 2)
+    w = w | (w >> 4)
+    w = w | (w >> 8)
+    w = w | (w >> 16)
+
+    def rounds(i):
+        i = i ^ seed
+        i = i * _U32(0xE170893D)
+        i = i ^ (seed >> _U32(16))
+        i = i ^ ((i & w) >> _U32(4))
+        i = i ^ (seed >> _U32(8))
+        i = i * _U32(0x0929EB3F)
+        i = i ^ (seed >> _U32(23))
+        i = i ^ ((i & w) >> _U32(1))
+        i = i * (_U32(1) | (seed >> _U32(27)))
+        i = i * _U32(0x6935FA69)
+        i = i ^ ((i & w) >> _U32(11))
+        i = i * _U32(0x74DCB303)
+        i = i ^ ((i & w) >> _U32(2))
+        i = i * _U32(0x9E501CC3)
+        i = i ^ ((i & w) >> _U32(2))
+        i = i * _U32(0xC860A3DF)
+        i = i & w
+        i = i ^ (i >> _U32(5))
+        return i
+
+    # cycle-walk until inside [0, n); bounded tries suffice since w < 2n
+    out = rounds(i)
+    for _ in range(12):
+        out = jnp.where(out >= n, rounds(out), out)
+    out = jnp.where(out >= n, i, out)  # ~2^-13 fallback keeps validity
+    return (out + seed) % n

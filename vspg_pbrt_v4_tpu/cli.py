@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--mse-reference-image", default=None)
     ap.add_argument("--maxdepth", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--display-server", default=None,
+                    help="tev host[:port] for live image streaming")
+    ap.add_argument("--write-partial-images", action="store_true")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -75,7 +78,38 @@ def main(argv=None):
     name = setup.integrator
     spp_per_pass = max(1, min(args.spp_per_pass, setup.spp))
 
-    if name in ("volpath", "path", "simplevolpath", "simplepath"):
+    out = args.outfile or setup.outfile
+    progressive = (args.time is not None or args.display_server
+                   or args.write_partial_images)
+    if progressive and name in ("volpath", "path", "simplevolpath",
+                                "simplepath"):
+        from .utils.display import TevClient
+
+        tev = None
+        if args.display_server:
+            host, _, port = args.display_server.partition(":")
+            tev = TevClient(host or "127.0.0.1", int(port) if port else 14158)
+            ny, nx = setup.film.resolution[1], setup.film.resolution[0]
+            tev.create_image(out, nx, ny)
+
+        def cb(wave, spp_done, image_fn):
+            if tev is not None and tev.connected:
+                tev.update_image(out, image_fn())
+            if args.write_partial_images:
+                write_exr(f"{out}.partial.exr", image_fn())
+            if ref is not None:
+                mse_log.append((spp_done, mse_np(image_fn(), ref)))
+
+        img, spp_done = volpath.render_progressive(
+            setup.scene, setup.camera, setup.film, cfg=cfg, seed=args.seed,
+            camera_medium=setup.camera_medium, spp_per_pass=spp_per_pass,
+            max_spp=setup.spp if args.time is None else 1 << 20,
+            time_budget=args.time, sampler=setup.sampler, wave_callback=cb)
+        img = np.asarray(img)
+        if not args.quiet:
+            print(f"[budget] rendered {spp_done} spp", file=sys.stderr)
+        setup = setup._replace(spp=spp_done)
+    elif name in ("volpath", "path", "simplevolpath", "simplepath"):
         img = volpath.render(setup.scene, setup.camera, setup.film,
                              spp=setup.spp, cfg=cfg, seed=args.seed,
                              camera_medium=setup.camera_medium,
@@ -123,7 +157,6 @@ def main(argv=None):
                                         spp_per_pass=spp_per_pass))
 
     dt = time.perf_counter() - t0
-    out = args.outfile or setup.outfile
     if out.endswith(".png"):
         write_png(out, img)
     else:

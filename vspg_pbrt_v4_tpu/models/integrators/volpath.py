@@ -657,6 +657,55 @@ def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass
     return film.image(state)
 
 
+@partial(jax.jit, static_argnames=("cfg", "camera_medium", "spp_per_pass",
+                                   "sampler_kind", "sampler_spp"))
+def render_pass(scene, camera, film, film_state, cfg, seed, wave_idx,
+                camera_medium, spp_per_pass, sampler_kind="independent",
+                sampler_spp=0):
+    """One progressive pass of spp_per_pass samples, accumulated in
+    film_state (the wave loop building block for --time budgets, display
+    streaming and partial-image writes; cpu/integrators.cpp:113-263)."""
+    R = film.npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass
+    sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
+    s = start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                           camera_medium, sampler_kind, sampler_spp)
+    s = trace_paths(scene, cfg, s)
+    return film.add_samples(film_state, pixel_id, s.L, jnp.ones(R)), s
+
+
+def render_progressive(scene, camera, film, cfg=VolPathConfig(), seed=0,
+                       camera_medium=-1, spp_per_pass=4, max_spp=1 << 16,
+                       time_budget=None, sampler="independent",
+                       wave_callback=None):
+    """Progressive wave loop with a render-time budget (--time semantics,
+    options.h:46): returns (image, spp_rendered). wave_callback(wave_idx,
+    spp_done, image_fn) runs between waves (display/partial writes/MSE)."""
+    import time as _time
+
+    import jax as _jax
+
+    t0 = _time.perf_counter()
+    state = film.init_state()
+    spp_done = 0
+    wave = 0
+    while spp_done < max_spp:
+        state, _ = render_pass(scene, camera, film, state, cfg,
+                               jnp.uint32(seed), jnp.int32(wave),
+                               int(camera_medium), int(spp_per_pass),
+                               str(sampler), 0)
+        spp_done += spp_per_pass
+        wave += 1
+        if wave_callback is not None:
+            wave_callback(wave, spp_done, lambda: _jax.device_get(film.image(state)))
+        if time_budget is not None:
+            _jax.device_get(state.weight_sum[0])  # sync before timing check
+            if _time.perf_counter() - t0 > time_budget:
+                break
+    return film.image(state), spp_done
+
+
 def render(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(), seed=0,
            camera_medium=-1, spp_per_pass=None, sampler="independent"):
     """Full render. spp_per_pass packs multiple samples into one wavefront

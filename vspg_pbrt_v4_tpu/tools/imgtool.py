@@ -1,0 +1,139 @@
+"""imgtool — image swiss-army knife (analog of ``src/pbrt/cmd/imgtool.cpp``).
+
+    python -m vspg_pbrt_v4_tpu.tools.imgtool <command> [args]
+
+Commands (reference: imgtool.cpp:57-229):
+  diff       --metric MAE|MSE|MRSE  img ref   (+ --outfile difference image)
+  error      convergence-rate study over a series of images vs a reference
+  falsecolor scalar visualization with a viridis-like ramp
+  assemble   average multiple EXRs (independent-run merging, splitn inverse)
+  convert    EXR <-> PNG (+ --scale)
+  info       print image stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..utils.image import mae, mrse, mse, read_image, write_exr, write_png
+
+
+def _falsecolor_map(x):
+    """Small viridis-like ramp, x in [0,1] -> rgb."""
+    x = np.clip(x, 0, 1)[..., None]
+    stops = np.asarray([
+        [0.267, 0.005, 0.329], [0.283, 0.141, 0.458], [0.254, 0.265, 0.530],
+        [0.207, 0.372, 0.553], [0.164, 0.471, 0.558], [0.128, 0.567, 0.551],
+        [0.135, 0.659, 0.518], [0.267, 0.749, 0.441], [0.478, 0.821, 0.318],
+        [0.741, 0.873, 0.150], [0.993, 0.906, 0.144]])
+    t = x * (len(stops) - 1)
+    i0 = np.clip(t.astype(int), 0, len(stops) - 2)
+    f = t - i0
+    return stops[i0[..., 0]] * (1 - f) + stops[i0[..., 0] + 1] * f
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="imgtool")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("diff")
+    d.add_argument("image")
+    d.add_argument("reference")
+    d.add_argument("--metric", default="MSE", choices=["MSE", "MAE", "MRSE"])
+    d.add_argument("--outfile", default=None)
+
+    e = sub.add_parser("error")
+    e.add_argument("images", nargs="+")
+    e.add_argument("--reference", required=True)
+    e.add_argument("--metric", default="MSE", choices=["MSE", "MAE", "MRSE"])
+
+    f = sub.add_parser("falsecolor")
+    f.add_argument("image")
+    f.add_argument("--outfile", required=True)
+    f.add_argument("--maxvalue", type=float, default=None)
+    f.add_argument("--log", action="store_true")
+
+    a = sub.add_parser("assemble")
+    a.add_argument("images", nargs="+")
+    a.add_argument("--outfile", required=True)
+
+    c = sub.add_parser("convert")
+    c.add_argument("image")
+    c.add_argument("--outfile", required=True)
+    c.add_argument("--scale", type=float, default=1.0)
+
+    i = sub.add_parser("info")
+    i.add_argument("images", nargs="+")
+
+    args = ap.parse_args(argv)
+    metrics = {"MSE": mse, "MAE": mae, "MRSE": mrse}
+
+    if args.cmd == "diff":
+        img = read_image(args.image)
+        ref = read_image(args.reference)
+        v = metrics[args.metric](img, ref)
+        print(f"{args.metric} = {v:.6g}")
+        if args.outfile:
+            write_exr(args.outfile, np.abs(img - ref))
+        return 0
+
+    if args.cmd == "error":
+        ref = read_image(args.reference)
+        print(f"# image,{args.metric}")
+        vals = []
+        for path in args.images:
+            v = metrics[args.metric](read_image(path), ref)
+            vals.append(v)
+            print(f"{path},{v:.6g}")
+        if len(vals) >= 2:
+            # convergence exponent from first/last (imgtool error's rate fit)
+            import math
+
+            rate = math.log(vals[-1] / vals[0]) / math.log(len(vals))
+            print(f"# empirical convergence rate: O(n^{rate:.2f})")
+        return 0
+
+    if args.cmd == "falsecolor":
+        img = read_image(args.image)
+        s = img.mean(-1)
+        if args.log:
+            s = np.log10(np.maximum(s, 1e-8))
+            s = (s - s.min()) / max(s.max() - s.min(), 1e-8)
+        else:
+            mx = args.maxvalue or s.max()
+            s = s / max(mx, 1e-8)
+        out = _falsecolor_map(s)
+        if args.outfile.endswith(".png"):
+            write_png(args.outfile, out)
+        else:
+            write_exr(args.outfile, out.astype(np.float32))
+        return 0
+
+    if args.cmd == "assemble":
+        imgs = [read_image(p) for p in args.images]
+        write_exr(args.outfile, np.mean(imgs, axis=0).astype(np.float32))
+        print(f"assembled {len(imgs)} images -> {args.outfile}")
+        return 0
+
+    if args.cmd == "convert":
+        img = read_image(args.image) * args.scale
+        if args.outfile.endswith(".png"):
+            write_png(args.outfile, img)
+        else:
+            write_exr(args.outfile, img.astype(np.float32))
+        return 0
+
+    if args.cmd == "info":
+        for p in args.images:
+            img = read_image(p)
+            print(f"{p}: {img.shape[1]}x{img.shape[0]} min {img.min():.4g} "
+                  f"max {img.max():.4g} mean {img.mean():.4g}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

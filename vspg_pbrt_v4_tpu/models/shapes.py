@@ -102,13 +102,19 @@ class Geometry(NamedTuple):
         tri_bvh = None
         n_tri = tri_p0.shape[0]
         if use_bvh is True or (use_bvh == "auto" and n_tri > 64):
-            from ..ops.bvh import build_bvh
-
             lo = np.minimum(np.minimum(np.asarray(tri_p0), np.asarray(tri_p1)),
-                            np.asarray(tri_p2))
+                            np.asarray(tri_p2)) - 1e-5
             hi = np.maximum(np.maximum(np.asarray(tri_p0), np.asarray(tri_p1)),
-                            np.asarray(tri_p2))
-            tri_bvh = build_bvh(lo - 1e-5, hi + 1e-5)
+                            np.asarray(tri_p2)) + 1e-5
+            tri_bvh = None
+            if n_tri > 512:  # native builder for big meshes
+                from ..native import build_bvh_native
+
+                tri_bvh = build_bvh_native(lo, hi)
+            if tri_bvh is None:
+                from ..ops.bvh import build_bvh
+
+                tri_bvh = build_bvh(lo, hi)
         return Geometry(
             tri_p0, tri_p1, tri_p2, tri_n0, tri_n1, tri_n2,
             stack_i(t, "mat"), stack_i(t, "light"),

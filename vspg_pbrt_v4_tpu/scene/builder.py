@@ -275,6 +275,34 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                         trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
                     tris.append(trid)
                     light_id = -1
+            elif stype == "plymesh":
+                from ..native import load_ply
+
+                fname = p.get_string("filename")
+                mesh = load_ply(fname) if fname else None
+                if mesh is None:
+                    warn(f"plymesh '{fname}' could not be loaded; skipped",
+                         d.loc)
+                else:
+                    P = mesh["P"]
+                    idx = mesh["indices"]
+                    Pw = xf_pts(P)
+                    Nw = xf_nrm(mesh["N"]) if "N" in mesh else None
+                    for t_i in range(idx.shape[0]):
+                        a, b, c3 = idx[t_i]
+                        if has_light:
+                            light_id = len(area_tris)
+                            area_tris.append(dict(p0=Pw[a], p1=Pw[b],
+                                                  p2=Pw[c3], L=L_area,
+                                                  twosided=two))
+                        trid = dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3], mat=mat_id,
+                                    light=light_id if has_light else -1,
+                                    med_in=st.medium_in,
+                                    med_out=st.medium_out)
+                        if Nw is not None:
+                            trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
+                        tris.append(trid)
+                        light_id = -1
             else:
                 warn(f"shape '{stype}' unsupported; skipped", d.loc)
         elif name in ("WorldEnd", "ObjectBegin", "ObjectEnd", "ObjectInstance",

@@ -81,8 +81,7 @@ def main(argv=None):
     out = args.outfile or setup.outfile
     progressive = (args.time is not None or args.display_server
                    or args.write_partial_images)
-    if progressive and name in ("volpath", "path", "simplevolpath",
-                                "simplepath"):
+    if progressive and name in ("volpath", "path", "simplevolpath"):
         from .utils.display import TevClient
 
         tev = None
@@ -109,7 +108,26 @@ def main(argv=None):
         if not args.quiet:
             print(f"[budget] rendered {spp_done} spp", file=sys.stderr)
         setup = setup._replace(spp=spp_done)
-    elif name in ("volpath", "path", "simplevolpath", "simplepath"):
+    elif name == "ao":
+        from .models.integrators import extras
+
+        img = np.asarray(extras.render_ao(
+            setup.scene, setup.camera, setup.film, spp=setup.spp,
+            radius=ip.get_float("maxdistance", 1e6), seed=args.seed,
+            spp_per_pass=spp_per_pass))
+    elif name == "randomwalk":
+        from .models.integrators import extras
+
+        img = np.asarray(extras.render_randomwalk(
+            setup.scene, setup.camera, setup.film, spp=setup.spp,
+            seed=args.seed, spp_per_pass=spp_per_pass, cfg=cfg))
+    elif name == "simplepath":
+        from .models.integrators import extras
+
+        img = np.asarray(extras.render_simplepath(
+            setup.scene, setup.camera, setup.film, spp=setup.spp,
+            seed=args.seed, spp_per_pass=spp_per_pass, cfg=cfg))
+    elif name in ("volpath", "path", "simplevolpath"):
         img = volpath.render(setup.scene, setup.camera, setup.film,
                              spp=setup.spp, cfg=cfg, seed=args.seed,
                              camera_medium=setup.camera_medium,

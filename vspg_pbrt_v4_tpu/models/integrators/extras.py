@@ -1,0 +1,218 @@
+"""Auxiliary integrators (cpu/integrators.h extras).
+
+- ``render_ao``: ambient occlusion (AOIntegrator, cpu/integrators.h:~660):
+  cosine-sampled occlusion within a max distance.
+- ``render_randomwalk``: the teaching random-walk integrator
+  (RandomWalkIntegrator, cpu/integrators.h:123-188): uniform-sphere
+  scattering, no NEE/MIS.
+- ``render_simplepath``: SimplePathIntegrator (BSDF sampling + emitter hits,
+  no NEE, no MIS) — the ground-truth cross-check for the MIS machinery.
+- ``render_gbuffer``: first-hit AOVs (GBufferFilm analog, film.h:331):
+  albedo, shading normal, depth, prim id.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.intersect import offset_ray_origin
+from ...utils.sampling import (UNIFORM_SPHERE_PDF, sample_cosine_hemisphere,
+                               sample_uniform_sphere)
+from ...utils.spectrum import average
+from ...utils.vecmath import coordinate_system, dot, face_forward, normalize
+from ..materials import bsdf_f, bsdf_sample
+from . import volpath as vp
+from .volpath import _m
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "spp_per_pass"))
+def _render_ao_jit(scene, camera, film, cfg, spp, seed, radius, spp_per_pass):
+    R = film.npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass
+    state = film.init_state()
+
+    def one_pass(i, st):
+        sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
+        s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
+        h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
+        ns = face_forward(h.ns, -s.d)
+        t1, t2 = coordinate_system(ns)
+        sampler, u2 = s.sampler.get_2d()
+        w_local = sample_cosine_hemisphere(u2)
+        wi = (w_local[..., 0:1] * t1 + w_local[..., 1:2] * t2
+              + w_local[..., 2:3] * ns)
+        o2 = offset_ray_origin(h.p, h.n, wi)
+        occ = scene.geometry.intersect_p(o2, wi, jnp.full(R, radius))
+        ao = jnp.where(h.hit & (h.mat_id >= 0), jnp.where(occ, 0.0, 1.0), 0.0)
+        L = ao[..., None] * jnp.ones(3)
+        return film.add_samples(st, pixel_id, L, jnp.ones(R))
+
+    state = jax.lax.fori_loop(0, spp // spp_per_pass, one_pass, state)
+    return film.image(state)
+
+
+def render_ao(scene, camera, film, spp=16, radius=1e6, seed=0, spp_per_pass=4,
+              cfg=vp.VolPathConfig()):
+    return _render_ao_jit(scene, camera, film, cfg, int(spp),
+                          jnp.uint32(seed), jnp.float32(radius),
+                          int(min(spp_per_pass, spp)))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "spp_per_pass"))
+def _render_rw_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
+    R = film.npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass
+    state = film.init_state()
+
+    def bounce(s):
+        h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
+        L, alive, beta = s.L, s.alive, s.beta
+        # emission at hits / escape (no MIS: the walk is its own estimator)
+        esc = alive & ~h.hit
+        L = _m(esc, L + beta * scene.lights.le_escaped(s.d), L)
+        alive = alive & ~esc
+        emis = alive & h.hit & (h.light_id >= 0)
+        Le = scene.lights.le_area(h.light_id, -s.d, h.n)
+        L = _m(emis, L + beta * Le, L)
+        # uniform-sphere scatter from the surface
+        shade = alive & h.hit & (h.mat_id >= 0)
+        depth_ok = s.depth < cfg.max_depth
+        alive = alive & ~(shade & ~depth_ok)
+        shade = shade & depth_ok
+        lanes_m = scene.materials.gather(h.mat_id)
+        ns = face_forward(h.ns, -s.d)
+        sampler, u2 = s.sampler.get_2d()
+        wi = sample_uniform_sphere(u2)
+        t1, t2 = coordinate_system(ns)
+
+        def to_local(w):
+            return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], -1)
+
+        fval = bsdf_f(lanes_m, to_local(-s.d), to_local(wi))
+        beta = _m(shade, beta * fval * jnp.abs(dot(wi, ns))[..., None]
+                  / UNIFORM_SPHERE_PDF, beta)
+        alive = alive & ~(shade & (jnp.max(beta, -1) <= 0))
+        # interface skip
+        iface = alive & h.hit & (h.mat_id < 0)
+        o_new = _m(shade, offset_ray_origin(h.p, h.n, wi),
+                   _m(iface, h.p + 1e-4 * s.d, s.o))
+        d_new = _m(shade, wi, s.d)
+        depth = jnp.where(shade, s.depth + 1, s.depth)
+        return s._replace(sampler=sampler, o=o_new, d=d_new, L=L, beta=beta,
+                          depth=depth, alive=alive)
+
+    def one_pass(i, st):
+        sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
+        s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
+
+        def cond(c):
+            return jnp.any(c[0].alive) & (c[1] < cfg.max_events)
+
+        def body(c):
+            return bounce(c[0]), c[1] + 1
+
+        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+        return film.add_samples(st, pixel_id, s.L, jnp.ones(R))
+
+    state = jax.lax.fori_loop(0, spp // spp_per_pass, one_pass, state)
+    return film.image(state)
+
+
+def render_randomwalk(scene, camera, film, spp=16, seed=0, spp_per_pass=4,
+                      cfg=vp.VolPathConfig(max_depth=5)):
+    return _render_rw_jit(scene, camera, film, cfg, int(spp), jnp.uint32(seed),
+                          int(min(spp_per_pass, spp)))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "spp_per_pass"))
+def _render_sp_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
+    """SimplePath: BSDF importance sampling only, emission on hit."""
+    R = film.npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass
+    state = film.init_state()
+
+    def bounce(s):
+        h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
+        L, alive, beta = s.L, s.alive, s.beta
+        esc = alive & ~h.hit
+        L = _m(esc, L + beta * scene.lights.le_escaped(s.d), L)
+        alive = alive & ~esc
+        emis = alive & h.hit & (h.light_id >= 0)
+        Le = scene.lights.le_area(h.light_id, -s.d, h.n)
+        L = _m(emis, L + beta * Le, L)
+
+        shade = alive & h.hit & (h.mat_id >= 0)
+        depth_ok = s.depth < cfg.max_depth
+        alive = alive & ~(shade & ~depth_ok)
+        shade = shade & depth_ok
+        lanes_m = scene.materials.gather(h.mat_id)
+        ns = face_forward(h.ns, -s.d)
+        t1, t2 = coordinate_system(ns)
+
+        def to_local(w):
+            return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], -1)
+
+        def to_world(w):
+            return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * ns
+
+        sampler, u1 = s.sampler.get_1d()
+        sampler, u2 = sampler.get_2d()
+        bs = bsdf_sample(lanes_m, to_local(-s.d), u1, u2)
+        wi = normalize(to_world(bs.wi))
+        ok = shade & bs.valid & (bs.pdf > 0)
+        alive = alive & ~(shade & ~ok)
+        beta = _m(ok, beta * bs.f * jnp.abs(dot(wi, ns))[..., None]
+                  / jnp.maximum(bs.pdf, 1e-30)[..., None], beta)
+        iface = alive & h.hit & (h.mat_id < 0)
+        o_new = _m(ok, offset_ray_origin(h.p, h.n, wi),
+                   _m(iface, h.p + 1e-4 * s.d, s.o))
+        d_new = _m(ok, wi, s.d)
+        depth = jnp.where(shade, s.depth + 1, s.depth)
+        return s._replace(sampler=sampler, o=o_new, d=d_new, L=L, beta=beta,
+                          depth=depth, alive=alive)
+
+    def one_pass(i, st):
+        sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
+        s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
+
+        def cond(c):
+            return jnp.any(c[0].alive) & (c[1] < cfg.max_events)
+
+        def body(c):
+            return bounce(c[0]), c[1] + 1
+
+        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+        return film.add_samples(st, pixel_id, s.L, jnp.ones(R))
+
+    state = jax.lax.fori_loop(0, spp // spp_per_pass, one_pass, state)
+    return film.image(state)
+
+
+def render_simplepath(scene, camera, film, spp=16, seed=0, spp_per_pass=4,
+                      cfg=vp.VolPathConfig(max_depth=5)):
+    return _render_sp_jit(scene, camera, film, cfg, int(spp), jnp.uint32(seed),
+                          int(min(spp_per_pass, spp)))
+
+
+@jax.jit
+def render_gbuffer(scene, camera, film):
+    """First-hit AOVs: (albedo, normal, depth, prim_id) images
+    (GBufferFilm analog)."""
+    R = film.npix
+    pixel_id = jnp.arange(R, dtype=jnp.int32)
+    s = vp.start_camera_paths(camera, film, jnp.uint32(0), jnp.uint32(0),
+                              pixel_id, -1)
+    h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
+    lanes_m = scene.materials.gather(h.mat_id)
+    alb = jnp.where((h.hit & (h.mat_id >= 0))[..., None], lanes_m.albedo, 0.0)
+    nrm = jnp.where(h.hit[..., None], face_forward(h.ns, -s.d), 0.0)
+    depth = jnp.where(h.hit, h.t, 0.0)
+    nx, ny = film.resolution
+    return (alb.reshape(ny, nx, 3), nrm.reshape(ny, nx, 3),
+            depth.reshape(ny, nx), h.prim_id.reshape(ny, nx))

@@ -113,3 +113,39 @@ def test_cli_renders(tmp_path):
     img = read_image(out)
     assert img.shape == (24, 24, 3)
     assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_textures_checker():
+    """Checker texture on a floor renders alternating albedo."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.integrators import extras
+    from vspg_pbrt_v4_tpu.models.textures import eval_texture
+
+    scene_txt = '''
+Film "rgb" "integer xresolution" [32] "integer yresolution" [32]
+LookAt 0 3 0  0 0 0  0 0 1
+Camera "perspective" "float fov" [40]
+WorldBegin
+Texture "checks" "spectrum" "checkerboard"
+  "float uscale" [4] "float vscale" [4]
+  "rgb tex1" [1 0 0] "rgb tex2" [0 0 1]
+Material "diffuse" "texture reflectance" "checks"
+Shape "sphere" "float radius" [1]
+'''
+    setup = build_render_setup(parse_pbrt_string(scene_txt))
+    assert setup.scene.textures is not None
+    assert int(setup.scene.materials.albedo_tex[1]) == 0
+    # direct texture evaluation alternates between the two colors
+    uv = jnp.asarray([[0.1, 0.1], [0.35, 0.1], [0.1, 0.35], [0.35, 0.35]])
+    v = np.asarray(eval_texture(setup.scene.textures,
+                                jnp.zeros(4, jnp.int32), uv))
+    assert np.allclose(v[0], [1, 0, 0]) and np.allclose(v[3], [1, 0, 0])
+    assert np.allclose(v[1], [0, 0, 1]) and np.allclose(v[2], [0, 0, 1])
+    # gbuffer albedo of the textured sphere shows both colors
+    alb, _, _, _ = extras.render_gbuffer(setup.scene, setup.camera, setup.film)
+    alb = np.asarray(alb)
+    hit = alb.sum(-1) > 0
+    reds = (alb[..., 0] > 0.5) & hit
+    blues = (alb[..., 2] > 0.5) & hit
+    assert reds.sum() > 10 and blues.sum() > 10

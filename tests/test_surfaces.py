@@ -197,3 +197,48 @@ def test_shadowing():
     c_b = img_b[14:18, 14:18].mean()
     assert c_o > 0.1, c_o
     assert c_b < 0.25 * c_o, (c_o, c_b)
+
+
+def test_power_light_sampler_unbiased():
+    """Power-proportional light selection must not change the estimate
+    (PowerLightSampler analog): two very unequal area lights over a floor."""
+    floor = [
+        dict(p0=(-3, 0, -3), p1=(3, 0, -3), p2=(3, 0, 3), mat=0, light=-1,
+             med_in=-1, med_out=-1),
+        dict(p0=(-3, 0, -3), p1=(3, 0, 3), p2=(-3, 0, 3), mat=0, light=-1,
+             med_in=-1, med_out=-1),
+    ]
+    lt = []
+    quads = [((-1.2, 2, -0.4), 0.4, 30.0), ((1.0, 2, 0.3), 0.15, 1.0)]
+    area_tris = []
+    for (cx, cy, cz), h, Lv in quads:
+        p = [(cx - h, cy, cz - h), (cx + h, cy, cz - h), (cx + h, cy, cz + h),
+             (cx - h, cy, cz + h)]
+        for tri in ([0, 1, 2], [0, 2, 3]):
+            lt.append(dict(p0=p[tri[0]], p1=p[tri[1]], p2=p[tri[2]], mat=1,
+                           light=len(area_tris), med_in=-1, med_out=-1))
+            area_tris.append(dict(p0=p[tri[0]], p1=p[tri[1]], p2=p[tri[2]],
+                                  L=(Lv,) * 3))
+    geom = Geometry.build(triangles=floor + lt)
+    mats = Materials.build([
+        dict(type=DIFFUSE, albedo=(0.7, 0.7, 0.7)),
+        dict(type=DIFFUSE, albedo=(0.0, 0.0, 0.0)),
+    ])
+    cam = PerspectiveCamera.make(
+        tr.look_at((0, 1.2, -2.8), (0, 0, 0), (0, 1, 0)), 28.0, (24, 24))
+    film = RGBFilm.make((24, 24))
+    from vspg_pbrt_v4_tpu.models.media import Media
+
+    imgs = {}
+    for sk in ("uniform", "power"):
+        lights = Lights.make(area_tris=area_tris, world_radius=100.0,
+                             sampler=sk)
+        scene = volpath.Scene(geom, mats, Media.make(), lights)
+        imgs[sk] = np.asarray(volpath.render(scene, cam, film, spp=256,
+                                             seed=9, spp_per_pass=8))
+    mu, mp_ = imgs["uniform"].mean(), imgs["power"].mean()
+    assert abs(mu - mp_) / mu < 0.03, (mu, mp_)
+    # and power sampling should not be noisier (usually less)
+    v_u = imgs["uniform"].var()
+    v_p = imgs["power"].var()
+    assert np.isfinite(v_p) and v_p < v_u * 1.5

@@ -49,13 +49,17 @@ class Lights:
     area_twosided: jnp.ndarray  # (A,) bool
     # uniform infinite environment
     env_L: jnp.ndarray  # (3,) radiance; zeros = no env light
+    select_pmf_table: jnp.ndarray  # (n_lights,) selection pmf
+    select_cdf: jnp.ndarray  # (n_lights,)
     has_env: bool = struct.field(pytree_node=False)
     world_radius: float = struct.field(pytree_node=False)  # shadow-ray lengths
 
     @staticmethod
     def make(point_p=None, point_I=None, distant_dir=None, distant_L=None,
-             area_tris=None, env_L=None, world_radius=1e4):
-        """area_tris: list of dicts {p0, p1, p2, L, [twosided]}."""
+             area_tris=None, env_L=None, world_radius=1e4, sampler="uniform"):
+        """area_tris: list of dicts {p0, p1, p2, L, [twosided]}.
+        sampler: "uniform" | "power" (PowerLightSampler: selection pmf
+        proportional to total emitted power, lightsamplers.h:63)."""
         def arr(x, n3=3):
             if x is None:
                 return jnp.zeros((0, n3), jnp.float32)
@@ -73,10 +77,36 @@ class Lights:
             a_L = jnp.zeros((0, 3), jnp.float32)
             a_two = jnp.zeros((0,), bool)
         env = jnp.zeros(3, jnp.float32) if env_L is None else jnp.asarray(env_L, jnp.float32)
+
+        # selection pmf (uniform or power-proportional)
+        powers = []
+        for i_ in (point_I if point_I is not None else []):
+            powers.append(4 * np.pi * float(np.mean(i_)))
+        for l_ in (distant_L if distant_L is not None else []):
+            # distant power ~ L * disk(world radius)
+            powers.append(float(np.mean(l_)) * np.pi * world_radius**2)
+        for t_ in a:
+            e1 = np.asarray(t_["p1"], np.float64) - np.asarray(t_["p0"], np.float64)
+            e2 = np.asarray(t_["p2"], np.float64) - np.asarray(t_["p0"], np.float64)
+            area = 0.5 * np.linalg.norm(np.cross(e1, e2))
+            two = 2.0 if t_.get("twosided") else 1.0
+            powers.append(float(np.mean(t_["L"])) * area * np.pi * two)
+        if env_L is not None:
+            powers.append(float(np.mean(env_L)) * 4 * np.pi**2 * world_radius**2)
+        n = len(powers)
+        if n == 0:
+            pmf = np.zeros((0,), np.float32)
+        elif sampler == "power" and sum(powers) > 0:
+            pmf = np.asarray(powers, np.float64)
+            pmf = (pmf / pmf.sum()).astype(np.float32)
+        else:
+            pmf = np.full(n, 1.0 / n, np.float32)
+        cdf = np.cumsum(pmf).astype(np.float32)
         return Lights(
             arr(point_p), arr(point_I), arr(distant_dir), arr(distant_L),
             a_p0, a_p1, a_p2, a_L, a_two,
-            env, env_L is not None, float(world_radius),
+            env, jnp.asarray(pmf), jnp.asarray(cdf),
+            env_L is not None, float(world_radius),
         )
 
     # -- static counts ------------------------------------------------------
@@ -110,8 +140,11 @@ class Lights:
             z3 = jnp.zeros(R + (3,))
             z = jnp.zeros(R)
             return LightSample(z3, z3, z, z, z.astype(bool), z, jnp.zeros(R, bool))
-        idx = jnp.minimum((u_select * n).astype(jnp.int32), n - 1)
-        pmf = jnp.full(R, 1.0 / n)
+        # selection by pmf table (uniform or power)
+        idx = jnp.sum((u_select[..., None] >= self.select_cdf).astype(jnp.int32),
+                      axis=-1)
+        idx = jnp.minimum(idx, n - 1)
+        pmf = self.select_pmf_table[idx]
 
         wi = jnp.zeros(R + (3,))
         L = jnp.zeros(R + (3,))
@@ -190,7 +223,8 @@ class Lights:
         (UniformInfiniteLight::PDF_Li = uniform-sphere pdf)."""
         if not self.has_env:
             return jnp.zeros(d.shape[:-1])
-        return jnp.full(d.shape[:-1], INV_4PI / max(self.n_lights, 1))
+        return INV_4PI * jnp.broadcast_to(self.select_pmf_table[self.n_lights - 1],
+                                          d.shape[:-1])
 
     # -- area-light queries at a surface hit --------------------------------
     def le_area(self, light_id, wo, n):
@@ -218,4 +252,7 @@ class Lights:
         wi = to_h * safe_div(1.0, jnp.sqrt(dist2), 0.0)[..., None]
         cos_l = jnp.abs(dot(n_hit, wi))
         pdf = safe_div(dist2, cos_l * area, 0.0)
-        return jnp.where(light_id >= 0, pdf / max(self.n_lights, 1), 0.0)
+        base = self.n_point + self.n_distant
+        sel_pmf = self.select_pmf_table[jnp.clip(base + ai, 0,
+                                                 max(self.n_lights - 1, 0))]
+        return jnp.where(light_id >= 0, pdf * sel_pmf, 0.0)

@@ -52,10 +52,12 @@ class Materials(NamedTuple):
     albedo2: jnp.ndarray  # (M,3) transmission color
     eta: jnp.ndarray  # (M,) relative IOR
     roughness: jnp.ndarray  # (M,) TR alpha (already remapped)
+    albedo_tex: jnp.ndarray  # (M,) texture id for albedo, -1 = constant
 
     @staticmethod
     def build(mats):
-        """mats: list of dicts {type, albedo, albedo2, eta, roughness}."""
+        """mats: list of dicts {type, albedo, albedo2, eta, roughness,
+        albedo_tex}."""
         n = len(mats)
         if n == 0:
             # dummy black-diffuse row so lane gathers stay in range
@@ -66,6 +68,7 @@ class Materials(NamedTuple):
             jnp.asarray([m.get("albedo2", (0, 0, 0)) for m in mats], jnp.float32),
             jnp.asarray([m.get("eta", 1.5) for m in mats], jnp.float32),
             jnp.asarray([m.get("roughness", 0.0) for m in mats], jnp.float32),
+            jnp.asarray([m.get("albedo_tex", -1) for m in mats], jnp.int32),
         )
 
     def gather(self, mat_id):
@@ -74,6 +77,20 @@ class Materials(NamedTuple):
             self.mat_type[mid], self.albedo[mid], self.albedo2[mid],
             self.eta[mid], self.roughness[mid],
         )
+
+    def gather_textured(self, textures, mat_id, uv):
+        """Gather + evaluate the albedo texture at the hit uv
+        (materials.h -> textures.h evaluation at shading time)."""
+        lanes = self.gather(mat_id)
+        if textures is None:
+            return lanes
+        from .textures import eval_texture
+
+        mid = jnp.maximum(mat_id, 0)
+        tex = self.albedo_tex[mid]
+        tval = eval_texture(textures, tex, uv)
+        albedo = jnp.where((tex >= 0)[..., None], tval, lanes.albedo)
+        return lanes._replace(albedo=albedo)
 
 
 class BSDFLanes(NamedTuple):

@@ -224,8 +224,13 @@ class Geometry(NamedTuple):
             closer = jnp.isfinite(t_k) & (t_k < best.t)
             p_k = jnp.take_along_axis(ps, k[..., None, None], -2)[..., 0, :]
             n_k = jnp.take_along_axis(ns_, k[..., None, None], -2)[..., 0, :]
+            # spherical uv (shapes.h Sphere parameterization)
+            from ..utils.vecmath import spherical_phi, spherical_theta
+            from ..utils.math import PI
+            uv_s = jnp.stack([spherical_phi(n_k) / (2 * PI),
+                              spherical_theta(n_k) / PI], -1)
             best = upd(
-                best, closer, t_k, p_k, n_k, n_k, jnp.zeros(R + (2,)),
+                best, closer, t_k, p_k, n_k, n_k, uv_s,
                 self.sph_mat[k], self.sph_light[k],
                 self.sph_med_in[k], self.sph_med_out[k],
                 (self.n_tri + k).astype(jnp.int32),

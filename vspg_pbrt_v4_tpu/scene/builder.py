@@ -29,6 +29,7 @@ from ..models.materials import (CONDUCTOR, DIELECTRIC, DIFFUSE, DIFFUSE_TRANS,
                                 Materials)
 from ..models.media import GridMedium, Media
 from ..models.shapes import Geometry
+from ..models.textures import CHECKER, CONSTANT, IMAGE, SCALE, Textures
 from ..utils import transform as tr
 from .parser import ParameterDictionary
 
@@ -85,6 +86,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     integrator_params = {}
     sampler = "independent"
     spp = 16
+    textures = []  # texture table rows
+    tex_images = []  # loaded image arrays
+    named_textures = {}
 
     def warn(msg, loc):
         warnings.warn(f"{loc}: {msg}")
@@ -150,11 +154,12 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             if mtype in ("", "none", "interface"):
                 st.material = -1  # medium interface / no BSDF
             else:
-                mats.append(_make_material(mtype, p, warn, d.loc))
+                mats.append(_make_material(mtype, p, warn, d.loc,
+                                           named_textures))
                 st.material = len(mats) - 1
         elif name == "MakeNamedMaterial":
             ptype = p.get_string("type", "diffuse")
-            mats.append(_make_material(ptype, p, warn, d.loc))
+            mats.append(_make_material(ptype, p, warn, d.loc, named_textures))
             named_mats[d.args[0]] = len(mats) - 1
         elif name == "NamedMaterial":
             st.material = named_mats.get(d.args[0], 0)
@@ -305,8 +310,45 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                         light_id = -1
             else:
                 warn(f"shape '{stype}' unsupported; skipped", d.loc)
+        elif name == "Texture":
+            # Texture "name" "spectrum|float" "type" params
+            tname, _ttype, tclass = d.args[0], d.args[1], d.args[2]
+            row = None
+            if tclass == "constant":
+                row = dict(kind=CONSTANT, c0=tuple(p.get_rgb("value", np.ones(3))))
+            elif tclass == "checkerboard" or tclass == "checker":
+                row = dict(kind=CHECKER,
+                           c0=tuple(p.get_rgb("tex1", np.ones(3))),
+                           c1=tuple(p.get_rgb("tex2", np.zeros(3))),
+                           uvscale=(p.get_float("uscale", 1.0),
+                                    p.get_float("vscale", 1.0)))
+            elif tclass == "imagemap":
+                fname = p.get_string("filename")
+                try:
+                    from ..utils.image import read_image
+
+                    img = read_image(fname)
+                    tex_images.append(img)
+                    row = dict(kind=IMAGE, image_id=len(tex_images) - 1,
+                               uvscale=(p.get_float("uscale", 1.0),
+                                        p.get_float("vscale", 1.0)))
+                except Exception as ex:  # noqa: BLE001
+                    warn(f"imagemap '{fname}' failed to load ({ex}); "
+                         "using constant", d.loc)
+                    row = dict(kind=CONSTANT, c0=(0.5, 0.5, 0.5))
+            elif tclass == "scale":
+                inner_name = p.get_string("tex", "")
+                row = dict(kind=SCALE,
+                           c0=tuple(p.get_rgb("scale", np.ones(3))),
+                           inner=named_textures.get(inner_name, -1))
+            else:
+                warn(f"texture type '{tclass}' unsupported; constant grey",
+                     d.loc)
+                row = dict(kind=CONSTANT, c0=(0.5, 0.5, 0.5))
+            textures.append(row)
+            named_textures[tname] = len(textures) - 1
         elif name in ("WorldEnd", "ObjectBegin", "ObjectEnd", "ObjectInstance",
-                      "Texture", "CoordinateSystem", "CoordSysTransform"):
+                      "CoordinateSystem", "CoordSysTransform"):
             if name not in ("WorldEnd",):
                 warn(f"directive '{name}' not yet supported; ignored", d.loc)
         else:
@@ -327,6 +369,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
 
     geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes)
     materials = Materials.build(mats)
+    tex_bank = Textures.build(textures, tex_images) if textures else None
     media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media))
     # world radius from geometry extent
     pts = []
@@ -335,15 +378,21 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             for k in keys:
                 pts.append(np.asarray(it[k], np.float32))
     world_r = 2.0 * float(np.abs(np.asarray(pts)).max()) if pts else 100.0
+    lsampler = "uniform"
+    if "lightsampler" in integrator_params:
+        lsampler = str(integrator_params["lightsampler"][1][0])
+        if lsampler == "bvh":
+            warnings.warn("BVH light sampler not yet implemented; using power")
+            lsampler = "power"
     lights = Lights.make(
         point_p=[pl[0] for pl in point_lights] or None,
         point_I=[pl[1] for pl in point_lights] or None,
         distant_dir=[dl[0] for dl in distant_lights] or None,
         distant_L=[dl[1] for dl in distant_lights] or None,
         area_tris=area_tris or None,
-        env_L=env_L, world_radius=max(world_r, 10.0),
+        env_L=env_L, world_radius=max(world_r, 10.0), sampler=lsampler,
     )
-    scene = volpath.Scene(geometry, materials, media, lights)
+    scene = volpath.Scene(geometry, materials, media, lights, tex_bank)
 
     # film + camera
     nx = res_override[0] if res_override else (
@@ -373,8 +422,19 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                        sampler, spp_override or spp, -1, outfile)
 
 
-def _make_material(mtype, p: ParameterDictionary, warn, loc):
+def _make_material(mtype, p: ParameterDictionary, warn, loc,
+                   named_textures=None):
+    named_textures = named_textures or {}
+
+    def tex_of(pname):
+        if pname in p.params and p.params[pname][0] == "texture":
+            return named_textures.get(str(p.params[pname][1][0]), -1)
+        return -1
+
     if mtype == "diffuse":
+        t = tex_of("reflectance")
+        if t >= 0:
+            return dict(type=DIFFUSE, albedo=(1.0, 1.0, 1.0), albedo_tex=t)
         return dict(type=DIFFUSE,
                     albedo=tuple(p.get_rgb("reflectance", np.asarray([0.5] * 3))))
     if mtype == "conductor":

@@ -242,3 +242,32 @@ def test_power_light_sampler_unbiased():
     v_u = imgs["uniform"].var()
     v_p = imgs["power"].var()
     assert np.isfinite(v_p) and v_p < v_u * 1.5
+
+
+def test_spot_light_cone():
+    """Spot light: inside-cone floor lit, outside-cone floor dark."""
+    floor = [
+        dict(p0=(-3, 0, -3), p1=(3, 0, -3), p2=(3, 0, 3), mat=0, light=-1,
+             med_in=-1, med_out=-1),
+        dict(p0=(-3, 0, -3), p1=(3, 0, 3), p2=(-3, 0, 3), mat=0, light=-1,
+             med_in=-1, med_out=-1),
+    ]
+    geom = Geometry.build(triangles=floor)
+    mats = Materials.build([dict(type=DIFFUSE, albedo=(0.8, 0.8, 0.8))])
+    lights = Lights.make(
+        spots=[dict(p=(0, 2.0, 0), I=(20.0,) * 3, dir=(0, -1, 0),
+                    cos_total=np.cos(np.radians(20)),
+                    cos_start=np.cos(np.radians(15)))],
+        world_radius=100.0)
+    from vspg_pbrt_v4_tpu.models.media import Media
+
+    scene = volpath.Scene(geom, mats, Media.make(), lights)
+    cam = PerspectiveCamera.make(
+        tr.look_at((0, 2.5, -3.5), (0, 0, 0), (0, 1, 0)), 40.0, (32, 32))
+    img = np.asarray(volpath.render(scene, cam, RGBFilm.make((32, 32)),
+                                    spp=32, seed=3, spp_per_pass=8))
+    # spot center under the light (image center-ish) bright; corner dark
+    assert img.max() > 0.3
+    bright = img[14:20, 14:20].mean()
+    dark = img[16:22, 1:5].mean()
+    assert bright > 8 * max(dark, 1e-5), (bright, dark)

@@ -74,3 +74,48 @@ def test_tev_packets_offline():
     c.create_image("x", 8, 8)
     c.update_image("x", np.zeros((8, 8, 3), np.float32))
     c.close()
+
+
+def test_filters_normalized():
+    """Each filter's sampled offsets integrate any smooth function like the
+    filter-weighted average; expected weight ~ 1 (mitchell slightly < 1 from
+    negative lobes)."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.filters import Filter
+    from vspg_pbrt_v4_tpu.utils import rng
+
+    n = 1 << 15
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    u2 = rng.uniform2(jnp.uint32(1), pid, jnp.uint32(0), jnp.uint32(0))
+    for kind in ("box", "triangle", "gaussian", "mitchell"):
+        f = Filter.make(kind)
+        off, w = f.sample(u2)
+        off, w = np.asarray(off), np.asarray(w)
+        assert np.isfinite(off).all()
+        assert (np.abs(off) <= f.radius + 1e-5).all(), kind
+        # mean offset ~ 0 (symmetric filters)
+        assert np.abs(off.mean(0)).max() < 0.02, (kind, off.mean(0))
+        # weights: +-1 and mostly +1
+        assert set(np.unique(np.sign(w))).issubset({-1.0, 1.0})
+        assert w.mean() > 0.7, (kind, w.mean())
+
+
+def test_gaussian_filter_render_unbiased():
+    """Furnace through a gaussian filter still averages to L0."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
+    from vspg_pbrt_v4_tpu.models.film import RGBFilm
+    from vspg_pbrt_v4_tpu.models.filters import Filter
+    from vspg_pbrt_v4_tpu.models.integrators import volpath
+    from vspg_pbrt_v4_tpu.utils import transform as tr
+
+    scene = volpath.make_fog_box_scene([0, 0, 0], [1.0] * 3, g=0.3,
+                                       env_L=[0.5] * 3)
+    cam = PerspectiveCamera.make(tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)),
+                                 30.0, (16, 16))
+    film = RGBFilm.make((16, 16), filter=Filter.make("gaussian"))
+    img = np.asarray(volpath.render(scene, cam, film, spp=64, seed=2,
+                                    spp_per_pass=8))
+    assert abs(img.mean() - 0.5) < 0.01, img.mean()

@@ -29,16 +29,23 @@ class FilmState(NamedTuple):
 @struct.dataclass
 class RGBFilm:
     sensor_matrix: jnp.ndarray  # (3,3) white-balance / sensor->output RGB
+    filter: object  # models.filters.Filter (box default)
     resolution: tuple = struct.field(pytree_node=False)  # (nx, ny)
     imaging_ratio: float = struct.field(pytree_node=False)
     max_component: float = struct.field(pytree_node=False)  # clamp ("maxcomponentvalue")
 
     @staticmethod
-    def make(resolution, imaging_ratio=1.0, sensor_matrix=None, max_component=np.inf):
+    def make(resolution, imaging_ratio=1.0, sensor_matrix=None,
+             max_component=np.inf, filter=None):
         if sensor_matrix is None:
             sensor_matrix = np.eye(3, dtype=np.float32)
+        if filter is None:
+            from .filters import Filter
+
+            filter = Filter.make("box")
         return RGBFilm(
             jnp.asarray(sensor_matrix, jnp.float32),
+            filter,
             (int(resolution[0]), int(resolution[1])),
             float(imaging_ratio),
             float(max_component),

@@ -37,7 +37,7 @@ def _render_ao_jit(scene, camera, film, cfg, spp, seed, radius, spp_per_pass):
 
     def one_pass(i, st):
         sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
-        s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
+        s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
         h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
         ns = face_forward(h.ns, -s.d)
         t1, t2 = coordinate_system(ns)
@@ -49,7 +49,7 @@ def _render_ao_jit(scene, camera, film, cfg, spp, seed, radius, spp_per_pass):
         occ = scene.geometry.intersect_p(o2, wi, jnp.full(R, radius))
         ao = jnp.where(h.hit & (h.mat_id >= 0), jnp.where(occ, 0.0, 1.0), 0.0)
         L = ao[..., None] * jnp.ones(3)
-        return film.add_samples(st, pixel_id, L, jnp.ones(R))
+        return film.add_samples(st, pixel_id, L, fw)
 
     state = jax.lax.fori_loop(0, spp // spp_per_pass, one_pass, state)
     return film.image(state)
@@ -108,7 +108,7 @@ def _render_rw_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
 
     def one_pass(i, st):
         sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
-        s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
+        s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
 
         def cond(c):
             return jnp.any(c[0].alive) & (c[1] < cfg.max_events)
@@ -117,7 +117,7 @@ def _render_rw_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
             return bounce(c[0]), c[1] + 1
 
         s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
-        return film.add_samples(st, pixel_id, s.L, jnp.ones(R))
+        return film.add_samples(st, pixel_id, s.L, fw)
 
     state = jax.lax.fori_loop(0, spp // spp_per_pass, one_pass, state)
     return film.image(state)
@@ -179,7 +179,7 @@ def _render_sp_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
 
     def one_pass(i, st):
         sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
-        s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
+        s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id, -1)
 
         def cond(c):
             return jnp.any(c[0].alive) & (c[1] < cfg.max_events)
@@ -188,7 +188,7 @@ def _render_sp_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
             return bounce(c[0]), c[1] + 1
 
         s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
-        return film.add_samples(st, pixel_id, s.L, jnp.ones(R))
+        return film.add_samples(st, pixel_id, s.L, fw)
 
     state = jax.lax.fori_loop(0, spp // spp_per_pass, one_pass, state)
     return film.image(state)
@@ -206,8 +206,8 @@ def render_gbuffer(scene, camera, film):
     (GBufferFilm analog)."""
     R = film.npix
     pixel_id = jnp.arange(R, dtype=jnp.int32)
-    s = vp.start_camera_paths(camera, film, jnp.uint32(0), jnp.uint32(0),
-                              pixel_id, -1)
+    s, _ = vp.start_camera_paths(camera, film, jnp.uint32(0), jnp.uint32(0),
+                                 pixel_id, -1)
     h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
     lanes_m = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv)
     alb = jnp.where((h.hit & (h.mat_id >= 0))[..., None], lanes_m.albedo, 0.0)

@@ -408,8 +408,8 @@ def guided_wave(scene, camera, film, film_state, field, cfg, gopt, seed,
     lane = jnp.arange(R, dtype=jnp.int32)
     pixel_id = lane // spp_per_pass
     sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
-    s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                              camera_medium)
+    s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                                  camera_medium)
     rec = SegmentRecord.make(R, gopt.record_depth if train else 1,
                              pixel_id.astype(jnp.float32))
     gs = GState(s, rec)
@@ -423,8 +423,7 @@ def guided_wave(scene, camera, film, film_state, field, cfg, gopt, seed,
         return guided_bounce(scene, cfg, gopt, field, train, gs), it + 1
 
     gs, _ = jax.lax.while_loop(cond, body, (gs, jnp.int32(0)))
-    film_state = film.add_samples(film_state, pixel_id, gs.s.L,
-                                  jnp.ones_like(gs.s.L[..., 0]))
+    film_state = film.add_samples(film_state, pixel_id, gs.s.L, fw)
     batch = grec.propagate(gs.rec) if train else None
     return film_state, batch
 

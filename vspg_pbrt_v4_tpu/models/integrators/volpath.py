@@ -616,13 +616,14 @@ def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium
     sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), sample_index,
                                 kind=sampler_kind, spp=spp)
     sampler, u_pix = sampler.get_2d()
-    p_raster = pix.astype(jnp.float32) + u_pix
+    offset, filter_w = film.filter.sample(u_pix)
+    p_raster = pix.astype(jnp.float32) + 0.5 + offset
     sampler, u_lens = sampler.get_2d()
     o, d = camera.generate_rays(p_raster, u_lens)
     sampler, u_wl = sampler.get_1d()
     hero_idx = sample_hero_channel(u_wl)
     med0 = jnp.full_like(pixel_id, camera_medium)
-    return make_path_state(sampler, o, d, hero_idx, med0, pixel_id)
+    return make_path_state(sampler, o, d, hero_idx, med0, pixel_id), filter_w
 
 
 def render_wave(scene, camera, film, film_state, cfg, seed, sample_index,
@@ -631,10 +632,10 @@ def render_wave(scene, camera, film, film_state, cfg, seed, sample_index,
     (wave loop analog of cpu/integrators.cpp:75-269)."""
     R = film.npix
     pixel_id = jnp.arange(R, dtype=jnp.int32)
-    s = start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                           camera_medium)
+    s, fw = start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                               camera_medium)
     s = trace_paths(scene, cfg, s)
-    return film.add_samples(film_state, pixel_id, s.L, jnp.ones(R))
+    return film.add_samples(film_state, pixel_id, s.L, fw)
 
 
 @partial(jax.jit, static_argnames=("cfg", "camera_medium", "spp_per_pass",
@@ -649,10 +650,10 @@ def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass
 
     def one_pass(i, st):
         sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
-        s = start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                               camera_medium, sampler_kind, sampler_spp)
+        s, fw = start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                                   camera_medium, sampler_kind, sampler_spp)
         s = trace_paths(scene, cfg, s)
-        return film.add_samples(st, pixel_id, s.L, jnp.ones(R))
+        return film.add_samples(st, pixel_id, s.L, fw)
 
     state = jax.lax.fori_loop(0, n_pass, one_pass, state)
     return film.image(state)
@@ -670,10 +671,10 @@ def render_pass(scene, camera, film, film_state, cfg, seed, wave_idx,
     lane = jnp.arange(R, dtype=jnp.int32)
     pixel_id = lane // spp_per_pass
     sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
-    s = start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                           camera_medium, sampler_kind, sampler_spp)
+    s, fw = start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                               camera_medium, sampler_kind, sampler_spp)
     s = trace_paths(scene, cfg, s)
-    return film.add_samples(film_state, pixel_id, s.L, jnp.ones(R)), s
+    return film.add_samples(film_state, pixel_id, s.L, fw), s
 
 
 def render_progressive(scene, camera, film, cfg=VolPathConfig(), seed=0,

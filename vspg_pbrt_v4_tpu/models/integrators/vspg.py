@@ -802,8 +802,8 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
     lane = jnp.arange(R, dtype=jnp.int32)
     pixel_id = lane // spp_per_pass
     sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
-    s = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                              camera_medium)
+    s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                                  camera_medium)
     rec = SegmentRecord.make(R, gopt.record_depth if train else 1,
                              pixel_id.astype(jnp.float32))
     z3 = jnp.zeros_like(s.o)
@@ -819,8 +819,7 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
         return vspg_bounce(scene, cfg, gopt, vopt, field, isgb, train, gs), it + 1
 
     gs, _ = jax.lax.while_loop(cond, body, (gs, jnp.int32(0)))
-    film_state = film.add_samples(film_state, pixel_id, gs.s.L,
-                                  jnp.ones_like(gs.s.L[..., 0]))
+    film_state = film.add_samples(film_state, pixel_id, gs.s.L, fw)
     isgb = gisgb.isgb_add_samples(isgb, pixel_id, gs.s.L, gs.first_albedo,
                                   gs.first_normal, gs.first_vol,
                                   pixel_id >= 0)

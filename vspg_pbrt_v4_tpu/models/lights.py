@@ -38,6 +38,12 @@ class Lights:
     # point lights
     point_p: jnp.ndarray  # (Lp,3)
     point_I: jnp.ndarray  # (Lp,3) intensity
+    # spot lights (lights.h Spot:811 - smoothstep cone falloff)
+    spot_p: jnp.ndarray  # (Ls,3)
+    spot_I: jnp.ndarray  # (Ls,3)
+    spot_dir: jnp.ndarray  # (Ls,3) cone axis (normalized)
+    spot_cos_total: jnp.ndarray  # (Ls,)
+    spot_cos_start: jnp.ndarray  # (Ls,)
     # distant lights
     distant_dir: jnp.ndarray  # (Ld,3) direction the light travels (from light)
     distant_L: jnp.ndarray  # (Ld,3)
@@ -56,8 +62,10 @@ class Lights:
 
     @staticmethod
     def make(point_p=None, point_I=None, distant_dir=None, distant_L=None,
-             area_tris=None, env_L=None, world_radius=1e4, sampler="uniform"):
-        """area_tris: list of dicts {p0, p1, p2, L, [twosided]}.
+             area_tris=None, env_L=None, world_radius=1e4, sampler="uniform",
+             spots=None):
+        """area_tris: list of dicts {p0, p1, p2, L, [twosided]};
+        spots: list of dicts {p, I, dir, cos_total, cos_start};
         sampler: "uniform" | "power" (PowerLightSampler: selection pmf
         proportional to total emitted power, lightsamplers.h:63)."""
         def arr(x, n3=3):
@@ -77,11 +85,29 @@ class Lights:
             a_L = jnp.zeros((0, 3), jnp.float32)
             a_two = jnp.zeros((0,), bool)
         env = jnp.zeros(3, jnp.float32) if env_L is None else jnp.asarray(env_L, jnp.float32)
+        sp = list(spots or [])
+        if sp:
+            sp_p = jnp.asarray([s["p"] for s in sp], jnp.float32)
+            sp_I = jnp.asarray([s["I"] for s in sp], jnp.float32)
+            sp_d = jnp.asarray([np.asarray(s["dir"], np.float64)
+                                / np.linalg.norm(s["dir"]) for s in sp],
+                               jnp.float32)
+            sp_ct = jnp.asarray([s.get("cos_total", np.cos(np.radians(30)))
+                                 for s in sp], jnp.float32)
+            sp_cs = jnp.asarray([s.get("cos_start", np.cos(np.radians(25)))
+                                 for s in sp], jnp.float32)
+        else:
+            sp_p = sp_I = sp_d = jnp.zeros((0, 3), jnp.float32)
+            sp_ct = sp_cs = jnp.zeros((0,), jnp.float32)
 
         # selection pmf (uniform or power-proportional)
         powers = []
         for i_ in (point_I if point_I is not None else []):
             powers.append(4 * np.pi * float(np.mean(i_)))
+        for s in sp:
+            powers.append(2 * np.pi * float(np.mean(s["I"]))
+                          * (1 - 0.5 * (s.get("cos_total", 0.87)
+                                        + s.get("cos_start", 0.9))))
         for l_ in (distant_L if distant_L is not None else []):
             # distant power ~ L * disk(world radius)
             powers.append(float(np.mean(l_)) * np.pi * world_radius**2)
@@ -103,7 +129,8 @@ class Lights:
             pmf = np.full(n, 1.0 / n, np.float32)
         cdf = np.cumsum(pmf).astype(np.float32)
         return Lights(
-            arr(point_p), arr(point_I), arr(distant_dir), arr(distant_L),
+            arr(point_p), arr(point_I), sp_p, sp_I, sp_d, sp_ct, sp_cs,
+            arr(distant_dir), arr(distant_L),
             a_p0, a_p1, a_p2, a_L, a_two,
             env, jnp.asarray(pmf), jnp.asarray(cdf),
             env_L is not None, float(world_radius),
@@ -115,6 +142,10 @@ class Lights:
         return self.point_p.shape[0]
 
     @property
+    def n_spot(self):
+        return self.spot_p.shape[0]
+
+    @property
     def n_distant(self):
         return self.distant_dir.shape[0]
 
@@ -124,7 +155,7 @@ class Lights:
 
     @property
     def n_lights(self):
-        return (self.n_point + self.n_distant + self.n_area
+        return (self.n_point + self.n_spot + self.n_distant + self.n_area
                 + (1 if self.has_env else 0))
 
     # -- uniform light sampler (lightsamplers.h UniformLightSampler:26) -----
@@ -166,10 +197,32 @@ class Lights:
             is_delta = is_delta | sel
             t_shadow = jnp.where(sel, dist, t_shadow)
 
+        if self.n_spot > 0:
+            si = jnp.clip(idx - self.n_point, 0, self.n_spot - 1)
+            p_light = self.spot_p[si]
+            to_l = p_light - ref_p
+            dist = distance(p_light, ref_p)
+            wi_s = normalize(to_l)
+            # smoothstep cone falloff (SpotLight::I)
+            ct = dot(self.spot_dir[si], -wi_s)
+            t = safe_div(ct - self.spot_cos_total[si],
+                         self.spot_cos_start[si] - self.spot_cos_total[si])
+            fall = jnp.clip(t, 0.0, 1.0)
+            fall = fall * fall * (3.0 - 2.0 * fall)
+            L_s = (self.spot_I[si] * fall[..., None]
+                   * safe_div(1.0, dist * dist, 0.0)[..., None])
+            sel = (idx >= self.n_point) & (idx < self.n_point + self.n_spot)
+            wi = jnp.where(sel[..., None], wi_s, wi)
+            L = jnp.where(sel[..., None], L_s, L)
+            pdf_dir = jnp.where(sel, 1.0, pdf_dir)
+            is_delta = is_delta | sel
+            t_shadow = jnp.where(sel, dist, t_shadow)
+
         if self.n_distant > 0:
-            di = jnp.clip(idx - self.n_point, 0, self.n_distant - 1)
+            base_d = self.n_point + self.n_spot
+            di = jnp.clip(idx - base_d, 0, self.n_distant - 1)
             wi_d = -normalize(self.distant_dir[di])
-            sel = (idx >= self.n_point) & (idx < self.n_point + self.n_distant)
+            sel = (idx >= base_d) & (idx < base_d + self.n_distant)
             wi = jnp.where(sel[..., None], wi_d, wi)
             L = jnp.where(sel[..., None], self.distant_L[di], L)
             pdf_dir = jnp.where(sel, 1.0, pdf_dir)
@@ -177,7 +230,7 @@ class Lights:
             t_shadow = jnp.where(sel, 2.0 * self.world_radius, t_shadow)
 
         if self.n_area > 0:
-            base = self.n_point + self.n_distant
+            base = self.n_point + self.n_spot + self.n_distant
             ai = jnp.clip(idx - base, 0, self.n_area - 1)
             p0, p1, p2 = self.area_p0[ai], self.area_p1[ai], self.area_p2[ai]
             b = sample_uniform_triangle(u2)
@@ -252,7 +305,7 @@ class Lights:
         wi = to_h * safe_div(1.0, jnp.sqrt(dist2), 0.0)[..., None]
         cos_l = jnp.abs(dot(n_hit, wi))
         pdf = safe_div(dist2, cos_l * area, 0.0)
-        base = self.n_point + self.n_distant
+        base = self.n_point + self.n_spot + self.n_distant
         sel_pmf = self.select_pmf_table[jnp.clip(base + ai, 0,
                                                  max(self.n_lights - 1, 0))]
         return jnp.where(light_id >= 0, pdf * sel_pmf, 0.0)

@@ -34,8 +34,8 @@ def default_mesh(devices=None, axis_name="rays"):
 def _trace_wave(scene, camera, film, cfg, seed, sample_index, pixel_id,
                 camera_medium=-1):
     """Trace lanes for the given pixel ids; returns their radiance (R,3)."""
-    s = volpath.start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                                   camera_medium)
+    s, _ = volpath.start_camera_paths(camera, film, seed, sample_index,
+                                      pixel_id, camera_medium)
     s = volpath.trace_paths(scene, cfg, s)
     return s.L
 

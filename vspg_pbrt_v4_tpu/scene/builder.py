@@ -74,6 +74,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     named_mats = {}
     area_tris = []
     point_lights = []
+    spot_lights = []
     distant_lights = []
     env_L = None
     homog_media = []
@@ -86,6 +87,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     integrator_params = {}
     sampler = "independent"
     spp = 16
+    filter_directive = None
     textures = []  # texture table rows
     tex_images = []  # loaded image arrays
     named_textures = {}
@@ -136,8 +138,10 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         elif name == "Integrator":
             integrator = d.args[0]
             integrator_params = {k: v for k, v in d.params.items()}
-        elif name in ("Filter", "PixelFilter", "Accelerator", "ColorSpace"):
-            pass  # accepted; box filter / builtin accel
+        elif name in ("Filter", "PixelFilter"):
+            filter_directive = (d.args[0] if d.args else "box", p)
+        elif name in ("Accelerator", "ColorSpace"):
+            pass  # builtin accel / sRGB
 
         elif name == "WorldBegin":
             world = True
@@ -177,8 +181,14 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             elif ltype == "spot":
                 I = p.get_rgb("I", np.asarray([1.0, 1, 1])) * scale
                 frm = p.get_point3("from", np.zeros(3))
-                warn("spot light approximated as point light", d.loc)
-                point_lights.append((xf_pts(frm), I))
+                to = p.get_point3("to", np.asarray([0, 0, 1.0]))
+                cone = p.get_float("coneangle", 30.0)
+                delta = p.get_float("conedeltaangle", 5.0)
+                dirv = xf_pts(to) - xf_pts(frm)
+                spot_lights.append(dict(
+                    p=xf_pts(frm), I=I, dir=dirv,
+                    cos_total=float(np.cos(np.radians(cone))),
+                    cos_start=float(np.cos(np.radians(cone - delta)))))
             elif ltype == "distant":
                 L = p.get_rgb("L", np.asarray([1.0, 1, 1])) * scale
                 frm = p.get_point3("from", np.zeros(3))
@@ -391,6 +401,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         distant_L=[dl[1] for dl in distant_lights] or None,
         area_tris=area_tris or None,
         env_L=env_L, world_radius=max(world_r, 10.0), sampler=lsampler,
+        spots=spot_lights or None,
     )
     scene = volpath.Scene(geometry, materials, media, lights, tex_bank)
 
@@ -401,7 +412,17 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         film_params.get_int("yresolution", 720) if film_params else 720)
     outfile = (film_params.get_string("filename", "out.exr")
                if film_params else "out.exr")
-    film = RGBFilm.make((nx, ny))
+    from ..models.filters import Filter
+
+    if filter_directive is not None:
+        fname, fp = filter_directive
+        fname = {"triangle": "triangle", "gaussian": "gaussian",
+                 "mitchell": "mitchell", "box": "box"}.get(fname, "box")
+        film_filter = Filter.make(fname, radius=fp.get_float("xradius", None),
+                                  sigma=fp.get_float("sigma", 0.5))
+    else:
+        film_filter = Filter.make("box")
+    film = RGBFilm.make((nx, ny), filter=film_filter)
     ctype, cp = camera_directive if camera_directive else ("perspective", None)
     if ctype == "perspective":
         fov = cp.get_float("fov", 90.0) if cp else 90.0

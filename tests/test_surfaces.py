@@ -271,3 +271,47 @@ def test_spot_light_cone():
     bright = img[14:20, 14:20].mean()
     dark = img[16:22, 1:5].mean()
     assert bright > 8 * max(dark, 1e-5), (bright, dark)
+
+
+def test_image_env_light_furnace_and_direction():
+    """Equal-area image env light: constant map reproduces the uniform
+    furnace; a single bright texel lights the scene from its direction."""
+    from vspg_pbrt_v4_tpu.models.media import Media
+
+    # constant map == uniform furnace
+    env = np.full((16, 16, 3), 0.7, np.float32)
+    geom = Geometry.build(spheres=[dict(c=(0, 0, 0), r=1.0, mat=0, light=-1,
+                                        med_in=-1, med_out=-1)])
+    mats = Materials.build([dict(type=DIFFUSE, albedo=(0.6,) * 3)])
+    lights = Lights.make(env_img=env, world_radius=100.0)
+    scene = volpath.Scene(geom, mats, Media.make(), lights)
+    img = np.asarray(volpath.render(scene, _camera(24), RGBFilm.make((24, 24)),
+                                    spp=64, seed=4, spp_per_pass=8))
+    center = img[10:14, 10:14].mean()
+    assert abs(center - 0.6 * 0.7) < 0.03, center
+    corner = img[:3, :3].mean()
+    assert abs(corner - 0.7) < 1e-3, corner
+
+    # directional: bright texel at direction +y
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.utils.vecmath import equal_area_sphere_to_square
+
+    env2 = np.full((32, 32, 3), 0.01, np.float32)
+    sq = np.asarray(equal_area_sphere_to_square(jnp.asarray([[0.0, 1.0, 0.0]])))[0]
+    ty, tx = int(sq[1] * 32), int(sq[0] * 32)
+    env2[ty - 1:ty + 2, tx - 1:tx + 2] = 50.0
+    floor = [dict(p0=(-3, 0, -3), p1=(3, 0, -3), p2=(3, 0, 3), mat=0,
+                  light=-1, med_in=-1, med_out=-1),
+             dict(p0=(-3, 0, -3), p1=(3, 0, 3), p2=(-3, 0, 3), mat=0,
+                  light=-1, med_in=-1, med_out=-1)]
+    geom2 = Geometry.build(triangles=floor)
+    lights2 = Lights.make(env_img=env2, world_radius=100.0)
+    scene2 = volpath.Scene(geom2, mats, Media.make(), lights2)
+    cam = PerspectiveCamera.make(
+        tr.look_at((0, 2.0, -4.0), (0, 0, 0), (0, 1, 0)), 35.0, (24, 24))
+    img2 = np.asarray(volpath.render(scene2, cam, RGBFilm.make((24, 24)),
+                                     spp=64, seed=5, spp_per_pass=8))
+    assert np.isfinite(img2).all()
+    # the floor is lit from straight above: visible brightness
+    assert img2[12:18, 8:16].mean() > 0.02, img2.mean()

@@ -19,6 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.math import INV_4PI, safe_div
+
+
+def _frac(x):
+    """Cheap decorrelated fraction from a float (texel jitter)."""
+    return x - jnp.floor(x)
 from ..utils.sampling import sample_uniform_sphere, sample_uniform_triangle
 from ..utils.vecmath import cross, distance, dot, length, normalize
 
@@ -53,17 +58,21 @@ class Lights:
     area_p2: jnp.ndarray
     area_L: jnp.ndarray  # (A,3) emitted radiance
     area_twosided: jnp.ndarray  # (A,) bool
-    # uniform infinite environment
+    # infinite environment: uniform radiance and/or equal-area image
     env_L: jnp.ndarray  # (3,) radiance; zeros = no env light
+    env_img: jnp.ndarray  # (S,S,3) equal-area map (ImageInfiniteLight)
+    env_pmf: jnp.ndarray  # (S*S,) texel selection pmf
+    env_cdf: jnp.ndarray  # (S*S,)
     select_pmf_table: jnp.ndarray  # (n_lights,) selection pmf
     select_cdf: jnp.ndarray  # (n_lights,)
     has_env: bool = struct.field(pytree_node=False)
+    has_env_img: bool = struct.field(pytree_node=False)
     world_radius: float = struct.field(pytree_node=False)  # shadow-ray lengths
 
     @staticmethod
     def make(point_p=None, point_I=None, distant_dir=None, distant_L=None,
-             area_tris=None, env_L=None, world_radius=1e4, sampler="uniform",
-             spots=None):
+             area_tris=None, env_L=None, env_img=None, world_radius=1e4,
+             sampler="uniform", spots=None):
         """area_tris: list of dicts {p0, p1, p2, L, [twosided]};
         spots: list of dicts {p, I, dir, cos_total, cos_start};
         sampler: "uniform" | "power" (PowerLightSampler: selection pmf
@@ -85,6 +94,21 @@ class Lights:
             a_L = jnp.zeros((0, 3), jnp.float32)
             a_two = jnp.zeros((0,), bool)
         env = jnp.zeros(3, jnp.float32) if env_L is None else jnp.asarray(env_L, jnp.float32)
+        has_env_img = env_img is not None
+        if has_env_img:
+            ei = np.asarray(env_img, np.float32)
+            assert ei.shape[0] == ei.shape[1], "equal-area env map must be square"
+            lum = ei.mean(-1).reshape(-1).astype(np.float64)
+            tot = max(lum.sum(), 1e-20)
+            env_pmf = (lum / tot).astype(np.float32)
+            env_cdf = np.cumsum(env_pmf).astype(np.float32)
+            env_img_a = jnp.asarray(ei)
+            env_mean = float(ei.mean())
+        else:
+            env_img_a = jnp.zeros((1, 1, 3), jnp.float32)
+            env_pmf = np.ones(1, np.float32)
+            env_cdf = np.ones(1, np.float32)
+            env_mean = float(np.mean(env)) if env_L is not None else 0.0
         sp = list(spots or [])
         if sp:
             sp_p = jnp.asarray([s["p"] for s in sp], jnp.float32)
@@ -117,8 +141,8 @@ class Lights:
             area = 0.5 * np.linalg.norm(np.cross(e1, e2))
             two = 2.0 if t_.get("twosided") else 1.0
             powers.append(float(np.mean(t_["L"])) * area * np.pi * two)
-        if env_L is not None:
-            powers.append(float(np.mean(env_L)) * 4 * np.pi**2 * world_radius**2)
+        if env_L is not None or has_env_img:
+            powers.append(env_mean * 4 * np.pi**2 * world_radius**2)
         n = len(powers)
         if n == 0:
             pmf = np.zeros((0,), np.float32)
@@ -132,8 +156,10 @@ class Lights:
             arr(point_p), arr(point_I), sp_p, sp_I, sp_d, sp_ct, sp_cs,
             arr(distant_dir), arr(distant_L),
             a_p0, a_p1, a_p2, a_L, a_two,
-            env, jnp.asarray(pmf), jnp.asarray(cdf),
-            env_L is not None, float(world_radius),
+            env, env_img_a, jnp.asarray(env_pmf), jnp.asarray(env_cdf),
+            jnp.asarray(pmf), jnp.asarray(cdf),
+            env_L is not None or has_env_img, has_env_img,
+            float(world_radius),
         )
 
     # -- static counts ------------------------------------------------------
@@ -255,10 +281,33 @@ class Lights:
 
         if self.has_env:
             sel = idx == (n - 1)
-            wi_e = sample_uniform_sphere(u2)
+            if self.has_env_img:
+                # importance-sample texels of the equal-area map
+                S = self.env_img.shape[0]
+                u_flat = jnp.clip(u2[..., 0], 0.0, 0.999999)
+                ti = jnp.clip(jnp.searchsorted(self.env_cdf, u_flat,
+                                               side="right"),
+                              0, S * S - 1)
+                iy = ti // S
+                ix = ti % S
+                # jitter inside the texel; equal-area square -> sphere
+                jx = _frac(u2[..., 1] * 7919.0)
+                jy = _frac(u2[..., 1] * 104729.0)
+                sq = jnp.stack([(ix + jx) / S, (iy + jy) / S], -1)
+                from ..utils.vecmath import equal_area_square_to_sphere
+
+                wi_e = equal_area_square_to_sphere(sq)
+                L_e = self.env_img[iy, ix]
+                # pdf: pmf over texels * texels per unit solid angle
+                pdf_e = self.env_pmf[ti] * (S * S) * INV_4PI
+                pdf_e = jnp.maximum(pdf_e, 1e-12)
+            else:
+                wi_e = sample_uniform_sphere(u2)
+                L_e = jnp.broadcast_to(self.env_L, R + (3,))
+                pdf_e = jnp.full(R, INV_4PI)
             wi = jnp.where(sel[..., None], wi_e, wi)
-            L = jnp.where(sel[..., None], self.env_L, L)
-            pdf_dir = jnp.where(sel, INV_4PI, pdf_dir)
+            L = jnp.where(sel[..., None], L_e, L)
+            pdf_dir = jnp.where(sel, pdf_e, pdf_dir)
             t_shadow = jnp.where(sel, 2.0 * self.world_radius, t_shadow)
 
         valid = pdf_dir > 0
@@ -269,6 +318,14 @@ class Lights:
         """Radiance from infinite lights along escaped direction d: (R,3)."""
         if not self.has_env:
             return jnp.zeros(d.shape[:-1] + (3,))
+        if self.has_env_img:
+            from ..utils.vecmath import equal_area_sphere_to_square
+
+            S = self.env_img.shape[0]
+            sq = equal_area_sphere_to_square(d)
+            ix = jnp.clip((sq[..., 0] * S).astype(jnp.int32), 0, S - 1)
+            iy = jnp.clip((sq[..., 1] * S).astype(jnp.int32), 0, S - 1)
+            return self.env_img[iy, ix]
         return jnp.broadcast_to(self.env_L, d.shape[:-1] + (3,))
 
     def pdf_li_escaped(self, d):
@@ -276,8 +333,17 @@ class Lights:
         (UniformInfiniteLight::PDF_Li = uniform-sphere pdf)."""
         if not self.has_env:
             return jnp.zeros(d.shape[:-1])
-        return INV_4PI * jnp.broadcast_to(self.select_pmf_table[self.n_lights - 1],
-                                          d.shape[:-1])
+        sel = self.select_pmf_table[self.n_lights - 1]
+        if self.has_env_img:
+            from ..utils.vecmath import equal_area_sphere_to_square
+
+            S = self.env_img.shape[0]
+            sq = equal_area_sphere_to_square(d)
+            ix = jnp.clip((sq[..., 0] * S).astype(jnp.int32), 0, S - 1)
+            iy = jnp.clip((sq[..., 1] * S).astype(jnp.int32), 0, S - 1)
+            pdf = self.env_pmf[iy * S + ix] * (S * S) * INV_4PI
+            return pdf * sel
+        return INV_4PI * jnp.broadcast_to(sel, d.shape[:-1])
 
     # -- area-light queries at a surface hit --------------------------------
     def le_area(self, light_id, wo, n):

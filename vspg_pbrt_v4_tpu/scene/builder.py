@@ -77,6 +77,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     spot_lights = []
     distant_lights = []
     env_L = None
+    env_img = None
     homog_media = []
     grid_media = []
     named_media = {}
@@ -196,13 +197,21 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 dirv = xf_pts(to) - xf_pts(frm)
                 distant_lights.append((dirv, L))
             elif ltype == "infinite":
-                L = p.get_rgb("L", None)
-                if L is None:
-                    L = p.get_rgb("radiance", np.asarray([1.0, 1, 1]))
-                if p.get_string("filename") is not None:
-                    warn("image infinite light not yet supported; "
-                         "using average radiance", d.loc)
-                env_L = L * scale
+                fname = p.get_string("filename")
+                if fname is not None:
+                    from ..utils.image import read_image
+
+                    img = read_image(fname) * scale
+                    if img.shape[0] != img.shape[1]:
+                        from ..utils.envmap import latlong_to_equal_area
+
+                        img = latlong_to_equal_area(img)
+                    env_img = img
+                else:
+                    L = p.get_rgb("L", None)
+                    if L is None:
+                        L = p.get_rgb("radiance", np.asarray([1.0, 1, 1]))
+                    env_L = L * scale
             else:
                 warn(f"light '{ltype}' unsupported; ignored", d.loc)
 
@@ -400,8 +409,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         distant_dir=[dl[0] for dl in distant_lights] or None,
         distant_L=[dl[1] for dl in distant_lights] or None,
         area_tris=area_tris or None,
-        env_L=env_L, world_radius=max(world_r, 10.0), sampler=lsampler,
-        spots=spot_lights or None,
+        env_L=env_L, env_img=env_img, world_radius=max(world_r, 10.0),
+        sampler=lsampler, spots=spot_lights or None,
     )
     scene = volpath.Scene(geometry, materials, media, lights, tex_bank)
 

@@ -68,6 +68,11 @@ def main(argv=None):
     i = sub.add_parser("info")
     i.add_argument("images", nargs="+")
 
+    me = sub.add_parser("makeequiarea")
+    me.add_argument("image")
+    me.add_argument("--outfile", required=True)
+    me.add_argument("--resolution", type=int, default=None)
+
     args = ap.parse_args(argv)
     metrics = {"MSE": mse, "MAE": mae, "MRSE": mrse}
 
@@ -124,6 +129,14 @@ def main(argv=None):
             write_png(args.outfile, img)
         else:
             write_exr(args.outfile, img.astype(np.float32))
+        return 0
+
+    if args.cmd == "makeequiarea":
+        from ..utils.envmap import latlong_to_equal_area
+
+        out = latlong_to_equal_area(read_image(args.image), args.resolution)
+        write_exr(args.outfile, out)
+        print(f"wrote equal-area {out.shape[0]}x{out.shape[1]} -> {args.outfile}")
         return 0
 
     if args.cmd == "info":

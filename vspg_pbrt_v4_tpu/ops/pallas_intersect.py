@@ -7,6 +7,10 @@ TILE_T-column chunks (also VMEM-resident), evaluates Moller-Trumbore for the
 distances — no HBM round-trips between chunks, unlike the XLA while_loop
 formulation whose per-iteration state spills to HBM.
 
+Memory layout is transposed SoA: rays as (8, R) component rows and triangles
+as (16, T) component rows, so every in-kernel access is a contiguous row
+slice (Mosaic lowers row vectors cleanly; strided column gathers don't).
+
 Interpret-mode execution doubles as the cross-backend correctness test
 against models/shapes.py brute force (SURVEY.md §4's pallas-vs-jnp idiom).
 """
@@ -21,76 +25,89 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_R = 128  # rays per grid step
-TILE_T = 128  # triangle chunk
+TILE_R = 256  # rays per grid step
+TILE_T = 256  # triangle chunk
 
 
-def _kernel(o_ref, d_ref, p0_ref, p1_ref, p2_ref, n_tri_ref, t_ref,
-            idx_ref, b0_ref, b1_ref):
-    o = o_ref[:]  # (TILE_R, 3)
-    d = d_ref[:]
+def _kernel(rays_ref, tris_ref, n_tri_ref, t_ref, idx_ref, b0_ref, b1_ref):
+    # rays: (8, TILE_R) rows [ox oy oz dx dy dz _ _]
+    ox = rays_ref[0, :][:, None]  # (TILE_R, 1)
+    oy = rays_ref[1, :][:, None]
+    oz = rays_ref[2, :][:, None]
+    dx = rays_ref[3, :][:, None]
+    dy = rays_ref[4, :][:, None]
+    dz = rays_ref[5, :][:, None]
     n_tri = n_tri_ref[0]
-    T_pad = p0_ref.shape[0]
+    T_pad = tris_ref.shape[1]
 
-    t_best = jnp.full((TILE_R,), jnp.inf, jnp.float32)
-    idx_best = jnp.full((TILE_R,), -1, jnp.int32)
-    b0_best = jnp.zeros((TILE_R,), jnp.float32)
-    b1_best = jnp.zeros((TILE_R,), jnp.float32)
+    t_best = jnp.full((TILE_R, 1), jnp.inf, jnp.float32)
+    idx_best = jnp.full((TILE_R, 1), -1, jnp.int32)
+    b0_best = jnp.zeros((TILE_R, 1), jnp.float32)
+    b1_best = jnp.zeros((TILE_R, 1), jnp.float32)
 
     def chunk(ci, carry):
         t_best, idx_best, b0_best, b1_best = carry
         base = ci * TILE_T
-        p0 = p0_ref[pl.ds(base, TILE_T), :]  # (TILE_T, 3)
-        p1 = p1_ref[pl.ds(base, TILE_T), :]
-        p2 = p2_ref[pl.ds(base, TILE_T), :]
-        e1 = p1 - p0  # (TILE_T,3)
-        e2 = p2 - p0
+        # tris: (16, T) rows [p0x p0y p0z e1x e1y e1z e2x e2y e2z ...]
+        p0x = tris_ref[0, pl.ds(base, TILE_T)][None, :]  # (1, TILE_T)
+        p0y = tris_ref[1, pl.ds(base, TILE_T)][None, :]
+        p0z = tris_ref[2, pl.ds(base, TILE_T)][None, :]
+        e1x = tris_ref[3, pl.ds(base, TILE_T)][None, :]
+        e1y = tris_ref[4, pl.ds(base, TILE_T)][None, :]
+        e1z = tris_ref[5, pl.ds(base, TILE_T)][None, :]
+        e2x = tris_ref[6, pl.ds(base, TILE_T)][None, :]
+        e2y = tris_ref[7, pl.ds(base, TILE_T)][None, :]
+        e2z = tris_ref[8, pl.ds(base, TILE_T)][None, :]
 
-        def cross_rt(a, b):
-            # a: (R,1,3) x b: (1,T,3) -> (R,T,3) via components
-            ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
-            bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
-            return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
-
-        dR = d[:, None, :]  # (R,1,3)
-        e2T = e2[None, :, :]  # (1,T,3)
-        pvx, pvy, pvz = cross_rt(dR, e2T)  # (R,T)
-        det = e1[None, :, 0] * pvx + e1[None, :, 1] * pvy + e1[None, :, 2] * pvz
+        # pvec = d x e2  -> (TILE_R, TILE_T) per component
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
         inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tv = o[:, None, :] - p0[None, :, :]  # (R,T,3)
-        b1v = (tv[..., 0] * pvx + tv[..., 1] * pvy + tv[..., 2] * pvz) * inv_det
-        qvx, qvy, qvz = cross_rt(tv, jnp.broadcast_to(e1[None, :, :], tv.shape))
-        b2v = (d[:, None, 0] * qvx + d[:, None, 1] * qvy + d[:, None, 2] * qvz) * inv_det
-        tt = (e2[None, :, 0] * qvx + e2[None, :, 1] * qvy + e2[None, :, 2] * qvz) * inv_det
+        tvx = ox - p0x
+        tvy = oy - p0y
+        tvz = oz - p0z
+        b1v = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        # qvec = tvec x e1
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        b2v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
         tri_ids = base + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_T), 1)
         valid = (
             (jnp.abs(det) > 1e-12)
             & (b1v >= 0.0) & (b2v >= 0.0) & (b1v + b2v <= 1.0)
-            & (tt > 1e-5) & (tt < t_best[:, None])
+            & (tt > 1e-5) & (tt < t_best)
             & (tri_ids < n_tri)
         )
         tt = jnp.where(valid, tt, jnp.inf)
-        k = jnp.argmin(tt, axis=1)  # (R,)
-        t_new = jnp.min(tt, axis=1)
+        t_new = jnp.min(tt, axis=1, keepdims=True)
         closer = t_new < t_best
-        take = jnp.take_along_axis
-        idx_new = take(tri_ids, k[:, None], 1)[:, 0]
-        b0_new = 1.0 - take(b1v, k[:, None], 1)[:, 0] - take(b2v, k[:, None], 1)[:, 0]
-        b1_new = take(b1v, k[:, None], 1)[:, 0]
+        # gather-free arg-min: select the minimal column by id (reductions
+        # only — Mosaic has no gather lowering)
+        is_min = valid & (tt == t_new)
+        big = jnp.int32(2**31 - 1)
+        idx_new = jnp.min(jnp.where(is_min, tri_ids, big), axis=1,
+                          keepdims=True)
+        is_sel = is_min & (tri_ids == idx_new)
+        b1_new = jnp.sum(jnp.where(is_sel, b1v, 0.0), axis=1, keepdims=True)
+        b2_new = jnp.sum(jnp.where(is_sel, b2v, 0.0), axis=1, keepdims=True)
         t_best = jnp.where(closer, t_new, t_best)
         idx_best = jnp.where(closer, idx_new, idx_best)
-        b0_best = jnp.where(closer, b0_new, b0_best)
+        b0_best = jnp.where(closer, 1.0 - b1_new - b2_new, b0_best)
         b1_best = jnp.where(closer, b1_new, b1_best)
         return t_best, idx_best, b0_best, b1_best
 
     n_chunks = T_pad // TILE_T
     t_best, idx_best, b0_best, b1_best = jax.lax.fori_loop(
         0, n_chunks, chunk, (t_best, idx_best, b0_best, b1_best))
-    t_ref[:, 0] = t_best
-    idx_ref[:, 0] = idx_best
-    b0_ref[:, 0] = b0_best
-    b1_ref[:, 0] = b1_best
+    t_ref[:] = t_best
+    idx_ref[:] = idx_best
+    b0_ref[:] = b0_best
+    b1_ref[:] = b1_best
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -105,25 +122,24 @@ def intersect_tris_pallas(o, d, p0, p1, p2, interpret=False):
     R_pad = max((R + TILE_R - 1) // TILE_R * TILE_R, TILE_R)
     T_pad = max((T + TILE_T - 1) // TILE_T * TILE_T, TILE_T)
 
-    def padr(x, n):
-        return jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))
-
-    o_p, d_p = padr(o, R_pad), padr(d, R_pad)
-    # pad direction with a safe non-zero axis to avoid 0-division noise
-    d_p = jnp.where(jnp.arange(R_pad)[:, None] < R, d_p,
-                    jnp.asarray([0.0, 0.0, 1.0]))
-    p0_p, p1_p, p2_p = padr(p0, T_pad), padr(p1, T_pad), padr(p2, T_pad)
+    # transposed SoA ray rows (8, R_pad); padded rays get d=(0,0,1)
+    rays = jnp.zeros((8, R_pad), jnp.float32)
+    rays = rays.at[0:3, :R].set(o.T)
+    rays = rays.at[3:6, :R].set(d.T)
+    rays = rays.at[5, R:].set(1.0)
+    # transposed tri rows (16, T_pad): p0, e1, e2
+    tris = jnp.zeros((16, T_pad), jnp.float32)
+    tris = tris.at[0:3, :T].set(p0.T)
+    tris = tris.at[3:6, :T].set((p1 - p0).T)
+    tris = tris.at[6:9, :T].set((p2 - p0).T)
 
     grid = (R_pad // TILE_R,)
     t, idx, b0, b1 = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -139,5 +155,5 @@ def intersect_tris_pallas(o, d, p0, p1, p2, interpret=False):
             jax.ShapeDtypeStruct((R_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(o_p, d_p, p0_p, p1_p, p2_p, jnp.asarray([T], jnp.int32))
+    )(rays, tris, jnp.asarray([T], jnp.int32))
     return t[:R, 0], idx[:R, 0], b0[:R, 0], b1[:R, 0]

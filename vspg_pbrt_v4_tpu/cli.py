@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--display-server", default=None,
                     help="tev host[:port] for live image streaming")
     ap.add_argument("--write-partial-images", action="store_true")
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz path: save per-wave; resume if it exists")
+    ap.add_argument("--store-guiding-cache", default=None)
+    ap.add_argument("--load-guiding-cache", default=None,
+                    help="pre-trained field npz (disables training)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -80,7 +85,7 @@ def main(argv=None):
 
     out = args.outfile or setup.outfile
     progressive = (args.time is not None or args.display_server
-                   or args.write_partial_images)
+                   or args.write_partial_images or args.checkpoint)
     if progressive and name in ("volpath", "path", "simplevolpath"):
         from .utils.display import TevClient
 
@@ -91,19 +96,38 @@ def main(argv=None):
             ny, nx = setup.film.resolution[1], setup.film.resolution[0]
             tev.create_image(out, nx, ny)
 
-        def cb(wave, spp_done, image_fn):
+        resume = None
+        if args.checkpoint:
+            import os as _os
+
+            from .utils.checkpoint import load_render_state, save_render_state
+
+            if _os.path.exists(args.checkpoint):
+                st0, spp0, _ = load_render_state(args.checkpoint)
+                resume = (st0, spp0)
+                if not args.quiet:
+                    print(f"[resume] {spp0} spp from {args.checkpoint}",
+                          file=sys.stderr)
+
+        ck_state = {}
+
+        def cb(wave, spp_done, image_fn, _state=None):
             if tev is not None and tev.connected:
                 tev.update_image(out, image_fn())
             if args.write_partial_images:
                 write_exr(f"{out}.partial.exr", image_fn())
             if ref is not None:
                 mse_log.append((spp_done, mse_np(image_fn(), ref)))
+            ck_state["spp"] = spp_done
 
-        img, spp_done = volpath.render_progressive(
+        img, spp_done, fstate = volpath.render_progressive(
             setup.scene, setup.camera, setup.film, cfg=cfg, seed=args.seed,
             camera_medium=setup.camera_medium, spp_per_pass=spp_per_pass,
             max_spp=setup.spp if args.time is None else 1 << 20,
-            time_budget=args.time, sampler=setup.sampler, wave_callback=cb)
+            time_budget=args.time, sampler=setup.sampler, wave_callback=cb,
+            resume_state=resume)
+        if args.checkpoint:
+            save_render_state(args.checkpoint, fstate, spp_done, args.seed)
         img = np.asarray(img)
         if not args.quiet:
             print(f"[budget] rendered {spp_done} spp", file=sys.stderr)
@@ -161,11 +185,21 @@ def main(argv=None):
             vsp_criterion=ip.get_string("vspcriterion", "variance"),
             guide_rr=ip.get_bool("guidedrr", True),
         )
-        img, _, _ = vspg.render_vspg(setup.scene, setup.camera, setup.film,
-                                     spp=setup.spp, cfg=cfg, gopt=gopt,
-                                     vopt=vopt, seed=args.seed,
-                                     camera_medium=setup.camera_medium,
-                                     spp_per_pass=spp_per_pass)
+        field0, train = None, True
+        if args.load_guiding_cache:
+            from .models.guiding.field import load_field
+
+            field0, train = load_field(args.load_guiding_cache), False
+        img, field, _ = vspg.render_vspg(setup.scene, setup.camera, setup.film,
+                                         spp=setup.spp, cfg=cfg, gopt=gopt,
+                                         vopt=vopt, seed=args.seed,
+                                         camera_medium=setup.camera_medium,
+                                         spp_per_pass=spp_per_pass,
+                                         field=field0, train=train)
+        if args.store_guiding_cache:
+            from .models.guiding.field import save_field
+
+            save_field(field, args.store_guiding_cache)
         img = np.asarray(img)
     else:
         print(f"integrator '{name}' not supported; falling back to volpath",

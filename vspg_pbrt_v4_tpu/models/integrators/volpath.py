@@ -680,18 +680,24 @@ def render_pass(scene, camera, film, film_state, cfg, seed, wave_idx,
 def render_progressive(scene, camera, film, cfg=VolPathConfig(), seed=0,
                        camera_medium=-1, spp_per_pass=4, max_spp=1 << 16,
                        time_budget=None, sampler="independent",
-                       wave_callback=None):
+                       wave_callback=None, resume_state=None):
     """Progressive wave loop with a render-time budget (--time semantics,
-    options.h:46): returns (image, spp_rendered). wave_callback(wave_idx,
-    spp_done, image_fn) runs between waves (display/partial writes/MSE)."""
+    options.h:46): returns (image, spp_rendered, film_state).
+    wave_callback(wave_idx, spp_done, image_fn) runs between waves
+    (display/partial writes/MSE). resume_state: (FilmState, spp_done) from
+    utils.checkpoint to continue an interrupted render."""
     import time as _time
 
     import jax as _jax
 
     t0 = _time.perf_counter()
-    state = film.init_state()
-    spp_done = 0
-    wave = 0
+    if resume_state is not None:
+        state, spp_done = resume_state
+        wave = spp_done // spp_per_pass
+    else:
+        state = film.init_state()
+        spp_done = 0
+        wave = 0
     while spp_done < max_spp:
         state, _ = render_pass(scene, camera, film, state, cfg,
                                jnp.uint32(seed), jnp.int32(wave),
@@ -705,7 +711,7 @@ def render_progressive(scene, camera, film, cfg=VolPathConfig(), seed=0,
             _jax.device_get(state.weight_sum[0])  # sync before timing check
             if _time.perf_counter() - t0 > time_budget:
                 break
-    return film.image(state), spp_done
+    return film.image(state), spp_done, state
 
 
 def render(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(), seed=0,

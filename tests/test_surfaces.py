@@ -315,3 +315,25 @@ def test_image_env_light_furnace_and_direction():
     assert np.isfinite(img2).all()
     # the floor is lit from straight above: visible brightness
     assert img2[12:18, 8:16].mean() > 0.02, img2.mean()
+
+
+def test_disk_shape():
+    """Disk: hit within radius, miss outside, annulus hole respected."""
+    from vspg_pbrt_v4_tpu.models.media import Media
+
+    geom = Geometry.build(disks=[dict(c=(0, 0, 0), n=(0, 0, -1), r=1.0,
+                                      ri=0.3, mat=0, light=-1, med_in=-1,
+                                      med_out=-1)])
+    mats = Materials.build([dict(type=DIFFUSE, albedo=(0.9, 0.1, 0.1))])
+    lights = Lights.make(env_L=[1.0] * 3, world_radius=100.0)
+    scene = volpath.Scene(geom, mats, Media.make(), lights)
+    from vspg_pbrt_v4_tpu.models.integrators import extras
+
+    alb, nrm, depth, pid = [np.asarray(x) for x in extras.render_gbuffer(
+        scene, _camera(48), RGBFilm.make((48, 48)))]
+    # center pixel looks through the annulus hole -> miss
+    assert pid[24, 24] == -1
+    # mid-radius hits the disk
+    hits = pid >= 0
+    assert hits.sum() > 100
+    assert np.allclose(alb[hits][0], [0.9, 0.1, 0.1], atol=1e-5)

@@ -201,6 +201,25 @@ def render_simplepath(scene, camera, film, spp=16, seed=0, spp_per_pass=4,
 
 
 @jax.jit
+def render_guiding_gbuffer(scene, camera, film, field):
+    """Guiding-cache-id visualization (GuidedGBufferFilm, film.h:413 +
+    film.cpp:955-972: id -> color hash at the first hit/scatter cell)."""
+    from ...utils import rng as _rng
+
+    R = film.npix
+    pixel_id = jnp.arange(R, dtype=jnp.int32)
+    s, _ = vp.start_camera_paths(camera, film, jnp.uint32(0), jnp.uint32(0),
+                                 pixel_id, -1)
+    h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
+    cid = field.cell_id(h.p)
+    u = _rng.uniform3(jnp.uint32(0xC0FFEE), cid.astype(jnp.uint32),
+                      jnp.uint32(1), jnp.uint32(2))
+    rgb = jnp.where(h.hit[..., None], u, 0.0)
+    nx, ny = film.resolution
+    return rgb.reshape(ny, nx, 3), cid.reshape(ny, nx)
+
+
+@jax.jit
 def render_gbuffer(scene, camera, film):
     """First-hit AOVs: (albedo, normal, depth, prim_id) images
     (GBufferFilm analog)."""

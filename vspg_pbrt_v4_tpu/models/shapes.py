@@ -61,12 +61,22 @@ class Geometry(NamedTuple):
     box_light: jnp.ndarray
     box_med_in: jnp.ndarray
     box_med_out: jnp.ndarray
+    # disks (shapes.h Disk:404 - world-space center/normal/radii)
+    dsk_c: jnp.ndarray  # (D,3)
+    dsk_n: jnp.ndarray  # (D,3) unit normal
+    dsk_r: jnp.ndarray  # (D,)
+    dsk_ri: jnp.ndarray  # (D,) inner radius
+    dsk_mat: jnp.ndarray
+    dsk_light: jnp.ndarray
+    dsk_med_in: jnp.ndarray
+    dsk_med_out: jnp.ndarray
     tri_bvh: object = None  # ops.bvh.BVH over triangles (None = brute force)
 
     @staticmethod
-    def build(triangles=(), spheres=(), boxes=(), use_bvh="auto"):
+    def build(triangles=(), spheres=(), boxes=(), disks=(), use_bvh="auto"):
         """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
-        spheres: {c,r,mat,light,med_in,med_out}; boxes: {bmin,bmax,...}."""
+        spheres: {c,r,...}; boxes: {bmin,bmax,...};
+        disks: {c,n,r,[ri],...}."""
 
         def stack(items, key, default, shape):
             if not items:
@@ -99,6 +109,7 @@ class Geometry(NamedTuple):
             tri_n0 = tri_n1 = tri_n2 = jnp.asarray(ng, jnp.float32)
         s = list(spheres)
         b = list(boxes)
+        dk = list(disks)
         tri_bvh = None
         n_tri = tri_p0.shape[0]
         if use_bvh is True or (use_bvh == "auto" and n_tri > 64):
@@ -128,6 +139,14 @@ class Geometry(NamedTuple):
             stack(b, "bmax", (0, 0, 0), (3,)),
             stack_i(b, "mat"), stack_i(b, "light"),
             stack_i(b, "med_in"), stack_i(b, "med_out"),
+            stack(dk, "c", (0, 0, 0), (3,)),
+            stack(dk, "n", (0, 0, 1), (3,)),
+            (jnp.asarray([float(x["r"]) for x in dk], jnp.float32)
+             if dk else jnp.zeros((0,), jnp.float32)),
+            (jnp.asarray([float(x.get("ri", 0.0)) for x in dk], jnp.float32)
+             if dk else jnp.zeros((0,), jnp.float32)),
+            stack_i(dk, "mat"), stack_i(dk, "light"),
+            stack_i(dk, "med_in"), stack_i(dk, "med_out"),
             tri_bvh,
         )
 
@@ -142,6 +161,10 @@ class Geometry(NamedTuple):
     @property
     def n_box(self):
         return self.box_min.shape[0]
+
+    @property
+    def n_dsk(self):
+        return self.dsk_c.shape[0]
 
     # -- closest hit ---------------------------------------------------------
     def intersect(self, o, d, t_max):
@@ -234,6 +257,29 @@ class Geometry(NamedTuple):
                 self.sph_mat[k], self.sph_light[k],
                 self.sph_med_in[k], self.sph_med_out[k],
                 (self.n_tri + k).astype(jnp.int32),
+            )
+
+        # disks: plane hit within [inner, outer] radius (shapes.h Disk:404)
+        if self.n_dsk > 0:
+            n_d = self.dsk_n  # (D,3)
+            denom = jnp.sum(d[..., None, :] * n_d, -1)  # (R,D)
+            t_all = jnp.sum((self.dsk_c - o[..., None, :]) * n_d, -1) / jnp.where(
+                jnp.abs(denom) < 1e-9, 1e-9, denom)
+            p_all = o[..., None, :] + t_all[..., None] * d[..., None, :]
+            r2 = jnp.sum((p_all - self.dsk_c) ** 2, -1)
+            ok = ((jnp.abs(denom) > 1e-9) & (t_all > 1e-4)
+                  & (r2 <= self.dsk_r**2) & (r2 >= self.dsk_ri**2))
+            t_all = jnp.where(ok, t_all, inf)
+            k = jnp.argmin(t_all, axis=-1)
+            t_k = jnp.take_along_axis(t_all, k[..., None], -1)[..., 0]
+            closer = jnp.isfinite(t_k) & (t_k < best.t)
+            p_k = o + t_k[..., None] * d
+            n_k = self.dsk_n[k]
+            best = upd(
+                best, closer, t_k, p_k, n_k, n_k, jnp.zeros(R + (2,)),
+                self.dsk_mat[k], self.dsk_light[k],
+                self.dsk_med_in[k], self.dsk_med_out[k],
+                (self.n_tri + self.n_sph + self.n_box + k).astype(jnp.int32),
             )
 
         # boxes (face crossings; nearest of t_near/t_far ahead of origin)
@@ -348,4 +394,15 @@ class Geometry(NamedTuple):
             # only face crossings strictly inside (0,t_max) occlude
             crossing = hb & ((t0 > 1e-4) | (t1 < t_max[..., None] - 1e-4))
             occluded |= jnp.any(crossing & (self.box_mat >= 0), axis=-1)
+        if self.n_dsk > 0:
+            n_d = self.dsk_n
+            denom = jnp.sum(d[..., None, :] * n_d, -1)
+            t_all = jnp.sum((self.dsk_c - o[..., None, :]) * n_d, -1) / jnp.where(
+                jnp.abs(denom) < 1e-9, 1e-9, denom)
+            p_all = o[..., None, :] + t_all[..., None] * d[..., None, :]
+            r2 = jnp.sum((p_all - self.dsk_c) ** 2, -1)
+            ok = ((jnp.abs(denom) > 1e-9) & (t_all > 1e-4)
+                  & (t_all < t_max[..., None]) & (r2 <= self.dsk_r**2)
+                  & (r2 >= self.dsk_ri**2))
+            occluded |= jnp.any(ok & (self.dsk_mat >= 0), axis=-1)
         return occluded

@@ -70,6 +70,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     tris = []
     spheres = []
     boxes = []
+    disks = []
     mats = [dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))]  # default material
     named_mats = {}
     area_tris = []
@@ -299,6 +300,17 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                         trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
                     tris.append(trid)
                     light_id = -1
+            elif stype == "disk":
+                h = p.get_float("height", 0.0)
+                c = xf_pts(np.asarray([0.0, 0.0, h]))
+                nrm = xf_nrm(np.asarray([[0.0, 0.0, 1.0]]))[0]
+                disks.append(dict(c=c, n=nrm, r=p.get_float("radius", 1.0),
+                                  ri=p.get_float("innerradius", 0.0),
+                                  mat=mat_id, light=-1,
+                                  med_in=st.medium_in, med_out=st.medium_out))
+                if has_light:
+                    warn("disk area light not supported for NEE; use "
+                         "trianglemesh emitters", d.loc)
             elif stype == "plymesh":
                 from ..native import load_ply
 
@@ -381,12 +393,13 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             return n_h + (mid - 10_000)
         return mid
 
-    for lst in (tris, spheres, boxes):
+    for lst in (tris, spheres, boxes, disks):
         for it in lst:
             it["med_in"] = remap(it["med_in"])
             it["med_out"] = remap(it["med_out"])
 
-    geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes)
+    geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes,
+                              disks=disks)
     materials = Materials.build(mats)
     tex_bank = Textures.build(textures, tex_images) if textures else None
     media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media))

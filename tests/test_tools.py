@@ -119,3 +119,48 @@ def test_gaussian_filter_render_unbiased():
     img = np.asarray(volpath.render(scene, cam, film, spp=64, seed=2,
                                     spp_per_pass=8))
     assert abs(img.mean() - 0.5) < 0.01, img.mean()
+
+
+def test_pspec_low_discrepancy_suppresses_low_freq():
+    """Sobol's power spectrum has lower low-frequency energy than
+    independent sampling (the pspec tool's core claim)."""
+    from vspg_pbrt_v4_tpu.tools.pspec import power_spectrum
+
+    res = 64
+    ind = power_spectrum("independent", spp=128, res=res, n_sets=24)
+    sob = power_spectrum("paddedsobol", spp=128, res=res, n_sets=24)
+    c = res // 2
+    yy, xx = np.mgrid[0:res, 0:res]
+    rr = np.sqrt((yy - c) ** 2 + (xx - c) ** 2)
+    low = (rr > 0) & (rr < 6)
+    assert sob[low].mean() < 0.5 * ind[low].mean(), (
+        sob[low].mean(), ind[low].mean())
+
+
+def test_guiding_gbuffer_cells():
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
+    from vspg_pbrt_v4_tpu.models.film import RGBFilm
+    from vspg_pbrt_v4_tpu.models.guiding.field import GuidingField
+    from vspg_pbrt_v4_tpu.models.integrators import extras, volpath
+    from vspg_pbrt_v4_tpu.models.lights import Lights
+    from vspg_pbrt_v4_tpu.models.materials import DIFFUSE, Materials
+    from vspg_pbrt_v4_tpu.models.media import Media
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+    from vspg_pbrt_v4_tpu.utils import transform as tr
+
+    geom = Geometry.build(spheres=[dict(c=(0, 0, 0), r=1.0, mat=0, light=-1,
+                                        med_in=-1, med_out=-1)])
+    scene = volpath.Scene(geom, Materials.build([dict(type=DIFFUSE)]),
+                          Media.make(), Lights.make(env_L=[1.0] * 3,
+                                                    world_radius=10.0))
+    field = GuidingField.make((-1, -1, -1), (1, 1, 1), res=4)
+    cam = PerspectiveCamera.make(
+        tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)), 30.0, (32, 32))
+    rgb, cid = [np.asarray(x) for x in extras.render_guiding_gbuffer(
+        scene, cam, RGBFilm.make((32, 32)), field)]
+    # sphere hits produce several distinct cells; sky is black
+    hit_cells = np.unique(cid[rgb.sum(-1) > 0])
+    assert len(hit_cells) >= 3
+    assert (rgb[0, 0] == 0).all()

@@ -17,3 +17,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Long single-process runs accumulate ~100 compiled executables; on this
+    container that ends in a segfault (observed at ~97% of the full suite).
+    Dropping caches between modules keeps memory bounded."""
+    yield
+    jax.clear_caches()

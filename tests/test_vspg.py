@@ -138,3 +138,52 @@ def test_isgb_estimates_sane():
     assert (v[defined] <= 1.0 + 1e-5).all()
     # dense scattering fog fills the frame center: its VSP must be high
     assert v[10:14, 10:14].mean() > 0.5, v[10:14, 10:14].mean()
+
+
+def test_vspg_nds_heterogeneous_furnace():
+    """NDS optical-depth-space sampling keeps the cloud furnace exact: any
+    error in the truncated-exp warp / tpScaleFactor / r_u_factor algebra
+    (media_sampleTMaj.h:251-491) leaks energy immediately."""
+    n = 16
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    dens = np.clip(1.0 - np.sqrt(X**2 + Y**2 + Z**2), 0, 1).astype(np.float32) * 3.0
+    L0 = 0.7
+    scene = _grid_scene(dens, [0, 0, 0], [2.0, 2.0, 2.0], g=0.3,
+                        env_L=[L0] * 3)
+    img, field, isgb = vspg.render_vspg(
+        scene, _camera(24), RGBFilm.make((24, 24)), spp=48,
+        cfg=volpath.VolPathConfig(max_depth=24),
+        gopt=gvp.GuidingOptions(field_res=8, record_depth=6,
+                                min_train_weight=16.0),
+        vopt=vspg.VSPGOptions(sampling_method="nds"),
+        seed=7, spp_per_pass=4)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - L0) < 0.04 * L0, img.mean()
+
+
+def test_vspg_nds_plus_matches_unguided():
+    """NDS+ (TrBuffer-biased collision probabilities with r_u compensation,
+    guidedvolpathvspgintegrator.cpp:929-938,975-976,1073-1074) stays
+    unbiased vs plain volpath on an absorbing+scattering cloud."""
+    n = 16
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    dens = np.clip(1.0 - np.sqrt(X**2 + Y**2 + Z**2), 0, 1).astype(np.float32) * 4.0
+    scene = _grid_scene(dens, [0.1] * 3, [2.0] * 3, g=0.2,
+                        env_L=[0.6] * 3)
+    cam = _camera(24)
+    film = RGBFilm.make((24, 24))
+    ref = np.asarray(volpath.render(scene, cam, film, spp=128, seed=21,
+                                    spp_per_pass=8))
+    img, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=128,
+        gopt=gvp.GuidingOptions(field_res=8, record_depth=6,
+                                min_train_weight=16.0),
+        vopt=vspg.VSPGOptions(sampling_method="nds+"),
+        seed=22, spp_per_pass=8)
+    img = np.asarray(img)
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert np.isfinite(img).all()
+    assert rel < 0.04, (img.mean(), ref.mean())

@@ -180,7 +180,14 @@ def main(argv=None):
             guide_vsp=ip.get_bool("vspguiding", True),
             guide_primary_vsp=ip.get_bool("vspprimaryguiding", True),
             guide_secondary_vsp=ip.get_bool("vspsecondaryguiding", True),
-            sampling_method=ip.get_string("vspsamplingmethod", "resampling"),
+            # reference scheme: "nds" + bool collisionProbabilityBias = NDS+
+            # (guidedvolpathvspgintegrator.cpp:1293-1300)
+            sampling_method=(
+                "nds+"
+                if (ip.get_string("vspsamplingmethod", "resampling").lower()
+                    == "nds"
+                    and ip.get_bool("collisionProbabilityBias", False))
+                else ip.get_string("vspsamplingmethod", "resampling").lower()),
             vsp_mis_ratio=ip.get_float("vspmisratio", 0.5),
             vsp_criterion=ip.get_string("vspcriterion", "variance"),
             guide_rr=ip.get_bool("guidedrr", True),

@@ -19,9 +19,19 @@ Scatter-vs-surface decision guiding ("VSP guiding"):
     media_sampleTMaj.h:270-491 with its closed single-segment form): warp
     the optical-depth CDF so P(scatter inside) = vsp, with probability
     vspMISRatio, else plain exponential sampling; the pdf change enters the
-    rescaled algebra through r_u_factor = mis/tpScale + (1-mis).
-  (The NDS/NDS+ optical-depth-space variants are follow-up work; the
-  `sampling_method` option reserves their names.)
+    rescaled algebra through r_u_factor = mis/tpScale + (1-mis);
+  * NDS / NDS+ (heterogeneous media, sampling_method="nds"/"nds+";
+    media_sampleTMaj.h:251-491): treat the whole ray as one interval in
+    hero-channel optical-depth space (total depth t_v from a majorant
+    pre-pass), extend it to t_n = -log(1 - (1-e^-t_v)/vsp) and draw
+    tentative collisions from the truncated exponential on [0, t_n) so
+    P(any real-or-null chain scattering inside) tracks the target VSP;
+    each truncation renormalization accumulates into tpScaleFactor and
+    enters r_u via r_u_factor = mis/tpScale + (1-mis). NDS+ additionally
+    biases the real-collision probability on primary rays to
+    pScatter^(1/(1+TrEst)) using the previous-wave transmittance buffer
+    (guidedvolpathvspgintegrator.cpp:929-938) with exact r_u compensation
+    (:975-976, :1073-1074).
 - this integrator uses the fork's absorption-free formulation (the
   non-VOLUME_ABSORB branch, :925-980): real collisions always scatter with
   the single-scattering albedo folded into beta;
@@ -71,7 +81,7 @@ class VSPGOptions(NamedTuple):
     guide_vsp: bool = True
     guide_primary_vsp: bool = True
     guide_secondary_vsp: bool = True
-    sampling_method: str = "resampling"  # "resampling" | "nds" (later)
+    sampling_method: str = "resampling"  # "resampling" | "nds" | "nds+"
     vsp_mis_ratio: float = 0.5
     vsp_criterion: str = "variance"  # "variance" | "contribution"
     guide_rr: bool = True
@@ -90,6 +100,7 @@ class VState(NamedTuple):
     first_albedo: jnp.ndarray  # (R,3)
     first_normal: jnp.ndarray  # (R,3)
     tr_est: jnp.ndarray  # (R,3) primary ratio-tracking transmittance
+    tr_prev: jnp.ndarray  # (R,3) previous-wave TrBuffer estimate (NDS+ input)
 
 
 class DistanceResult(NamedTuple):
@@ -140,12 +151,14 @@ def lookup_vsp(vopt: VSPGOptions, field: GuidingField, isgb: ISGB, s,
 
 
 def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
-                         sampler, beta, r_u, r_l, L, guide, vsp, active):
+                         sampler, beta, r_u, r_l, L, guide, vsp, active,
+                         tr_prev=None, depth=None):
     """The paper's SampleDistance (guidedvolpathvspgintegrator.cpp:650-1100),
-    vectorized over three lane classes:
+    vectorized over the lane classes:
       homogeneous (closed form, optionally VSP-warped),
       heterogeneous delta tracking (unguided lanes),
-      heterogeneous resampling (guided lanes).
+      heterogeneous resampling (guided lanes, sampling_method="resampling"),
+      heterogeneous NDS/NDS+ (guided lanes, sampling_method="nds"/"nds+").
     Absorption-free formulation: real events always scatter, albedo in beta.
     """
     media = scene.media
@@ -221,9 +234,32 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
     # analytic value for the Tr buffer instead
     tr_est = _m(is_h, T_pass, tr_est)
 
-    # ======== heterogeneous delta lanes (unguided) ==========================
+    # ======== heterogeneous NDS / NDS+ lanes (guided) ========================
     het = active & ~is_h & (medium_id >= 0)
-    het_delta = het & ~(guide & (vopt.sampling_method == "resampling"))
+    use_nds = vopt.sampling_method in ("nds", "nds+") and vopt.vsp_mis_ratio > 0
+    nds_fallback = jnp.zeros_like(het)
+    if use_nds:
+        het_ods = het & guide
+        if tr_prev is None:
+            tr_prev = jnp.ones_like(beta)
+        if depth is None:
+            depth = jnp.zeros_like(medium_id)
+        ores = _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id,
+                                  hero_idx, sampler, beta, r_u, r_l, vsp,
+                                  tr_prev, depth, het_ods)
+        (sampler, beta, r_u, r_l, o_scat, o_term, o_t, o_g, o_alb, o_tr,
+         nds_fallback) = ores
+        scattered = scattered | o_scat
+        terminated = terminated | o_term
+        t_scatter = jnp.where(o_scat, o_t, t_scatter)
+        g_scatter = jnp.where(o_scat, o_g, g_scatter)
+        albedo_sc = _m(o_scat, o_alb, albedo_sc)
+        tr_est = _m(het_ods & ~nds_fallback, o_tr, tr_est)
+
+    # ======== heterogeneous delta lanes (unguided + NDS fallback) ===========
+    guided_route = guide & (vopt.sampling_method == "resampling") if not use_nds \
+        else (guide & ~nds_fallback)
+    het_delta = het & ~guided_route
     dres = _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
                                 sampler, beta, r_u, r_l, het_delta)
     (sampler, beta, r_u, r_l, d_scat, d_term, d_t, d_g, d_alb) = dres
@@ -234,20 +270,214 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
     albedo_sc = _m(d_scat, d_alb, albedo_sc)
 
     # ======== heterogeneous resampling lanes (guided) =======================
-    het_rs = het & guide & (vopt.sampling_method == "resampling")
-    rres = _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end,
-                                     medium_id, hero_idx, sampler, beta, r_u,
-                                     vsp, het_rs)
-    (sampler, beta, r_u, rs_scat, rs_term, rs_t, rs_g, rs_alb, rs_tr) = rres
-    scattered = scattered | rs_scat
-    terminated = terminated | rs_term
-    t_scatter = jnp.where(rs_scat, rs_t, t_scatter)
-    g_scatter = jnp.where(rs_scat, rs_g, g_scatter)
-    albedo_sc = _m(rs_scat, rs_alb, albedo_sc)
-    tr_est = _m(het_rs, rs_tr, tr_est)
+    if vopt.sampling_method == "resampling":
+        het_rs = het & guide
+        rres = _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end,
+                                         medium_id, hero_idx, sampler, beta,
+                                         r_u, r_l, vsp, het_rs)
+        (sampler, beta, r_u, r_l, rs_scat, rs_term, rs_t, rs_g, rs_alb,
+         rs_tr) = rres
+        scattered = scattered | rs_scat
+        terminated = terminated | rs_term
+        t_scatter = jnp.where(rs_scat, rs_t, t_scatter)
+        g_scatter = jnp.where(rs_scat, rs_g, g_scatter)
+        albedo_sc = _m(rs_scat, rs_alb, albedo_sc)
+        tr_est = _m(het_rs, rs_tr, tr_est)
 
     return DistanceResult(sampler, beta, r_u, r_l, L, scattered, terminated,
                           t_scatter, g_scatter, albedo_sc, tr_est)
+
+
+def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
+                       sampler, beta, r_u, r_l, vsp, tr_prev, depth, active):
+    """NDS / NDS+ optical-depth-space distance sampling
+    (media_sampleTMaj.h:251-491; called from the delta-tracking routine of
+    guidedvolpathvspgintegrator.cpp:878-1094).
+
+    The whole ray is treated as one interval of hero-channel optical depth
+    t_v (majorant pre-pass). NDS extends it to t_n = -log(1-(1-e^-t_v)/vsp)
+    and draws tentative collisions from the truncated exponential on
+    [0, t_n); the truncation renormalizations accumulate into tpScaleFactor
+    so the one-sample-MIS weight vs plain delta tracking is
+    r_u_factor = mis/tpScale + (1-mis) (media_sampleTMaj.h:389,435,461).
+    With probability (1 - vspMISRatio) a lane uses plain exponential
+    candidates instead (the defensive MIS mixture, :339-345).
+
+    NDS+ (sampling_method="nds+") additionally raises the real-collision
+    probability on primary rays to pScatter^(1/(1+TrEst)) using the
+    previous-wave transmittance buffer, with exact r_u compensation
+    (guidedvolpathvspgintegrator.cpp:929-938,975-976,1073-1074).
+
+    Lanes whose target vsp is below the medium's delta-tracking scatter
+    probability 1-e^-t_v cannot be served by NDS (:326-327) and are
+    returned in `fallback` for the plain delta-tracking route.
+    """
+    media = scene.media
+    mis = float(vopt.vsp_mis_ratio)
+    eps = 1e-5
+
+    # --- pre-pass: total hero-channel majorant optical depth ---------------
+    it = seg_init(media, medium_id, o, d, seg_end, active)
+    t_v = jnp.zeros_like(seg_end)
+
+    def pre_cond(c):
+        it, _, n = c
+        return jnp.any(~it.done) & (n < cfg.max_collisions)
+
+    def pre_body(c):
+        it, tv, n = c
+        maj_h = hero(it.sigma_maj, hero_idx)
+        live = ~it.done
+        tv = tv + jnp.where(
+            live, maj_h * jnp.clip(it.t_seg_end - it.t_seg_start, 0.0, 3e37),
+            0.0)
+        return seg_next(media, medium_id, it, live), tv, n + 1
+
+    _, t_v, _ = jax.lax.while_loop(pre_cond, pre_body, (it, t_v, jnp.int32(0)))
+
+    one_m_e = -jnp.expm1(-t_v)
+    # NDS cannot *decrease* the scatter probability below delta tracking's
+    fallback = active & (vsp < one_m_e)
+    act = active & ~fallback & (t_v > 0)
+    t_n = -jnp.log1p(-jnp.minimum(one_m_e / jnp.maximum(vsp, 1e-4),
+                                  1.0 - 1e-7))
+    if vopt.sampling_method == "nds+":
+        nds_plus = act & (depth == 0)
+    else:
+        nds_plus = jnp.zeros_like(act)
+    inv_gamma = jnp.where(
+        nds_plus, 1.0 / (1.0 + jnp.clip(hero(tr_prev, hero_idx), 0.0, 1.0)),
+        1.0)
+
+    # --- defensive-MIS technique selection ----------------------------------
+    sampler, u0 = sampler.get_1d()
+    dt_lane = u0 > mis
+    u0 = jnp.where(dt_lane, (u0 - mis) / max(1.0 - mis, 1e-6),
+                   u0 / max(mis, 1e-6))
+    u0 = jnp.clip(u0, 0.0, 1.0 - 1e-7)
+
+    # --- main walk in optical-depth space ------------------------------------
+    it0 = seg_init(media, medium_id, o, d, seg_end, act)
+    z = jnp.zeros_like(seg_end)
+    ones3 = jnp.ones_like(beta)
+    T_maj = ones3
+    tp = ones3
+    tr_ratio = ones3
+    f0 = act & (seg_end < 0)  # all-False
+    carry = (sampler, it0, it0.t_seg_start, T_maj, tp, t_v, t_n, z - 1.0, u0,
+             beta, r_u, r_l, tr_ratio, f0, f0, f0, act & ~it0.done,
+             z, z, jnp.zeros_like(beta), jnp.int32(0))
+
+    def cond(c):
+        return jnp.any(c[16]) & (c[20] < cfg.max_collisions)
+
+    def body(c):
+        (sampler, it, t_min, T_maj, tp, t_v_cur, t_n_cur, rem, u_cur, beta,
+         r_u, r_l, tr_ratio, scattered, terminated, passed, live, t_sc, g_sc,
+         alb, n) = c
+        sigma_maj = it.sigma_maj
+        maj_h = hero(sigma_maj, hero_idx)
+        norm_maj = sigma_maj / jnp.maximum(maj_h, 1e-30)[..., None]
+
+        # -- draw a candidate (truncated exp / plain exp) where needed ------
+        need = live & (rem < 0) & ~passed & (maj_h > 0)
+        step_scale = -jnp.expm1(-jnp.maximum(t_n_cur, 0.0)[..., None] * norm_maj)
+        step_h = hero(step_scale, hero_idx)
+        dist = jnp.where(dt_lane, -jnp.log1p(-u_cur),
+                         -jnp.log1p(-u_cur * jnp.clip(step_h, 0.0, 1.0 - 1e-7)))
+        tp = _m(need, tp * jnp.maximum(step_scale, 1e-30), tp)
+        pass_now = need & ((t_v_cur - dist < eps) | (dist <= 0))
+        tail = -jnp.expm1(-jnp.maximum(t_n - t_v, 0.0))
+        tp = _m(pass_now, tp / jnp.maximum(tail, 1e-30)[..., None], tp)
+        passed = passed | pass_now
+        rem = jnp.where(need & ~pass_now, dist, rem)
+
+        # -- consume the current segment or land inside it -------------------
+        dt_end = jnp.clip(it.t_seg_end - t_min, 0.0, 3e37)
+        seg_tau = dt_end * maj_h
+        consume = live & (passed | (rem > seg_tau + eps) | (maj_h <= 0))
+        T_maj = _m(consume, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj),
+                   T_maj)
+        t_v_cur = jnp.where(consume, t_v_cur - seg_tau, t_v_cur)
+        t_n_cur = jnp.where(consume, t_n_cur - seg_tau, t_n_cur)
+        rem = jnp.where(consume & ~passed, rem - seg_tau, rem)
+        it = seg_next(media, medium_id, it, consume)
+        t_min = jnp.where(consume, it.t_seg_start, t_min)
+        live = live & ~(consume & it.done)
+
+        # -- tentative collision ---------------------------------------------
+        arrive = live & ~consume & ~passed & (rem >= 0)
+        t = t_min + rem / jnp.maximum(maj_h, 1e-30)
+        T_maj = _m(arrive, T_maj * jnp.exp(-rem[..., None] * norm_maj), T_maj)
+        t_v_cur = jnp.where(arrive, t_v_cur - rem, t_v_cur)
+        t_n_cur = jnp.where(arrive, t_n_cur - rem, t_n_cur)
+        rem = jnp.where(arrive, -1.0, rem)
+        t_min = jnp.where(arrive, t, t_min)
+        sampler, u_next = sampler.get_1d()
+        u_cur = jnp.where(arrive, u_next, u_cur)
+
+        p = o + t[..., None] * d
+        mp = media.sample_point(medium_id, p)
+        sigma_t = mp.sigma_a + mp.sigma_s
+        st_h = hero(sigma_t, hero_idx)
+        p_scat = st_h / jnp.maximum(maj_h, 1e-30)
+        p_scat_b = jnp.where(nds_plus,
+                             jnp.clip(p_scat, 1e-30, 1.0) ** inv_gamma, p_scat)
+        sampler, um = sampler.get_1d()
+        is_real = arrive & (um < p_scat_b)
+        is_null = arrive & ~is_real
+
+        T_maj_h = hero(T_maj, hero_idx)
+        r_u_factor = mis / jnp.maximum(tp, 1e-30) + (1.0 - mis)
+        pdf_r = jnp.maximum(T_maj_h * st_h, 1e-30)
+        beta = _m(is_real, beta * T_maj * mp.sigma_s / pdf_r[..., None], beta)
+        ru_r = r_u * T_maj * sigma_t / pdf_r[..., None] * r_u_factor
+        comp_r = sigma_maj * p_scat_b[..., None] / jnp.maximum(sigma_t, 1e-30)
+        ru_r = jnp.where((is_real & nds_plus)[..., None], ru_r * comp_r, ru_r)
+        r_u = _m(is_real, ru_r, r_u)
+        scattered = scattered | is_real
+        t_sc = jnp.where(is_real, t, t_sc)
+        g_sc = jnp.where(is_real, mp.g, g_sc)
+        alb = _m(is_real, mp.sigma_s / jnp.maximum(sigma_t, 1e-30), alb)
+        live = live & ~is_real
+
+        sigma_n = jnp.maximum(sigma_maj - sigma_t, 0.0)
+        sn_h = hero(sigma_n, hero_idx)
+        pdf_n = T_maj_h * sn_h
+        inv_pdf = 1.0 / jnp.maximum(pdf_n, 1e-30)
+        beta = _m(is_null, beta * T_maj * sigma_n * inv_pdf[..., None], beta)
+        beta = _m(is_null & (pdf_n == 0), jnp.zeros_like(beta), beta)
+        ru_n = r_u * T_maj * sigma_n * inv_pdf[..., None]
+        comp_n = (sigma_maj * (1.0 - p_scat_b)[..., None]
+                  / jnp.maximum(sigma_n, 1e-30))
+        ru_n = jnp.where((is_null & nds_plus)[..., None], ru_n * comp_n, ru_n)
+        r_u = _m(is_null, ru_n, r_u)
+        r_l = _m(is_null, r_l * T_maj * sigma_maj * inv_pdf[..., None], r_l)
+        tr_ratio = _m(is_null,
+                      tr_ratio * sigma_n / jnp.maximum(sigma_maj, 1e-30),
+                      tr_ratio)
+        died = is_null & ((jnp.max(beta, -1) == 0) | (jnp.max(r_u, -1) == 0))
+        terminated = terminated | died
+        live = live & ~died
+        T_maj = _m(is_null & ~died, jnp.ones_like(T_maj), T_maj)
+        return (sampler, it, t_min, T_maj, tp, t_v_cur, t_n_cur, rem, u_cur,
+                beta, r_u, r_l, tr_ratio, scattered, terminated, passed, live,
+                t_sc, g_sc, alb, n + 1)
+
+    (sampler, _, _, T_maj, tp, _, _, _, _, beta, r_u, r_l, tr_ratio,
+     scattered, terminated, passed, _, t_sc, g_sc, alb,
+     _) = jax.lax.while_loop(cond, body, carry)
+
+    # pass-through / ran-out finish (integrator :1080-1091)
+    ran_out = act & ~scattered & ~terminated
+    T_maj_h = jnp.maximum(hero(T_maj, hero_idx), 1e-30)
+    scale = T_maj / T_maj_h[..., None]
+    r_u_factor_end = mis / jnp.maximum(tp, 1e-30) + (1.0 - mis)
+    beta = _m(ran_out, beta * scale, beta)
+    r_u = _m(ran_out, r_u * scale * r_u_factor_end, r_u)
+    r_l = _m(ran_out, r_l * scale * r_u_factor_end, r_l)
+    return (sampler, beta, r_u, r_l, scattered, terminated, t_sc, g_sc, alb,
+            tr_ratio, fallback)
 
 
 def _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
@@ -335,8 +565,17 @@ def _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
 
 
 def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
-                              hero_idx, sampler, beta, r_u, vsp, active):
-    """The resampling routine (media_sampleTMaj.h:120-247 + :679-877)."""
+                              hero_idx, sampler, beta, r_u, r_l, vsp, active):
+    """The resampling routine (media_sampleTMaj.h:120-247 + :679-877).
+
+    Deviation from the reference: on a pass-through (surface candidate
+    selected) we also multiply r_l by the accumulated light-strategy
+    rescaled pdfs of the null chain (T_maj*sigma_maj/pdf per collision,
+    exactly what the delta route applies at :1075,:1089). The reference
+    leaves r_l untouched in its resampling branch, which breaks the
+    NEE-vs-escape MIS balance and measurably brightens an absorbing
+    furnace (~2%/traversal in our tests); with this term the furnace is
+    exact."""
     media = scene.media
 
     # --- pre-pass: total majorant optical length -----------------------------
@@ -374,6 +613,7 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
     tr_ratio = jnp.ones_like(beta)
     beta_rs = jnp.ones_like(beta)
     r_u_rs = jnp.ones_like(beta)
+    r_l_rs = jnp.ones_like(beta)
     w_sum = z
     # reservoir candidate state
     c_p = jnp.zeros_like(o)
@@ -390,8 +630,8 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
         return jnp.any(c[-2]) & (c[-1] < cfg.max_collisions)
 
     def body(c):
-        (sampler, it, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum, c_p,
-         c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c, live, n) = c
+        (sampler, it, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, r_l_rs, w_sum,
+         c_p, c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c, live, n) = c
         sigma_maj = it.sigma_maj * maj_scale[..., None]
         maj_h = hero(sigma_maj, hero_idx)
         sampler, u_step = sampler.get_1d()
@@ -438,22 +678,25 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
         pdf_n = jnp.maximum(T_maj_h * sn_h, 1e-30)
         beta_rs = _m(coll, beta_rs * T_maj * sigma_n / pdf_n[..., None], beta_rs)
         r_u_rs = _m(coll, r_u_rs * T_maj * sigma_n / pdf_n[..., None], r_u_rs)
+        r_l_rs = _m(coll, r_l_rs * T_maj * sigma_maj / pdf_n[..., None], r_l_rs)
         tr_ratio = _m(coll, tr_ratio * sigma_n / jnp.maximum(sigma_maj, 1e-30), tr_ratio)
         T_maj = _m(coll, jnp.ones_like(T_maj), T_maj)
         t_min = jnp.where(coll, t, t_min)
-        return (sampler, it, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum,
-                c_p, c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c, live_new,
-                n + 1)
+        return (sampler, it, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, r_l_rs,
+                w_sum, c_p, c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c,
+                live_new, n + 1)
 
-    init = (sampler, it0, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum,
-            c_p, c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c,
+    init = (sampler, it0, t_min, T_maj, tr_ratio, beta_rs, r_u_rs, r_l_rs,
+            w_sum, c_p, c_g, c_alb, c_wi, c_ste, c_num, c_den, has_c,
             act & ~it0.done, jnp.int32(0))
-    (sampler, _, _, T_maj, tr_ratio, beta_rs, r_u_rs, w_sum, c_p, c_g, c_alb,
-     c_wi, c_ste, c_num, c_den, has_c, _, _) = jax.lax.while_loop(cond, body, init)
+    (sampler, _, _, T_maj, tr_ratio, beta_rs, r_u_rs, r_l_rs, w_sum, c_p, c_g,
+     c_alb, c_wi, c_ste, c_num, c_den, has_c, _, _) = jax.lax.while_loop(
+        cond, body, init)
 
     T_maj_h = jnp.maximum(hero(T_maj, hero_idx), 1e-30)
     beta_rs = beta_rs * T_maj / T_maj_h[..., None]
     r_u_rs = r_u_rs * T_maj / T_maj_h[..., None]
+    r_l_rs = r_l_rs * T_maj / T_maj_h[..., None]
 
     tr_h = hero(tr_ratio, hero_idx)
     # surface candidate (integrator :735-747)
@@ -480,12 +723,16 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
     factor = w_total * sel_ste / jnp.maximum(sel_wi, 1e-30)
     beta = _m(act & ~dead, beta * sel_num * factor[..., None], beta)
     r_u = _m(act & ~dead, r_u * sel_den, r_u)
+    # light-strategy rescaled pdf over the pass-through null chain (see
+    # docstring); scattering lanes overwrite r_l at the phase sample anyway
+    r_l = _m(pick_surf, r_l * r_l_rs, r_l)
 
     bad = act & ~dead & (
-        jnp.any(~jnp.isfinite(beta), -1) | jnp.any(~jnp.isfinite(r_u), -1))
+        jnp.any(~jnp.isfinite(beta), -1) | jnp.any(~jnp.isfinite(r_u), -1)
+        | jnp.any(~jnp.isfinite(r_l), -1))
     dead = dead | bad
 
-    return (sampler, beta, r_u, pick_vol & ~bad, dead,
+    return (sampler, beta, r_u, r_l, pick_vol & ~bad, dead,
             jnp.where(pick_vol, jnp.sum((c_p - o) * d, -1), jnp.zeros_like(w_sum)),
             c_g, c_alb, tr_ratio)
 
@@ -527,7 +774,8 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     guide, vsp = lookup_vsp(vopt, field, isgb, s, gs.pixel_id, gs.last_vol)
     dr = sample_distance_vspg(
         scene, cfg, vopt, s.o, s.d, seg_end, s.medium_id, s.hero_idx,
-        s.sampler, s.beta, s.r_u, s.r_l, s.L, guide & in_medium, vsp, in_medium)
+        s.sampler, s.beta, s.r_u, s.r_l, s.L, guide & in_medium, vsp,
+        in_medium, tr_prev=gs.tr_prev, depth=s.depth)
     sampler, beta, r_u, r_l, L = dr.sampler, dr.beta, dr.r_u, dr.r_l, dr.L
     depth = s.depth
     alive = s.alive & ~dr.terminated
@@ -786,7 +1034,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     s2 = PathState(sampler, o_new, d_new, beta, r_u, r_l, L, depth, alive,
                    specular, s.hero_idx, medium_id, eta_scale, prev_p)
     return VState(s2, rec, gs.pixel_id, last_vol, first_set, first_vol,
-                  first_albedo, first_normal, tr_est)
+                  first_albedo, first_normal, tr_est, gs.tr_prev)
 
 
 # ---------------------------------------------------------------------------
@@ -797,7 +1045,8 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
 @partial(jax.jit, static_argnames=("cfg", "gopt", "vopt", "camera_medium",
                                    "train", "spp_per_pass"))
 def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
-              seed, wave_idx, camera_medium, train, spp_per_pass):
+              seed, wave_idx, camera_medium, train, spp_per_pass,
+              tr_buffer=None):
     R = film.npix * spp_per_pass
     lane = jnp.arange(R, dtype=jnp.int32)
     pixel_id = lane // spp_per_pass
@@ -807,8 +1056,9 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
     rec = SegmentRecord.make(R, gopt.record_depth if train else 1,
                              pixel_id.astype(jnp.float32))
     z3 = jnp.zeros_like(s.o)
+    tr_prev = jnp.ones_like(s.o) if tr_buffer is None else tr_buffer[pixel_id]
     gs = VState(s, rec, pixel_id, pixel_id < 0, pixel_id < 0, pixel_id < 0,
-                z3, z3, jnp.ones_like(s.o))
+                z3, z3, jnp.ones_like(s.o), tr_prev)
 
     def cond(c):
         gs, it = c
@@ -855,12 +1105,23 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
         isgb = ISGB.make(film.resolution, vopt.vsp_criterion)
 
     film_state = film.init_state()
+    # NDS+ feeds the previous waves' primary-transmittance buffer back in
+    # (reference loads it from disk via loadTrBuffer; here it is accumulated
+    # online across waves, starting from the unbiased-anyway Tr=1 guess).
+    tr_buffer = (jnp.ones((film.npix, 3))
+                 if vopt.sampling_method == "nds+" else None)
+    n_tr = 0
     for wave in range(spp // spp_per_pass):
         do_train = train and int(field.iteration) < gopt.train_waves
-        film_state, isgb, batch, _ = vspg_wave(
+        film_state, isgb, batch, tr = vspg_wave(
             scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
             jnp.uint32(seed), jnp.int32(wave), int(camera_medium),
-            bool(do_train), int(spp_per_pass))
+            bool(do_train), int(spp_per_pass), tr_buffer)
+        if tr_buffer is not None:
+            tr_pix = tr.reshape(film.npix, spp_per_pass, 3).mean(1)
+            tr_buffer = (tr_pix if n_tr == 0
+                         else (tr_buffer * n_tr + tr_pix) / (n_tr + 1))
+            n_tr += 1
         if do_train:
             total_w = float(jnp.sum(jnp.where(batch.valid, batch.weight, 0.0)))
             if total_w > gopt.min_train_weight:

@@ -68,6 +68,8 @@ class Lights:
     has_env: bool = struct.field(pytree_node=False)
     has_env_img: bool = struct.field(pytree_node=False)
     world_radius: float = struct.field(pytree_node=False)  # shadow-ray lengths
+    # BVH light sampler over the finite lights (sampler="bvh"); None = table
+    bvh: object = struct.field(default=None)
 
     @staticmethod
     def make(point_p=None, point_I=None, distant_dir=None, distant_L=None,
@@ -152,7 +154,7 @@ class Lights:
         else:
             pmf = np.full(n, 1.0 / n, np.float32)
         cdf = np.cumsum(pmf).astype(np.float32)
-        return Lights(
+        out = Lights(
             arr(point_p), arr(point_I), sp_p, sp_I, sp_d, sp_ct, sp_cs,
             arr(distant_dir), arr(distant_L),
             a_p0, a_p1, a_p2, a_L, a_two,
@@ -161,6 +163,11 @@ class Lights:
             env_L is not None or has_env_img, has_env_img,
             float(world_radius),
         )
+        if sampler == "bvh":
+            from .lightsamplers import build_light_bvh
+
+            out = out.replace(bvh=build_light_bvh(out))
+        return out
 
     # -- static counts ------------------------------------------------------
     @property
@@ -184,6 +191,36 @@ class Lights:
         return (self.n_point + self.n_spot + self.n_distant + self.n_area
                 + (1 if self.has_env else 0))
 
+    @property
+    def n_infinite(self):
+        """Lights without spatial bounds (distant + env) — sampled outside
+        the light BVH (BVHLightSampler keeps them in a separate list,
+        lightsamplers.h:268-280)."""
+        return self.n_distant + (1 if self.has_env else 0)
+
+    def _select_bvh(self, ref_p, u_select):
+        """BVHLightSampler::Sample top level (lightsamplers.h:281-329):
+        pick an infinite light uniformly with probability
+        n_inf/(n_inf+1), otherwise descend the BVH from ref_p."""
+        from .lightsamplers import bvh_select
+
+        n_inf = self.n_infinite
+        if n_inf == 0:
+            idx, pmf, _ = bvh_select(self.bvh, ref_p, u_select)
+            return jnp.maximum(idx, 0), pmf
+        p_inf = n_inf / (n_inf + 1.0)
+        pick_inf = u_select < p_inf
+        which = jnp.minimum((u_select / p_inf * n_inf).astype(jnp.int32),
+                            n_inf - 1)
+        base_d = self.n_point + self.n_spot
+        idx_inf = jnp.where(which < self.n_distant, base_d + which,
+                            self.n_lights - 1)
+        u_bvh = jnp.clip((u_select - p_inf) / (1 - p_inf), 0.0, 0.9999999)
+        idx_b, pmf_b, _ = bvh_select(self.bvh, ref_p, u_bvh)
+        idx = jnp.where(pick_inf, idx_inf, idx_b)
+        pmf = jnp.where(pick_inf, p_inf / n_inf, pmf_b * (1 - p_inf))
+        return jnp.where(pmf > 0, idx, 0), pmf
+
     # -- uniform light sampler (lightsamplers.h UniformLightSampler:26) -----
     def sample(self, ref_p, u_select, u2) -> LightSample:
         """Uniformly pick a light, sample a direction toward it.
@@ -197,11 +234,16 @@ class Lights:
             z3 = jnp.zeros(R + (3,))
             z = jnp.zeros(R)
             return LightSample(z3, z3, z, z, z.astype(bool), z, jnp.zeros(R, bool))
-        # selection by pmf table (uniform or power)
-        idx = jnp.sum((u_select[..., None] >= self.select_cdf).astype(jnp.int32),
-                      axis=-1)
-        idx = jnp.minimum(idx, n - 1)
-        pmf = self.select_pmf_table[idx]
+        if self.bvh is not None:
+            # adaptive spatial selection (BVH light sampler)
+            idx, pmf = self._select_bvh(ref_p, u_select)
+        else:
+            # selection by pmf table (uniform or power)
+            idx = jnp.sum(
+                (u_select[..., None] >= self.select_cdf).astype(jnp.int32),
+                axis=-1)
+            idx = jnp.minimum(idx, n - 1)
+            pmf = self.select_pmf_table[idx]
 
         wi = jnp.zeros(R + (3,))
         L = jnp.zeros(R + (3,))
@@ -310,7 +352,7 @@ class Lights:
             pdf_dir = jnp.where(sel, pdf_e, pdf_dir)
             t_shadow = jnp.where(sel, 2.0 * self.world_radius, t_shadow)
 
-        valid = pdf_dir > 0
+        valid = (pdf_dir > 0) & (pmf > 0)
         return LightSample(wi, L, pdf_dir, pmf, is_delta, t_shadow, valid)
 
     # -- escaped-ray emission (infinite lights) -----------------------------
@@ -333,7 +375,11 @@ class Lights:
         (UniformInfiniteLight::PDF_Li = uniform-sphere pdf)."""
         if not self.has_env:
             return jnp.zeros(d.shape[:-1])
-        sel = self.select_pmf_table[self.n_lights - 1]
+        if self.bvh is not None:
+            n_inf = self.n_infinite
+            sel = (n_inf / (n_inf + 1.0)) / n_inf
+        else:
+            sel = self.select_pmf_table[self.n_lights - 1]
         if self.has_env_img:
             from ..utils.vecmath import equal_area_sphere_to_square
 
@@ -372,6 +418,13 @@ class Lights:
         cos_l = jnp.abs(dot(n_hit, wi))
         pdf = safe_div(dist2, cos_l * area, 0.0)
         base = self.n_point + self.n_spot + self.n_distant
-        sel_pmf = self.select_pmf_table[jnp.clip(base + ai, 0,
-                                                 max(self.n_lights - 1, 0))]
+        if self.bvh is not None:
+            from .lightsamplers import bvh_pmf
+
+            n_inf = self.n_infinite
+            p_inf = n_inf / (n_inf + 1.0)
+            sel_pmf = (1.0 - p_inf) * bvh_pmf(self.bvh, ref_p, base + ai)
+        else:
+            sel_pmf = self.select_pmf_table[jnp.clip(
+                base + ai, 0, max(self.n_lights - 1, 0))]
         return jnp.where(light_id >= 0, pdf * sel_pmf, 0.0)

@@ -166,44 +166,6 @@ def build_light_bvh(lights) -> LightBVH | None:
             two_s[me] = it.two_sided
             leaf_light[me] = it.global_idx
             trail_node[it.global_idx] = me
-            # find the light's position in build order for the trail table
-            return me
-        cents = np.stack([(i.bmin + i.bmax) * 0.5 for i in items])
-        dim = int(np.argmax(cents.max(0) - cents.min(0)))
-        order = np.argsort(cents[:, dim], kind="stable")
-        items = [items[k] for k in order]
-        half = len(items) // 2
-        emit(items[:half], bits, depth + 1)  # left = me+1
-        right = emit(items[half:], bits | (1 << depth), depth + 1)
-        child1[me] = right
-        # aggregate
-        lo = np.minimum.reduce([i.bmin for i in items]).astype(np.float32)
-        hi = np.maximum.reduce([i.bmax for i in items]).astype(np.float32)
-        bmin[me], bmax[me] = lo, hi
-        phi[me] = sum(i.phi for i in items)
-        ax, co = items[0].axis, items[0].cos_o
-        for it in items[1:]:
-            ax, co = _cone_union(ax, co, it.axis, it.cos_o)
-        axis[me], cos_o[me] = ax, co
-        cos_e[me] = min(i.cos_e for i in items)
-        two_s[me] = any(i.two_sided for i in items)
-        # record trails of the left subtree (bits unchanged) handled in
-        # recursion; here nothing further
-        return me
-
-    # recursive emit with trail recording via closure
-    def emit2(items, bits, depth):
-        me = cursor[0]
-        cursor[0] += 1
-        max_depth[0] = max(max_depth[0], depth)
-        if len(items) == 1:
-            it = items[0]
-            bmin[me], bmax[me] = it.bmin, it.bmax
-            axis[me], phi[me] = it.axis, it.phi
-            cos_o[me], cos_e[me] = it.cos_o, it.cos_e
-            two_s[me] = it.two_sided
-            leaf_light[me] = it.global_idx
-            trail_node[it.global_idx] = me
             trail_by_node[me] = bits
             return me
         cents = np.stack([(i.bmin + i.bmax) * 0.5 for i in items])
@@ -211,8 +173,8 @@ def build_light_bvh(lights) -> LightBVH | None:
         order = np.argsort(cents[:, dim], kind="stable")
         items = [items[k] for k in order]
         half = len(items) // 2
-        emit2(items[:half], bits, depth + 1)
-        right = emit2(items[half:], bits | (1 << depth), depth + 1)
+        emit(items[:half], bits, depth + 1)  # left child = me+1 (preorder)
+        right = emit(items[half:], bits | (1 << depth), depth + 1)
         child1[me] = right
         lo = np.minimum.reduce([i.bmin for i in items]).astype(np.float32)
         hi = np.maximum.reduce([i.bmax for i in items]).astype(np.float32)
@@ -227,7 +189,7 @@ def build_light_bvh(lights) -> LightBVH | None:
         return me
 
     trail_by_node: dict[int, int] = {}
-    emit2(bl, 0, 0)
+    emit(bl, 0, 0)
     # per-GLOBAL-light trail (uint32, consumed LSB-first during descent)
     trail_global = np.zeros(n_global, np.uint32)
     for node, bits in trail_by_node.items():
@@ -311,10 +273,7 @@ def bvh_pmf(bvh: LightBVH, p, global_light):
     bit trail (lightsamplers.h:341-366)."""
     R = p.shape[:-1]
     gl = jnp.clip(global_light, 0, bvh.trail_node.shape[0] - 1)
-    trail = bvh.trail[jnp.clip(bvh.leaf_light[
-        jnp.clip(bvh.trail_node[gl], 0, bvh.leaf_light.shape[0] - 1)], 0,
-        bvh.trail.shape[0] - 1)]
-    # NB trail is indexed by global light id at build time
+    # trail is indexed by global light id at build time
     trail = bvh.trail[jnp.clip(gl, 0, bvh.trail.shape[0] - 1)]
     node = jnp.zeros(R, jnp.int32)
     pmf = jnp.ones(R)

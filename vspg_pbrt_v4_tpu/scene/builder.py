@@ -413,9 +413,6 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     lsampler = "uniform"
     if "lightsampler" in integrator_params:
         lsampler = str(integrator_params["lightsampler"][1][0])
-        if lsampler == "bvh":
-            warnings.warn("BVH light sampler not yet implemented; using power")
-            lsampler = "power"
     lights = Lights.make(
         point_p=[pl[0] for pl in point_lights] or None,
         point_I=[pl[1] for pl in point_lights] or None,

@@ -84,7 +84,7 @@ def _render_rw_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
         depth_ok = s.depth < cfg.max_depth
         alive = alive & ~(shade & ~depth_ok)
         shade = shade & depth_ok
-        lanes_m = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv)
+        lanes_m = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
         ns = face_forward(h.ns, -s.d)
         sampler, u2 = s.sampler.get_2d()
         wi = sample_uniform_sphere(u2)
@@ -151,7 +151,7 @@ def _render_sp_jit(scene, camera, film, cfg, spp, seed, spp_per_pass):
         depth_ok = s.depth < cfg.max_depth
         alive = alive & ~(shade & ~depth_ok)
         shade = shade & depth_ok
-        lanes_m = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv)
+        lanes_m = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
         ns = face_forward(h.ns, -s.d)
         t1, t2 = coordinate_system(ns)
 
@@ -228,7 +228,7 @@ def render_gbuffer(scene, camera, film):
     s, _ = vp.start_camera_paths(camera, film, jnp.uint32(0), jnp.uint32(0),
                                  pixel_id, -1)
     h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
-    lanes_m = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv)
+    lanes_m = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
     alb = jnp.where((h.hit & (h.mat_id >= 0))[..., None], lanes_m.albedo, 0.0)
     nrm = jnp.where(h.hit[..., None], face_forward(h.ns, -s.d), 0.0)
     depth = jnp.where(h.hit, h.t, 0.0)

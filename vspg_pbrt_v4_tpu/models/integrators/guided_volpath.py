@@ -284,7 +284,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     shade = shade & ~depth_hit
     depth = jnp.where(shade, depth + 1, depth)
 
-    lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv)
+    lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
     ns = face_forward(h.ns, h.n)
     # guided surface distribution: cosine product only on opaque materials
     is_transmissive = (lanes.mat_type == 2) | (lanes.mat_type == 3)

@@ -529,7 +529,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     shade = shade & ~depth_hit
     depth = jnp.where(shade, depth + 1, depth)
 
-    lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv)
+    lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
     ns = face_forward(h.ns, h.n)  # keep shading normal consistent w/ geometric
     # NEE from surface (skipped for pure-specular lanes)
     can_nee = shade & ~lanes.is_specular

@@ -920,7 +920,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     shade = shade & ~depth_hit
     depth = jnp.where(shade, depth + 1, depth)
 
-    lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv)
+    lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
     ns = face_forward(h.ns, h.n)
 
     # ISGB first-event data (surface)

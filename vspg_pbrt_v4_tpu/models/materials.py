@@ -12,10 +12,24 @@ integrators convert with coordinate_system frames. Conventions match pbrt:
 wo, wi point away from the surface; eta is interior/exterior IOR ratio.
 
 Supported families (mat_type):
-  0 DIFFUSE       albedo
-  1 CONDUCTOR     reflectance (Schlick F0), roughness (TR microfacet; 0 = mirror)
-  2 DIELECTRIC    eta, roughness (0 = smooth specular reflect/transmit)
-  3 DIFFUSE_TRANS albedo (reflect) + albedo2 (transmit)
+  0 DIFFUSE         albedo
+  1 CONDUCTOR       reflectance (Schlick F0), roughness (TR microfacet; 0 = mirror)
+  2 DIELECTRIC      eta, roughness (0 = smooth specular reflect/transmit)
+  3 DIFFUSE_TRANS   albedo (reflect) + albedo2 (transmit)
+  4 THIN_DIELECTRIC eta (always specular; double-interface Fresnel, straight-
+                    through transmission — bxdfs.h ThinDielectricBxDF:303)
+  5 COATED_DIFFUSE  albedo (base), roughness + eta (coat). The reference runs
+                    a stochastic layered simulation (bxdfs.h LayeredBxDF:436);
+                    here the coat is a dielectric-Fresnel GGX lobe over a
+                    reciprocally Fresnel-attenuated diffuse base
+                    (Ashikhmin-Shirley coupled model) — branch-free and
+                    energy conserving, trading the simulation's multiple
+                    interreflections for a closed form.
+  6 COATED_CONDUCTOR albedo (base F0), roughness (base GGX), roughness2 + eta
+                    (coat GGX), same closed-form layering as 5.
+  7 MIX             mix_m1/mix_m2/mix_amount: resolved to one constituent per
+                    intersection by a position hash (materials.h MixMaterial
+                    ChooseMaterial semantics).
 """
 
 from __future__ import annotations
@@ -44,6 +58,10 @@ DIFFUSE = 0
 CONDUCTOR = 1
 DIELECTRIC = 2
 DIFFUSE_TRANS = 3
+THIN_DIELECTRIC = 4
+COATED_DIFFUSE = 5
+COATED_CONDUCTOR = 6
+MIX = 7
 
 
 class Materials(NamedTuple):
@@ -53,11 +71,15 @@ class Materials(NamedTuple):
     eta: jnp.ndarray  # (M,) relative IOR
     roughness: jnp.ndarray  # (M,) TR alpha (already remapped)
     albedo_tex: jnp.ndarray  # (M,) texture id for albedo, -1 = constant
+    roughness2: jnp.ndarray  # (M,) coat roughness (COATED_CONDUCTOR)
+    mix_m1: jnp.ndarray  # (M,) MIX constituent ids (-1 elsewhere)
+    mix_m2: jnp.ndarray  # (M,)
+    mix_amount: jnp.ndarray  # (M,) probability of mix_m1
 
     @staticmethod
     def build(mats):
         """mats: list of dicts {type, albedo, albedo2, eta, roughness,
-        albedo_tex}."""
+        roughness2, albedo_tex, mix_m1, mix_m2, mix_amount}."""
         n = len(mats)
         if n == 0:
             # dummy black-diffuse row so lane gathers stay in range
@@ -69,18 +91,44 @@ class Materials(NamedTuple):
             jnp.asarray([m.get("eta", 1.5) for m in mats], jnp.float32),
             jnp.asarray([m.get("roughness", 0.0) for m in mats], jnp.float32),
             jnp.asarray([m.get("albedo_tex", -1) for m in mats], jnp.int32),
+            jnp.asarray([m.get("roughness2", 0.0) for m in mats], jnp.float32),
+            jnp.asarray([m.get("mix_m1", -1) for m in mats], jnp.int32),
+            jnp.asarray([m.get("mix_m2", -1) for m in mats], jnp.int32),
+            jnp.asarray([m.get("mix_amount", 0.5) for m in mats], jnp.float32),
         )
 
-    def gather(self, mat_id):
+    def resolve_mix(self, mat_id, p=None):
+        """Resolve MIX materials to a constituent id with a position hash
+        (materials.h MixMaterial::ChooseMaterial; pbrt uses HashFloat of the
+        intersection point). One nesting level, like the reference's
+        wavefront path."""
+        if p is None:
+            return mat_id
+        mid = jnp.maximum(mat_id, 0)
+        is_mix = self.mat_type[mid] == MIX
+        from ..utils import rng as _rng
+
+        bits = (jnp.abs(p) * 65536.0).astype(jnp.uint32)
+        h = _rng.hash_u32(bits[..., 0], bits[..., 1], bits[..., 2],
+                          mid.astype(jnp.uint32))
+        u = h.astype(jnp.float32) * (1.0 / 4294967296.0)
+        chosen = jnp.where(u < self.mix_amount[mid], self.mix_m1[mid],
+                           self.mix_m2[mid])
+        return jnp.where(is_mix & (mat_id >= 0), jnp.maximum(chosen, 0),
+                         mat_id)
+
+    def gather(self, mat_id, p=None):
+        mat_id = self.resolve_mix(mat_id, p)
         mid = jnp.maximum(mat_id, 0)
         return BSDFLanes(
             self.mat_type[mid], self.albedo[mid], self.albedo2[mid],
-            self.eta[mid], self.roughness[mid],
+            self.eta[mid], self.roughness[mid], self.roughness2[mid],
         )
 
-    def gather_textured(self, textures, mat_id, uv):
+    def gather_textured(self, textures, mat_id, uv, p=None):
         """Gather + evaluate the albedo texture at the hit uv
         (materials.h -> textures.h evaluation at shading time)."""
+        mat_id = self.resolve_mix(mat_id, p)
         lanes = self.gather(mat_id)
         if textures is None:
             return lanes
@@ -101,12 +149,18 @@ class BSDFLanes(NamedTuple):
     albedo2: jnp.ndarray  # (R,3)
     eta: jnp.ndarray  # (R,)
     roughness: jnp.ndarray  # (R,)
+    roughness2: jnp.ndarray  # (R,) coat roughness
 
     @property
     def is_specular(self):
-        """Delta-only lobes: smooth conductor/dielectric."""
+        """Delta-only materials: smooth conductor/dielectric + thin
+        dielectric. Coated materials keep a non-delta base lobe so NEE/MIS
+        still applies (per-sample delta coat picks are flagged in
+        BSDFSample.is_specular)."""
         smooth = self.roughness < 1e-3
-        return smooth & ((self.mat_type == CONDUCTOR) | (self.mat_type == DIELECTRIC))
+        return ((smooth & ((self.mat_type == CONDUCTOR)
+                           | (self.mat_type == DIELECTRIC)))
+                | (self.mat_type == THIN_DIELECTRIC))
 
 
 class BSDFSample(NamedTuple):
@@ -286,6 +340,31 @@ def bsdf_f(lanes: BSDFLanes, wo, wi):
         (is_rd & ~same & wm_tok & ~backface)[..., None],
         spec_t[..., None] * jnp.ones(3), f,
     )
+
+    # coated diffuse / coated conductor (closed-form layering; see header)
+    is_cd = lanes.mat_type == COATED_DIFFUSE
+    is_cc = lanes.mat_type == COATED_CONDUCTOR
+    a_coat = jnp.maximum(jnp.where(is_cd, lanes.roughness, lanes.roughness2),
+                         0.01)
+    a_base = jnp.maximum(lanes.roughness, 0.01)
+    Fo = fresnel_dielectric(abs_cos_theta(wo), lanes.eta)
+    Fi = fresnel_dielectric(abs_cos_theta(wi), lanes.eta)
+    wm_l = wi + wo
+    wm_lok = jnp.sum(wm_l * wm_l, -1) > 1e-18
+    wm_l = normalize(wm_l)
+    wm_l = jnp.where(cos_theta(wm_l)[..., None] < 0, -wm_l, wm_l)
+    denom_l = 4.0 * abs_cos_theta(wo) * abs_cos_theta(wi)
+    coat = (tr_d(wm_l, a_coat) * tr_g(wo, wi, a_coat)
+            * fresnel_dielectric(dot(wo, wm_l), lanes.eta))
+    coat = safe_div(coat, denom_l, 0.0)[..., None] * jnp.ones(3)
+    atten = ((1.0 - Fo) * (1.0 - Fi))[..., None]
+    diff_base = lanes.albedo * INV_PI * atten
+    cond_base = (tr_d(wm_l, a_base)[..., None]
+                 * fresnel_schlick(dot(wo, wm_l), lanes.albedo)
+                 * tr_g(wo, wi, a_base)[..., None]
+                 * safe_div(1.0, denom_l, 0.0)[..., None] * atten)
+    f = jnp.where((is_cd & same & wm_lok)[..., None], coat + diff_base, f)
+    f = jnp.where((is_cc & same & wm_lok)[..., None], coat + cond_base, f)
     return f
 
 
@@ -336,6 +415,25 @@ def bsdf_pdf(lanes: BSDFLanes, wo, wi):
     pdf_tt = tr_pdf(wo, wm_t, alpha) * dwm_dwi * Ft
     pdf_rd = jnp.where(same, pdf_rr, jnp.where(wm_tok & ~backface, pdf_tt, 0.0))
     pdf = jnp.where(is_rd, pdf_rd, pdf)
+
+    # coated diffuse / conductor: Fresnel-weighted two-lobe mixture
+    is_cd = lanes.mat_type == COATED_DIFFUSE
+    is_cc = lanes.mat_type == COATED_CONDUCTOR
+    a_coat = jnp.maximum(jnp.where(is_cd, lanes.roughness, lanes.roughness2),
+                         0.01)
+    a_base = jnp.maximum(lanes.roughness, 0.01)
+    Fo = fresnel_dielectric(abs_cos_theta(wo), lanes.eta)
+    p_c = jnp.clip(Fo, 0.1, 0.9)
+    wm_l = normalize(wi + wo)
+    wm_l = jnp.where(cos_theta(wm_l)[..., None] < 0, -wm_l, wm_l)
+    pdf_coat = safe_div(tr_pdf(wo, wm_l, a_coat),
+                        4.0 * jnp.abs(dot(wo, wm_l)), 0.0)
+    pdf_base_c = safe_div(tr_pdf(wo, wm_l, a_base),
+                          4.0 * jnp.abs(dot(wo, wm_l)), 0.0)
+    pdf_cd = p_c * pdf_coat + (1 - p_c) * cosine_hemisphere_pdf(abs_cos_theta(wi))
+    pdf_cc = p_c * pdf_coat + (1 - p_c) * pdf_base_c
+    pdf = jnp.where(is_cd & same, pdf_cd, pdf)
+    pdf = jnp.where(is_cc & same, pdf_cc, pdf)
     return pdf
 
 
@@ -463,5 +561,55 @@ def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
     eta_out = jnp.where(rough_d & ~refl_rd, etap_rd, eta_out)
     rd_valid = jnp.where(refl_rd, same_hemisphere(wo, wi_rd), ok_rt & ~same_hemisphere(wo, wi_rd))
     valid = valid | (rough_d & rd_valid & (pdf_rd > 0))
+
+    # ---- thin dielectric (bxdfs.h ThinDielectricBxDF::Sample_f) ----
+    is_td = lanes.mat_type == THIN_DIELECTRIC
+    F_td = fresnel_dielectric(abs_cos_theta(wo), eta)
+    R_td = jnp.where(
+        F_td < 1.0,
+        F_td + sqr(1.0 - F_td) * F_td / jnp.maximum(1.0 - sqr(F_td), 1e-9),
+        1.0)
+    T_td = 1.0 - R_td
+    refl_td = u_lobe < R_td
+    wi_tdr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    wi_td = jnp.where(refl_td[..., None], wi_tdr, -wo)
+    w_td = jnp.where(refl_td, R_td, T_td)
+    f_td = (w_td * safe_div(1.0, abs_cos_theta(wi_td), 0.0))[..., None] * jnp.ones(3)
+    wi = jnp.where(is_td[..., None], wi_td, wi)
+    f = jnp.where(is_td[..., None], f_td, f)
+    pdf = jnp.where(is_td, w_td, pdf)
+    is_spec = is_spec | is_td
+    is_trans = is_trans | (is_td & ~refl_td)
+    # straight-through: entering+exiting the slab cancels, eta_out stays 1
+    valid = valid | (is_td & (w_td > 0) & (abs_cos_theta(wo) > 0))
+
+    # ---- coated diffuse / coated conductor ----
+    is_cd = lanes.mat_type == COATED_DIFFUSE
+    is_cc = lanes.mat_type == COATED_CONDUCTOR
+    is_coat = is_cd | is_cc
+    a_coat = jnp.maximum(jnp.where(is_cd, lanes.roughness, lanes.roughness2),
+                         0.01)
+    a_base = jnp.maximum(lanes.roughness, 0.01)
+    Fo = fresnel_dielectric(abs_cos_theta(wo), eta)
+    p_c = jnp.clip(Fo, 0.1, 0.9)
+    pick_coat = u_lobe < p_c
+    wm_c = tr_sample_wm(wo_up, a_coat, u2)
+    wm_c = jnp.where(flip[..., None], -wm_c, wm_c)
+    wi_coat = -wo + 2.0 * dot(wo, wm_c)[..., None] * wm_c
+    # base lobe: cosine (diffuse) or base-GGX reflect (conductor)
+    wi_base_d = sample_cosine_hemisphere(u2)
+    wi_base_d = jnp.where(flip[..., None],
+                          wi_base_d * jnp.asarray([1.0, 1.0, -1.0]), wi_base_d)
+    wm_b = tr_sample_wm(wo_up, a_base, u2)
+    wm_b = jnp.where(flip[..., None], -wm_b, wm_b)
+    wi_base_c = -wo + 2.0 * dot(wo, wm_b)[..., None] * wm_b
+    wi_base = jnp.where(is_cd[..., None], wi_base_d, wi_base_c)
+    wi_l = jnp.where(pick_coat[..., None], wi_coat, wi_base)
+    f_l = bsdf_f(lanes, wo, wi_l)
+    pdf_l = bsdf_pdf(lanes, wo, wi_l)
+    wi = jnp.where(is_coat[..., None], wi_l, wi)
+    f = jnp.where(is_coat[..., None], f_l, f)
+    pdf = jnp.where(is_coat, pdf_l, pdf)
+    valid = valid | (is_coat & same_hemisphere(wo, wi_l) & (pdf_l > 0))
 
     return BSDFSample(wi, f, pdf, is_spec, is_trans, eta_out, valid)

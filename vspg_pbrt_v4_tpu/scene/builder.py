@@ -6,10 +6,10 @@ directive list, collecting shapes (with bound material / area light / medium
 interface), lights, media, then builds the SoA Scene plus camera, film and
 integrator configuration.
 
-Supported surface: sphere, trianglemesh (P/indices[/N]); materials: diffuse,
-conductor, dielectric, thindielectric->dielectric, diffusetransmission,
-coateddiffuse->diffuse (approximation, warned); lights: point, distant,
-infinite (uniform), spot->point (approx), area "diffuse"; media: homogeneous,
+Supported surface: sphere, disk, trianglemesh (P/indices[/N]); materials:
+diffuse, conductor, dielectric, thindielectric, diffusetransmission,
+coateddiffuse/plastic, coatedconductor, mix; lights: point, spot, distant,
+infinite (uniform + equal-area image), area "diffuse"; media: homogeneous,
 uniformgrid. Unsupported types degrade with a warning rather than erroring
 (mirroring pbrt's Warning+default behavior).
 """
@@ -25,8 +25,9 @@ from ..models.cameras import OrthographicCamera, PerspectiveCamera, SphericalCam
 from ..models.film import RGBFilm
 from ..models.integrators import volpath
 from ..models.lights import Lights
-from ..models.materials import (CONDUCTOR, DIELECTRIC, DIFFUSE, DIFFUSE_TRANS,
-                                Materials)
+from ..models.materials import (COATED_CONDUCTOR, COATED_DIFFUSE, CONDUCTOR,
+                                DIELECTRIC, DIFFUSE, DIFFUSE_TRANS, MIX,
+                                THIN_DIELECTRIC, Materials)
 from ..models.media import GridMedium, Media
 from ..models.shapes import Geometry
 from ..models.textures import CHECKER, CONSTANT, IMAGE, SCALE, Textures
@@ -161,11 +162,12 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 st.material = -1  # medium interface / no BSDF
             else:
                 mats.append(_make_material(mtype, p, warn, d.loc,
-                                           named_textures))
+                                           named_textures, named_mats))
                 st.material = len(mats) - 1
         elif name == "MakeNamedMaterial":
             ptype = p.get_string("type", "diffuse")
-            mats.append(_make_material(ptype, p, warn, d.loc, named_textures))
+            mats.append(_make_material(ptype, p, warn, d.loc, named_textures,
+                                       named_mats))
             named_mats[d.args[0]] = len(mats) - 1
         elif name == "NamedMaterial":
             st.material = named_mats.get(d.args[0], 0)
@@ -463,7 +465,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
 
 
 def _make_material(mtype, p: ParameterDictionary, warn, loc,
-                   named_textures=None):
+                   named_textures=None, named_mats=None):
     named_textures = named_textures or {}
 
     def tex_of(pname):
@@ -483,16 +485,42 @@ def _make_material(mtype, p: ParameterDictionary, warn, loc,
             refl = np.asarray([0.9, 0.7, 0.4])  # generic metal F0
         return dict(type=CONDUCTOR, albedo=tuple(refl),
                     roughness=p.get_float("roughness", 0.0))
-    if mtype in ("dielectric", "thindielectric"):
+    if mtype == "dielectric":
         return dict(type=DIELECTRIC, eta=p.get_float("eta", 1.5),
                     roughness=p.get_float("roughness", 0.0))
+    if mtype == "thindielectric":
+        return dict(type=THIN_DIELECTRIC, eta=p.get_float("eta", 1.5))
     if mtype == "diffusetransmission":
         return dict(type=DIFFUSE_TRANS,
                     albedo=tuple(p.get_rgb("reflectance", np.asarray([0.25] * 3))),
                     albedo2=tuple(p.get_rgb("transmittance", np.asarray([0.25] * 3))))
     if mtype in ("coateddiffuse", "plastic"):
-        warn(f"material '{mtype}' approximated as diffuse", loc)
-        return dict(type=DIFFUSE,
-                    albedo=tuple(p.get_rgb("reflectance", np.asarray([0.5] * 3))))
+        t = tex_of("reflectance")
+        return dict(type=COATED_DIFFUSE,
+                    albedo=tuple(p.get_rgb("reflectance", np.asarray([0.5] * 3))),
+                    roughness=p.get_float("roughness", 0.0),
+                    eta=p.get_float("interface.eta", p.get_float("eta", 1.5)),
+                    albedo_tex=t)
+    if mtype == "coatedconductor":
+        refl = p.get_rgb("conductor.reflectance", None)
+        if refl is None:
+            refl = np.asarray([0.9, 0.7, 0.4])
+        return dict(type=COATED_CONDUCTOR, albedo=tuple(refl),
+                    roughness=p.get_float("conductor.roughness", 0.01),
+                    roughness2=p.get_float("interface.roughness",
+                                           p.get_float("roughness", 0.0)),
+                    eta=p.get_float("interface.eta", 1.5))
+    if mtype == "mix":
+        names = [str(s) for s in p.params.get(
+            "materials", ("string", []))[1]]
+        if len(names) == 2 and named_mats is not None:
+            # amount = probability of the SECOND material
+            # (materials.h MixMaterial::ChooseMaterial)
+            return dict(type=MIX,
+                        mix_m1=named_mats.get(names[1], 0),
+                        mix_m2=named_mats.get(names[0], 0),
+                        mix_amount=p.get_float("amount", 0.5))
+        warn("mix material needs two named materials; using diffuse", loc)
+        return dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))
     warn(f"material '{mtype}' unsupported; using diffuse", loc)
     return dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))

@@ -151,6 +151,13 @@ def main(argv=None):
         img = np.asarray(extras.render_simplepath(
             setup.scene, setup.camera, setup.film, spp=setup.spp,
             seed=args.seed, spp_per_pass=spp_per_pass, cfg=cfg))
+    elif name == "lightpath":
+        from .models.integrators import lightpath
+
+        img = np.asarray(lightpath.render(
+            setup.scene, setup.camera, setup.film, spp=setup.spp, cfg=cfg,
+            seed=args.seed, light_medium=setup.camera_medium,
+            spp_per_pass=spp_per_pass))
     elif name in ("volpath", "path", "simplevolpath"):
         img = volpath.render(setup.scene, setup.camera, setup.film,
                              spp=setup.spp, cfg=cfg, seed=args.seed,

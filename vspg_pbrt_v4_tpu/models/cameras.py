@@ -52,6 +52,42 @@ class PerspectiveCamera:
             float(focal_distance), (int(nx), int(ny)),
         )
 
+    def sample_wi(self, p):
+        """Importance connection from world point p to the (pinhole) camera
+        (cameras.h PerspectiveCamera::SampleWi:310 semantics, in per-pixel
+        raster measure).
+
+        Returns (valid, pixel_id, wi, dist, We) with We = 1/(A_pix cos^3)
+        such that a particle splat is alpha*f*|cos_y|*Tr*We/dist^2.
+        """
+        w2c = self.camera_to_world.inverse()
+        p_cam = tr.apply_point(w2c, p)
+        z = p_cam[..., 2]
+        dist = jnp.linalg.norm(p_cam, axis=-1)
+        valid = z > 1e-6
+        p_raster = tr.apply_point(
+            self.raster_to_camera.inverse(),
+            p_cam / jnp.maximum(z, 1e-12)[..., None])
+        nx, ny = self.resolution
+        ix = jnp.floor(p_raster[..., 0]).astype(jnp.int32)
+        iy = jnp.floor(p_raster[..., 1]).astype(jnp.int32)
+        valid &= (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+        pixel_id = jnp.clip(iy, 0, ny - 1) * nx + jnp.clip(ix, 0, nx - 1)
+        # per-pixel film area on the z=1 plane
+        c0 = tr.apply_point(self.raster_to_camera,
+                            jnp.asarray([0.0, 0.0, 0.0]))
+        c1 = tr.apply_point(self.raster_to_camera,
+                            jnp.asarray([float(nx), float(ny), 0.0]))
+        c0 = c0 / c0[2]
+        c1 = c1 / c1[2]
+        a_pix = jnp.abs((c1[0] - c0[0]) * (c1[1] - c0[1])) / (nx * ny)
+        cos_t = z / jnp.maximum(dist, 1e-12)
+        we = 1.0 / jnp.maximum(a_pix * cos_t**3, 1e-20)
+        o_world = tr.apply_point(self.camera_to_world,
+                                 jnp.zeros_like(p_cam))
+        wi = (o_world - p) / jnp.maximum(dist, 1e-12)[..., None]
+        return valid, pixel_id, wi, dist, we
+
     def generate_rays(self, p_raster, u_lens):
         """p_raster: (...,2) continuous pixel coords; u_lens: (...,2).
 

@@ -355,6 +355,129 @@ class Lights:
         valid = (pdf_dir > 0) & (pmf > 0)
         return LightSample(wi, L, pdf_dir, pmf, is_delta, t_shadow, valid)
 
+    # -- emitted-ray sampling for particle tracing (SampleLe) ----------------
+    def sample_le(self, u_select, u_side, u2a, u2b):
+        """Sample a light-emitted ray (lights.h SampleLe overloads) for
+        lightpath/BDPT particle tracing. Supported emitters: point, spot,
+        area, distant; infinite lights are excluded (selection pmf is
+        renormalized over the finite emitters).
+
+        Returns (p, d, alpha, n_light, is_area, valid, alpha_pos): alpha is
+        the full initial particle throughput Le*cos/(pmf*pdf_pos*pdf_dir);
+        alpha_pos = Le/(pmf*pdf_pos*pdf_side) supports the light-vertex ->
+        camera splat for directly visible area emitters (zero for delta
+        emitters)."""
+        from ..utils.sampling import (sample_cosine_hemisphere,
+                                      sample_uniform_disk_concentric)
+        from ..utils.vecmath import coordinate_system
+
+        n = self.n_lights
+        R = u_select.shape
+        z3 = jnp.zeros(R + (3,))
+        if n == 0 or (self.n_lights - (1 if self.has_env else 0)) == 0:
+            return (z3, z3, z3, z3, jnp.zeros(R, bool), jnp.zeros(R, bool),
+                    z3)
+        n_emit = n - (1 if self.has_env else 0)
+        pmf_t = self.select_pmf_table[:n_emit]
+        pmf_t = pmf_t / jnp.maximum(jnp.sum(pmf_t), 1e-20)
+        cdf = jnp.cumsum(pmf_t)
+        idx = jnp.sum((u_select[..., None] >= cdf).astype(jnp.int32), -1)
+        idx = jnp.minimum(idx, n_emit - 1)
+        pmf = jnp.maximum(pmf_t[idx], 1e-20)
+
+        p = jnp.zeros(R + (3,))
+        d = jnp.zeros(R + (3,))
+        alpha = jnp.zeros(R + (3,))
+        alpha_pos = jnp.zeros(R + (3,))
+        n_l = jnp.zeros(R + (3,))
+        is_area = jnp.zeros(R, bool)
+        valid = jnp.zeros(R, bool)
+
+        if self.n_point > 0:
+            pi = jnp.clip(idx, 0, self.n_point - 1)
+            d_p = sample_uniform_sphere(u2a)
+            sel = idx < self.n_point
+            p = jnp.where(sel[..., None], self.point_p[pi], p)
+            d = jnp.where(sel[..., None], d_p, d)
+            alpha = jnp.where(sel[..., None],
+                              self.point_I[pi] * (4.0 * jnp.pi)
+                              / pmf[..., None], alpha)
+            valid = valid | sel
+
+        if self.n_spot > 0:
+            si = jnp.clip(idx - self.n_point, 0, self.n_spot - 1)
+            ct_tot = self.spot_cos_total[si]
+            cos_t = 1.0 - u2a[..., 0] * (1.0 - ct_tot)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t**2, 0.0))
+            phi = 2.0 * jnp.pi * u2a[..., 1]
+            axis = self.spot_dir[si]
+            t1, t2 = coordinate_system(axis)
+            d_s = (jnp.cos(phi) * sin_t)[..., None] * t1 \
+                + (jnp.sin(phi) * sin_t)[..., None] * t2 \
+                + cos_t[..., None] * axis
+            pdf_dir = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - ct_tot), 1e-9)
+            tt = safe_div(cos_t - ct_tot,
+                          self.spot_cos_start[si] - ct_tot)
+            fall = jnp.clip(tt, 0.0, 1.0)
+            fall = fall * fall * (3.0 - 2.0 * fall)
+            sel = (idx >= self.n_point) & (idx < self.n_point + self.n_spot)
+            p = jnp.where(sel[..., None], self.spot_p[si], p)
+            d = jnp.where(sel[..., None], d_s, d)
+            alpha = jnp.where(sel[..., None],
+                              self.spot_I[si] * fall[..., None]
+                              / (pmf * pdf_dir)[..., None], alpha)
+            valid = valid | sel
+
+        if self.n_distant > 0:
+            base_d = self.n_point + self.n_spot
+            di = jnp.clip(idx - base_d, 0, self.n_distant - 1)
+            dd = normalize(self.distant_dir[di])
+            t1, t2 = coordinate_system(dd)
+            disk = sample_uniform_disk_concentric(u2a) * self.world_radius
+            p_d = (-dd * self.world_radius + disk[..., 0:1] * t1
+                   + disk[..., 1:2] * t2)
+            sel = (idx >= base_d) & (idx < base_d + self.n_distant)
+            p = jnp.where(sel[..., None], p_d, p)
+            d = jnp.where(sel[..., None], dd, d)
+            area_disk = jnp.pi * self.world_radius**2
+            alpha = jnp.where(sel[..., None],
+                              self.distant_L[di] * area_disk
+                              / pmf[..., None], alpha)
+            valid = valid | sel
+
+        if self.n_area > 0:
+            base = self.n_point + self.n_spot + self.n_distant
+            ai = jnp.clip(idx - base, 0, self.n_area - 1)
+            b = sample_uniform_triangle(u2a)
+            p0, p1, p2 = self.area_p0[ai], self.area_p1[ai], self.area_p2[ai]
+            p_a = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
+            nc = cross(p1 - p0, p2 - p0)
+            area2 = length(nc)
+            nl = nc * safe_div(1.0, area2, 0.0)[..., None]
+            two = self.area_twosided[ai]
+            flip_side = two & (u_side < 0.5)
+            nl = jnp.where(flip_side[..., None], -nl, nl)
+            t1, t2 = coordinate_system(nl)
+            dl = sample_cosine_hemisphere(u2b)  # local z-up
+            d_a = dl[..., 0:1] * t1 + dl[..., 1:2] * t2 + dl[..., 2:3] * nl
+            side_pdf = jnp.where(two, 0.5, 1.0)
+            # alpha = L*cos/(pmf*(1/area)*(cos/pi)*side) = L*pi*area/(pmf*side)
+            a_val = (self.area_L[ai] * (jnp.pi * 0.5 * area2)[..., None]
+                     / (pmf * side_pdf)[..., None])
+            sel = (idx >= base) & (idx < base + self.n_area)
+            p = jnp.where(sel[..., None], p_a, p)
+            d = jnp.where(sel[..., None], d_a, d)
+            n_l = jnp.where(sel[..., None], nl, n_l)
+            alpha = jnp.where(sel[..., None], a_val, alpha)
+            alpha_pos = jnp.where(
+                sel[..., None],
+                self.area_L[ai] * (0.5 * area2)[..., None]
+                / (pmf * side_pdf)[..., None], alpha_pos)
+            is_area = is_area | sel
+            valid = valid | (sel & (area2 > 0))
+
+        return p, d, alpha, n_l, is_area, valid, alpha_pos
+
     # -- escaped-ray emission (infinite lights) -----------------------------
     def le_escaped(self, d):
         """Radiance from infinite lights along escaped direction d: (R,3)."""

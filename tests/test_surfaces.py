@@ -337,3 +337,44 @@ def test_disk_shape():
     hits = pid >= 0
     assert hits.sum() > 100
     assert np.allclose(alb[hits][0], [0.9, 0.1, 0.1], atol=1e-5)
+
+
+def test_cylinder_and_bilinear_patch_hits():
+    """New shapes: analytic hit positions + normals, shadowing, parity
+    between intersect and intersect_p (shapes.h Cylinder:551 +
+    BilinearPatch via the Reshetov solve)."""
+    import numpy as np
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+
+    geom = Geometry.build(
+        cylinders=[dict(c=(0, -1, 0), a=(0, 1, 0), r=0.5, h=2.0, mat=0,
+                        light=-1, med_in=-1, med_out=-1)],
+        patches=[dict(p00=(-1, -1, 3), p10=(1, -1, 3), p01=(-1, 1, 3),
+                      p11=(1, 1, 4), mat=0, light=-1, med_in=-1,
+                      med_out=-1)],
+    )
+    o = jnp.asarray([[0.0, 0.0, -3.0], [0.0, 0.0, -3.0],
+                     [0.0, 2.5, -3.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.6, 0.8, 0.0],
+                     [0.0, 0.0, 1.0]], jnp.float32)
+    h = geom.intersect(o, d, jnp.full((3,), jnp.inf))
+    h_hit = np.asarray(h.hit)
+    # ray 0: hits the cylinder wall at z=-0.5 -> t=2.5
+    assert h_hit[0] and abs(float(h.t[0]) - 2.5) < 1e-3
+    assert np.allclose(np.asarray(h.n[0]), [0, 0, -1], atol=1e-3)
+    # ray 1: leaves sideways, misses cylinder (above in y eventually) but
+    # direction has no z -> never reaches patch: may miss entirely
+    # ray 2: passes above the cylinder (y=2.5 > top 1.0), hits the patch?
+    # patch spans y in [-1,1] at x=0 -> miss; so no hit
+    assert not h_hit[2]
+    # straight ray at the patch center from beyond (avoids the cylinder):
+    # patch center z = (3+3+3+4)/4 = 3.25, so from z=5 along -z t = 1.75
+    o2 = jnp.asarray([[0.0, 0.0, 5.0]], jnp.float32)
+    d2 = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    h2 = geom.intersect(o2, d2, jnp.full((1,), jnp.inf))
+    assert bool(h2.hit[0]) and abs(float(h2.t[0]) - 1.75) < 1e-3
+    assert abs(float(h2.uv[0, 0]) - 0.5) < 1e-3
+    assert abs(float(h2.uv[0, 1]) - 0.5) < 1e-3
+    # occlusion parity
+    occ = geom.intersect_p(o, d, jnp.full((3,), 10.0))
+    assert bool(occ[0]) and not bool(occ[2])

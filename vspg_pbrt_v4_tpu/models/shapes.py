@@ -70,13 +70,33 @@ class Geometry(NamedTuple):
     dsk_light: jnp.ndarray
     dsk_med_in: jnp.ndarray
     dsk_med_out: jnp.ndarray
+    # cylinders (shapes.h Cylinder:551 - world-space base/axis/radius/height)
+    cyl_c: jnp.ndarray  # (C,3) base center
+    cyl_a: jnp.ndarray  # (C,3) unit axis
+    cyl_r: jnp.ndarray  # (C,)
+    cyl_h: jnp.ndarray  # (C,)
+    cyl_mat: jnp.ndarray
+    cyl_light: jnp.ndarray
+    cyl_med_in: jnp.ndarray
+    cyl_med_out: jnp.ndarray
+    # bilinear patches (shapes.h BilinearPatch; Reshetov ray/patch solve)
+    blp_p00: jnp.ndarray  # (P,3)
+    blp_p10: jnp.ndarray
+    blp_p01: jnp.ndarray
+    blp_p11: jnp.ndarray
+    blp_mat: jnp.ndarray
+    blp_light: jnp.ndarray
+    blp_med_in: jnp.ndarray
+    blp_med_out: jnp.ndarray
     tri_bvh: object = None  # ops.bvh.BVH over triangles (None = brute force)
 
     @staticmethod
-    def build(triangles=(), spheres=(), boxes=(), disks=(), use_bvh="auto"):
+    def build(triangles=(), spheres=(), boxes=(), disks=(), cylinders=(),
+              patches=(), use_bvh="auto"):
         """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
         spheres: {c,r,...}; boxes: {bmin,bmax,...};
-        disks: {c,n,r,[ri],...}."""
+        disks: {c,n,r,[ri],...}; cylinders: {c,a,r,h,...};
+        patches: {p00,p10,p01,p11,...}."""
 
         def stack(items, key, default, shape):
             if not items:
@@ -110,6 +130,8 @@ class Geometry(NamedTuple):
         s = list(spheres)
         b = list(boxes)
         dk = list(disks)
+        cy = list(cylinders)
+        bp = list(patches)
         tri_bvh = None
         n_tri = tri_p0.shape[0]
         if use_bvh is True or (use_bvh == "auto" and n_tri > 64):
@@ -147,6 +169,20 @@ class Geometry(NamedTuple):
              if dk else jnp.zeros((0,), jnp.float32)),
             stack_i(dk, "mat"), stack_i(dk, "light"),
             stack_i(dk, "med_in"), stack_i(dk, "med_out"),
+            stack(cy, "c", (0, 0, 0), (3,)),
+            stack(cy, "a", (0, 0, 1), (3,)),
+            (jnp.asarray([float(x["r"]) for x in cy], jnp.float32)
+             if cy else jnp.zeros((0,), jnp.float32)),
+            (jnp.asarray([float(x["h"]) for x in cy], jnp.float32)
+             if cy else jnp.zeros((0,), jnp.float32)),
+            stack_i(cy, "mat"), stack_i(cy, "light"),
+            stack_i(cy, "med_in"), stack_i(cy, "med_out"),
+            stack(bp, "p00", (0, 0, 0), (3,)),
+            stack(bp, "p10", (0, 0, 0), (3,)),
+            stack(bp, "p01", (0, 0, 0), (3,)),
+            stack(bp, "p11", (0, 0, 0), (3,)),
+            stack_i(bp, "mat"), stack_i(bp, "light"),
+            stack_i(bp, "med_in"), stack_i(bp, "med_out"),
             tri_bvh,
         )
 
@@ -165,6 +201,14 @@ class Geometry(NamedTuple):
     @property
     def n_dsk(self):
         return self.dsk_c.shape[0]
+
+    @property
+    def n_cyl(self):
+        return self.cyl_c.shape[0]
+
+    @property
+    def n_blp(self):
+        return self.blp_p00.shape[0]
 
     # -- closest hit ---------------------------------------------------------
     def intersect(self, o, d, t_max):
@@ -280,6 +324,54 @@ class Geometry(NamedTuple):
                 self.dsk_mat[k], self.dsk_light[k],
                 self.dsk_med_in[k], self.dsk_med_out[k],
                 (self.n_tri + self.n_sph + self.n_box + k).astype(jnp.int32),
+            )
+
+        # cylinders (finite, open)
+        if self.n_cyl > 0:
+            from ..ops.intersect import ray_cylinder
+
+            hc, tc, pc, nc = ray_cylinder(
+                o[..., None, :], d[..., None, :], best.t[..., None],
+                self.cyl_c, self.cyl_a, self.cyl_r, self.cyl_h)
+            tc = jnp.where(hc, tc, inf)
+            k = jnp.argmin(tc, axis=-1)
+            t_k = jnp.take_along_axis(tc, k[..., None], -1)[..., 0]
+            closer = jnp.isfinite(t_k) & (t_k < best.t)
+            p_k = o + t_k[..., None] * d
+            n_k = jnp.take_along_axis(nc, k[..., None, None], -2)[..., 0, :]
+            z_k = jnp.sum((p_k - self.cyl_c[k]) * self.cyl_a[k], -1)
+            uv_c = jnp.stack([jnp.zeros_like(z_k),
+                              z_k / jnp.maximum(self.cyl_h[k], 1e-9)], -1)
+            best = upd(
+                best, closer, t_k, p_k, n_k, n_k, uv_c,
+                self.cyl_mat[k], self.cyl_light[k],
+                self.cyl_med_in[k], self.cyl_med_out[k],
+                (self.n_tri + self.n_sph + self.n_box + self.n_dsk
+                 + k).astype(jnp.int32),
+            )
+
+        # bilinear patches
+        if self.n_blp > 0:
+            from ..ops.intersect import ray_bilinear_patch
+
+            hp, tp, up, vp, np_ = ray_bilinear_patch(
+                o[..., None, :], d[..., None, :], best.t[..., None],
+                self.blp_p00, self.blp_p10, self.blp_p01, self.blp_p11)
+            tp = jnp.where(hp, tp, inf)
+            k = jnp.argmin(tp, axis=-1)
+            t_k = jnp.take_along_axis(tp, k[..., None], -1)[..., 0]
+            closer = jnp.isfinite(t_k) & (t_k < best.t)
+            p_k = o + t_k[..., None] * d
+            n_k = jnp.take_along_axis(np_, k[..., None, None], -2)[..., 0, :]
+            u_k = jnp.take_along_axis(up, k[..., None], -1)[..., 0]
+            v_k = jnp.take_along_axis(vp, k[..., None], -1)[..., 0]
+            best = upd(
+                best, closer, t_k, p_k, n_k, n_k,
+                jnp.stack([u_k, v_k], -1),
+                self.blp_mat[k], self.blp_light[k],
+                self.blp_med_in[k], self.blp_med_out[k],
+                (self.n_tri + self.n_sph + self.n_box + self.n_dsk
+                 + self.n_cyl + k).astype(jnp.int32),
             )
 
         # boxes (face crossings; nearest of t_near/t_far ahead of origin)
@@ -405,4 +497,18 @@ class Geometry(NamedTuple):
                   & (t_all < t_max[..., None]) & (r2 <= self.dsk_r**2)
                   & (r2 >= self.dsk_ri**2))
             occluded |= jnp.any(ok & (self.dsk_mat >= 0), axis=-1)
+        if self.n_cyl > 0:
+            from ..ops.intersect import ray_cylinder
+
+            hc, tc, _, _ = ray_cylinder(
+                o[..., None, :], d[..., None, :], t_max[..., None],
+                self.cyl_c, self.cyl_a, self.cyl_r, self.cyl_h)
+            occluded |= jnp.any(hc & (self.cyl_mat >= 0), axis=-1)
+        if self.n_blp > 0:
+            from ..ops.intersect import ray_bilinear_patch
+
+            hp, _, _, _, _ = ray_bilinear_patch(
+                o[..., None, :], d[..., None, :], t_max[..., None],
+                self.blp_p00, self.blp_p10, self.blp_p01, self.blp_p11)
+            occluded |= jnp.any(hp & (self.blp_mat >= 0), axis=-1)
         return occluded

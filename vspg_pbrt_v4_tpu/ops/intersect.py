@@ -110,3 +110,82 @@ def offset_ray_origin(p, n, w):
     eps = 1e-4 * scale
     sign = jnp.where(dot(n, w) >= 0.0, 1.0, -1.0)
     return p + (sign * eps)[..., None] * n
+
+
+def ray_cylinder(o, d, t_max, base, axis, radius, height):
+    """Finite open cylinder (shapes.h Cylinder:551, world-space form).
+
+    base: (C,3) bottom-cap center; axis: (C,3) unit; broadcastable against
+    o/d (...,1,3). Returns (hit, t, p, n) with n the outward radial normal.
+    """
+    oc = o - base
+    od = oc - dot(oc, axis)[..., None] * axis
+    dd = d - dot(d, axis)[..., None] * axis
+    a = length_squared(dd)
+    b = 2.0 * dot(od, dd)
+    c = length_squared(od) - radius * radius
+    has, t0, t1 = quadratic(a, b, c)
+    eps = 1e-4
+
+    def z_of(t):
+        return dot(oc + t[..., None] * d, axis)
+
+    def ok_at(t):
+        z = z_of(t)
+        return has & (t > eps) & (t < t_max) & (z >= 0.0) & (z <= height)
+
+    t = jnp.where(ok_at(t0), t0, jnp.where(ok_at(t1), t1, jnp.inf))
+    hit = jnp.isfinite(t)
+    p = o + jnp.where(hit, t, 0.0)[..., None] * d
+    z = dot(p - base, axis)
+    n = normalize(p - base - z[..., None] * axis)
+    return hit, t, p, n
+
+
+def ray_bilinear_patch(o, d, t_max, p00, p10, p01, p11):
+    """Ray vs bilinear patch (shapes.h BilinearPatch intersection; the
+    Reshetov "Cool Patches" quadratic-in-u solve, Ray Tracing Gems ch. 8).
+
+    Returns (hit, t, u, v, n_geometric)."""
+    e10 = p10 - p00
+    e11 = p11 - p10
+    e00 = p01 - p00
+    qn = cross(e10, p01 - p11)
+    q00 = p00 - o
+    q10 = p10 - o
+    a = dot(cross(q00, d), e00)
+    c = dot(qn, d)
+    b = dot(cross(q10, d), e11) - (a + c)
+    det = b * b - 4.0 * a * c
+    eps = 1e-4
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    # robust quadratic roots for a + b*u + c*u^2 = 0 (linear when |c| tiny)
+    lin = jnp.abs(c) < 1e-12
+    u_lin = safe_div(-a, b, -1.0)
+    qq = -0.5 * (b + jnp.sign(jnp.where(b == 0, 1.0, b)) * sq)
+    u1 = jnp.where(lin, u_lin, safe_div(qq, c, -1.0))
+    u2 = jnp.where(lin, -1.0, safe_div(a, qq, -1.0))
+
+    def solve(u):
+        pa = q00 + u[..., None] * e10  # lerp(u, p00, p10) - o
+        pb = e00 + u[..., None] * (e11 - e00)  # v-edge direction at u
+        n = cross(d, pb)
+        det2 = length_squared(n)
+        n2 = cross(n, pa)
+        t = safe_div(dot(n2, pb), det2, jnp.inf)
+        v = safe_div(dot(n2, d), det2, -1.0)
+        ok = ((u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+              & (t > eps) & (t < t_max) & (det2 > 1e-20) & (det >= 0.0))
+        return jnp.where(ok, t, jnp.inf), v
+
+    t_1, v_1 = solve(u1)
+    t_2, v_2 = solve(u2)
+    pick1 = t_1 <= t_2
+    t = jnp.where(pick1, t_1, t_2)
+    u = jnp.where(pick1, u1, u2)
+    v = jnp.where(pick1, v_1, v_2)
+    hit = jnp.isfinite(t)
+    dpdu = e10 + v[..., None] * ((p11 - p01) - e10)
+    dpdv = e00 + u[..., None] * (e11 - e00)
+    n = normalize(cross(dpdu, dpdv))
+    return hit, t, u, v, n

@@ -72,6 +72,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     spheres = []
     boxes = []
     disks = []
+    cylinders = []
+    patches = []
     mats = [dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))]  # default material
     named_mats = {}
     area_tris = []
@@ -313,6 +315,41 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 if has_light:
                     warn("disk area light not supported for NEE; use "
                          "trianglemesh emitters", d.loc)
+            elif stype == "cylinder":
+                r = p.get_float("radius", 1.0)
+                zmin = p.get_float("zmin", -1.0)
+                zmax = p.get_float("zmax", 1.0)
+                if p.get_float("phimax", 360.0) < 359.9:
+                    warn("cylinder phimax < 360 unsupported; full cylinder",
+                         d.loc)
+                c0 = xf_pts(np.asarray([0.0, 0.0, zmin]))
+                c1 = xf_pts(np.asarray([0.0, 0.0, zmax]))
+                ax = c1 - c0
+                h = float(np.linalg.norm(ax))
+                rx = xf_pts(np.asarray([r, 0.0, zmin])) - c0
+                cylinders.append(dict(
+                    c=c0, a=ax / max(h, 1e-12), r=float(np.linalg.norm(rx)),
+                    h=h, mat=mat_id, light=-1,
+                    med_in=st.medium_in, med_out=st.medium_out))
+                if has_light:
+                    warn("cylinder area light not supported for NEE", d.loc)
+            elif stype in ("bilinearmesh", "bilinear"):
+                P = p.get_floats("P").reshape(-1, 3)
+                bidx = p.get_ints("indices")
+                if bidx is None:
+                    bidx = np.arange(P.shape[0])
+                bidx = np.asarray(bidx).reshape(-1, 4)
+                Pw = xf_pts(P)
+                for q_i in range(bidx.shape[0]):
+                    a, b2, c3, dd = bidx[q_i]
+                    # pbrt vertex order: p00 p10 p01 p11
+                    patches.append(dict(
+                        p00=Pw[a], p10=Pw[b2], p01=Pw[c3], p11=Pw[dd],
+                        mat=mat_id, light=-1,
+                        med_in=st.medium_in, med_out=st.medium_out))
+                if has_light:
+                    warn("bilinear-patch area light not supported for NEE; "
+                         "use trianglemesh emitters", d.loc)
             elif stype == "plymesh":
                 from ..native import load_ply
 
@@ -401,7 +438,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             it["med_out"] = remap(it["med_out"])
 
     geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes,
-                              disks=disks)
+                              disks=disks, cylinders=cylinders,
+                              patches=patches)
     materials = Materials.build(mats)
     tex_bank = Textures.build(textures, tex_images) if textures else None
     media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media))

@@ -136,7 +136,7 @@ class Materials(NamedTuple):
 
         mid = jnp.maximum(mat_id, 0)
         tex = self.albedo_tex[mid]
-        tval = eval_texture(textures, tex, uv)
+        tval = eval_texture(textures, tex, uv, p)
         albedo = jnp.where((tex >= 0)[..., None], tval, lanes.albedo)
         return lanes._replace(albedo=albedo)
 

@@ -2,20 +2,27 @@
 
 SoA texture bank with masked evaluation: every texture is one row of a
 fixed-size parameter table plus an optional image atlas entry. Supported
-kinds (textures.h has 20+; these cover the common scene surface):
+kinds (textures.h registers 14 float + 13 spectrum types; these cover the
+scene-facing surface):
 
   0 CONSTANT  value rgb
   1 CHECKER   two rgb colors, uscale/vscale (procedural, uv-driven)
   2 IMAGE     bilinear lookup into a stacked image atlas (uv wrap)
   3 SCALE     rgb scale * another texture (one level of nesting)
+  4 MIX       lerp(amount, tex1, tex2) (textures.h MixTexture)
+  5 FBM       Perlin fractional Brownian motion (world-space, grey)
+  6 WRINKLED  Perlin turbulence (textures.h WrinkledTexture)
+  7 MARBLE    spline-shaded perturbed sine (textures.h MarbleTexture)
+  8 DOTS      procedural polka dots (textures.h DotsTexture)
+  9 UV        uv visualization (textures.h UVTexture)
+ 10 WINDY     two-scale fBm waves (textures.h WindyTexture)
 
-Evaluation is fully vectorized: ``eval_texture(bank, tex_id, uv)`` gathers
-parameters per lane and computes all kinds masked.
+Evaluation is fully vectorized: ``eval_texture(bank, tex_id, uv, p)``
+gathers parameters per lane and computes all kinds masked; the noise
+kinds are driven by the world-space hit position scaled by params[2].
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple
 
 import flax.struct as struct
 import jax.numpy as jnp
@@ -25,32 +32,54 @@ CONSTANT = 0
 CHECKER = 1
 IMAGE = 2
 SCALE = 3
+MIX = 4
+FBM = 5
+WRINKLED = 6
+MARBLE = 7
+DOTS = 8
+UV = 9
+WINDY = 10
+
+_NOISE_KINDS = (FBM, WRINKLED, MARBLE, WINDY)
+
+# pbrt's marble color spline control points (textures.cpp MarbleTexture)
+_MARBLE_C = np.asarray([
+    [0.58, 0.58, 0.6], [0.58, 0.58, 0.6], [0.58, 0.58, 0.6],
+    [0.5, 0.5, 0.5], [0.6, 0.59, 0.58], [0.58, 0.58, 0.6],
+    [0.58, 0.58, 0.6], [0.2, 0.2, 0.33], [0.58, 0.58, 0.6],
+], np.float32)
 
 
 @struct.dataclass
 class Textures:
     kind: jnp.ndarray  # (T,)
-    c0: jnp.ndarray  # (T,3) value / checker tex1 / scale factor
-    c1: jnp.ndarray  # (T,3) checker tex2
+    c0: jnp.ndarray  # (T,3) value / checker tex1 / scale factor / amount
+    c1: jnp.ndarray  # (T,3) checker tex2 / dots inside color
     uvscale: jnp.ndarray  # (T,2)
     image_id: jnp.ndarray  # (T,) index into atlas, -1 none
-    inner: jnp.ndarray  # (T,) nested texture (SCALE), -1 none
+    inner: jnp.ndarray  # (T,) nested texture (SCALE/MIX tex1), -1 none
+    inner2: jnp.ndarray  # (T,) MIX tex2, -1 none
+    params: jnp.ndarray  # (T,4) [octaves, omega, scale, variation]
     atlas: jnp.ndarray  # (I, H, W, 3) stacked images (uniform size)
     has_images: bool = struct.field(pytree_node=False, default=False)
 
     @staticmethod
     def build(textures, images=()):
-        """textures: list of dicts {kind, c0, c1, uvscale, image_id, inner};
+        """textures: list of dicts {kind, c0, c1, uvscale, image_id, inner,
+        inner2, octaves, omega, scale, variation};
         images: list of (H,W,3) arrays, resized to the max size."""
         if not textures:
             textures = [dict(kind=CONSTANT, c0=(1.0, 1.0, 1.0))]
-        T = len(textures)
         kind = jnp.asarray([t.get("kind", CONSTANT) for t in textures], jnp.int32)
         c0 = jnp.asarray([t.get("c0", (1, 1, 1)) for t in textures], jnp.float32)
         c1 = jnp.asarray([t.get("c1", (0, 0, 0)) for t in textures], jnp.float32)
         uvs = jnp.asarray([t.get("uvscale", (1, 1)) for t in textures], jnp.float32)
         img_id = jnp.asarray([t.get("image_id", -1) for t in textures], jnp.int32)
         inner = jnp.asarray([t.get("inner", -1) for t in textures], jnp.int32)
+        inner2 = jnp.asarray([t.get("inner2", -1) for t in textures], jnp.int32)
+        params = jnp.asarray(
+            [(t.get("octaves", 6), t.get("omega", 0.5), t.get("scale", 1.0),
+              t.get("variation", 0.2)) for t in textures], jnp.float32)
         if images:
             hmax = max(im.shape[0] for im in images)
             wmax = max(im.shape[1] for im in images)
@@ -63,14 +92,16 @@ class Textures:
             atlas = jnp.asarray(atlas)
         else:
             atlas = jnp.zeros((1, 1, 1, 3), jnp.float32)
-        return Textures(kind, c0, c1, uvs, img_id, inner, atlas, bool(images))
+        return Textures(kind, c0, c1, uvs, img_id, inner, inner2, params,
+                        atlas, bool(images))
 
 
-def _eval_level(bank: Textures, tid, uv):
+def _eval_level(bank: Textures, tid, uv, p=None):
     k = bank.kind[tid]
     c0 = bank.c0[tid]
     c1 = bank.c1[tid]
     uvs = bank.uvscale[tid]
+    prm = bank.params[tid]
     out = c0  # CONSTANT default
     # checker
     su = uv * uvs
@@ -95,15 +126,80 @@ def _eval_level(bank: Textures, tid, uv):
         d = bank.atlas[img_id, y1, x1]
         bil = (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
         out = jnp.where((k == IMAGE)[..., None], bil, out)
+    # uv visualization
+    out = jnp.where((k == UV)[..., None],
+                    jnp.stack([uv[..., 0] % 1.0, uv[..., 1] % 1.0,
+                               jnp.zeros_like(uv[..., 0])], -1), out)
+    # dots (textures.h DotsTexture: jittered dot per cell via noise)
+    from ..utils.noise import fbm, perlin, turbulence
+
+    cell = jnp.floor(su + 0.5)
+    cell3 = jnp.concatenate([cell, jnp.zeros_like(cell[..., :1])], -1)
+    has_dot = perlin(cell3 + 0.5) > 0.0
+    cx = cell[..., 0] + 0.35 * perlin(cell3 + jnp.asarray([1.5, 2.5, 0.0]))
+    cy = cell[..., 1] + 0.35 * perlin(cell3 + jnp.asarray([4.5, 9.5, 0.0]))
+    in_dot = has_dot & (
+        (su[..., 0] - cx) ** 2 + (su[..., 1] - cy) ** 2 < 0.35 * 0.35)
+    out = jnp.where((k == DOTS)[..., None],
+                    jnp.where(in_dot[..., None], c1, c0), out)
+    # world-space noise kinds
+    if p is not None:
+        octaves = jnp.clip(prm[..., 0], 1, 8)
+        omega = prm[..., 1]
+        ps = p * prm[..., 2:3]
+        # fixed 6-octave ladders with per-lane octave masking
+        def ladder(f):
+            total = jnp.zeros_like(omega)
+            lam, o = 1.0, jnp.ones_like(omega)
+            for i in range(8):
+                total = total + jnp.where(i < octaves, o * f(ps * lam), 0.0)
+                lam *= 1.99
+                o = o * omega
+            return total
+
+        fbm_v = ladder(perlin)
+        turb_v = ladder(lambda q: jnp.abs(perlin(q)))
+        out = jnp.where((k == FBM)[..., None],
+                        fbm_v[..., None] * jnp.ones(3), out)
+        out = jnp.where((k == WRINKLED)[..., None],
+                        turb_v[..., None] * jnp.ones(3), out)
+        # windy (textures.h WindyTexture: strength * height)
+        wind = fbm(0.1 * p, 0.5, 3)
+        waves = fbm(p, 0.5, 6)
+        windy = jnp.abs(wind) * waves
+        out = jnp.where((k == WINDY)[..., None],
+                        windy[..., None] * jnp.ones(3), out)
+        # marble: spline(c, .5+.5 sin(scale*y + variation*fbm))
+        marble = ps[..., 1] + prm[..., 3] * fbm_v
+        t = 0.5 + 0.5 * jnp.sin(marble)
+        nseg = _MARBLE_C.shape[0] - 3
+        first = jnp.clip((t * nseg).astype(jnp.int32), 0, nseg - 1)
+        tt = t * nseg - first
+        cm = jnp.asarray(_MARBLE_C)
+        c_0, c_1 = cm[first], cm[first + 1]
+        c_2, c_3 = cm[first + 2], cm[first + 3]
+        s0 = (1 - tt)[..., None] * c_0 + tt[..., None] * c_1
+        s1 = (1 - tt)[..., None] * c_1 + tt[..., None] * c_2
+        s2 = (1 - tt)[..., None] * c_2 + tt[..., None] * c_3
+        s0 = (1 - tt)[..., None] * s0 + tt[..., None] * s1
+        s1 = (1 - tt)[..., None] * s1 + tt[..., None] * s2
+        mar = 1.5 * ((1 - tt)[..., None] * s0 + tt[..., None] * s1)
+        out = jnp.where((k == MARBLE)[..., None], mar, out)
     return out, k, c0
 
 
-def eval_texture(bank: Textures, tex_id, uv):
-    """(R,) tex ids + (R,2) uv -> (R,3) rgb. tex_id < 0 -> ones."""
+def eval_texture(bank: Textures, tex_id, uv, p=None):
+    """(R,) tex ids + (R,2) uv [+ (R,3) world pos] -> (R,3) rgb.
+    tex_id < 0 -> ones."""
     tid = jnp.maximum(tex_id, 0)
-    out, k, c0 = _eval_level(bank, tid, uv)
-    # one nesting level for SCALE
+    out, k, c0 = _eval_level(bank, tid, uv, p)
+    # one nesting level for SCALE / MIX
     inner = jnp.maximum(bank.inner[tid], 0)
-    inner_val, _, _ = _eval_level(bank, inner, uv)
+    inner_val, _, _ = _eval_level(bank, inner, uv, p)
     out = jnp.where((k == SCALE)[..., None], c0 * inner_val, out)
+    inner2 = jnp.maximum(bank.inner2[tid], 0)
+    inner2_val, _, _ = _eval_level(bank, inner2, uv, p)
+    amt = c0[..., 0:1]
+    out = jnp.where((k == MIX)[..., None],
+                    (1.0 - amt) * inner_val + amt * inner2_val, out)
     return jnp.where((tex_id >= 0)[..., None], out, jnp.ones_like(out))

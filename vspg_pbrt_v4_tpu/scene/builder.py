@@ -30,7 +30,11 @@ from ..models.materials import (COATED_CONDUCTOR, COATED_DIFFUSE, CONDUCTOR,
                                 THIN_DIELECTRIC, Materials)
 from ..models.media import GridMedium, Media
 from ..models.shapes import Geometry
-from ..models.textures import CHECKER, CONSTANT, IMAGE, SCALE, Textures
+from ..models.textures import (CHECKER, CONSTANT, DOTS, IMAGE, MARBLE, SCALE,
+                               WINDY, WRINKLED, Textures)
+from ..models.textures import FBM as FBM_TEX
+from ..models.textures import MIX as TEX_MIX
+from ..models.textures import UV as UV_TEX
 from ..utils import transform as tr
 from .parser import ParameterDictionary
 
@@ -411,6 +415,29 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 row = dict(kind=SCALE,
                            c0=tuple(p.get_rgb("scale", np.ones(3))),
                            inner=named_textures.get(inner_name, -1))
+            elif tclass == "mix":
+                amt = p.get_float("amount", 0.5)
+                row = dict(kind=TEX_MIX, c0=(amt, amt, amt),
+                           inner=named_textures.get(
+                               p.get_string("tex1", ""), -1),
+                           inner2=named_textures.get(
+                               p.get_string("tex2", ""), -1))
+            elif tclass in ("fbm", "wrinkled", "windy", "marble"):
+                kindmap = {"fbm": FBM_TEX, "wrinkled": WRINKLED,
+                           "windy": WINDY, "marble": MARBLE}
+                row = dict(kind=kindmap[tclass],
+                           octaves=p.get_int("octaves", 8),
+                           omega=p.get_float("roughness", 0.5),
+                           scale=p.get_float("scale", 1.0),
+                           variation=p.get_float("variation", 0.2))
+            elif tclass == "dots":
+                row = dict(kind=DOTS,
+                           c0=tuple(p.get_rgb("outside", np.ones(3))),
+                           c1=tuple(p.get_rgb("inside", np.zeros(3))),
+                           uvscale=(p.get_float("uscale", 1.0),
+                                    p.get_float("vscale", 1.0)))
+            elif tclass == "uv":
+                row = dict(kind=UV_TEX)
             else:
                 warn(f"texture type '{tclass}' unsupported; constant grey",
                      d.loc)

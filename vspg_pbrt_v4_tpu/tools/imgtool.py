@@ -3,7 +3,7 @@
     python -m vspg_pbrt_v4_tpu.tools.imgtool <command> [args]
 
 Commands (reference: imgtool.cpp:57-229):
-  diff       --metric MAE|MSE|MRSE  img ref   (+ --outfile difference image)
+  diff       --metric MAE|MSE|MRSE|FLIP  img ref (+ --outfile difference image)
   error      convergence-rate study over a series of images vs a reference
   falsecolor scalar visualization with a viridis-like ramp
   assemble   average multiple EXRs (independent-run merging, splitn inverse)
@@ -42,13 +42,15 @@ def main(argv=None):
     d = sub.add_parser("diff")
     d.add_argument("image")
     d.add_argument("reference")
-    d.add_argument("--metric", default="MSE", choices=["MSE", "MAE", "MRSE"])
+    d.add_argument("--metric", default="MSE",
+                   choices=["MSE", "MAE", "MRSE", "FLIP"])
     d.add_argument("--outfile", default=None)
 
     e = sub.add_parser("error")
     e.add_argument("images", nargs="+")
     e.add_argument("--reference", required=True)
-    e.add_argument("--metric", default="MSE", choices=["MSE", "MAE", "MRSE"])
+    e.add_argument("--metric", default="MSE",
+                   choices=["MSE", "MAE", "MRSE", "FLIP"])
 
     f = sub.add_parser("falsecolor")
     f.add_argument("image")
@@ -74,7 +76,10 @@ def main(argv=None):
     me.add_argument("--resolution", type=int, default=None)
 
     args = ap.parse_args(argv)
-    metrics = {"MSE": mse, "MAE": mae, "MRSE": mrse}
+    from ..utils.flip import mean_flip
+
+    metrics = {"MSE": mse, "MAE": mae, "MRSE": mrse,
+               "FLIP": lambda a, b: mean_flip(b, a)}
 
     if args.cmd == "diff":
         img = read_image(args.image)

@@ -91,3 +91,63 @@ def test_variance_reduction_vs_independent():
         errs[kind] = ((est - true_val) ** 2).mean()
     assert errs["stratified"] < 0.5 * errs["independent"], errs
     assert errs["paddedsobol"] < 0.35 * errs["independent"], errs
+
+
+def _collect_nx(kind, spp, n_pix=64, nx=8):
+    out = np.zeros((n_pix, spp, 2), np.float32)
+    for s in range(spp):
+        smp = LaneSampler.start(7, jnp.arange(n_pix, dtype=jnp.uint32), s,
+                                kind=kind, spp=spp, nx=nx)
+        smp, u = smp.get_2d()
+        out[:, s] = np.asarray(u)
+    return out
+
+
+def test_halton_radical_inverse_stratified():
+    from vspg_pbrt_v4_tpu.utils.lowdiscrepancy import (
+        radical_inverse, scrambled_radical_inverse)
+    n = 243
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    u = np.asarray(radical_inverse(1, idx))  # base 3
+    counts = np.histogram(u, bins=27, range=(0, 1))[0]
+    assert (counts == n // 27).all()
+    # scrambling keeps the stratification (Owen property)
+    us = np.asarray(scrambled_radical_inverse(1, idx, jnp.uint32(99)))
+    counts = np.histogram(us, bins=27, range=(0, 1))[0]
+    assert (counts == n // 27).all()
+    assert len(set(us.tolist())) == n
+
+
+def test_halton_sampler_stratification_per_pixel():
+    spp = 64
+    u = _collect_nx("halton", spp, n_pix=32)
+    # per-pixel: 64 base-2 x draws fill every 1/64 stratum exactly once;
+    # base-3 y draws fill every 1/16 stratum within 1 (64 = 3^k mismatch)
+    for pix in range(8):
+        cx = np.histogram(u[pix, :, 0], bins=64, range=(0, 1))[0]
+        assert (cx == 1).all(), (pix, cx)
+        cy = np.histogram(u[pix, :, 1], bins=9, range=(0, 1))[0]
+        assert cy.max() - cy.min() <= 3, (pix, cy)
+    # decorrelated across pixels
+    c = np.corrcoef(u[:, :, 0])
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).mean() < 0.15
+
+
+def test_zsobol_sampler_stratification():
+    spp = 16
+    u = _collect_nx("zsobol", spp, n_pix=64, nx=8)
+    assert ((u >= 0) & (u < 1)).all()
+    for pix in range(8):
+        cx = np.histogram(u[pix, :, 0], bins=16, range=(0, 1))[0]
+        cy = np.histogram(u[pix, :, 1], bins=16, range=(0, 1))[0]
+        assert (cx == 1).all(), (pix, cx)
+        assert (cy == 1).all(), (pix, cy)
+    # variance reduction vs independent on a smooth integrand
+    ind = _collect_nx("independent", spp, n_pix=64, nx=8)
+
+    def integrand_var(us):
+        f = np.sin(np.pi * us[..., 0]) * us[..., 1] ** 2
+        return np.var(f.mean(1))
+
+    assert integrand_var(u) < 0.5 * integrand_var(ind)

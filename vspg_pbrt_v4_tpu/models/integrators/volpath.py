@@ -614,7 +614,8 @@ def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium
     """Generate primary rays + fresh path state for the given pixel lanes."""
     pix = pixel_coords(film.resolution)[pixel_id]
     sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), sample_index,
-                                kind=sampler_kind, spp=spp)
+                                kind=sampler_kind, spp=spp,
+                                nx=film.resolution[0])
     sampler, u_pix = sampler.get_2d()
     offset, filter_w = film.filter.sample(u_pix)
     p_raster = pix.astype(jnp.float32) + 0.5 + offset

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import flax.struct as struct
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import rng
 from ..utils.lowdiscrepancy import (
@@ -44,16 +45,17 @@ class LaneSampler:
     dim: jnp.ndarray  # (R,) uint32
     kind: str = struct.field(pytree_node=False, default="independent")
     spp: int = struct.field(pytree_node=False, default=0)
+    nx: int = struct.field(pytree_node=False, default=0)  # zsobol morton
 
     @staticmethod
-    def start(seed, pixel_id, sample_index, kind="independent", spp=0):
+    def start(seed, pixel_id, sample_index, kind="independent", spp=0, nx=0):
         pid = jnp.asarray(pixel_id).astype(jnp.uint32)
         return LaneSampler(
             jnp.asarray(seed, jnp.uint32),
             pid,
             jnp.broadcast_to(jnp.asarray(sample_index, jnp.uint32), pid.shape).astype(jnp.uint32),
             jnp.zeros_like(pid),
-            kind, int(spp),
+            kind, int(spp), int(nx),
         )
 
     # -- internals -----------------------------------------------------------
@@ -80,6 +82,34 @@ class LaneSampler:
                                self.dim * jnp.uint32(4) + jnp.uint32(lane))[0]
             n = max(self.spp, 1)
             return jnp.minimum((idx.astype(jnp.float32) + jit) / n, 0.99999994)
+        if self.kind == "halton":
+            # padded scrambled Halton: sub-dimension `lane` uses the prime
+            # base PRIMES[lane], decorrelated across (pixel, dim) by the
+            # Owen-style digit permutations (samplers.h HaltonSampler
+            # semantics, padded per pixel instead of pixel-strided)
+            from ..utils.lowdiscrepancy import scrambled_radical_inverse
+
+            return scrambled_radical_inverse(
+                lane, self.sample_index, self._dim_seed(0x6A09 + 0x9E37 * lane))
+        if self.kind == "zsobol" and self.nx > 0:
+            # Morton-shuffled Sobol (samplers.h ZSobolSampler:225): one
+            # hierarchically-permuted index per dimension, Sobol dims 0/1
+            # for the sub-dimensions of each 2D draw
+            from ..utils.lowdiscrepancy import (encode_morton2,
+                                                zsobol_shuffled_index)
+
+            nx = jnp.uint32(self.nx)
+            px = self.pixel_id % nx
+            py = self.pixel_id // nx
+            log2spp = max(int(np.ceil(np.log2(max(self.spp, 1)))), 0)
+            res_bits = int(np.ceil(np.log2(max(self.nx, 2))))
+            n_d4 = (2 * res_bits + log2spp + 1) // 2 + 1
+            morton = (encode_morton2(px, py) << jnp.uint32(log2spp)) \
+                | (self.sample_index & jnp.uint32((1 << log2spp) - 1))
+            idx = zsobol_shuffled_index(morton, n_d4, self._dim_seed(0x2F8B))
+            v = sobol_dim1(idx) if lane == 1 else sobol_dim0(idx)
+            v = fast_owen_scramble(v, self._dim_seed(0x55 + lane))
+            return u32_to_unit_float(v)
         if self.kind in _PADDED:
             idx = self._permuted_index()
             v = sobol_dim1(idx) if lane == 1 else sobol_dim0(idx)

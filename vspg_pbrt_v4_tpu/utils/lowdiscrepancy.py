@@ -116,3 +116,102 @@ def permutation_element(i, n, seed):
         out = jnp.where(out >= n, rounds(out), out)
     out = jnp.where(out >= n, i, out)  # ~2^-13 fallback keeps validity
     return (out + seed) % n
+
+
+# ---------------------------------------------------------------------------
+# Halton: radical inverse in prime bases with affine digit scrambling
+# (util/lowdiscrepancy.h RadicalInverse/ScrambledRadicalInverse semantics)
+# ---------------------------------------------------------------------------
+
+PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+# digits of a uint32 in each base (ceil(32 / log2(base)))
+_N_DIGITS = {2: 32, 3: 21, 5: 14, 7: 12, 11: 10, 13: 9, 17: 8, 19: 8,
+             23: 8, 29: 7, 31: 7, 37: 6}
+
+
+def radical_inverse(prime_index, index):
+    """Van der Corput inverse of `index` in base PRIMES[prime_index]."""
+    base = PRIMES[prime_index % len(PRIMES)]
+    if base == 2:
+        return u32_to_unit_float(reverse_bits32(index))
+    index = index.astype(jnp.uint32)
+    inv_base = 1.0 / base
+    rev = jnp.zeros(index.shape, jnp.float32)
+    scale = jnp.float32(1.0)
+    for _ in range(_N_DIGITS[base]):
+        digit = (index % _U32(base)).astype(jnp.float32)
+        index = index // _U32(base)
+        scale = scale * inv_base
+        rev = rev + digit * scale
+        # digits are consumed LSB-first and written MSB-first in value space:
+        # accumulate digit * base^-(k+1) then shift earlier digits deeper
+        rev = rev  # (kept explicit for clarity)
+    return jnp.minimum(rev, jnp.float32(0.99999994))
+
+
+def scrambled_radical_inverse(prime_index, index, seed):
+    """Radical inverse with per-digit-position affine permutations
+    (d -> (a*d + b) mod base, a coprime to the prime base), keyed by seed.
+    Owen-style: the permutation at digit k also depends on the more
+    significant consumed digits via the running index."""
+    base = PRIMES[prime_index % len(PRIMES)]
+    index = index.astype(jnp.uint32)
+    seed = seed.astype(_U32) if hasattr(seed, "astype") else _U32(seed)
+    inv_base = 1.0 / base
+    rev = jnp.zeros(index.shape, jnp.float32)
+    scale = jnp.float32(1.0)
+    from . import rng as _rng
+
+    for k in range(_N_DIGITS[base]):
+        digit = index % _U32(base)
+        index = index // _U32(base)
+        h = _rng.hash_u32(seed, _U32(k), index, _U32(base))
+        a = h % _U32(base - 1) + _U32(1)  # in [1, base)
+        b = (h >> _U32(8)) % _U32(base)
+        digit = (a * digit + b) % _U32(base)
+        scale = scale * inv_base
+        rev = rev + digit.astype(jnp.float32) * scale
+    return jnp.minimum(rev, jnp.float32(0.99999994))
+
+
+# ---------------------------------------------------------------------------
+# ZSobol: Morton-shuffled Sobol (samplers.h ZSobolSampler:225 semantics)
+# ---------------------------------------------------------------------------
+
+def encode_morton2(x, y):
+    """Interleave 16-bit x (even bits) and y (odd bits)."""
+    def part1by1(v):
+        v = v.astype(_U32) & _U32(0x0000FFFF)
+        v = (v | (v << 8)) & _U32(0x00FF00FF)
+        v = (v | (v << 4)) & _U32(0x0F0F0F0F)
+        v = (v | (v << 2)) & _U32(0x33333333)
+        v = (v | (v << 1)) & _U32(0x55555555)
+        return v
+
+    return part1by1(x) | (part1by1(y) << _U32(1))
+
+
+# the 24 permutations of {0,1,2,3} (samplers.cpp ZSobol permutations table)
+import itertools as _it
+import numpy as _np
+
+_PERM4 = jnp.asarray(list(_it.permutations(range(4))), jnp.int32)  # (24,4)
+
+
+def zsobol_shuffled_index(morton, n_base4_digits, seed):
+    """Hierarchically permute the base-4 digits of the Morton index, the
+    permutation of each digit keyed by the hash of its more significant
+    digits (ZSobolSampler::GetSampleIndex top-down walk)."""
+    from . import rng as _rng
+
+    morton = morton.astype(_U32)
+    seed = seed.astype(_U32) if hasattr(seed, "astype") else _U32(seed)
+    out = jnp.zeros_like(morton)
+    for i in range(int(n_base4_digits)):
+        digit_shift = _U32(2 * (int(n_base4_digits) - 1 - i))
+        digit = (morton >> digit_shift) & _U32(3)
+        higher = morton >> (digit_shift + _U32(2))
+        p = _rng.hash_u32(higher, seed, _U32(i), _U32(0x55)) % _U32(24)
+        digit = _PERM4[p, digit].astype(_U32)
+        out = out | (digit << digit_shift)
+    return out

@@ -151,6 +151,16 @@ def main(argv=None):
         img = np.asarray(extras.render_simplepath(
             setup.scene, setup.camera, setup.film, spp=setup.spp,
             seed=args.seed, spp_per_pass=spp_per_pass, cfg=cfg))
+    elif name == "sppm":
+        from .models.integrators import sppm
+
+        img = np.asarray(sppm.render(
+            setup.scene, setup.camera, setup.film, iterations=setup.spp,
+            cfg=cfg, seed=args.seed,
+            scfg=sppm.SPPMConfig(
+                max_depth=ip.get_int("maxdepth", 5),
+                initial_radius=ip.get_float("radius", 0.2),
+                photons_per_iter=ip.get_int("photonsperiteration", 0))))
     elif name == "lightpath":
         from .models.integrators import lightpath
 

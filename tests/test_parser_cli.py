@@ -149,3 +149,40 @@ Shape "sphere" "float radius" [1]
     reds = (alb[..., 0] > 0.5) & hit
     blues = (alb[..., 2] > 0.5) & hit
     assert reds.sum() > 10 and blues.sum() > 10
+
+
+def test_object_instance(tmp_path):
+    """ObjectBegin/End/Instance: shapes replay under each instance CTM
+    (scene.h ObjectInstance semantics, flattened geometry)."""
+    import numpy as np
+
+    scene_file = tmp_path / "inst.pbrt"
+    scene_file.write_text("""
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+LookAt 0 0 -6  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+LightSource "infinite" "rgb L" [0.5 0.5 0.5]
+ObjectBegin "pair"
+  Material "diffuse" "rgb reflectance" [0.8 0.2 0.2]
+  Shape "sphere" "float radius" [0.5]
+  Translate 1.2 0 0
+  Shape "sphere" "float radius" [0.3]
+ObjectEnd
+ObjectInstance "pair"
+AttributeBegin
+  Translate -1.5 0 0
+  ObjectInstance "pair"
+AttributeEnd
+""")
+    from vspg_pbrt_v4_tpu.scene import builder
+    from vspg_pbrt_v4_tpu.scene.parser import parse_pbrt_file
+
+    setup = builder.build_render_setup(parse_pbrt_file(str(scene_file)))
+    g = setup.scene.geometry
+    assert g.n_sph == 4
+    cs = sorted(np.asarray(g.sph_c)[:, 0].tolist())
+    assert np.allclose(cs, [-1.5, -0.3, 0.0, 1.2], atol=1e-5)
+    # instanced shapes carry the material defined inside the object block
+    mats = np.asarray(g.sph_mat)
+    assert (mats == mats[0]).all() and mats[0] >= 0

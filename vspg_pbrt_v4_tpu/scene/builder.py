@@ -104,6 +104,136 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     def warn(msg, loc):
         warnings.warn(f"{loc}: {msg}")
 
+    object_defs = {}
+    defining_object = [None]
+
+    def handle_shape(d, p, st):
+        def xf_pts(pts):
+            import jax.numpy as jnp
+
+            return np.asarray(tr.apply_point(st.ctm, jnp.asarray(pts, np.float32)))
+
+        def xf_nrm(ns):
+            import jax.numpy as jnp
+
+            n = np.asarray(tr.apply_normal(st.ctm, jnp.asarray(ns, np.float32)))
+            ln = np.linalg.norm(n, axis=-1, keepdims=True)
+            return n / np.maximum(ln, 1e-20)
+
+        stype = d.args[0]
+        has_light = st.area_light is not None
+        light_id = -1
+        if has_light:
+            lp = st.area_light[1]
+            L_area = lp.get_rgb("L", np.asarray([1.0, 1, 1])) * lp.get_float("scale", 1.0)
+            two = lp.get_bool("twosided", False)
+        mat_id = st.material
+
+        if stype == "sphere":
+            r = p.get_float("radius", 1.0)
+            c = xf_pts(np.zeros(3))
+            if has_light:
+                warn("sphere area light approximated by geometry only "
+                     "(NEE samples triangles)", d.loc)
+            spheres.append(dict(c=c, r=r, mat=mat_id, light=-1,
+                                med_in=st.medium_in, med_out=st.medium_out))
+        elif stype == "trianglemesh":
+            P = p.get_floats("P").reshape(-1, 3)
+            idx = p.get_ints("indices").reshape(-1, 3)
+            Pw = xf_pts(P)
+            N = p.get_floats("N")
+            Nw = xf_nrm(N.reshape(-1, 3)) if N is not None else None
+            for t_i in range(idx.shape[0]):
+                a, b, c3 = idx[t_i]
+                if has_light:
+                    light_id = len(area_tris)
+                    area_tris.append(dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3],
+                                          L=L_area, twosided=two))
+                trid = dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3], mat=mat_id,
+                            light=light_id if has_light else -1,
+                            med_in=st.medium_in, med_out=st.medium_out)
+                if Nw is not None:
+                    trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
+                tris.append(trid)
+                light_id = -1
+        elif stype == "disk":
+            h = p.get_float("height", 0.0)
+            c = xf_pts(np.asarray([0.0, 0.0, h]))
+            nrm = xf_nrm(np.asarray([[0.0, 0.0, 1.0]]))[0]
+            disks.append(dict(c=c, n=nrm, r=p.get_float("radius", 1.0),
+                              ri=p.get_float("innerradius", 0.0),
+                              mat=mat_id, light=-1,
+                              med_in=st.medium_in, med_out=st.medium_out))
+            if has_light:
+                warn("disk area light not supported for NEE; use "
+                     "trianglemesh emitters", d.loc)
+        elif stype == "cylinder":
+            r = p.get_float("radius", 1.0)
+            zmin = p.get_float("zmin", -1.0)
+            zmax = p.get_float("zmax", 1.0)
+            if p.get_float("phimax", 360.0) < 359.9:
+                warn("cylinder phimax < 360 unsupported; full cylinder",
+                     d.loc)
+            c0 = xf_pts(np.asarray([0.0, 0.0, zmin]))
+            c1 = xf_pts(np.asarray([0.0, 0.0, zmax]))
+            ax = c1 - c0
+            h = float(np.linalg.norm(ax))
+            rx = xf_pts(np.asarray([r, 0.0, zmin])) - c0
+            cylinders.append(dict(
+                c=c0, a=ax / max(h, 1e-12), r=float(np.linalg.norm(rx)),
+                h=h, mat=mat_id, light=-1,
+                med_in=st.medium_in, med_out=st.medium_out))
+            if has_light:
+                warn("cylinder area light not supported for NEE", d.loc)
+        elif stype in ("bilinearmesh", "bilinear"):
+            P = p.get_floats("P").reshape(-1, 3)
+            bidx = p.get_ints("indices")
+            if bidx is None:
+                bidx = np.arange(P.shape[0])
+            bidx = np.asarray(bidx).reshape(-1, 4)
+            Pw = xf_pts(P)
+            for q_i in range(bidx.shape[0]):
+                a, b2, c3, dd = bidx[q_i]
+                # pbrt vertex order: p00 p10 p01 p11
+                patches.append(dict(
+                    p00=Pw[a], p10=Pw[b2], p01=Pw[c3], p11=Pw[dd],
+                    mat=mat_id, light=-1,
+                    med_in=st.medium_in, med_out=st.medium_out))
+            if has_light:
+                warn("bilinear-patch area light not supported for NEE; "
+                     "use trianglemesh emitters", d.loc)
+        elif stype == "plymesh":
+            from ..native import load_ply
+
+            fname = p.get_string("filename")
+            mesh = load_ply(fname) if fname else None
+            if mesh is None:
+                warn(f"plymesh '{fname}' could not be loaded; skipped",
+                     d.loc)
+            else:
+                P = mesh["P"]
+                idx = mesh["indices"]
+                Pw = xf_pts(P)
+                Nw = xf_nrm(mesh["N"]) if "N" in mesh else None
+                for t_i in range(idx.shape[0]):
+                    a, b, c3 = idx[t_i]
+                    if has_light:
+                        light_id = len(area_tris)
+                        area_tris.append(dict(p0=Pw[a], p1=Pw[b],
+                                              p2=Pw[c3], L=L_area,
+                                              twosided=two))
+                    trid = dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3], mat=mat_id,
+                                light=light_id if has_light else -1,
+                                med_in=st.medium_in,
+                                med_out=st.medium_out)
+                    if Nw is not None:
+                        trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
+                    tris.append(trid)
+                    light_id = -1
+        else:
+            warn(f"shape '{stype}' unsupported; skipped", d.loc)
+
+
     def xf_pts(pts):
         import jax.numpy as jnp
 
@@ -271,119 +401,33 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             st.medium_in = mid(inside)
             st.medium_out = mid(outside)
 
-        elif name == "Shape":
-            stype = d.args[0]
-            has_light = st.area_light is not None
-            light_id = -1
-            if has_light:
-                lp = st.area_light[1]
-                L_area = lp.get_rgb("L", np.asarray([1.0, 1, 1])) * lp.get_float("scale", 1.0)
-                two = lp.get_bool("twosided", False)
-            mat_id = st.material
-
-            if stype == "sphere":
-                r = p.get_float("radius", 1.0)
-                c = xf_pts(np.zeros(3))
-                if has_light:
-                    warn("sphere area light approximated by geometry only "
-                         "(NEE samples triangles)", d.loc)
-                spheres.append(dict(c=c, r=r, mat=mat_id, light=-1,
-                                    med_in=st.medium_in, med_out=st.medium_out))
-            elif stype == "trianglemesh":
-                P = p.get_floats("P").reshape(-1, 3)
-                idx = p.get_ints("indices").reshape(-1, 3)
-                Pw = xf_pts(P)
-                N = p.get_floats("N")
-                Nw = xf_nrm(N.reshape(-1, 3)) if N is not None else None
-                for t_i in range(idx.shape[0]):
-                    a, b, c3 = idx[t_i]
-                    if has_light:
-                        light_id = len(area_tris)
-                        area_tris.append(dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3],
-                                              L=L_area, twosided=two))
-                    trid = dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3], mat=mat_id,
-                                light=light_id if has_light else -1,
-                                med_in=st.medium_in, med_out=st.medium_out)
-                    if Nw is not None:
-                        trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
-                    tris.append(trid)
-                    light_id = -1
-            elif stype == "disk":
-                h = p.get_float("height", 0.0)
-                c = xf_pts(np.asarray([0.0, 0.0, h]))
-                nrm = xf_nrm(np.asarray([[0.0, 0.0, 1.0]]))[0]
-                disks.append(dict(c=c, n=nrm, r=p.get_float("radius", 1.0),
-                                  ri=p.get_float("innerradius", 0.0),
-                                  mat=mat_id, light=-1,
-                                  med_in=st.medium_in, med_out=st.medium_out))
-                if has_light:
-                    warn("disk area light not supported for NEE; use "
-                         "trianglemesh emitters", d.loc)
-            elif stype == "cylinder":
-                r = p.get_float("radius", 1.0)
-                zmin = p.get_float("zmin", -1.0)
-                zmax = p.get_float("zmax", 1.0)
-                if p.get_float("phimax", 360.0) < 359.9:
-                    warn("cylinder phimax < 360 unsupported; full cylinder",
-                         d.loc)
-                c0 = xf_pts(np.asarray([0.0, 0.0, zmin]))
-                c1 = xf_pts(np.asarray([0.0, 0.0, zmax]))
-                ax = c1 - c0
-                h = float(np.linalg.norm(ax))
-                rx = xf_pts(np.asarray([r, 0.0, zmin])) - c0
-                cylinders.append(dict(
-                    c=c0, a=ax / max(h, 1e-12), r=float(np.linalg.norm(rx)),
-                    h=h, mat=mat_id, light=-1,
-                    med_in=st.medium_in, med_out=st.medium_out))
-                if has_light:
-                    warn("cylinder area light not supported for NEE", d.loc)
-            elif stype in ("bilinearmesh", "bilinear"):
-                P = p.get_floats("P").reshape(-1, 3)
-                bidx = p.get_ints("indices")
-                if bidx is None:
-                    bidx = np.arange(P.shape[0])
-                bidx = np.asarray(bidx).reshape(-1, 4)
-                Pw = xf_pts(P)
-                for q_i in range(bidx.shape[0]):
-                    a, b2, c3, dd = bidx[q_i]
-                    # pbrt vertex order: p00 p10 p01 p11
-                    patches.append(dict(
-                        p00=Pw[a], p10=Pw[b2], p01=Pw[c3], p11=Pw[dd],
-                        mat=mat_id, light=-1,
-                        med_in=st.medium_in, med_out=st.medium_out))
-                if has_light:
-                    warn("bilinear-patch area light not supported for NEE; "
-                         "use trianglemesh emitters", d.loc)
-            elif stype == "plymesh":
-                from ..native import load_ply
-
-                fname = p.get_string("filename")
-                mesh = load_ply(fname) if fname else None
-                if mesh is None:
-                    warn(f"plymesh '{fname}' could not be loaded; skipped",
-                         d.loc)
-                else:
-                    P = mesh["P"]
-                    idx = mesh["indices"]
-                    Pw = xf_pts(P)
-                    Nw = xf_nrm(mesh["N"]) if "N" in mesh else None
-                    for t_i in range(idx.shape[0]):
-                        a, b, c3 = idx[t_i]
-                        if has_light:
-                            light_id = len(area_tris)
-                            area_tris.append(dict(p0=Pw[a], p1=Pw[b],
-                                                  p2=Pw[c3], L=L_area,
-                                                  twosided=two))
-                        trid = dict(p0=Pw[a], p1=Pw[b], p2=Pw[c3], mat=mat_id,
-                                    light=light_id if has_light else -1,
-                                    med_in=st.medium_in,
-                                    med_out=st.medium_out)
-                        if Nw is not None:
-                            trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
-                        tris.append(trid)
-                        light_id = -1
+        elif name == "ObjectBegin":
+            # record the definition CTM; shapes inside are captured with
+            # their own state snapshots (scene.h ObjectBegin/ObjectInstance)
+            defining_object[0] = d.args[0]
+            object_defs[d.args[0]] = {"ctm0": st.ctm, "items": []}
+            stack.append(st.copy())
+        elif name == "ObjectEnd":
+            defining_object[0] = None
+            st = stack.pop()
+        elif name == "ObjectInstance":
+            od = object_defs.get(d.args[0])
+            if od is None:
+                warn(f"unknown object '{d.args[0]}'", d.loc)
             else:
-                warn(f"shape '{stype}' unsupported; skipped", d.loc)
+                inv0 = od["ctm0"].inverse()
+                for d_shape, p_shape, snap in od["items"]:
+                    inst = snap.copy()
+                    # instance-to-world = CTM_at_instance o inverse(def CTM)
+                    # o CTM_at_shape (flattened: geometry is duplicated)
+                    inst.ctm = st.ctm @ inv0 @ snap.ctm
+                    handle_shape(d_shape, p_shape, inst)
+        elif name == "Shape":
+            if defining_object[0] is not None:
+                object_defs[defining_object[0]]["items"].append(
+                    (d, p, st.copy()))
+            else:
+                handle_shape(d, p, st)
         elif name == "Texture":
             # Texture "name" "spectrum|float" "type" params
             tname, _ttype, tclass = d.args[0], d.args[1], d.args[2]
@@ -444,8 +488,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 row = dict(kind=CONSTANT, c0=(0.5, 0.5, 0.5))
             textures.append(row)
             named_textures[tname] = len(textures) - 1
-        elif name in ("WorldEnd", "ObjectBegin", "ObjectEnd", "ObjectInstance",
-                      "CoordinateSystem", "CoordSysTransform"):
+        elif name in ("WorldEnd", "CoordinateSystem", "CoordSysTransform"):
             if name not in ("WorldEnd",):
                 warn(f"directive '{name}' not yet supported; ignored", d.loc)
         else:

@@ -49,6 +49,19 @@ class Lights:
     spot_dir: jnp.ndarray  # (Ls,3) cone axis (normalized)
     spot_cos_total: jnp.ndarray  # (Ls,)
     spot_cos_start: jnp.ndarray  # (Ls,)
+    # goniophotometric lights (lights.h Goniometric:633: point light whose
+    # angular intensity comes from an equal-area image in light space)
+    gonio_p: jnp.ndarray  # (Lg,3)
+    gonio_I: jnp.ndarray  # (Lg,3) base intensity scale
+    gonio_r: jnp.ndarray  # (Lg,3,3) world->light rotation
+    gonio_img: jnp.ndarray  # (Lg,S,S,3) equal-area intensity maps
+    # projection lights (lights.h Projection:698: point light projecting an
+    # image through a perspective frustum)
+    proj_p: jnp.ndarray  # (Lp2,3)
+    proj_I: jnp.ndarray  # (Lp2,3) scale
+    proj_r: jnp.ndarray  # (Lp2,3,3) world->light rotation (light looks +z)
+    proj_img: jnp.ndarray  # (Lp2,H,W,3)
+    proj_tan: jnp.ndarray  # (Lp2,) tan(fov/2) of the square frustum
     # distant lights
     distant_dir: jnp.ndarray  # (Ld,3) direction the light travels (from light)
     distant_L: jnp.ndarray  # (Ld,3)
@@ -74,10 +87,13 @@ class Lights:
     @staticmethod
     def make(point_p=None, point_I=None, distant_dir=None, distant_L=None,
              area_tris=None, env_L=None, env_img=None, world_radius=1e4,
-             sampler="uniform", spots=None):
+             sampler="uniform", spots=None, gonios=None, projections=None):
         """area_tris: list of dicts {p0, p1, p2, L, [twosided]};
         spots: list of dicts {p, I, dir, cos_total, cos_start};
-        sampler: "uniform" | "power" (PowerLightSampler: selection pmf
+        gonios: list of dicts {p, I, img (S,S,3 equal-area), [rot 3x3]};
+        projections: {p, I, img (H,W,3), fov_deg, [rot]} (light looks +z
+        in its local frame, rot = world->light);
+        sampler: "uniform" | "power" | "bvh" (PowerLightSampler pmf
         proportional to total emitted power, lightsamplers.h:63)."""
         def arr(x, n3=3):
             if x is None:
@@ -111,6 +127,51 @@ class Lights:
             env_pmf = np.ones(1, np.float32)
             env_cdf = np.ones(1, np.float32)
             env_mean = float(np.mean(env)) if env_L is not None else 0.0
+        gn = list(gonios or [])
+        if gn:
+            S = max(int(np.asarray(g["img"]).shape[0]) for g in gn)
+            g_img = np.zeros((len(gn), S, S, 3), np.float32)
+            for i, g in enumerate(gn):
+                im = np.asarray(g["img"], np.float32)
+                if im.ndim == 2:
+                    im = np.repeat(im[..., None], 3, -1)
+                ys = np.arange(S) * im.shape[0] // S
+                xs = np.arange(S) * im.shape[1] // S
+                g_img[i] = im[ys][:, xs]
+            g_p = jnp.asarray([g["p"] for g in gn], jnp.float32)
+            g_I = jnp.asarray([g["I"] for g in gn], jnp.float32)
+            g_r = jnp.asarray([g.get("rot", np.eye(3)) for g in gn],
+                              jnp.float32)
+            g_img = jnp.asarray(g_img)
+        else:
+            g_p = g_I = jnp.zeros((0, 3), jnp.float32)
+            g_r = jnp.zeros((0, 3, 3), jnp.float32)
+            g_img = jnp.zeros((0, 1, 1, 3), jnp.float32)
+        pj = list(projections or [])
+        if pj:
+            H = max(int(np.asarray(x["img"]).shape[0]) for x in pj)
+            W = max(int(np.asarray(x["img"]).shape[1]) for x in pj)
+            p_img = np.zeros((len(pj), H, W, 3), np.float32)
+            for i, x in enumerate(pj):
+                im = np.asarray(x["img"], np.float32)
+                if im.ndim == 2:
+                    im = np.repeat(im[..., None], 3, -1)
+                ys = np.arange(H) * im.shape[0] // H
+                xs = np.arange(W) * im.shape[1] // W
+                p_img[i] = im[ys][:, xs]
+            p_p = jnp.asarray([x["p"] for x in pj], jnp.float32)
+            p_I = jnp.asarray([x["I"] for x in pj], jnp.float32)
+            p_r = jnp.asarray([x.get("rot", np.eye(3)) for x in pj],
+                              jnp.float32)
+            p_tan = jnp.asarray(
+                [np.tan(np.radians(x.get("fov_deg", 90.0)) / 2) for x in pj],
+                jnp.float32)
+            p_img = jnp.asarray(p_img)
+        else:
+            p_p = p_I = jnp.zeros((0, 3), jnp.float32)
+            p_r = jnp.zeros((0, 3, 3), jnp.float32)
+            p_img = jnp.zeros((0, 1, 1, 3), jnp.float32)
+            p_tan = jnp.zeros((0,), jnp.float32)
         sp = list(spots or [])
         if sp:
             sp_p = jnp.asarray([s["p"] for s in sp], jnp.float32)
@@ -126,7 +187,9 @@ class Lights:
             sp_p = sp_I = sp_d = jnp.zeros((0, 3), jnp.float32)
             sp_ct = sp_cs = jnp.zeros((0,), jnp.float32)
 
-        # selection pmf (uniform or power-proportional)
+        # selection pmf (uniform or power-proportional); the order here is
+        # the global light index layout: point | spot | gonio | proj |
+        # distant | area | env
         powers = []
         for i_ in (point_I if point_I is not None else []):
             powers.append(4 * np.pi * float(np.mean(i_)))
@@ -134,6 +197,14 @@ class Lights:
             powers.append(2 * np.pi * float(np.mean(s["I"]))
                           * (1 - 0.5 * (s.get("cos_total", 0.87)
                                         + s.get("cos_start", 0.9))))
+        for g in gn:
+            powers.append(4 * np.pi * float(np.mean(g["I"]))
+                          * float(np.mean(np.asarray(g["img"]))))
+        for x in pj:
+            t = np.tan(np.radians(x.get("fov_deg", 90.0)) / 2)
+            omega = 4 * np.arctan(t * t)  # square-frustum solid angle
+            powers.append(float(omega) * float(np.mean(x["I"]))
+                          * float(np.mean(np.asarray(x["img"]))))
         for l_ in (distant_L if distant_L is not None else []):
             # distant power ~ L * disk(world radius)
             powers.append(float(np.mean(l_)) * np.pi * world_radius**2)
@@ -156,6 +227,8 @@ class Lights:
         cdf = np.cumsum(pmf).astype(np.float32)
         out = Lights(
             arr(point_p), arr(point_I), sp_p, sp_I, sp_d, sp_ct, sp_cs,
+            g_p, g_I, g_r, g_img,
+            p_p, p_I, p_r, p_img, p_tan,
             arr(distant_dir), arr(distant_L),
             a_p0, a_p1, a_p2, a_L, a_two,
             env, env_img_a, jnp.asarray(env_pmf), jnp.asarray(env_cdf),
@@ -179,6 +252,14 @@ class Lights:
         return self.spot_p.shape[0]
 
     @property
+    def n_gonio(self):
+        return self.gonio_p.shape[0]
+
+    @property
+    def n_proj(self):
+        return self.proj_p.shape[0]
+
+    @property
     def n_distant(self):
         return self.distant_dir.shape[0]
 
@@ -186,10 +267,26 @@ class Lights:
     def n_area(self):
         return self.area_p0.shape[0]
 
+    # global light index bases (layout: point|spot|gonio|proj|distant|area|env)
+    @property
+    def base_gonio(self):
+        return self.n_point + self.n_spot
+
+    @property
+    def base_proj(self):
+        return self.base_gonio + self.n_gonio
+
+    @property
+    def base_distant(self):
+        return self.base_proj + self.n_proj
+
+    @property
+    def base_area(self):
+        return self.base_distant + self.n_distant
+
     @property
     def n_lights(self):
-        return (self.n_point + self.n_spot + self.n_distant + self.n_area
-                + (1 if self.has_env else 0))
+        return self.base_area + self.n_area + (1 if self.has_env else 0)
 
     @property
     def n_infinite(self):
@@ -212,7 +309,7 @@ class Lights:
         pick_inf = u_select < p_inf
         which = jnp.minimum((u_select / p_inf * n_inf).astype(jnp.int32),
                             n_inf - 1)
-        base_d = self.n_point + self.n_spot
+        base_d = self.base_distant
         idx_inf = jnp.where(which < self.n_distant, base_d + which,
                             self.n_lights - 1)
         u_bvh = jnp.clip((u_select - p_inf) / (1 - p_inf), 0.0, 0.9999999)
@@ -220,6 +317,36 @@ class Lights:
         idx = jnp.where(pick_inf, idx_inf, idx_b)
         pmf = jnp.where(pick_inf, p_inf / n_inf, pmf_b * (1 - p_inf))
         return jnp.where(pmf > 0, idx, 0), pmf
+
+    # -- textured point-light angular intensities ----------------------------
+    def _gonio_scale(self, gi, w):
+        """Equal-area image lookup of emission direction w (world) for
+        goniometric lights (lights.h Goniometric::I:656)."""
+        from ..utils.vecmath import equal_area_sphere_to_square
+
+        wl = jnp.einsum("...ij,...j->...i", self.gonio_r[gi], w)
+        S = self.gonio_img.shape[1]
+        sq = equal_area_sphere_to_square(normalize(wl))
+        ix = jnp.clip((sq[..., 0] * S).astype(jnp.int32), 0, S - 1)
+        iy = jnp.clip((sq[..., 1] * S).astype(jnp.int32), 0, S - 1)
+        return self.gonio_img[gi, iy, ix]
+
+    def _proj_scale(self, pi, w):
+        """Projected-image lookup of emission direction w (world) for
+        projection lights (lights.h Projection::I:737): zero outside the
+        square frustum around the light's +z axis."""
+        wl = jnp.einsum("...ij,...j->...i", self.proj_r[pi], w)
+        z = wl[..., 2]
+        tanf = self.proj_tan[pi]
+        u = 0.5 * (wl[..., 0] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+                   / jnp.maximum(tanf, 1e-9) + 1.0)
+        v = 0.5 * (wl[..., 1] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+                   / jnp.maximum(tanf, 1e-9) + 1.0)
+        inside = (z > 0) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+        H, W = self.proj_img.shape[1], self.proj_img.shape[2]
+        ix = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(((1.0 - v) * H).astype(jnp.int32), 0, H - 1)
+        return jnp.where(inside[..., None], self.proj_img[pi, iy, ix], 0.0)
 
     # -- uniform light sampler (lightsamplers.h UniformLightSampler:26) -----
     def sample(self, ref_p, u_select, u2) -> LightSample:
@@ -286,8 +413,38 @@ class Lights:
             is_delta = is_delta | sel
             t_shadow = jnp.where(sel, dist, t_shadow)
 
+        if self.n_gonio > 0:
+            gi = jnp.clip(idx - self.base_gonio, 0, self.n_gonio - 1)
+            p_light = self.gonio_p[gi]
+            to_l = p_light - ref_p
+            dist = distance(p_light, ref_p)
+            wi_g = normalize(to_l)
+            I_g = self.gonio_I[gi] * self._gonio_scale(gi, -wi_g)
+            L_g = I_g * safe_div(1.0, dist * dist, 0.0)[..., None]
+            sel = (idx >= self.base_gonio) & (idx < self.base_proj)
+            wi = jnp.where(sel[..., None], wi_g, wi)
+            L = jnp.where(sel[..., None], L_g, L)
+            pdf_dir = jnp.where(sel, 1.0, pdf_dir)
+            is_delta = is_delta | sel
+            t_shadow = jnp.where(sel, dist, t_shadow)
+
+        if self.n_proj > 0:
+            pi2 = jnp.clip(idx - self.base_proj, 0, self.n_proj - 1)
+            p_light = self.proj_p[pi2]
+            to_l = p_light - ref_p
+            dist = distance(p_light, ref_p)
+            wi_p2 = normalize(to_l)
+            I_p = self.proj_I[pi2] * self._proj_scale(pi2, -wi_p2)
+            L_p2 = I_p * safe_div(1.0, dist * dist, 0.0)[..., None]
+            sel = (idx >= self.base_proj) & (idx < self.base_distant)
+            wi = jnp.where(sel[..., None], wi_p2, wi)
+            L = jnp.where(sel[..., None], L_p2, L)
+            pdf_dir = jnp.where(sel, 1.0, pdf_dir)
+            is_delta = is_delta | sel
+            t_shadow = jnp.where(sel, dist, t_shadow)
+
         if self.n_distant > 0:
-            base_d = self.n_point + self.n_spot
+            base_d = self.base_distant
             di = jnp.clip(idx - base_d, 0, self.n_distant - 1)
             wi_d = -normalize(self.distant_dir[di])
             sel = (idx >= base_d) & (idx < base_d + self.n_distant)
@@ -298,7 +455,7 @@ class Lights:
             t_shadow = jnp.where(sel, 2.0 * self.world_radius, t_shadow)
 
         if self.n_area > 0:
-            base = self.n_point + self.n_spot + self.n_distant
+            base = self.base_area
             ai = jnp.clip(idx - base, 0, self.n_area - 1)
             p0, p1, p2 = self.area_p0[ai], self.area_p1[ai], self.area_p2[ai]
             b = sample_uniform_triangle(u2)
@@ -428,8 +585,39 @@ class Lights:
                               / (pmf * pdf_dir)[..., None], alpha)
             valid = valid | sel
 
+        if self.n_gonio > 0:
+            gi = jnp.clip(idx - self.base_gonio, 0, self.n_gonio - 1)
+            d_g = sample_uniform_sphere(u2b)
+            I_g = self.gonio_I[gi] * self._gonio_scale(gi, d_g)
+            sel = (idx >= self.base_gonio) & (idx < self.base_proj)
+            p = jnp.where(sel[..., None], self.gonio_p[gi], p)
+            d = jnp.where(sel[..., None], d_g, d)
+            alpha = jnp.where(sel[..., None],
+                              I_g * (4.0 * jnp.pi) / pmf[..., None], alpha)
+            valid = valid | sel
+
+        if self.n_proj > 0:
+            pi2 = jnp.clip(idx - self.base_proj, 0, self.n_proj - 1)
+            tanf = self.proj_tan[pi2]
+            # uniform on the z=1 image plane inside the frustum
+            x = (2.0 * u2b[..., 0] - 1.0) * tanf
+            y = (2.0 * u2b[..., 1] - 1.0) * tanf
+            d_l = normalize(jnp.stack([x, y, jnp.ones_like(x)], -1))
+            # light->world = rot^T (rot is world->light)
+            d_p2 = jnp.einsum("...ji,...j->...i", self.proj_r[pi2], d_l)
+            # plane pdf = 1/(2t)^2 -> solid angle pdf = 1/((2t)^2 cos^3)
+            cos3 = d_l[..., 2] ** 3
+            pdf_dir = 1.0 / jnp.maximum((2 * tanf) ** 2 * cos3, 1e-12)
+            I_p = self.proj_I[pi2] * self._proj_scale(pi2, d_p2)
+            sel = (idx >= self.base_proj) & (idx < self.base_distant)
+            p = jnp.where(sel[..., None], self.proj_p[pi2], p)
+            d = jnp.where(sel[..., None], d_p2, d)
+            alpha = jnp.where(sel[..., None],
+                              I_p / (pmf * pdf_dir)[..., None], alpha)
+            valid = valid | sel
+
         if self.n_distant > 0:
-            base_d = self.n_point + self.n_spot
+            base_d = self.base_distant
             di = jnp.clip(idx - base_d, 0, self.n_distant - 1)
             dd = normalize(self.distant_dir[di])
             t1, t2 = coordinate_system(dd)
@@ -446,7 +634,7 @@ class Lights:
             valid = valid | sel
 
         if self.n_area > 0:
-            base = self.n_point + self.n_spot + self.n_distant
+            base = self.base_area
             ai = jnp.clip(idx - base, 0, self.n_area - 1)
             b = sample_uniform_triangle(u2a)
             p0, p1, p2 = self.area_p0[ai], self.area_p1[ai], self.area_p2[ai]
@@ -540,7 +728,7 @@ class Lights:
         wi = to_h * safe_div(1.0, jnp.sqrt(dist2), 0.0)[..., None]
         cos_l = jnp.abs(dot(n_hit, wi))
         pdf = safe_div(dist2, cos_l * area, 0.0)
-        base = self.n_point + self.n_spot + self.n_distant
+        base = self.base_area
         if self.bvh is not None:
             from .lightsamplers import bvh_pmf
 

@@ -119,12 +119,31 @@ def build_light_bvh(lights) -> LightBVH | None:
                * ((1 - scs[i]) + (scs[i] - sct[i]) / 2))
         bl.append(_BuildLight(sp[i], sp[i], sd[i], max(phi, 1e-9),
                               float(sct[i]), 0.0, False, n_pt + i))
+    # goniometric / projection lights: conservative isotropic cones
+    gp = np.asarray(lights.gonio_p)
+    gI = np.asarray(lights.gonio_I)
+    g_mean = (np.asarray(lights.gonio_img).mean(axis=(1, 2, 3))
+              if lights.n_gonio else np.zeros(0))
+    for i in range(lights.n_gonio):
+        bl.append(_BuildLight(gp[i], gp[i], np.array([0.0, 0.0, 1.0]),
+                              max(4 * np.pi * float(gI[i].mean())
+                                  * float(g_mean[i]), 1e-9),
+                              -1.0, 0.0, False, lights.base_gonio + i))
+    pp2 = np.asarray(lights.proj_p)
+    pI2 = np.asarray(lights.proj_I)
+    p_mean = (np.asarray(lights.proj_img).mean(axis=(1, 2, 3))
+              if lights.n_proj else np.zeros(0))
+    for i in range(lights.n_proj):
+        bl.append(_BuildLight(pp2[i], pp2[i], np.array([0.0, 0.0, 1.0]),
+                              max(4 * np.pi * float(pI2[i].mean())
+                                  * float(p_mean[i]), 1e-9),
+                              -1.0, 0.0, False, lights.base_proj + i))
     p0 = np.asarray(lights.area_p0)
     p1 = np.asarray(lights.area_p1)
     p2 = np.asarray(lights.area_p2)
     aL = np.asarray(lights.area_L)
     two = np.asarray(lights.area_twosided)
-    base_a = n_pt + n_sp + n_di
+    base_a = lights.base_area
     for i in range(p0.shape[0]):
         nrm = np.cross(p1[i] - p0[i], p2[i] - p0[i])
         area = 0.5 * np.linalg.norm(nrm)

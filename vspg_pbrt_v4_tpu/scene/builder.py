@@ -83,6 +83,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     area_tris = []
     point_lights = []
     spot_lights = []
+    gonio_lights = []
+    proj_lights = []
     distant_lights = []
     env_L = None
     env_img = None
@@ -329,6 +331,35 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                     p=xf_pts(frm), I=I, dir=dirv,
                     cos_total=float(np.cos(np.radians(cone))),
                     cos_start=float(np.cos(np.radians(cone - delta)))))
+            elif ltype == "goniometric":
+                I = p.get_rgb("I", np.asarray([1.0, 1, 1])) * scale
+                fname = p.get_string("filename")
+                try:
+                    from ..utils.image import read_image
+
+                    img = read_image(fname)
+                except Exception as ex:  # noqa: BLE001
+                    warn(f"goniometric image '{fname}' failed ({ex}); "
+                         "uniform", d.loc)
+                    img = np.ones((2, 2, 3), np.float32)
+                rot = np.asarray(st.ctm.m_inv, np.float32)[:3, :3]
+                gonio_lights.append(dict(p=xf_pts(np.zeros(3)), I=I, img=img,
+                                         rot=rot))
+            elif ltype == "projection":
+                I = p.get_rgb("I", np.asarray([1.0, 1, 1])) * scale
+                fname = p.get_string("filename")
+                try:
+                    from ..utils.image import read_image
+
+                    img = read_image(fname)
+                except Exception as ex:  # noqa: BLE001
+                    warn(f"projection image '{fname}' failed ({ex}); "
+                         "uniform", d.loc)
+                    img = np.ones((2, 2, 3), np.float32)
+                rot = np.asarray(st.ctm.m_inv, np.float32)[:3, :3]
+                proj_lights.append(dict(p=xf_pts(np.zeros(3)), I=I, img=img,
+                                        fov_deg=p.get_float("fov", 90.0),
+                                        rot=rot))
             elif ltype == "distant":
                 L = p.get_rgb("L", np.asarray([1.0, 1, 1])) * scale
                 frm = p.get_point3("from", np.zeros(3))
@@ -531,6 +562,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         area_tris=area_tris or None,
         env_L=env_L, env_img=env_img, world_radius=max(world_r, 10.0),
         sampler=lsampler, spots=spot_lights or None,
+        gonios=gonio_lights or None, projections=proj_lights or None,
     )
     scene = volpath.Scene(geometry, materials, media, lights, tex_bank)
 

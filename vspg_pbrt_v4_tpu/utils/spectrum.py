@@ -79,3 +79,141 @@ def blackbody_normalized_rgb(T):
     from .colorspace import spectrum_samples_to_rgb
 
     return spectrum_samples_to_rgb(lams, vals)
+
+
+# ---------------------------------------------------------------------------
+# Full spectral (N=4) machinery — hero-wavelength sampling, uplift, sensor
+# (util/spectrum.h SampledWavelengths:300-378, SampleVisible,
+# RGBAlbedoSpectrum). The wavefront integrators run in RGB mode by default;
+# these primitives are the N=4 building blocks (spectral film / dispersion).
+# ---------------------------------------------------------------------------
+
+N_SPECTRAL = 4
+
+
+def sample_wavelengths_uniform(u, n=N_SPECTRAL):
+    """Hero wavelength uniform in [LAMBDA_MIN, LAMBDA_MAX), secondaries
+    rotated by i/n (SampledWavelengths::SampleUniform)."""
+    u = jnp.asarray(u)
+    span = LAMBDA_MAX - LAMBDA_MIN
+    ui = (u[..., None] + jnp.arange(n) / n) % 1.0
+    lam = LAMBDA_MIN + ui * span
+    pdf = jnp.full(lam.shape, 1.0 / span)
+    return lam, pdf
+
+
+def visible_wavelengths_pdf(lam):
+    """pdf of SampleVisibleWavelengths (spectrum.h:166-178)."""
+    x = 0.0072 * (lam - 538.0)
+    pdf = 0.0039398042 / jnp.cosh(x) ** 2
+    return jnp.where((lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX), pdf, 0.0)
+
+
+def sample_wavelengths_visible(u, n=N_SPECTRAL):
+    """Importance-sample the visible range by a smooth luminosity proxy
+    (spectrum.h SampleVisibleWavelengths), hero + rotated secondaries."""
+    u = jnp.asarray(u)
+    ui = (u[..., None] + jnp.arange(n) / n) % 1.0
+    lam = 538.0 - 138.888889 * jnp.arctanh(0.85691062 - 1.82750197 * ui)
+    lam = jnp.clip(lam, LAMBDA_MIN, LAMBDA_MAX)
+    return lam, visible_wavelengths_pdf(lam)
+
+
+# -- Smits (1999) RGB reflectance -> smooth spectrum basis -------------------
+# 10 bins spanning 380-720nm (published basis of "An RGB to Spectrum
+# Conversion for Reflectances"; the reference instead ships the Jakob-Hanika
+# sigmoid coefficient tables — same role, different fit).
+
+_SMITS_LAM0, _SMITS_LAM1 = 380.0, 720.0
+_SMITS = {
+    "white": (1.0000, 1.0000, 0.9999, 0.9993, 0.9992, 0.9998, 1.0000,
+              1.0000, 1.0000, 1.0000),
+    "cyan": (0.9710, 0.9426, 1.0007, 1.0007, 1.0007, 1.0007, 0.1564,
+             0.0000, 0.0000, 0.0000),
+    "magenta": (1.0000, 1.0000, 0.9685, 0.2229, 0.0000, 0.0458, 0.8369,
+                1.0000, 1.0000, 0.9959),
+    "yellow": (0.0001, 0.0000, 0.1088, 0.6651, 1.0000, 1.0000, 0.9996,
+               0.9586, 0.9685, 0.9840),
+    "red": (0.1012, 0.0515, 0.0000, 0.0000, 0.0000, 0.0000, 0.8325,
+            1.0149, 1.0149, 1.0149),
+    "green": (0.0000, 0.0000, 0.0273, 0.7937, 1.0000, 0.9418, 0.1719,
+              0.0000, 0.0000, 0.0025),
+    "blue": (1.0000, 1.0000, 0.8916, 0.3323, 0.0000, 0.0000, 0.0003,
+             0.0369, 0.0483, 0.0496),
+}
+_SMITS_ARR = jnp.asarray(
+    [_SMITS[k] for k in
+     ("white", "cyan", "magenta", "yellow", "red", "green", "blue")],
+    jnp.float32)  # (7, 10)
+
+
+def _smits_eval(weights, lam):
+    """weights: (...,7); lam: (...,N) -> (...,N) reflectance."""
+    t = (lam - _SMITS_LAM0) / (_SMITS_LAM1 - _SMITS_LAM0) * 10.0 - 0.5
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, 9)
+    i1 = jnp.clip(i0 + 1, 0, 9)
+    f = jnp.clip(t - i0, 0.0, 1.0)
+    b0 = _SMITS_ARR.T[i0]  # (...,N,7)
+    b1 = _SMITS_ARR.T[i1]
+    basis = (1 - f)[..., None] * b0 + f[..., None] * b1
+    return jnp.sum(weights[..., None, :] * basis, axis=-1)
+
+
+def rgb_to_spectrum(rgb, lam):
+    """Evaluate a smooth reflectance spectrum matching `rgb` at wavelengths
+    lam (...,N) — Smits' decomposition into white + cyan/magenta/yellow +
+    r/g/b basis functions (RGBAlbedoSpectrum stand-in)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    lo = jnp.minimum(jnp.minimum(r, g), b)
+    hi = jnp.maximum(jnp.maximum(r, g), b)
+    mid = r + g + b - lo - hi
+    # white = min; the complement basis of the SMALLEST channel gets
+    # (mid - min); the basis of the LARGEST channel gets (max - mid)
+    # (Smits' six orderings, written branchless)
+    is_min_r = (r <= g) & (r <= b)
+    is_min_g = ~is_min_r & (g <= b)
+    is_min_b = ~is_min_r & ~is_min_g
+    is_max_r = (r >= g) & (r >= b)
+    is_max_g = ~is_max_r & (g >= b)
+    is_max_b = ~is_max_r & ~is_max_g
+    sec = mid - lo
+    pri = hi - mid
+    weights = jnp.stack([
+        lo,
+        jnp.where(is_min_r, sec, 0.0),   # cyan
+        jnp.where(is_min_g, sec, 0.0),   # magenta
+        jnp.where(is_min_b, sec, 0.0),   # yellow
+        jnp.where(is_max_r, pri, 0.0),   # red
+        jnp.where(is_max_g, pri, 0.0),   # green
+        jnp.where(is_max_b, pri, 0.0),   # blue
+    ], -1)
+    return jnp.maximum(_smits_eval(weights, lam), 0.0)
+
+
+def spectrum_to_xyz(values, lam, pdf):
+    """MC sensor integration: values/pdf against the CIE curves -> XYZ
+    (spectrum.h SampledSpectrum::ToXYZ)."""
+    from .colorspace import cie_x, cie_y, cie_z
+
+    w = jnp.where(pdf > 0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0) / values.shape[-1]
+    X = jnp.sum(cie_x(lam) * values * w, -1)
+    Y = jnp.sum(cie_y(lam) * values * w, -1)
+    Z = jnp.sum(cie_z(lam) * values * w, -1)
+    return jnp.stack([X, Y, Z], -1) / CIE_Y_INTEGRAL
+
+
+_XYZ2RGB = jnp.asarray([[3.2406, -1.5372, -0.4986],
+                        [-0.9689, 1.8758, 0.0415],
+                        [0.0557, -0.2040, 1.0570]], jnp.float32)
+
+
+def xyz_to_rgb(xyz):
+    return xyz @ _XYZ2RGB.T
+
+
+def terminate_secondary(pdf):
+    """Collapse to the hero wavelength after dispersion
+    (SampledWavelengths::TerminateSecondary): hero pdf /= N, others 0."""
+    n = pdf.shape[-1]
+    out = jnp.zeros_like(pdf)
+    return out.at[..., 0].set(pdf[..., 0] / n)

@@ -620,11 +620,20 @@ def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium
     offset, filter_w = film.filter.sample(u_pix)
     p_raster = pix.astype(jnp.float32) + 0.5 + offset
     sampler, u_lens = sampler.get_2d()
-    o, d = camera.generate_rays(p_raster, u_lens)
+    rays = camera.generate_rays(p_raster, u_lens)
+    if len(rays) == 3:  # lens-system cameras return a radiance weight
+        o, d, cam_w = rays
+    else:
+        o, d = rays
+        cam_w = None
     sampler, u_wl = sampler.get_1d()
     hero_idx = sample_hero_channel(u_wl)
     med0 = jnp.full_like(pixel_id, camera_medium)
-    return make_path_state(sampler, o, d, hero_idx, med0, pixel_id), filter_w
+    state = make_path_state(sampler, o, d, hero_idx, med0, pixel_id)
+    if cam_w is not None:
+        state = state._replace(beta=state.beta * cam_w[..., None],
+                               alive=state.alive & (cam_w > 0))
+    return state, filter_w
 
 
 def render_wave(scene, camera, film, film_state, cfg, seed, sample_index,

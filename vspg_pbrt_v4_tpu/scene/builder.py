@@ -595,6 +595,28 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         camera = OrthographicCamera.make(cam_to_world, (nx, ny))
     elif ctype == "spherical":
         camera = SphericalCamera(cam_to_world, (nx, ny))
+    elif ctype == "realistic":
+        from ..models.cameras import RealisticCamera
+
+        lensfile = cp.get_string("lensfile") if cp else None
+        ap = cp.get_float("aperturediameter", 1.0) / 1000.0 if cp else 1e-3
+        focus = cp.get_float("focusdistance", 10.0) if cp else 10.0
+        if lensfile:
+            rows = []
+            with open(lensfile) as f:
+                for line in f:
+                    line = line.split("#")[0].strip()
+                    if line:
+                        vals = [float(v) for v in line.split()]
+                        # .dat files are in mm
+                        rows.append([vals[0] / 1000, vals[1] / 1000,
+                                     vals[2], vals[3] / 1000])
+            camera = RealisticCamera.make(cam_to_world, rows, (nx, ny),
+                                          aperture_diameter=ap)
+        else:
+            camera = RealisticCamera.simple_lens(
+                cam_to_world, (nx, ny), aperture_diameter=ap,
+                focus_distance=focus)
     else:
         warnings.warn(f"camera '{ctype}' unsupported; using perspective")
         camera = PerspectiveCamera.make(cam_to_world, 90.0, (nx, ny))

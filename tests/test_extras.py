@@ -88,3 +88,23 @@ def test_gbuffer():
     assert 2.7 < depth[16, 16] < 3.2
     assert pid[16, 16] == 2  # sphere is global prim id 2 (after 2 tris)
     assert pid[0, 0] == -1  # sky
+
+
+def test_function_integrator_convergence():
+    """FunctionIntegrator harness: estimates center on the analytic value
+    and low-discrepancy samplers converge faster than independent."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.models.film import RGBFilm
+    from vspg_pbrt_v4_tpu.models.integrators import extras
+
+    film = RGBFilm.make((16, 16))
+    img_i, exact = extras.render_function(film, "gaussian", spp=64, seed=1,
+                                          sampler_kind="independent")
+    img_s, _ = extras.render_function(film, "gaussian", spp=64, seed=1,
+                                      sampler_kind="paddedsobol")
+    err_i = float(jnp.mean((img_i[..., 0] - exact) ** 2))
+    err_s = float(jnp.mean((img_s[..., 0] - exact) ** 2))
+    assert abs(float(img_i.mean()) - exact) < 0.01
+    assert err_s < 0.5 * err_i, (err_s, err_i)

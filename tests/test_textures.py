@@ -74,3 +74,34 @@ def test_texture_kinds():
     v7 = np.asarray(T.eval_texture(bank, jnp.full((1,), 6, jnp.int32),
                                    uv2[:1], jnp.zeros((1, 3))))
     assert np.allclose(v7, [0.5, 1.0, 1.5])
+
+
+def test_mipmap_pyramid():
+    """MIPMap: constant image invariant across levels; checker averages to
+    grey at coarse levels; energy preserved per level."""
+    from vspg_pbrt_v4_tpu.utils.mipmap import (build_pyramid,
+                                               lookup_trilinear, n_levels,
+                                               width_to_lod)
+
+    c = np.full((32, 32, 3), 0.7, np.float32)
+    pc = build_pyramid(c)
+    uv = jnp.asarray(np.random.default_rng(4).random((64, 2), np.float32))
+    for lod in (0.0, 1.3, 4.0):
+        v = np.asarray(lookup_trilinear(pc, uv, jnp.full((64,), lod)))
+        assert np.allclose(v, 0.7, atol=1e-5)
+
+    x = np.indices((32, 32)).sum(0) % 2
+    chk = np.repeat(x[..., None], 3, -1).astype(np.float32)
+    p = build_pyramid(chk)
+    assert n_levels(p) == 6
+    # level means all equal the image mean (box filter preserves energy)
+    means = np.asarray(p).mean((1, 2, 3))
+    assert np.allclose(means, 0.5, atol=1e-6), means
+    # coarse lookup is flat grey, fine lookup varies
+    v_fine = np.asarray(lookup_trilinear(p, uv, jnp.zeros(64)))
+    v_coarse = np.asarray(lookup_trilinear(p, uv, jnp.full((64,), 5.0)))
+    assert v_fine.std() > 0.1
+    assert np.allclose(v_coarse, 0.5, atol=1e-3)
+    # footprint mapping: one-texel width -> level 0, full-image -> top
+    assert float(width_to_lod(jnp.asarray(1 / 32), 32)) == 0.0
+    assert float(width_to_lod(jnp.asarray(1.0), 32)) == 5.0

@@ -123,3 +123,25 @@ def test_look_at():
     assert np.allclose(np.asarray(d), [[0, 0, 1]], atol=1e-6)
     o = transform.apply_point(t, jnp.asarray([[0.0, 0.0, 0.0]]))
     assert np.allclose(np.asarray(o), [[0, 0, -5]], atol=1e-6)
+
+
+def test_animated_transform_interpolation():
+    """TRS decomposition + slerp: endpoints exact, midpoint rotates by the
+    half angle (transform.h AnimatedTransform semantics)."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.utils import transform as tr
+
+    a = tr.translate(1.0, 0.0, 0.0)
+    b = tr.translate(3.0, 2.0, 0.0) @ tr.rotate(90.0, (0, 0, 1))
+    at = tr.AnimatedTransform.make(a, b)
+    p = jnp.asarray([1.0, 0.0, 0.0])
+    p0 = np.asarray(at.apply_point(p, jnp.asarray(0.0)))
+    p1 = np.asarray(at.apply_point(p, jnp.asarray(1.0)))
+    assert np.allclose(p0, tr.apply_point(a, p), atol=1e-5)
+    assert np.allclose(p1, np.asarray(tr.apply_point(b, p)), atol=1e-5)
+    # midpoint: rotation by 45deg, translation lerped
+    pm = np.asarray(at.apply_point(p, jnp.asarray(0.5)))
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    expect = np.asarray([2.0 + c, 1.0 + s, 0.0])
+    assert np.allclose(pm, expect, atol=1e-4), (pm, expect)

@@ -235,3 +235,55 @@ def render_gbuffer(scene, camera, film):
     nx, ny = film.resolution
     return (alb.reshape(ny, nx, 3), nrm.reshape(ny, nx, 3),
             depth.reshape(ny, nx), h.prim_id.reshape(ny, nx))
+
+
+def render_function(film, fn="checkerboard", spp=64, seed=0,
+                    sampler_kind="independent"):
+    """FunctionIntegrator (cpu/integrators.h:819): every pixel Monte-Carlo
+    integrates a known 2D function with its own sampler stream — the image
+    is pure estimator noise around the analytic value, the harness for
+    sampler-convergence studies (used with imgtool error).
+
+    Functions and exact integrals over [0,1)^2:
+      checkerboard (8x8, values 0/1 -> 0.5), diagonal (u+v)/2 -> 0.5,
+      gaussian exp(-50 r^2) about the center, disk indicator r<0.4.
+    """
+    import numpy as np
+
+    from ..samplers import LaneSampler
+
+    npix = film.npix
+    acc = jnp.zeros((npix,))
+
+    def f_eval(u):
+        x, y = u[..., 0], u[..., 1]
+        if fn == "checkerboard":
+            return ((jnp.floor(x * 8) + jnp.floor(y * 8)) % 2)
+        if fn == "diagonal":
+            return 0.5 * (x + y)
+        if fn == "gaussian":
+            r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2
+            return jnp.exp(-50.0 * r2)
+        if fn == "disk":
+            return (((x - 0.5) ** 2 + (y - 0.5) ** 2) < 0.4**2).astype(
+                jnp.float32)
+        raise ValueError(fn)
+
+    exact = {"checkerboard": 0.5, "diagonal": 0.5,
+             "gaussian": float(np.pi / 50 * (1 - np.exp(-25.0))),
+             "disk": float(np.pi * 0.16)}[fn]
+
+    @jax.jit
+    def one(si):
+        smp = LaneSampler.start(jnp.uint32(seed),
+                                jnp.arange(npix, dtype=jnp.uint32), si,
+                                kind=sampler_kind, spp=spp)
+        smp, u = smp.get_2d()
+        return f_eval(u)
+
+    for s in range(spp):
+        acc = acc + one(jnp.uint32(s))
+    est = acc / spp
+    nx, ny = film.resolution
+    img = jnp.repeat(est[:, None], 3, -1).reshape(ny, nx, 3)
+    return img, exact

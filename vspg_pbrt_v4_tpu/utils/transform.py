@@ -155,3 +155,109 @@ def apply_normal(t: Transform, n):
 
 def swaps_handedness(t: Transform) -> bool:
     return bool(np.linalg.det(np.asarray(t.m)[:3, :3]) < 0)
+
+
+# ---------------------------------------------------------------------------
+# AnimatedTransform (util/transform.h AnimatedTransform: TRS decomposition +
+# slerp interpolation; used for motion blur with per-ray times)
+# ---------------------------------------------------------------------------
+
+
+def decompose(m):
+    """Decompose a 4x4 into (T (3,), R quaternion (4,) wxyz, S (3,3)) —
+    polar-decomposition iteration (transform.cpp AnimatedTransform ctor)."""
+    m = np.asarray(m, np.float64)
+    T = m[:3, 3].copy()
+    M = m[:3, :3].copy()
+    # polar decomposition: average with inverse transpose until convergence
+    R = M.copy()
+    for _ in range(100):
+        R_next = 0.5 * (R + np.linalg.inv(R.T))
+        if np.abs(R_next - R).max() < 1e-9:
+            R = R_next
+            break
+        R = R_next
+    S = np.linalg.inv(R) @ M
+    # rotation matrix -> quaternion (w,x,y,z)
+    tr_ = np.trace(R)
+    if tr_ > 0:
+        w = np.sqrt(1.0 + tr_) / 2
+        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                      (R[0, 2] - R[2, 0]) / (4 * w),
+                      (R[1, 0] - R[0, 1]) / (4 * w)])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12))
+        qv = np.zeros(3)
+        qv[i] = s / 2
+        qv[j] = (R[j, i] + R[i, j]) / (2 * s)
+        qv[k] = (R[k, i] + R[i, k]) / (2 * s)
+        q = np.array([(R[k, j] - R[j, k]) / (2 * s), *qv])
+    return T, q / np.linalg.norm(q), S
+
+
+def _quat_to_matrix(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+class AnimatedTransform(NamedTuple):
+    """Two keyframe transforms with TRS interpolation (transform.h
+    AnimatedTransform). ``interpolate(t)`` is traceable: translation and
+    scale lerp, rotation slerps."""
+
+    t0: jnp.ndarray  # (3,)
+    t1: jnp.ndarray
+    q0: jnp.ndarray  # (4,) wxyz
+    q1: jnp.ndarray
+    s0: jnp.ndarray  # (3,3)
+    s1: jnp.ndarray
+    time0: float
+    time1: float
+
+    @staticmethod
+    def make(xf_start: Transform, xf_end: Transform, time0=0.0, time1=1.0):
+        T0, q0, S0 = decompose(xf_start.m)
+        T1, q1, S1 = decompose(xf_end.m)
+        if float(np.dot(q0, q1)) < 0:  # shortest arc
+            q1 = -q1
+        return AnimatedTransform(
+            jnp.asarray(T0, jnp.float32), jnp.asarray(T1, jnp.float32),
+            jnp.asarray(q0, jnp.float32), jnp.asarray(q1, jnp.float32),
+            jnp.asarray(S0, jnp.float32), jnp.asarray(S1, jnp.float32),
+            float(time0), float(time1))
+
+    def interpolate_matrix(self, time):
+        """(...,) times -> (...,4,4) interpolated matrices (traceable)."""
+        dt = jnp.clip((time - self.time0)
+                      / max(self.time1 - self.time0, 1e-9), 0.0, 1.0)
+        T = (1 - dt)[..., None] * self.t0 + dt[..., None] * self.t1
+        cos_th = jnp.sum(self.q0 * self.q1)
+        theta = jnp.arccos(jnp.clip(cos_th, -1.0, 1.0))
+        sin_th = jnp.sin(theta)
+        w0 = jnp.where(sin_th > 1e-6, jnp.sin((1 - dt) * theta) / sin_th,
+                       1 - dt)
+        w1 = jnp.where(sin_th > 1e-6, jnp.sin(dt * theta) / sin_th, dt)
+        q = w0[..., None] * self.q0 + w1[..., None] * self.q1
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        S = (1 - dt)[..., None, None] * self.s0 \
+            + dt[..., None, None] * self.s1
+        M = _quat_to_matrix(q) @ S
+        out = jnp.zeros(dt.shape + (4, 4))
+        out = out.at[..., :3, :3].set(M)
+        out = out.at[..., :3, 3].set(T)
+        out = out.at[..., 3, 3].set(1.0)
+        return out
+
+    def apply_point(self, p, time):
+        m = self.interpolate_matrix(time)
+        return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) \
+            + m[..., :3, 3]

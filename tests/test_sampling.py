@@ -158,3 +158,53 @@ def test_piecewise_constant_1d():
     assert np.allclose(counts / len(xn), np.asarray(func) / 8.0, atol=0.01)
     # E_x~pdf[pdf(x)] = integral of pdf^2 = (0.25+1+4+0.25)/4 = 1.375
     assert abs(np.asarray(pdf).mean() - 1.375) < 0.02
+
+
+def test_piecewise_constant_2d():
+    """Sampling density matches pdf(); integral of pdf is 1."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.utils.sampling import PiecewiseConstant2D
+
+    rng = np.random.default_rng(8)
+    f = rng.random((8, 16)) + 0.1
+    dist = PiecewiseConstant2D(f)
+    # pdf integrates to 1 over the domain
+    xs = (np.arange(16) + 0.5) / 16
+    ys = (np.arange(8) + 0.5) / 8
+    X, Y = np.meshgrid(xs, ys)
+    pdf = np.asarray(dist.pdf(jnp.asarray(np.stack([X, Y], -1))))
+    assert abs(pdf.mean() - 1.0) < 1e-4  # mean of pdf over unit domain = 1
+    # empirical histogram matches func shape
+    u2 = jnp.asarray(rng.random((200_000, 2), np.float32))
+    p, pdf_s = dist.sample(u2)
+    p = np.asarray(p)
+    h = np.histogram2d(p[:, 1], p[:, 0], bins=(8, 16),
+                       range=((0, 1), (0, 1)), density=True)[0]
+    ref = f / f.mean()
+    assert np.abs(h - ref).max() < 0.15 * ref.max(), np.abs(h - ref).max()
+    # reported pdf equals pdf() at the samples
+    pdf_q = np.asarray(dist.pdf(jnp.asarray(p)))
+    assert np.allclose(np.asarray(pdf_s), pdf_q, rtol=1e-5)
+
+
+def test_alias_table():
+    """AliasTable: exact pmf reproduction + remapped-u uniformity."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.utils.sampling import AliasTable
+
+    w = np.asarray([1.0, 5.0, 0.2, 3.0, 0.0, 2.5])
+    at = AliasTable(w)
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.random(500_000, np.float32))
+    idx, pmf, u2 = at.sample(u)
+    idx = np.asarray(idx)
+    freq = np.bincount(idx, minlength=6) / len(idx)
+    expect = w / w.sum()
+    assert np.abs(freq - expect).max() < 2e-3, freq
+    assert np.allclose(np.asarray(pmf), expect[idx], rtol=1e-5)
+    u2 = np.asarray(u2)
+    # remapped u stays uniform (chi-square-ish)
+    h = np.histogram(u2, bins=16, range=(0, 1))[0] / len(u2)
+    assert np.abs(h - 1 / 16).max() < 3e-3, h

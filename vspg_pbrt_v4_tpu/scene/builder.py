@@ -108,6 +108,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
 
     object_defs = {}
     defining_object = [None]
+    named_coord_systems = {}
 
     def handle_shape(d, p, st):
         def xf_pts(pts):
@@ -519,9 +520,15 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 row = dict(kind=CONSTANT, c0=(0.5, 0.5, 0.5))
             textures.append(row)
             named_textures[tname] = len(textures) - 1
-        elif name in ("WorldEnd", "CoordinateSystem", "CoordSysTransform"):
-            if name not in ("WorldEnd",):
-                warn(f"directive '{name}' not yet supported; ignored", d.loc)
+        elif name == "CoordinateSystem":
+            named_coord_systems[d.args[0]] = st.ctm
+        elif name == "CoordSysTransform":
+            if d.args[0] in named_coord_systems:
+                st.ctm = named_coord_systems[d.args[0]]
+            else:
+                warn(f"unknown coordinate system '{d.args[0]}'", d.loc)
+        elif name == "WorldEnd":
+            pass
         else:
             warn(f"unknown directive '{name}' ignored", d.loc)
 

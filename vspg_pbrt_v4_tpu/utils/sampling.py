@@ -238,3 +238,96 @@ class PiecewiseConstant1D:
         pdf = jnp.where(fi > 0, self.func[o] / fi, 0.0)
         x = self.x_min + (o + du) / self.n * (self.x_max - self.x_min)
         return x, pdf, o
+
+
+class PiecewiseConstant2D:
+    """Tabulated 2D distribution (sampling.h PiecewiseConstant2D): a
+    marginal PiecewiseConstant1D over rows + per-row conditionals, all
+    stored as dense arrays so sample/pdf are gather-only."""
+
+    def __init__(self, func, domain=((0.0, 1.0), (0.0, 1.0))):
+        f = np.abs(np.asarray(func, np.float64))  # (ny, nx)
+        ny, nx = f.shape
+        (x0, x1), (y0, y1) = domain
+        row_int = f.sum(1) * (x1 - x0) / nx
+        self.marginal = PiecewiseConstant1D(row_int, y0, y1)
+        cdf = np.zeros((ny, nx + 1))
+        cdf[:, 1:] = np.cumsum(f, 1) * (x1 - x0) / nx
+        ints = cdf[:, -1:].copy()
+        safe = np.where(ints > 0, ints, 1.0)
+        cdf /= safe
+        zero = (ints[:, 0] <= 0)
+        cdf[zero] = np.arange(nx + 1) / nx
+        self.cond_cdf = jnp.asarray(cdf, jnp.float32)
+        self.cond_func = jnp.asarray(
+            np.where(ints > 0, f / safe * ((x1 - x0) / 1.0), 0.0),
+            jnp.float32)  # func normalized by the row integral
+        self.func = jnp.asarray(f, jnp.float32)
+        self.func_int = float(max(row_int.sum() * (y1 - y0) / ny, 0.0))
+        self.nx, self.ny = nx, ny
+        self.domain = domain
+
+    def sample(self, u2):
+        """u2 (...,2) -> (p (...,2), pdf (...,))."""
+        (x0, x1), (y0, y1) = self.domain
+        y, pdf_y, row = self.marginal.sample(u2[..., 1])
+        u = u2[..., 0]
+        cdf_r = self.cond_cdf[row]
+        o = jnp.clip(
+            jnp.sum((u[..., None] >= cdf_r).astype(jnp.int32), -1) - 1,
+            0, self.nx - 1)
+        cdf_o = jnp.take_along_axis(cdf_r, o[..., None], -1)[..., 0]
+        dcdf = jnp.take_along_axis(cdf_r, o[..., None] + 1, -1)[..., 0] - cdf_o
+        du = jnp.where(dcdf > 0, safe_div(u - cdf_o, dcdf), 0.0)
+        x = x0 + (o + du) / self.nx * (x1 - x0)
+        pdf = self.pdf(jnp.stack([x, y], -1))
+        return jnp.stack([x, y], -1), pdf
+
+    def pdf(self, p):
+        (x0, x1), (y0, y1) = self.domain
+        ix = jnp.clip(((p[..., 0] - x0) / (x1 - x0) * self.nx).astype(
+            jnp.int32), 0, self.nx - 1)
+        iy = jnp.clip(((p[..., 1] - y0) / (y1 - y0) * self.ny).astype(
+            jnp.int32), 0, self.ny - 1)
+        if self.func_int <= 0:
+            return jnp.zeros(p.shape[:-1])
+        return self.func[iy, ix] / self.func_int
+
+
+class AliasTable:
+    """O(1) discrete sampling (sampling.h AliasTable: Vose's method).
+
+    Build host-side; sample() is two gathers + one compare per lane."""
+
+    def __init__(self, weights):
+        w = np.asarray(weights, np.float64)
+        n = len(w)
+        total = max(w.sum(), 1e-30)
+        self.p = jnp.asarray(w / total, jnp.float32)
+        scaled = w / total * n
+        q = np.ones(n)
+        alias = np.arange(n)
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        while small and large:
+            s = small.pop()
+            g = large.pop()
+            q[s] = scaled[s]
+            alias[s] = g
+            scaled[g] = scaled[g] + scaled[s] - 1.0
+            (small if scaled[g] < 1.0 else large).append(g)
+        self.q = jnp.asarray(q, jnp.float32)
+        self.alias = jnp.asarray(alias, jnp.int32)
+        self.n = n
+
+    def sample(self, u):
+        """u (...,) -> (index, pmf, u_remapped)."""
+        un = u * self.n
+        o = jnp.clip(un.astype(jnp.int32), 0, self.n - 1)
+        frac = un - o
+        take = frac < self.q[o]
+        idx = jnp.where(take, o, self.alias[o])
+        u_new = jnp.where(
+            take, safe_div(frac, self.q[o]),
+            safe_div(frac - self.q[o], 1.0 - self.q[o]))
+        return idx, self.p[idx], jnp.clip(u_new, 0.0, 0.9999999)

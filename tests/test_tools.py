@@ -164,3 +164,19 @@ def test_guiding_gbuffer_cells():
     hit_cells = np.unique(cid[rgb.sum(-1) > 0])
     assert len(hit_cells) >= 3
     assert (rgb[0, 0] == 0).all()
+
+
+def test_exr_half_roundtrip(tmp_path):
+    """HALF-format EXR write (the reference film's default pixel format,
+    util/image.h PixelFormat::Half) reads back within half precision."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.utils.image import read_exr, write_exr
+
+    img = np.random.default_rng(1).random((7, 9, 3)).astype(np.float32) * 4
+    p = str(tmp_path / "h.exr")
+    write_exr(p, img, half=True)
+    arr, names = read_exr(p)
+    order = [names.index(c) for c in ("R", "G", "B")]
+    err = np.abs(arr[..., order] - img).max() / img.max()
+    assert err < 2e-3, err

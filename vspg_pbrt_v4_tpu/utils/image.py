@@ -15,8 +15,10 @@ import numpy as np
 _EXR_MAGIC = 20000630
 
 
-def write_exr(path, img, channel_names=("R", "G", "B")):
-    """Write (ny, nx, C) float32 as an uncompressed scanline EXR."""
+def write_exr(path, img, channel_names=("R", "G", "B"), half=False):
+    """Write (ny, nx, C) as an uncompressed scanline EXR (FLOAT, or HALF
+    when half=True — the reference's default film pixel format,
+    util/image.h PixelFormat::Half)."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
@@ -25,6 +27,8 @@ def write_exr(path, img, channel_names=("R", "G", "B")):
     # channels must be stored alphabetically
     order = np.argsort(channel_names)
     names = [channel_names[i] for i in order]
+    ptype = 1 if half else 2  # 1=HALF, 2=FLOAT
+    psize = 2 if half else 4
 
     def attr(name, typ, data):
         return (name.encode() + b"\0" + typ.encode() + b"\0"
@@ -32,8 +36,9 @@ def write_exr(path, img, channel_names=("R", "G", "B")):
 
     chlist = b""
     for n in names:
-        # name, pixel type (2=FLOAT), pLinear+reserved, xSampling, ySampling
-        chlist += n.encode() + b"\0" + struct.pack("<iBBBBii", 2, 0, 0, 0, 0, 1, 1)
+        # name, pixel type, pLinear+reserved, xSampling, ySampling
+        chlist += n.encode() + b"\0" + struct.pack("<iBBBBii", ptype, 0, 0,
+                                                   0, 0, 1, 1)
     chlist += b"\0"
 
     header = b""
@@ -52,13 +57,14 @@ def write_exr(path, img, channel_names=("R", "G", "B")):
         f.write(header)
         # scanline offset table
         offset0 = 8 + len(header) + 8 * ny
-        line_size = 4 + 4 + nx * 4 * nc
+        line_size = 4 + 4 + nx * psize * nc
         for y in range(ny):
             f.write(struct.pack("<Q", offset0 + y * line_size))
+        dt = "<f2" if half else "<f4"
         for y in range(ny):
-            f.write(struct.pack("<ii", y, nx * 4 * nc))
+            f.write(struct.pack("<ii", y, nx * psize * nc))
             for ci in order:
-                f.write(img[y, :, ci].astype("<f4").tobytes())
+                f.write(img[y, :, ci].astype(dt).tobytes())
 
 
 def read_exr(path):

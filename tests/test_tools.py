@@ -180,3 +180,30 @@ def test_exr_half_roundtrip(tmp_path):
     order = [names.index(c) for c in ("R", "G", "B")]
     err = np.abs(arr[..., order] - img).max() / img.max()
     assert err < 2e-3, err
+
+
+def test_spectral_film_accumulation():
+    """Spectral film path: flat-reflectance spectral samples under uniform
+    wavelength sampling land near the grey RGB they represent."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.models.film import RGBFilm
+    from vspg_pbrt_v4_tpu.utils import spectrum as sp
+
+    film = RGBFilm.make((2, 2))
+    state = film.init_state()
+    rng = np.random.default_rng(3)
+    R = 4000
+    pix = jnp.asarray(rng.integers(0, 4, R).astype(np.int32))
+    lam, pdf = sp.sample_wavelengths_uniform(
+        jnp.asarray(rng.random(R, np.float32)))
+    vals = 0.6 * jnp.ones_like(lam)  # flat spectrum with luminance-ish 0.6
+    state = film.add_spectral_samples(state, pix, vals, lam, pdf,
+                                      jnp.ones(R))
+    img = np.asarray(film.image(state))
+    assert np.isfinite(img).all()
+    # flat spectrum -> near-grey RGB around 0.6 (equal-energy white point
+    # vs sRGB D65 gives a small tint)
+    assert np.abs(img - 0.6).max() < 0.15, img.reshape(-1, 3)[0]
+    assert np.abs(img.mean(-1) - 0.6).max() < 0.03

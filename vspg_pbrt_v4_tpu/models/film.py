@@ -77,6 +77,17 @@ class RGBFilm:
             weight_sum=state.weight_sum.at[pixel_id].add(weight),
         )
 
+    def add_spectral_samples(self, state: FilmState, pixel_id, values, lam,
+                             pdf, weight) -> FilmState:
+        """Accumulate N=4 spectral radiance samples: CIE-integrate each
+        lane's (value, lambda, pdf) quadruple to XYZ, convert to the sensor
+        RGB, then scatter-add like add_samples (the role of the reference's
+        spectral film + PixelSensor::ToSensorRGB)."""
+        from ..utils.spectrum import spectrum_to_xyz, xyz_to_rgb
+
+        rgb = xyz_to_rgb(spectrum_to_xyz(values, lam, pdf))
+        return self.add_samples(state, pixel_id, rgb, weight)
+
     def add_splats(self, state: FilmState, pixel_id, L) -> FilmState:
         bad = jnp.any(~jnp.isfinite(L), axis=-1)
         L = jnp.where(bad[..., None], 0.0, L)

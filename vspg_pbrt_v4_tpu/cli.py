@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--store-guiding-cache", default=None)
     ap.add_argument("--load-guiding-cache", default=None,
                     help="pre-trained field npz (disables training)")
+    ap.add_argument("--debugstart", default=None, metavar="X,Y,S",
+                    help="deterministically replay one pixel sample and "
+                         "print its radiance (cpu/integrators.cpp:77-95)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -70,6 +73,26 @@ def main(argv=None):
         print(f"[scene] {g.n_tri} tris, {g.n_sph} spheres, "
               f"{setup.scene.lights.n_lights} lights, integrator "
               f"{setup.integrator}, {setup.spp} spp", file=sys.stderr)
+
+    if args.debugstart:
+        # single-sample replay: the stateless counter RNG makes any
+        # (pixel, sample) pair exactly reproducible in isolation
+        import jax.numpy as jnp
+        import numpy as np
+
+        x, y, s = (int(v) for v in args.debugstart.split(","))
+        nx, _ = setup.film.resolution
+        pid = jnp.asarray([y * nx + x], jnp.int32)
+        st, _ = volpath.start_camera_paths(
+            setup.camera, setup.film, jnp.uint32(args.seed),
+            jnp.uint32(s), pid, setup.camera_medium)
+        cfg = volpath.VolPathConfig(
+            max_depth=args.maxdepth or 32)
+        st = volpath.trace_paths(setup.scene, cfg, st)
+        L = np.asarray(st.L)[0]
+        print(f"[debugstart] pixel ({x},{y}) sample {s}: "
+              f"L = ({L[0]:.6g}, {L[1]:.6g}, {L[2]:.6g})")
+        return 0
 
     from .scene.parser import ParameterDictionary
 

@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--store-guiding-cache", default=None)
     ap.add_argument("--load-guiding-cache", default=None,
                     help="pre-trained field npz (disables training)")
+    ap.add_argument("--pixelstats", action="store_true",
+                    help="write per-pixel stats heatmaps next to the image")
     ap.add_argument("--debugstart", default=None, metavar="X,Y,S",
                     help="deterministically replay one pixel sample and "
                          "print its radiance (cpu/integrators.cpp:77-95)")
@@ -74,11 +76,22 @@ def main(argv=None):
               f"{setup.scene.lights.n_lights} lights, integrator "
               f"{setup.integrator}, {setup.spp} spp", file=sys.stderr)
 
+    if args.pixelstats:
+        from .models.integrators import extras
+
+        stats_img = extras.render_pixel_stats(
+            setup.scene, setup.camera, setup.film, spp=min(setup.spp, 16),
+            seed=args.seed, camera_medium=setup.camera_medium)
+        base = (args.outfile or setup.outfile or "out.exr").rsplit(".", 1)[0]
+        write_exr(base + "_stats.exr", np.asarray(stats_img),
+                  ("depth", "alive", "lum"))
+        if not args.quiet:
+            print(f"[pixelstats] {base}_stats.exr", file=sys.stderr)
+
     if args.debugstart:
         # single-sample replay: the stateless counter RNG makes any
         # (pixel, sample) pair exactly reproducible in isolation
         import jax.numpy as jnp
-        import numpy as np
 
         x, y, s = (int(v) for v in args.debugstart.split(","))
         nx, _ = setup.film.resolution

@@ -287,3 +287,36 @@ def render_function(film, fn="checkerboard", spp=64, seed=0,
     nx, ny = film.resolution
     img = jnp.repeat(est[:, None], 3, -1).reshape(ny, nx, 3)
     return img, exact
+
+
+def render_pixel_stats(scene, camera, film, spp=16, cfg=None, seed=0,
+                       camera_medium=-1):
+    """Per-pixel statistics heatmaps (the --pixelstats EXR path,
+    util/stats.h STAT_PIXEL_COUNTER + cpu/integrators.cpp:126-128):
+    channels = mean path depth, survival (paths alive at loop exit), and
+    mean radiance luminance."""
+    from . import volpath as vp
+
+    cfg = cfg or vp.VolPathConfig()
+    npix = film.npix
+    depth_sum = jnp.zeros((npix,))
+    alive_sum = jnp.zeros((npix,))
+    lum_sum = jnp.zeros((npix,))
+
+    @jax.jit
+    def wave(si):
+        pid = jnp.arange(npix, dtype=jnp.int32)
+        s, _ = vp.start_camera_paths(camera, film, jnp.uint32(seed),
+                                     jnp.uint32(si), pid, camera_medium)
+        s = vp.trace_paths(scene, cfg, s)
+        return (s.depth.astype(jnp.float32), s.alive.astype(jnp.float32),
+                jnp.mean(s.L, -1))
+
+    for si in range(spp):
+        d, a, l = wave(si)
+        depth_sum += d
+        alive_sum += a
+        lum_sum += l
+    nx, ny = film.resolution
+    img = jnp.stack([depth_sum, alive_sum, lum_sum], -1) / spp
+    return img.reshape(ny, nx, 3)

@@ -145,3 +145,22 @@ def test_animated_transform_interpolation():
     c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
     expect = np.asarray([2.0 + c, 1.0 + s, 0.0])
     assert np.allclose(pm, expect, atol=1e-4), (pm, expect)
+
+
+def test_colorspaces():
+    """Primary-matrix solve: each space's white maps from/to sRGB white;
+    sRGB matrices match the published ones."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.utils import colorspace as cs
+
+    w = jnp.asarray([1.0, 1.0, 1.0])
+    for name in cs.COLOR_SPACES:
+        v = np.asarray(cs.convert_rgb(cs.convert_rgb(w, "srgb", name),
+                                      name, "srgb"))
+        assert np.allclose(v, 1.0, atol=1e-4), (name, v)
+    assert np.allclose(cs.COLOR_SPACES["srgb"][1], cs.XYZ_TO_SRGB, atol=2e-3)
+    # wide gamuts contain sRGB: saturated sRGB red stays positive in Rec2020
+    red = np.asarray(cs.convert_rgb(jnp.asarray([1.0, 0.0, 0.0]),
+                                    "srgb", "rec2020"))
+    assert (red > -1e-4).all() and red[0] > red[1]

@@ -71,3 +71,44 @@ def srgb_decode(encoded):
         encoded / 12.92,
         jnp.power((encoded + 0.055) / 1.055, 2.4),
     )
+
+
+# ---------------------------------------------------------------------------
+# RGB color spaces beyond sRGB (colorspace.h: ACES2065-1, Rec2020, DCI-P3)
+# built from primaries + white point with the standard primary-matrix solve.
+# ---------------------------------------------------------------------------
+
+
+def _xy_to_xyz(x, y):
+    return np.array([x / y, 1.0, (1.0 - x - y) / y])
+
+
+def rgb_matrices(primaries, white_xy):
+    """(r_xy, g_xy, b_xy), white_xy -> (RGB_TO_XYZ, XYZ_TO_RGB)."""
+    M = np.stack([_xy_to_xyz(*p) for p in primaries], 1)  # columns r,g,b
+    W = _xy_to_xyz(*white_xy)
+    S = np.linalg.solve(M, W)
+    rgb_to_xyz = M * S
+    return rgb_to_xyz, np.linalg.inv(rgb_to_xyz)
+
+
+_D65 = (0.3127, 0.3290)
+COLOR_SPACES = {
+    "srgb": rgb_matrices(((0.64, 0.33), (0.30, 0.60), (0.15, 0.06)), _D65),
+    "rec2020": rgb_matrices(((0.708, 0.292), (0.170, 0.797),
+                             (0.131, 0.046)), _D65),
+    # ACES2065-1 (AP0 primaries, ~D60 white)
+    "aces2065-1": rgb_matrices(((0.7347, 0.2653), (0.0, 1.0),
+                                (0.0001, -0.077)), (0.32168, 0.33767)),
+    # DCI-P3 with the DCI white point
+    "dci-p3": rgb_matrices(((0.680, 0.320), (0.265, 0.690),
+                            (0.150, 0.060)), (0.314, 0.351)),
+}
+
+
+def convert_rgb(rgb, src="srgb", dst="aces2065-1"):
+    """Linear RGB -> linear RGB across color spaces (through XYZ, no
+    chromatic adaptation — matches the reference's direct matrix path)."""
+    to_xyz = jnp.asarray(COLOR_SPACES[src][0], jnp.float32)
+    from_xyz = jnp.asarray(COLOR_SPACES[dst][1], jnp.float32)
+    return rgb @ to_xyz.T @ from_xyz.T

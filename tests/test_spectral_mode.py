@@ -1,0 +1,72 @@
+"""N=4 hero-wavelength spectral rendering mode.
+
+The reference's spectral path (util/spectrum.h SampledWavelengths:300-391,
+SampleVisibleWavelengths:166-178) carries 4 wavelength samples per path with
+rescaled-pdf MIS algebra; RGB scene data is uplifted to smooth spectra and
+the film integrates against the CIE sensor (film.h PixelSensor). These tests
+check the analytic furnaces still hold with `VolPathConfig(spectral=True)`
+and that gray scenes round-trip the RGB-mode answer (equal-energy white
+balance, utils/spectrum.spectral_to_sensor_rgb).
+"""
+
+import numpy as np
+
+from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
+from vspg_pbrt_v4_tpu.models.film import RGBFilm
+from vspg_pbrt_v4_tpu.models.integrators import volpath
+from vspg_pbrt_v4_tpu.utils import transform as tr
+
+CFG = volpath.VolPathConfig(spectral=True)
+
+
+def _camera(res=32):
+    c2w = tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0))
+    return PerspectiveCamera.make(c2w, fov_deg=30.0, resolution=(res, res))
+
+
+def test_spectral_env_passthrough():
+    """Vacuum + uniform env: the uplifted env spectrum must integrate back
+    to (approximately) its RGB value through the CIE sensor."""
+    scene = volpath.make_fog_box_scene([0, 0, 0], [0, 0, 0],
+                                       env_L=[0.7, 0.8, 0.9])
+    img = np.asarray(volpath.render(scene, _camera(), RGBFilm.make((32, 32)),
+                                    spp=32, cfg=CFG))
+    assert np.allclose(img.mean((0, 1)), [0.7, 0.8, 0.9], atol=0.02), img.mean((0, 1))
+
+
+def test_spectral_beer_lambert_gray():
+    """Gray absorber: center pixel = env * exp(-sigma * chord) in every
+    channel (the hero-channel delta tracking must stay unbiased with
+    lambda[0] as the pdf channel)."""
+    sigma = 0.5
+    scene = volpath.make_fog_box_scene([sigma] * 3, [0, 0, 0], env_L=[1, 1, 1])
+    img = np.asarray(volpath.render(scene, _camera(64), RGBFilm.make((64, 64)),
+                                    spp=128, cfg=CFG))
+    center = img[28:36, 28:36].mean()
+    expect = np.exp(-sigma * 2.0)  # chord through the unit box = 2
+    assert abs(center - expect) < 0.03, (center, expect)
+
+
+def test_spectral_scattering_furnace():
+    """Albedo-1 medium inside a unit-radiance furnace conserves energy at
+    every wavelength -> sensor-integrated image == 1."""
+    scene = volpath.make_fog_box_scene([0, 0, 0], [1.0, 1.0, 1.0],
+                                       env_L=[1, 1, 1])
+    img = np.asarray(volpath.render(scene, _camera(), RGBFilm.make((32, 32)),
+                                    spp=128, cfg=CFG))
+    assert np.allclose(img.mean((0, 1)), 1.0, atol=0.03), img.mean((0, 1))
+
+
+def test_spectral_colored_absorber_matches_rgb_mode():
+    """Colored extinction: spectral mode agrees with RGB mode within the
+    uplift smoothing error (the Smits basis broadens the box-RGB spectrum,
+    so per-channel agreement is loose but the trend must match)."""
+    scene = volpath.make_fog_box_scene([0.2, 0.5, 1.0], [0, 0, 0],
+                                       env_L=[1, 1, 1])
+    cam, film = _camera(), RGBFilm.make((32, 32))
+    i_rgb = np.asarray(volpath.render(scene, cam, film, spp=64)).mean((0, 1))
+    i_sp = np.asarray(volpath.render(scene, cam, film, spp=256,
+                                     cfg=CFG)).mean((0, 1))
+    assert np.all(np.abs(i_sp - i_rgb) < 0.08), (i_sp, i_rgb)
+    # ordering preserved: R least attenuated, B most
+    assert i_sp[0] > i_sp[1] > i_sp[2], i_sp

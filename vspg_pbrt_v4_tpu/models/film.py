@@ -83,9 +83,9 @@ class RGBFilm:
         lane's (value, lambda, pdf) quadruple to XYZ, convert to the sensor
         RGB, then scatter-add like add_samples (the role of the reference's
         spectral film + PixelSensor::ToSensorRGB)."""
-        from ..utils.spectrum import spectrum_to_xyz, xyz_to_rgb
+        from ..utils.spectrum import spectral_to_sensor_rgb
 
-        rgb = xyz_to_rgb(spectrum_to_xyz(values, lam, pdf))
+        rgb = spectral_to_sensor_rgb(values, lam, pdf)
         return self.add_samples(state, pixel_id, rgb, weight)
 
     def add_splats(self, state: FilmState, pixel_id, L) -> FilmState:

@@ -58,6 +58,7 @@ def _m(mask, new, old):
 
 class VolPathConfig(NamedTuple):
     max_depth: int = 32
+    spectral: bool = False  # N=4 hero-wavelength mode (static; RGB otherwise)
     max_events: int = 256  # outer path-event iterations (bounces + interface skips)
     max_collisions: int = 4096  # delta-tracking runaway guard (media_sampleTMaj.h:216)
     max_shadow_segments: int = 8  # shadow ray interface crossings
@@ -92,7 +93,7 @@ class MediumResult(NamedTuple):
 
 def sample_medium_interaction(
     scene, cfg, o, d, seg_end, medium_id, hero_idx, sampler, beta, r_u, r_l, L,
-    depth, active,
+    depth, active, lam=None,
 ):
     """Vectorized delta tracking along [0, seg_end] of (o, d normalized).
 
@@ -102,7 +103,7 @@ def sample_medium_interaction(
     single segment, grids = DDA supervoxel walk per DDAMajorantIterator).
     """
     media = scene.media
-    it0 = seg_init(media, medium_id, o, d, seg_end, active)
+    it0 = seg_init(media, medium_id, o, d, seg_end, active, lam)
 
     # carries derived from varying inputs (shard_map vma-compatible)
     z = jnp.zeros_like(seg_end)
@@ -136,7 +137,7 @@ def sample_medium_interaction(
         tail = vol_active & past
         dt_end = jnp.clip(it.t_seg_end - t_min, 0.0, 3e37)
         T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
-        it = seg_next(media, medium_id, it, tail)
+        it = seg_next(media, medium_id, it, tail, lam)
         t_min = jnp.where(tail, it.t_seg_start, t_min)
         exhausted = tail & it.done
         vol_active_new = vol_active & ~exhausted
@@ -145,7 +146,7 @@ def sample_medium_interaction(
         coll = vol_active & ~past
         T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
         p = o + t[..., None] * d
-        mp = media.sample_point(medium_id, p)
+        mp = media.sample_point(medium_id, p, lam)
 
         # medium emission at tentative collision (integrators.cpp:1032-1046)
         T_maj_h = hero(T_maj, hero_idx)
@@ -230,16 +231,17 @@ def sample_medium_interaction(
 
 
 def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
-                                 hero_idx, sampler, active):
+                                 hero_idx, sampler, active, lam=None):
     """Spectral transmittance along a shadow ray with rescaled pdfs.
 
     Walks interface segments (opaque hit => occluded) and ratio-tracks null
     collisions in each segment's medium (cpu/integrators.cpp:1374-1422).
     Returns (sampler, T_ray, r_l, r_u).
     """
-    T_ray = jnp.ones_like(o)
-    r_l = jnp.ones_like(o)
-    r_u = jnp.ones_like(o)
+    nchan = 3 if lam is None else lam.shape[-1]
+    T_ray = jnp.ones(o.shape[:-1] + (nchan,))
+    r_l = jnp.ones_like(T_ray)
+    r_u = jnp.ones_like(T_ray)
     t_cur = jnp.zeros_like(o[..., 0])
     med_id = medium_start
     seg_active = active
@@ -259,7 +261,7 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
 
         live = seg_active & ~blocked
         # majorant-segment iterator over this interface segment
-        sit0 = seg_init(scene.media, med_id, p_cur, wi, seg_len, live)
+        sit0 = seg_init(scene.media, med_id, p_cur, wi, seg_len, live, lam)
         t_min = sit0.t_seg_start
         T_maj = jnp.ones_like(T_ray)
 
@@ -281,14 +283,14 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
             tail = ca & past
             dt_end = jnp.clip(sit.t_seg_end - t_min, 0.0, 3e37)
             T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
-            sit = seg_next(scene.media, med_id, sit, tail)
+            sit = seg_next(scene.media, med_id, sit, tail, lam)
             t_min = jnp.where(tail, sit.t_seg_start, t_min)
             ca_new = ca & ~(tail & sit.done)
 
             coll = ca & ~past
             T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
             p = p_cur + t[..., None] * wi
-            mp = scene.media.sample_point(med_id, p)
+            mp = scene.media.sample_point(med_id, p, lam)
             sigma_n = jnp.maximum(sigma_maj - mp.sigma_a - mp.sigma_s, 0.0)
             T_maj_h = hero(T_maj, hero_idx)
             pdf = jnp.maximum(T_maj_h * maj_h, 1e-30)
@@ -362,11 +364,15 @@ def _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u, r_p, beta, ok):
 
 
 def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
-                     r_p, active):
+                     r_p, active, lam=None):
     """NEE from a medium scatter vertex (SampleLd with phase function)."""
     sampler, u_sel = sampler.get_1d()
     sampler, u2 = sampler.get_2d()
     ls = scene.lights.sample(p, u_sel, u2)
+    if lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        ls = ls._replace(L=uplift_unbounded(ls.L, lam))
     ok = active & ls.valid & (average(ls.L) > 0)
 
     cos_wo_wi = jnp.sum(wo * ls.wi, axis=-1)
@@ -376,7 +382,7 @@ def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
     ok &= f_scalar > 0
 
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
-        scene, cfg, p, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok
+        scene, cfg, p, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok, lam
     )
     contrib, local = _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
                                  r_p, beta, ok)
@@ -384,7 +390,7 @@ def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
 
 
 def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
-                      hero_idx, sampler, beta, r_p, active):
+                      hero_idx, sampler, beta, r_p, active, lam=None):
     """NEE from a surface vertex (SampleLd with BSDF).
 
     Directions converted to the shading frame for masked BSDF dispatch.
@@ -393,6 +399,10 @@ def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
     sampler, u_sel = sampler.get_1d()
     sampler, u2 = sampler.get_2d()
     ls = scene.lights.sample(p_offset, u_sel, u2)
+    if lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        ls = ls._replace(L=uplift_unbounded(ls.L, lam))
     ok = active & ls.valid & (average(ls.L) > 0)
 
     t1, t2 = coordinate_system(ns)
@@ -407,7 +417,8 @@ def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
     ok &= jnp.max(f_hat, -1) > 0
 
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
-        scene, cfg, p_offset, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok
+        scene, cfg, p_offset, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok,
+        lam
     )
     contrib, local = _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
                                  r_p, beta, ok)
@@ -434,17 +445,23 @@ class PathState(NamedTuple):
     medium_id: jnp.ndarray  # (R,) int32, -1 = vacuum
     eta_scale: jnp.ndarray  # (R,)
     prev_p: jnp.ndarray  # (R,3) previous scattering vertex (light ctx)
+    lam: jnp.ndarray = None  # (R,4) sampled wavelengths (spectral mode)
+    pdf_lam: jnp.ndarray = None  # (R,4) their pdfs
 
 
-def make_path_state(sampler, o, d, hero_idx, medium_id, pixel_like):
+def make_path_state(sampler, o, d, hero_idx, medium_id, pixel_like,
+                    lam=None, pdf_lam=None):
     """Fresh path state; carries derived from varying inputs."""
+    nchan = 3 if lam is None else lam.shape[-1]
+    ones = jnp.ones(o.shape[:-1] + (nchan,))
     return PathState(
         sampler=sampler, o=o, d=d,
-        beta=jnp.ones_like(o), r_u=jnp.ones_like(o), r_l=jnp.ones_like(o),
-        L=jnp.zeros_like(o), depth=jnp.zeros_like(pixel_like),
+        beta=ones, r_u=ones, r_l=ones,
+        L=jnp.zeros_like(ones), depth=jnp.zeros_like(pixel_like),
         alive=pixel_like >= 0, specular=pixel_like < 0,
         hero_idx=hero_idx, medium_id=medium_id,
         eta_scale=jnp.ones_like(o[..., 0]), prev_p=jnp.zeros_like(o),
+        lam=lam, pdf_lam=pdf_lam,
     )
 
 
@@ -458,7 +475,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     in_medium = s.alive & (s.medium_id >= 0)
     mr = sample_medium_interaction(
         scene, cfg, s.o, s.d, seg_end, s.medium_id, s.hero_idx, s.sampler,
-        s.beta, s.r_u, s.r_l, s.L, s.depth, in_medium,
+        s.beta, s.r_u, s.r_l, s.L, s.depth, in_medium, s.lam,
     )
     sampler, beta, r_u, r_l, L, depth = (
         mr.sampler, mr.beta, mr.r_u, mr.r_l, mr.L, mr.depth,
@@ -471,7 +488,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     wo = -s.d
     sampler, Ld, _ = sample_ld_volume(
         scene, cfg, p_scat, wo, mr.g_scatter, s.medium_id, s.hero_idx, sampler,
-        beta, r_u, scat,
+        beta, r_u, scat, s.lam,
     )
     L = _m(scat, L + Ld, L)
     sampler, u2 = sampler.get_2d()
@@ -490,6 +507,10 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     # escaped: infinite lights with MIS (integrators.cpp:1127-1143)
     escaped = flew & ~h.hit
     Le_env = scene.lights.le_escaped(s.d)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        Le_env = uplift_unbounded(Le_env, s.lam)
     any_env = average(Le_env) > 0
     first = (s.depth == 0) | s.specular
     no_mis = escaped & first & any_env
@@ -506,6 +527,10 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     # emissive surface hit (integrators.cpp:1146-1160)
     emissive = surf & (h.light_id >= 0)
     Le_surf = scene.lights.le_area(h.light_id, -s.d, h.n)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        Le_surf = uplift_unbounded(Le_surf, s.lam)
     has_le = average(Le_surf) > 0
     no_mis_s = emissive & first & has_le
     L = _m(no_mis_s, L + beta * Le_surf / jnp.maximum(average(r_u), 1e-30)[..., None], L)
@@ -530,12 +555,17 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     depth = jnp.where(shade, depth + 1, depth)
 
     lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        lanes = lanes._replace(albedo=uplift_unbounded(lanes.albedo, s.lam),
+                               albedo2=uplift_unbounded(lanes.albedo2, s.lam))
     ns = face_forward(h.ns, h.n)  # keep shading normal consistent w/ geometric
     # NEE from surface (skipped for pure-specular lanes)
     can_nee = shade & ~lanes.is_specular
     sampler, Ld_s, _ = sample_ld_surface(
         scene, cfg, h.p, h.n, ns, -s.d, lanes, medium_id, s.hero_idx, sampler,
-        beta, r_u, can_nee,
+        beta, r_u, can_nee, s.lam,
     )
     L = _m(can_nee, L + Ld_s, L)
 
@@ -585,7 +615,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
 
     return PathState(
         sampler, o_new, d_new, beta, r_u, r_l, L, depth, alive, specular,
-        s.hero_idx, medium_id, eta_scale, prev_p,
+        s.hero_idx, medium_id, eta_scale, prev_p, s.lam, s.pdf_lam,
     )
 
 
@@ -610,7 +640,7 @@ def trace_paths(scene, cfg, s: PathState):
 
 
 def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium,
-                       sampler_kind="independent", spp=0):
+                       sampler_kind="independent", spp=0, spectral=False):
     """Generate primary rays + fresh path state for the given pixel lanes."""
     pix = pixel_coords(film.resolution)[pixel_id]
     sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), sample_index,
@@ -627,13 +657,29 @@ def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium
         o, d = rays
         cam_w = None
     sampler, u_wl = sampler.get_1d()
-    hero_idx = sample_hero_channel(u_wl)
+    if spectral:
+        from ...utils.spectrum import sample_wavelengths_visible
+
+        lam, pdf_lam = sample_wavelengths_visible(u_wl)
+        hero_idx = jnp.zeros_like(pixel_id)  # lambda[0] is the hero in N=4
+    else:
+        lam = pdf_lam = None
+        hero_idx = sample_hero_channel(u_wl)
     med0 = jnp.full_like(pixel_id, camera_medium)
-    state = make_path_state(sampler, o, d, hero_idx, med0, pixel_id)
+    state = make_path_state(sampler, o, d, hero_idx, med0, pixel_id, lam,
+                            pdf_lam)
     if cam_w is not None:
         state = state._replace(beta=state.beta * cam_w[..., None],
                                alive=state.alive & (cam_w > 0))
     return state, filter_w
+
+
+def _film_add(film, state, pixel_id, s, fw):
+    """Accumulate traced radiance: RGB directly, or spectral via the CIE
+    sensor integration (film.add_spectral_samples)."""
+    if s.lam is None:
+        return film.add_samples(state, pixel_id, s.L, fw)
+    return film.add_spectral_samples(state, pixel_id, s.L, s.lam, s.pdf_lam, fw)
 
 
 def render_wave(scene, camera, film, film_state, cfg, seed, sample_index,
@@ -643,9 +689,9 @@ def render_wave(scene, camera, film, film_state, cfg, seed, sample_index,
     R = film.npix
     pixel_id = jnp.arange(R, dtype=jnp.int32)
     s, fw = start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                               camera_medium)
+                               camera_medium, spectral=cfg.spectral)
     s = trace_paths(scene, cfg, s)
-    return film.add_samples(film_state, pixel_id, s.L, fw)
+    return _film_add(film, film_state, pixel_id, s, fw)
 
 
 @partial(jax.jit, static_argnames=("cfg", "camera_medium", "spp_per_pass",
@@ -661,9 +707,10 @@ def _render_jit(scene, camera, film, cfg, spp, seed, camera_medium, spp_per_pass
     def one_pass(i, st):
         sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
         s, fw = start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                                   camera_medium, sampler_kind, sampler_spp)
+                                   camera_medium, sampler_kind, sampler_spp,
+                                   cfg.spectral)
         s = trace_paths(scene, cfg, s)
-        return film.add_samples(st, pixel_id, s.L, fw)
+        return _film_add(film, st, pixel_id, s, fw)
 
     state = jax.lax.fori_loop(0, n_pass, one_pass, state)
     return film.image(state)
@@ -682,9 +729,10 @@ def render_pass(scene, camera, film, film_state, cfg, seed, wave_idx,
     pixel_id = lane // spp_per_pass
     sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
     s, fw = start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                               camera_medium, sampler_kind, sampler_spp)
+                               camera_medium, sampler_kind, sampler_spp,
+                               cfg.spectral)
     s = trace_paths(scene, cfg, s)
-    return film.add_samples(film_state, pixel_id, s.L, fw), s
+    return _film_add(film, film_state, pixel_id, s, fw), s
 
 
 def render_progressive(scene, camera, film, cfg=VolPathConfig(), seed=0,

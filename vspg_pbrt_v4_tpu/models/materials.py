@@ -319,7 +319,7 @@ def bsdf_f(lanes: BSDFLanes, wo, wi):
         tr_d(wm_r, alpha) * tr_g(wo, wi, alpha) * Fr
         * safe_div(1.0, 4.0 * abs_cos_theta(wo) * abs_cos_theta(wi), 0.0)
     )
-    f = jnp.where((is_rd & same)[..., None], spec_r[..., None] * jnp.ones(3), f)
+    f = jnp.where((is_rd & same)[..., None], spec_r[..., None] * jnp.ones_like(lanes.albedo), f)
     # transmission part (bxdfs.h DielectricBxDF::f)
     etap = jnp.where(cos_theta(wo) > 0, eta, 1.0 / eta)
     wm_t = wi * etap[..., None] + wo
@@ -338,7 +338,7 @@ def bsdf_f(lanes: BSDFLanes, wo, wi):
     )
     f = jnp.where(
         (is_rd & ~same & wm_tok & ~backface)[..., None],
-        spec_t[..., None] * jnp.ones(3), f,
+        spec_t[..., None] * jnp.ones_like(lanes.albedo), f,
     )
 
     # coated diffuse / coated conductor (closed-form layering; see header)
@@ -356,7 +356,7 @@ def bsdf_f(lanes: BSDFLanes, wo, wi):
     denom_l = 4.0 * abs_cos_theta(wo) * abs_cos_theta(wi)
     coat = (tr_d(wm_l, a_coat) * tr_g(wo, wi, a_coat)
             * fresnel_dielectric(dot(wo, wm_l), lanes.eta))
-    coat = safe_div(coat, denom_l, 0.0)[..., None] * jnp.ones(3)
+    coat = safe_div(coat, denom_l, 0.0)[..., None] * jnp.ones_like(lanes.albedo)
     atten = ((1.0 - Fo) * (1.0 - Fi))[..., None]
     diff_base = lanes.albedo * INV_PI * atten
     cond_base = (tr_d(wm_l, a_base)[..., None]
@@ -444,7 +444,7 @@ def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
     """
     R = wo.shape[:-1]
     wi = jnp.zeros(R + (3,))
-    f = jnp.zeros(R + (3,))
+    f = jnp.zeros_like(lanes.albedo)
     pdf = jnp.zeros(R)
     is_spec = jnp.zeros(R, bool)
     is_trans = jnp.zeros(R, bool)
@@ -524,12 +524,12 @@ def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
     reflect_choice = u_lobe < F
     # reflect
     wi_sr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
-    f_sr = (F * safe_div(1.0, abs_cos_theta(wi_sr), 0.0))[..., None] * jnp.ones(3)
+    f_sr = (F * safe_div(1.0, abs_cos_theta(wi_sr), 0.0))[..., None] * jnp.ones_like(lanes.albedo)
     pdf_sr = F
     # transmit
     ok_t, wi_st, etap = refract(wo, n_local, eta)
     Ft2 = (1.0 - F)
-    f_st = (Ft2 * safe_div(1.0, abs_cos_theta(wi_st), 0.0) / sqr(etap))[..., None] * jnp.ones(3)
+    f_st = (Ft2 * safe_div(1.0, abs_cos_theta(wi_st), 0.0) / sqr(etap))[..., None] * jnp.ones_like(lanes.albedo)
     pdf_st = 1.0 - F
     sm_wi = jnp.where(reflect_choice[..., None], wi_sr, wi_st)
     sm_f = jnp.where(reflect_choice[..., None], f_sr, f_st)
@@ -574,7 +574,7 @@ def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
     wi_tdr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
     wi_td = jnp.where(refl_td[..., None], wi_tdr, -wo)
     w_td = jnp.where(refl_td, R_td, T_td)
-    f_td = (w_td * safe_div(1.0, abs_cos_theta(wi_td), 0.0))[..., None] * jnp.ones(3)
+    f_td = (w_td * safe_div(1.0, abs_cos_theta(wi_td), 0.0))[..., None] * jnp.ones_like(lanes.albedo)
     wi = jnp.where(is_td[..., None], wi_td, wi)
     f = jnp.where(is_td[..., None], f_td, f)
     pdf = jnp.where(is_td, w_td, pdf)

@@ -147,8 +147,11 @@ class Media:
         return (medium_id >= 0) & (medium_id < self.n_homog)
 
     # -- point properties ---------------------------------------------------
-    def sample_point(self, medium_id, p) -> MediumProperties:
-        """Gather medium properties at p; medium_id < 0 -> vacuum."""
+    def sample_point(self, medium_id, p, lam=None) -> MediumProperties:
+        """Gather medium properties at p; medium_id < 0 -> vacuum.
+
+        lam: optional (R,N) sampled wavelengths — spectral (N=4) mode uplifts
+        the RGB coefficient tables to spectra (RGBUnboundedSpectrum role)."""
         shape3 = medium_id.shape + (3,)
         if self.n_homog > 0:
             mid = jnp.clip(medium_id, 0, self.n_homog - 1)
@@ -169,6 +172,12 @@ class Media:
             sigma_s = jnp.where(sel[..., None], dens[..., None] * gm.sigma_s, sigma_s)
             Le = jnp.where(sel[..., None], gm.Le, Le)
             g = jnp.where(sel, gm.g, g)
+        if lam is not None:
+            from ..utils.spectrum import uplift_unbounded
+
+            sigma_a = uplift_unbounded(sigma_a, lam)
+            sigma_s = uplift_unbounded(sigma_s, lam)
+            Le = uplift_unbounded(Le, lam)
         return MediumProperties(sigma_a, sigma_s, Le, g)
 
 
@@ -191,22 +200,34 @@ class SegIter(NamedTuple):
     done: jnp.ndarray  # (R,) iterator exhausted
 
 
-def seg_init(media: Media, medium_id, o, d, t_max, active) -> SegIter:
+def _up(rgb, lam):
+    """RGB -> spectral-at-lam uplift when lam is given (N=4 mode)."""
+    if lam is None:
+        return rgb
+    from ..utils.spectrum import uplift_unbounded
+
+    return uplift_unbounded(rgb, lam)
+
+
+def seg_init(media: Media, medium_id, o, d, t_max, active, lam=None) -> SegIter:
     """Initialize the per-lane segment iterator over [0, t_max].
 
     Homogeneous lanes: one segment covering the whole range. Grid lanes:
     clip to grid bounds, set up DDA over the majorant supergrid; first
-    segment is the first supervoxel crossing.
+    segment is the first supervoxel crossing. lam: optional (R,N) sampled
+    wavelengths — sigma_maj is uplifted to spectral samples.
     """
     R = o.shape[:-1]
+    nchan = 3 if lam is None else lam.shape[-1]
     zero = jnp.zeros_like(t_max)
     is_h = media.is_homogeneous(medium_id)
     if media.n_homog > 0:
         mid = jnp.clip(medium_id, 0, media.n_homog - 1)
         sigma_maj = jnp.where(
-            is_h[..., None], media.h_sigma_a[mid] + media.h_sigma_s[mid], 0.0)
+            is_h[..., None],
+            _up(media.h_sigma_a[mid] + media.h_sigma_s[mid], lam), 0.0)
     else:
-        sigma_maj = jnp.zeros(R + (3,))
+        sigma_maj = jnp.zeros(R + (nchan,))
     n_known = media.n_homog + len(media.grids)
     it = SegIter(
         t_seg_start=zero,
@@ -246,7 +267,7 @@ def seg_init(media: Media, medium_id, o, d, t_max, active) -> SegIter:
         t_delta = jnp.abs(safe_inv)
         seg_end = jnp.minimum(jnp.min(t_next, -1), t1)
         maj_dens = gm.majorant[vox[..., 0], vox[..., 1], vox[..., 2]]
-        smaj = maj_dens[..., None] * (gm.sigma_a + gm.sigma_s)
+        smaj = maj_dens[..., None] * _up(gm.sigma_a + gm.sigma_s, lam)
         it = it._replace(
             t_seg_start=jnp.where(sel, t0, it.t_seg_start),
             t_seg_end=jnp.where(sel, jnp.where(miss, t0, seg_end), it.t_seg_end),
@@ -261,7 +282,7 @@ def seg_init(media: Media, medium_id, o, d, t_max, active) -> SegIter:
     return it._replace(done=done)
 
 
-def seg_next(media: Media, medium_id, it: SegIter, want) -> SegIter:
+def seg_next(media: Media, medium_id, it: SegIter, want, lam=None) -> SegIter:
     """Advance lanes in `want` (and not exhausted) to their next segment."""
     want = want & ~it.done
     # homogeneous lanes: single segment -> exhausted
@@ -286,7 +307,7 @@ def seg_next(media: Media, medium_id, it: SegIter, want) -> SegIter:
         vox_c = jnp.clip(vox, 0, jnp.asarray([mx - 1, my - 1, mz - 1]))
         seg_end = jnp.minimum(jnp.min(t_next, -1), it.t_exit)
         maj_dens = gm.majorant[vox_c[..., 0], vox_c[..., 1], vox_c[..., 2]]
-        smaj = maj_dens[..., None] * (gm.sigma_a + gm.sigma_s)
+        smaj = maj_dens[..., None] * _up(gm.sigma_a + gm.sigma_s, lam)
         out = out._replace(
             t_seg_start=jnp.where(sel, t_start, out.t_seg_start),
             t_seg_end=jnp.where(sel, seg_end, out.t_seg_end),

@@ -14,8 +14,9 @@ import numpy as np
 
 
 def _g(x, alpha, mu, s1, s2):
-    s = np.where(x < mu, s1, s2)
-    return alpha * np.exp(-0.5 * ((x - mu) / s) ** 2)
+    # jnp so the fits also run on-device (spectral N=4 sensor integration)
+    s = jnp.where(x < mu, s1, s2)
+    return alpha * jnp.exp(-0.5 * ((x - mu) / s) ** 2)
 
 
 def cie_x(lam):

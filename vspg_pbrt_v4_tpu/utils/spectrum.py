@@ -190,6 +190,17 @@ def rgb_to_spectrum(rgb, lam):
     return jnp.maximum(_smits_eval(weights, lam), 0.0)
 
 
+def uplift_unbounded(rgb, lam):
+    """Uplift an unbounded RGB quantity (radiance, sigma_t) to spectral
+    samples at lam: normalize by the max channel, uplift the normalized
+    reflectance-like RGB, rescale (the role of RGBUnboundedSpectrum /
+    RGBIlluminantSpectrum, util/spectrum.h; equal-energy illuminant
+    convention — see spectral_to_sensor_rgb for the matching sensor)."""
+    m = jnp.max(rgb, axis=-1, keepdims=True)
+    norm = jnp.where(m > 0, rgb / jnp.where(m > 0, m, 1.0), 0.0)
+    return m * rgb_to_spectrum(norm, lam)
+
+
 def spectrum_to_xyz(values, lam, pdf):
     """MC sensor integration: values/pdf against the CIE curves -> XYZ
     (spectrum.h SampledSpectrum::ToXYZ)."""
@@ -209,6 +220,31 @@ _XYZ2RGB = jnp.asarray([[3.2406, -1.5372, -0.4986],
 
 def xyz_to_rgb(xyz):
     return xyz @ _XYZ2RGB.T
+
+
+def spectral_to_sensor_rgb(values, lam, pdf):
+    """Spectral MC samples -> output linear RGB with equal-energy white
+    balance: a flat unit spectrum maps to exactly (1,1,1), so RGB scenes
+    uplifted with the equal-energy convention (uplift_unbounded /
+    rgb_to_spectrum) round-trip gray values exactly (the role of
+    PixelSensor white balancing, film.h:36)."""
+    rgb = xyz_to_rgb(spectrum_to_xyz(values, lam, pdf))
+    return rgb / _RGB_OF_FLAT
+
+
+def _compute_rgb_of_flat():
+    """sensor RGB of a flat unit spectrum (dense quadrature, host-side)."""
+    from .colorspace import cie_x, cie_y, cie_z
+
+    lam = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1e-3, 1.0, dtype=np.float64)
+    X = float(np.trapezoid(np.asarray(cie_x(jnp.asarray(lam))), lam))
+    Y = float(np.trapezoid(np.asarray(cie_y(jnp.asarray(lam))), lam))
+    Z = float(np.trapezoid(np.asarray(cie_z(jnp.asarray(lam))), lam))
+    xyz = np.asarray([X, Y, Z]) / CIE_Y_INTEGRAL
+    return np.asarray(xyz @ np.asarray(_XYZ2RGB).T, np.float32)
+
+
+_RGB_OF_FLAT = jnp.asarray(_compute_rgb_of_flat())
 
 
 def terminate_secondary(pdf):

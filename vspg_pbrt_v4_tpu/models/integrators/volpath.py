@@ -239,7 +239,8 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
     Returns (sampler, T_ray, r_l, r_u).
     """
     nchan = 3 if lam is None else lam.shape[-1]
-    T_ray = jnp.ones(o.shape[:-1] + (nchan,))
+    # derived from the varying o so shard_map vma carries stay consistent
+    T_ray = jnp.ones_like(o[..., :1]) + jnp.zeros(o.shape[:-1] + (nchan,))
     r_l = jnp.ones_like(T_ray)
     r_u = jnp.ones_like(T_ray)
     t_cur = jnp.zeros_like(o[..., 0])
@@ -453,7 +454,8 @@ def make_path_state(sampler, o, d, hero_idx, medium_id, pixel_like,
                     lam=None, pdf_lam=None):
     """Fresh path state; carries derived from varying inputs."""
     nchan = 3 if lam is None else lam.shape[-1]
-    ones = jnp.ones(o.shape[:-1] + (nchan,))
+    # derived from the varying o so shard_map vma carries stay consistent
+    ones = jnp.ones_like(o[..., :1]) + jnp.zeros(o.shape[:-1] + (nchan,))
     return PathState(
         sampler=sampler, o=o, d=d,
         beta=ones, r_u=ones, r_l=ones,

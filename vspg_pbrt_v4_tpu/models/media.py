@@ -115,17 +115,169 @@ class GridMedium:
 
 
 @struct.dataclass
+class CloudMedium:
+    """Procedural cumulus cloud (media.h CloudMedium:470-583): fBm Perlin
+    density with optional wispiness domain warp, altitude shaping, density
+    clamped to [0,1]; constant majorant = sigma_a + sigma_s over the bounds
+    (HomogeneousMajorantIterator semantics)."""
+
+    sigma_a: jnp.ndarray  # (3,)
+    sigma_s: jnp.ndarray  # (3,)
+    g: jnp.ndarray  # ()
+    b_min: jnp.ndarray  # (3,)
+    b_max: jnp.ndarray  # (3,)
+    density: jnp.ndarray  # () overall density scale
+    wispiness: jnp.ndarray  # ()
+    frequency: jnp.ndarray  # ()
+
+    @staticmethod
+    def make(sigma_a=(1, 1, 1), sigma_s=(1, 1, 1), g=0.0,
+             p0=(0, 0, 0), p1=(1, 1, 1), density=1.0, wispiness=1.0,
+             frequency=5.0):
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        return CloudMedium(f32(sigma_a), f32(sigma_s), f32(g), f32(p0),
+                           f32(p1), f32(density), f32(wispiness),
+                           f32(frequency))
+
+    def density_at(self, p):
+        from ..utils.noise import perlin
+
+        pp = self.frequency * p
+        # wispiness: perturb the lookup point with two octaves of vector
+        # noise (the role of DNoise at media.h:545-552), built from three
+        # decorrelated Perlin channels
+        vomega = 0.05 * self.wispiness
+        vlam = 10.0
+        for _ in range(2):
+            dn = jnp.stack([
+                perlin(vlam * pp + jnp.asarray([31.7, 0.0, 0.0])),
+                perlin(vlam * pp + jnp.asarray([0.0, 57.3, 0.0])),
+                perlin(vlam * pp + jnp.asarray([0.0, 0.0, 91.1])),
+            ], -1)
+            pp = pp + vomega * dn
+            vomega = vomega * 0.5
+            vlam = vlam * 1.99
+        # 5-octave fBm (media.h:559-565)
+        d = jnp.zeros(p.shape[:-1])
+        omega, lam = 0.5, 1.0
+        for _ in range(5):
+            d = d + omega * perlin(lam * pp)
+            omega *= 0.5
+            lam *= 1.99
+        # altitude shaping (media.h:567-570)
+        d = jnp.clip((1.0 - p[..., 1]) * 4.5 * self.density * d, 0.0, 1.0)
+        d = d + 2.0 * jnp.maximum(0.0, 0.5 - p[..., 1])
+        inside = jnp.all((p >= self.b_min) & (p <= self.b_max), -1)
+        return jnp.where(inside, jnp.clip(d, 0.0, 1.0), 0.0)
+
+    def majorant_rgb(self):
+        return self.sigma_a + self.sigma_s  # density <= 1
+
+    def sigma_at(self, p):
+        d = self.density_at(p)[..., None]
+        return d * self.sigma_a, d * self.sigma_s
+
+
+@struct.dataclass
+class EarthMedium:
+    """The fork's planet-scale medium (media.h EarthMedium:755-966):
+    exponential-falloff atmosphere around a sphere plus a binary cloud
+    shell whose outer radius comes from an equal-area heightmap; constant
+    majorant over the bounds."""
+
+    sigma_a_atm: jnp.ndarray  # (3,) (pre-scaled by scale_atmosphere)
+    sigma_s_atm: jnp.ndarray
+    sigma_a_cloud: jnp.ndarray  # (pre-scaled by scale_cloud)
+    sigma_s_cloud: jnp.ndarray
+    g: jnp.ndarray
+    b_min: jnp.ndarray  # (3,)
+    b_max: jnp.ndarray
+    center: jnp.ndarray  # (3,)
+    inner_r_atm: jnp.ndarray  # ()
+    inner_r_cloud: jnp.ndarray
+    outer_r_atm: jnp.ndarray
+    outer_r_cloud: jnp.ndarray
+    decay: jnp.ndarray  # h: atmosphere scale height
+    majorant_scale: jnp.ndarray
+    density_offset: jnp.ndarray
+    rotation_y: jnp.ndarray  # radians (heightmap longitude shift)
+    heightmap: jnp.ndarray  # (H,W) grayscale in [0,1]
+
+    @staticmethod
+    def make(sigma_a_atm=(1, 1, 1), sigma_s_atm=(1, 1, 1),
+             sigma_a_cloud=(0, 0, 0), sigma_s_cloud=(0, 0, 0), g=0.0,
+             p0=(-2, -2, -2), p1=(2, 2, 2), center=(0, 0, 0),
+             inner_r_atm=1.0, inner_r_cloud=1.0, outer_r_atm=1.0,
+             outer_r_cloud=1.0, decay=1.0, majorant_scale=1.0,
+             density_offset=0.0, rotation_y=0.0, heightmap=None,
+             scale_atm=1.0, scale_cloud=1.0):
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        hm = (np.zeros((1, 1), np.float32) if heightmap is None
+              else np.asarray(heightmap, np.float32))
+        return EarthMedium(
+            f32(sigma_a_atm) * scale_atm, f32(sigma_s_atm) * scale_atm,
+            f32(sigma_a_cloud) * scale_cloud, f32(sigma_s_cloud) * scale_cloud,
+            f32(g), f32(p0), f32(p1), f32(center), f32(inner_r_atm),
+            f32(inner_r_cloud), f32(outer_r_atm), f32(outer_r_cloud),
+            f32(decay), f32(majorant_scale), f32(density_offset),
+            f32(np.radians(rotation_y)), jnp.asarray(hm))
+
+    def _exp_density(self, p):
+        """exp(-(altitude)/h) + densityOffset (media.h:861-866)."""
+        from ..utils.vecmath import distance
+
+        dist = distance(p, self.center) - self.inner_r_atm
+        dist = jnp.clip(dist, 0.0, self.outer_r_atm)
+        return jnp.exp(-dist / jnp.maximum(self.decay, 1e-9)) + self.density_offset
+
+    def _cloud_height(self, v):
+        """Shell outer radius along direction v (media.h GetHeight:935-939;
+        equal-area UV with the reference's longitude-roll convention)."""
+        from ..utils.vecmath import equal_area_sphere_to_square, normalize
+
+        sq = equal_area_sphere_to_square(normalize(v))
+        u0 = sq[..., 0] / jnp.pi
+        u0 = u0 - jnp.floor(u0)
+        v1 = (sq[..., 1] + self.rotation_y) / (2.0 * jnp.pi)
+        v1 = v1 - jnp.floor(v1)
+        # reference swaps (u, v) before the lookup
+        H, W = self.heightmap.shape
+        ix = jnp.clip((v1 * W).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip((u0 * H).astype(jnp.int32), 0, H - 1)
+        hval = self.heightmap[iy, ix]
+        return self.inner_r_cloud + (self.outer_r_cloud - self.inner_r_cloud) * hval
+
+    def sigma_at(self, p):
+        from ..utils.vecmath import length
+
+        ed = self._exp_density(p)[..., None]
+        shifted = p - self.center
+        in_cloud = (length(shifted) <= self._cloud_height(shifted))[..., None]
+        inside = jnp.all((p >= self.b_min) & (p <= self.b_max), -1)[..., None]
+        sa = ed * self.sigma_a_atm + jnp.where(in_cloud, self.sigma_a_cloud, 0.0)
+        ss = ed * self.sigma_s_atm + jnp.where(in_cloud, self.sigma_s_cloud, 0.0)
+        return jnp.where(inside, sa, 0.0), jnp.where(inside, ss, 0.0)
+
+    def majorant_rgb(self):
+        """(media.h:852-855) atmosphere * (1 + densityOffset) + cloud."""
+        return ((self.sigma_a_atm + self.sigma_s_atm) * (1.0 + self.density_offset)
+                + self.sigma_a_cloud + self.sigma_s_cloud) * self.majorant_scale
+
+
+@struct.dataclass
 class Media:
-    """All media in a scene: a homogeneous block + a static tuple of grids."""
+    """All media in a scene: a homogeneous block + static tuples of grids
+    and procedural media (cloud/earth)."""
 
     h_sigma_a: jnp.ndarray  # (Mh,3)
     h_sigma_s: jnp.ndarray  # (Mh,3)
     h_Le: jnp.ndarray  # (Mh,3)
     h_g: jnp.ndarray  # (Mh,)
     grids: tuple  # tuple[GridMedium]
+    procedurals: tuple = ()  # tuple[CloudMedium | EarthMedium]
 
     @staticmethod
-    def make(homogeneous=None, grids=()):
+    def make(homogeneous=None, grids=(), procedurals=()):
         """homogeneous: list of dicts {sigma_a, sigma_s, [Le], [g]}."""
         h = list(homogeneous or [])
         if h:
@@ -136,11 +288,15 @@ class Media:
         else:
             sa = ss = le = jnp.zeros((0, 3), jnp.float32)
             g = jnp.zeros((0,), jnp.float32)
-        return Media(sa, ss, le, g, tuple(grids))
+        return Media(sa, ss, le, g, tuple(grids), tuple(procedurals))
 
     @property
     def n_homog(self):
         return self.h_sigma_a.shape[0]
+
+    @property
+    def base_procedural(self):
+        return self.n_homog + len(self.grids)
 
     def is_homogeneous(self, medium_id):
         """Fork's Medium::IsHomogeneous (media.h:1016)."""
@@ -172,6 +328,12 @@ class Media:
             sigma_s = jnp.where(sel[..., None], dens[..., None] * gm.sigma_s, sigma_s)
             Le = jnp.where(sel[..., None], gm.Le, Le)
             g = jnp.where(sel, gm.g, g)
+        for j, pm in enumerate(self.procedurals):
+            sel = medium_id == self.base_procedural + j
+            sa_p, ss_p = pm.sigma_at(p)
+            sigma_a = jnp.where(sel[..., None], sa_p, sigma_a)
+            sigma_s = jnp.where(sel[..., None], ss_p, sigma_s)
+            g = jnp.where(sel, pm.g, g)
         if lam is not None:
             from ..utils.spectrum import uplift_unbounded
 
@@ -228,7 +390,7 @@ def seg_init(media: Media, medium_id, o, d, t_max, active, lam=None) -> SegIter:
             _up(media.h_sigma_a[mid] + media.h_sigma_s[mid], lam), 0.0)
     else:
         sigma_maj = jnp.zeros(R + (nchan,))
-    n_known = media.n_homog + len(media.grids)
+    n_known = media.n_homog + len(media.grids) + len(media.procedurals)
     it = SegIter(
         t_seg_start=zero,
         t_seg_end=jnp.where(is_h, t_max, zero),
@@ -279,15 +441,33 @@ def seg_init(media: Media, medium_id, o, d, t_max, active, lam=None) -> SegIter:
             t_exit=jnp.where(sel, t1, it.t_exit),
         )
         done = done | (sel & miss)
+    for j, pm in enumerate(media.procedurals):
+        sel = active & (medium_id == media.base_procedural + j)
+        inv_d = 1.0 / d
+        t_lo = (pm.b_min - o) * inv_d
+        t_hi = (pm.b_max - o) * inv_d
+        t0 = jnp.maximum(jnp.nanmax(jnp.minimum(t_lo, t_hi), -1), 0.0)
+        t1 = jnp.minimum(jnp.nanmin(jnp.maximum(t_lo, t_hi), -1), t_max)
+        miss = t0 >= t1
+        smaj = jnp.broadcast_to(_up(pm.majorant_rgb(), lam),
+                                it.sigma_maj.shape)
+        it = it._replace(
+            t_seg_start=jnp.where(sel, t0, it.t_seg_start),
+            t_seg_end=jnp.where(sel, jnp.where(miss, t0, t1), it.t_seg_end),
+            sigma_maj=jnp.where(sel[..., None], smaj, it.sigma_maj),
+            t_exit=jnp.where(sel, t1, it.t_exit),
+        )
+        done = done | (sel & miss)
     return it._replace(done=done)
 
 
 def seg_next(media: Media, medium_id, it: SegIter, want, lam=None) -> SegIter:
     """Advance lanes in `want` (and not exhausted) to their next segment."""
     want = want & ~it.done
-    # homogeneous lanes: single segment -> exhausted
-    is_h = media.is_homogeneous(medium_id)
-    done = it.done | (want & is_h)
+    # homogeneous + procedural lanes: single segment -> exhausted
+    one_seg = media.is_homogeneous(medium_id) | (
+        medium_id >= media.base_procedural)
+    done = it.done | (want & one_seg)
     out = it._replace(done=done)
     for i, gm in enumerate(media.grids):
         sel = (medium_id == media.n_homog + i) & want

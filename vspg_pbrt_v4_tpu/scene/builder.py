@@ -90,6 +90,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     env_img = None
     homog_media = []
     grid_media = []
+    proc_media = []
     named_media = {}
     camera_directive = None
     cam_to_world = tr.identity()
@@ -417,6 +418,56 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                     g=p.get_float("g", 0.0), maj_res=16,
                 ))
                 named_media[mname] = ("grid", len(grid_media) - 1)
+            elif mtype == "cloud":
+                from ..models.media import CloudMedium
+
+                b0 = xf_pts(p.get_point3("p0", np.zeros(3)))
+                b1 = xf_pts(p.get_point3("p1", np.ones(3)))
+                scale = p.get_float("scale", 1.0)
+                proc_media.append(CloudMedium.make(
+                    sigma_a=p.get_rgb("sigma_a", np.asarray([1.0, 1, 1])) * scale,
+                    sigma_s=p.get_rgb("sigma_s", np.asarray([1.0, 1, 1])) * scale,
+                    g=p.get_float("g", 0.0),
+                    p0=np.minimum(b0, b1), p1=np.maximum(b0, b1),
+                    density=p.get_float("density", 1.0),
+                    wispiness=p.get_float("wispiness", 1.0),
+                    frequency=p.get_float("frequency", 5.0)))
+                named_media[mname] = ("proc", len(proc_media) - 1)
+            elif mtype == "earth":
+                from ..models.media import EarthMedium
+                from ..utils.image import read_image
+
+                b0 = xf_pts(p.get_point3("p0", -2 * np.ones(3)))
+                b1 = xf_pts(p.get_point3("p1", 2 * np.ones(3)))
+                hm = None
+                hm_file = p.get_string("heightmap", "")
+                if hm_file:
+                    try:
+                        im = read_image(hm_file)
+                        hm = im.mean(-1) if im.ndim == 3 else im
+                    except Exception as ex:  # noqa: BLE001
+                        warn(f"earth heightmap '{hm_file}' failed ({ex}); "
+                             "constant shell", d.loc)
+                proc_media.append(EarthMedium.make(
+                    sigma_a_atm=p.get_rgb("sigma_a_atmosphere", np.ones(3)),
+                    sigma_s_atm=p.get_rgb("sigma_s_atmosphere", np.ones(3)),
+                    sigma_a_cloud=p.get_rgb("sigma_a_cloud", np.zeros(3)),
+                    sigma_s_cloud=p.get_rgb("sigma_s_cloud", np.zeros(3)),
+                    g=p.get_float("g", 0.0),
+                    p0=np.minimum(b0, b1), p1=np.maximum(b0, b1),
+                    center=xf_pts(p.get_point3("center", np.zeros(3))),
+                    inner_r_atm=p.get_float("innerradius_atmosphere", 1.0),
+                    inner_r_cloud=p.get_float("innerradius_cloud", 1.0),
+                    outer_r_atm=p.get_float("outerradius_atmosphere", 1.0),
+                    outer_r_cloud=p.get_float("outerradius_cloud", 1.0),
+                    decay=p.get_float("decay", 1.0),
+                    majorant_scale=p.get_float("majorantscale", 1.0),
+                    density_offset=p.get_float("densityoffset", 0.0),
+                    rotation_y=p.get_float("rotationy", 0.0),
+                    heightmap=hm,
+                    scale_atm=p.get_float("scale_atmosphere", 1.0),
+                    scale_cloud=p.get_float("scale_cloud", 1.0)))
+                named_media[mname] = ("proc", len(proc_media) - 1)
             else:
                 warn(f"medium '{mtype}' unsupported; ignored "
                      "(nanovdb: convert offline with tools/nanovdb2grid)", d.loc)
@@ -428,7 +479,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 if not nm or nm not in named_media:
                     return -1
                 kind, idx = named_media[nm]
-                return idx if kind == "homog" else 10_000 + idx  # remap later
+                if kind == "homog":
+                    return idx
+                return (10_000 if kind == "grid" else 20_000) + idx  # remap later
 
             st.medium_in = mid(inside)
             st.medium_out = mid(outside)
@@ -532,10 +585,13 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         else:
             warn(f"unknown directive '{name}' ignored", d.loc)
 
-    # remap grid medium ids: homogeneous block first, then grids
+    # remap medium ids: homogeneous block | grids | procedurals
     n_h = len(homog_media)
+    n_g = len(grid_media)
 
     def remap(mid):
+        if mid >= 20_000:
+            return n_h + n_g + (mid - 20_000)
         if mid >= 10_000:
             return n_h + (mid - 10_000)
         return mid
@@ -550,7 +606,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                               patches=patches)
     materials = Materials.build(mats)
     tex_bank = Textures.build(textures, tex_images) if textures else None
-    media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media))
+    media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media),
+                       procedurals=tuple(proc_media))
     # world radius from geometry extent
     pts = []
     for lst, keys in ((tris, ("p0", "p1", "p2")), (spheres, ("c",))):

@@ -151,3 +151,49 @@ def test_zsobol_sampler_stratification():
         return np.var(f.mean(1))
 
     assert integrand_var(u) < 0.5 * integrand_var(ind)
+
+
+# -- full-dimensional Sobol (generated matrices; samplers.h SobolSampler) ----
+
+
+def test_sobol_full_matrices_stratify_every_dim():
+    """First 256 points of every generated dimension are a (0,1)-sequence:
+    all 256 dyadic bins hit exactly once."""
+    from vspg_pbrt_v4_tpu.utils.lowdiscrepancy import sobol_u32
+
+    idx = jnp.arange(256, dtype=jnp.uint32)
+    for d in (0, 1, 2, 3, 17, 101, 511, 1023):
+        v = np.asarray(sobol_u32(idx, jnp.full(256, d, jnp.int32)))
+        assert len(set((v >> 24).tolist())) == 256, d
+
+
+def test_sobol_full_sampler_uniform_and_beats_independent():
+    u = _collect("sobol", spp=64, n_pix=128)
+    flat = u.reshape(-1, 2)
+    assert flat.min() >= 0 and flat.max() < 1
+    assert abs(flat.mean() - 0.5) < 5e-3
+    f = lambda u: np.sin(np.pi * u[..., 0]) * u[..., 1] ** 2  # noqa: E731
+    true_val = (2 / np.pi) * (1 / 3)
+    est = f(u).mean(1)
+    err_sobol = ((est - true_val) ** 2).mean()
+    ui = _collect("independent", spp=64, n_pix=128)
+    err_ind = ((f(ui).mean(1) - true_val) ** 2).mean()
+    assert err_sobol < 0.35 * err_ind, (err_sobol, err_ind)
+
+
+def test_sobol_full_deep_dimensions_stratified():
+    """Dimensions consumed deep into a path (dim counter > 0) still come
+    from real generator matrices: per-pixel spp draws stratify."""
+    spp = 64
+    n_pix = 8
+    out = np.zeros((n_pix, spp, 2), np.float32)
+    for s in range(spp):
+        smp = LaneSampler.start(3, jnp.arange(n_pix, dtype=jnp.uint32), s,
+                                kind="sobol", spp=spp)
+        for _ in range(5):  # burn 5 dims
+            smp, _u = smp.get_2d()
+        _, u2 = smp.get_2d()
+        out[:, s] = np.asarray(u2)
+    for p in range(n_pix):
+        counts = np.histogram(out[p, :, 0], bins=spp, range=(0, 1))[0]
+        assert counts.max() == 1, (p, counts.max())  # exact (0,1)-net

@@ -11,10 +11,16 @@ every Get bumps `dim`. Variants (static `kind`, compiled separately):
 - "stratified": latin-hypercube over spp via a stateless random permutation
   of sample indices per (pixel, dim) + jitter (StratifiedSampler's
   decorrelation strategy, grid collapsed to LHS for arbitrary spp).
-- "paddedsobol" (aliases "sobol", "zsobol", "halton" for now): per-dimension
-  Owen-scrambled Sobol' points over a per-(pixel,dim) permutation of the
-  sample index — the reference's padded low-discrepancy strategy. The
-  full-run Sobol / Halton global indexing is a later parity item.
+- "paddedsobol": per-dimension Owen-scrambled Sobol' points over a
+  per-(pixel,dim) permutation of the sample index — the reference's padded
+  low-discrepancy strategy (samplers.h PaddedSobolSampler:144).
+- "sobol": full-dimensional Sobol' (samplers.h SobolSampler:479 role):
+  consecutive generator-matrix dimensions along the path (generated tables,
+  utils/lowdiscrepancy.sobol_u32), per-pixel Owen scrambling instead of the
+  reference's pixel-strided global indexing — same stratification across
+  every consumed dimension, shard-trivial.
+- "zsobol"/"halton": Morton-shuffled Sobol / scrambled-radical-inverse
+  Halton as before.
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ from ..utils.lowdiscrepancy import (
     u32_to_unit_float,
 )
 
-_PADDED = ("paddedsobol", "sobol", "zsobol", "halton")
+_PADDED = ("paddedsobol", "zsobol", "halton")
 
 
 @struct.dataclass
@@ -109,6 +115,17 @@ class LaneSampler:
             idx = zsobol_shuffled_index(morton, n_d4, self._dim_seed(0x2F8B))
             v = sobol_dim1(idx) if lane == 1 else sobol_dim0(idx)
             v = fast_owen_scramble(v, self._dim_seed(0x55 + lane))
+            return u32_to_unit_float(v)
+        if self.kind == "sobol":
+            from ..utils.lowdiscrepancy import sobol_u32
+
+            d_idx = (self.dim * jnp.uint32(4) + jnp.uint32(lane)).astype(jnp.int32)
+            v = sobol_u32(self.sample_index, d_idx)
+            # per-(pixel, dimension) Owen scramble; independent of the
+            # sample index so the sequence stays a (0,2)-net per pixel
+            v = fast_owen_scramble(
+                v, rng.hash_u32(self.pixel_id, d_idx.astype(jnp.uint32),
+                                self.seed, jnp.uint32(0x50B01)))
             return u32_to_unit_float(v)
         if self.kind in _PADDED:
             idx = self._permuted_index()

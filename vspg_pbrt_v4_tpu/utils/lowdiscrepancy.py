@@ -119,6 +119,139 @@ def permutation_element(i, n, seed):
 
 
 # ---------------------------------------------------------------------------
+# Full-dimensional Sobol' generator matrices
+#
+# The reference ships 1024 dims x 52 bits of precomputed direction numbers
+# (util/sobolmatrices.cpp, 9.2k lines). Here the matrices are *generated* at
+# import: primitive polynomials over GF(2) found by exhaustive order search,
+# direction-number recurrence seeded with deterministic pseudorandom odd
+# initial values (Bratley-Fox construction). Joe-Kuo's hand-optimized
+# initial numbers mainly reduce structured 2D projections, which the
+# per-dimension Owen scrambling we always apply randomizes anyway.
+# ---------------------------------------------------------------------------
+
+N_SOBOL_DIMS = 1024
+
+
+def _gf2_mulmod(a, b, poly, s):
+    """(a*b) mod poly over GF(2), poly of degree s (as int bitmasks)."""
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        b >>= 1
+        a <<= 1
+        if a >> s & 1:
+            a ^= poly
+    return r
+
+
+def _is_primitive(poly, s):
+    """poly (degree s, bitmask incl. x^s term) primitive over GF(2)?"""
+    n = (1 << s) - 1
+    # factor n
+    factors = []
+    m = n
+    d = 2
+    while d * d <= m:
+        if m % d == 0:
+            factors.append(d)
+            while m % d == 0:
+                m //= d
+        d += 1
+    if m > 1:
+        factors.append(m)
+
+    def powx(e):
+        r, base = 1, 2  # x
+        while e:
+            if e & 1:
+                r = _gf2_mulmod(r, base, poly, s)
+            base = _gf2_mulmod(base, base, poly, s)
+            e >>= 1
+        return r
+
+    if powx(n) != 1:
+        return False
+    return all(powx(n // q) != 1 for q in factors)
+
+
+def _primitive_polynomials(count):
+    """First `count` primitive polynomials in degree order (bitmask incl.
+    leading term); degree-1 'x+1' (0b11) first, matching the classic
+    dimension assignment."""
+    out = []
+    s = 1
+    while len(out) < count:
+        for p in range(1 << s, 1 << (s + 1)):
+            if not (p & 1):  # constant term required
+                continue
+            if _is_primitive(p, s):
+                out.append((p, s))
+                if len(out) == count:
+                    break
+        s += 1
+    return out
+
+
+def _generate_sobol_matrices(n_dims=N_SOBOL_DIMS, bits=32):
+    """(n_dims, bits) uint32 direction numbers v_k, MSB-aligned."""
+    import numpy as np
+
+    mats = np.zeros((n_dims, bits), np.uint64)
+    mats[0] = [1 << (31 - k) for k in range(bits)]  # identity (van der Corput)
+    polys = _primitive_polynomials(n_dims - 1)
+    rng = np.random.default_rng(0x5B0B01)
+    for j, (poly, s) in enumerate(polys, start=1):
+        a = [(poly >> (s - 1 - i)) & 1 for i in range(1, s)]  # interior coeffs
+        m = [0] * (bits + 1)
+        for i in range(1, min(s, bits) + 1):
+            # odd initial value < 2^i; m_1 = 1 keeps the first column dense
+            m[i] = 1 if i == 1 else (int(rng.integers(0, 1 << (i - 1))) * 2 + 1)
+        for k in range(s + 1, bits + 1):
+            v = m[k - s] ^ (m[k - s] << s)
+            for i in range(1, s):
+                if a[i - 1]:
+                    v ^= m[k - i] << i
+            m[k] = v
+        for k in range(1, bits + 1):
+            mats[j, k - 1] = m[k] << (32 - k)
+    return (mats & 0xFFFFFFFF).astype(np.uint32)
+
+
+_SOBOL_MATRICES = None
+
+
+def sobol_matrices():
+    """Cached (N_SOBOL_DIMS, 32) uint32 direction-number table (device)."""
+    global _SOBOL_MATRICES
+    if _SOBOL_MATRICES is None:
+        _SOBOL_MATRICES = jnp.asarray(_generate_sobol_matrices())
+    return _SOBOL_MATRICES
+
+
+def sobol_u32(index, dim_idx):
+    """Sobol' component for arbitrary (traced) dimension indices.
+
+    index: (R,) uint32 sample indices; dim_idx: (R,) int32 dimension per
+    lane (clipped to the table). Gathers each lane's 32 direction numbers
+    and XOR-folds the set bits of index — a (R,32) gather + fused bit ops,
+    fully vectorized.
+    """
+    mats = sobol_matrices()
+    dim_idx = jnp.clip(dim_idx.astype(jnp.int32), 0, N_SOBOL_DIMS - 1)
+    cols = mats[dim_idx]  # (R, 32)
+    index = index.astype(_U32)
+    bits = (index[..., None] >> jnp.arange(32, dtype=_U32)) & _U32(1)
+    masked = cols * bits
+    # XOR-fold the 32 columns (log-depth tree)
+    v = masked
+    for shift in (16, 8, 4, 2, 1):
+        v = v[..., :shift] ^ v[..., shift:2 * shift]
+    return v[..., 0]
+
+
+# ---------------------------------------------------------------------------
 # Halton: radical inverse in prime bases with affine digit scrambling
 # (util/lowdiscrepancy.h RadicalInverse/ScrambledRadicalInverse semantics)
 # ---------------------------------------------------------------------------

@@ -88,6 +88,35 @@ class PerspectiveCamera:
         wi = (o_world - p) / jnp.maximum(dist, 1e-12)[..., None]
         return valid, pixel_id, wi, dist, we
 
+    def pdf_we_dir(self, d_world):
+        """Directional density of camera rays (cameras.h
+        PerspectiveCamera::PDF_We:300 role): 1/(A cos^3 theta) in the
+        full-film measure, zero outside the frustum. Used by BDPT MIS."""
+        w2c = self.camera_to_world.inverse()
+        d_cam = tr.apply_vector(w2c, d_world)
+        cos_t = d_cam[..., 2] / jnp.maximum(
+            jnp.linalg.norm(d_cam, axis=-1), 1e-12)
+        valid = cos_t > 1e-6
+        # raster position of the direction (project to z=1 plane)
+        p_r = tr.apply_point(
+            self.raster_to_camera.inverse(),
+            d_cam / jnp.maximum(d_cam[..., 2], 1e-12)[..., None])
+        nx, ny = self.resolution
+        valid &= ((p_r[..., 0] >= 0) & (p_r[..., 0] < nx)
+                  & (p_r[..., 1] >= 0) & (p_r[..., 1] < ny))
+        # film area on the z=1 plane
+        c0 = tr.apply_point(self.raster_to_camera, jnp.asarray([0.0, 0.0, 0.0]))
+        c1 = tr.apply_point(self.raster_to_camera,
+                            jnp.asarray([float(nx), float(ny), 0.0]))
+        a_full = jnp.abs((c1[0] / c1[2] - c0[0] / c0[2])
+                         * (c1[1] / c1[2] - c0[1] / c0[2]))
+        pdf = 1.0 / jnp.maximum(a_full * cos_t**3, 1e-20)
+        return jnp.where(valid, pdf, 0.0)
+
+    @property
+    def origin_world(self):
+        return tr.apply_point(self.camera_to_world, jnp.zeros(3))
+
     def generate_rays(self, p_raster, u_lens):
         """p_raster: (...,2) continuous pixel coords; u_lens: (...,2).
 

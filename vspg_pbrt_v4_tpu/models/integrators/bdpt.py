@@ -1,0 +1,663 @@
+"""Bidirectional path tracing (BDPT), TPU-native.
+
+Analog of the reference's ``BDPTIntegrator`` (cpu/integrators.h:700-780,
+cpu/integrators.cpp:1599-2550: Vertex, GenerateCamera/LightSubpath,
+RandomWalk, ConnectBDPT, MISWeight). The recursive vertex-pointer design
+becomes fixed-size vertex SoA arrays: both subpaths are random walks of
+static length K stored as (R, K, ...) stacked arrays, and every (s,t)
+connection strategy is evaluated masked over all lanes — a static python
+double loop over strategies, each one a fused shadow-ray + BSDF evaluation
++ closed-form MIS weight (the reference's ScopedAssignment pdf patching
+becomes functional array substitution).
+
+Scope (v1): surface transport with finite lights (diffuse-area triangles +
+point lights) and the perspective pinhole camera — the reference likewise
+restricts BDPT to the perspective camera (integrators.cpp:2520). Media and
+infinite lights fall back to ``volpath``; an env light in the scene is
+ignored here with a warning.
+
+Conventions (identical to the reference):
+- pdf_fwd / pdf_rev are *area-measure* densities (Vertex::ConvertDensity,
+  integrators.cpp:1777-1789).
+- the t=1 strategy splats through ``camera.sample_wi`` in the per-pixel
+  importance measure (the film-resolution factor of pbrt-v4 issue #347 is
+  built into We), with splat scale 1/(npix*spp).
+- MIS: balance heuristic over all strategies via the remap0 ratio products
+  (integrators.cpp MISWeight:2186-2260).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.intersect import offset_ray_origin
+from ...utils.math import INV_PI, safe_div
+from ...utils.sampling import sample_cosine_hemisphere, sample_uniform_sphere
+from ...utils.spectrum import average
+from ...utils.vecmath import (coordinate_system, cross, dot, face_forward,
+                              length, normalize)
+from ..film import pixel_coords
+from ..materials import bsdf_f, bsdf_pdf, bsdf_sample
+from ..samplers import LaneSampler
+from .volpath import Scene, _m
+
+INF = jnp.inf
+
+VT_CAMERA, VT_LIGHT, VT_SURFACE = 0, 1, 2
+
+
+class Verts(NamedTuple):
+    """Stacked subpath vertices; every field (R, K, ...)."""
+
+    p: jnp.ndarray  # (R,K,3)
+    ng: jnp.ndarray  # (R,K,3)
+    ns: jnp.ndarray  # (R,K,3)
+    beta: jnp.ndarray  # (R,K,3)
+    pdf_fwd: jnp.ndarray  # (R,K) area measure
+    pdf_rev: jnp.ndarray  # (R,K)
+    mat_id: jnp.ndarray  # (R,K)
+    uv: jnp.ndarray  # (R,K,2)
+    light_id: jnp.ndarray  # (R,K) area-light id at the vertex (-1 none)
+    vtype: jnp.ndarray  # (R,K)
+    delta: jnp.ndarray  # (R,K) specular-connection flag (Vertex::delta)
+    valid: jnp.ndarray  # (R,K)
+    delta_light: jnp.ndarray  # (R,K) IsDeltaLight() of an endpoint (k=0)
+
+    @staticmethod
+    def empty(R, K):
+        z = jnp.zeros((R, K))
+        z3 = jnp.zeros((R, K, 3))
+        zi = jnp.full((R, K), -1, jnp.int32)
+        zb = jnp.zeros((R, K), bool)
+        return Verts(z3, z3, z3, z3, z, z, zi, jnp.zeros((R, K, 2)), zi,
+                     jnp.zeros((R, K), jnp.int32), zb, zb, zb)
+
+    def set(self, k, **kw):
+        out = self
+        for name, val in kw.items():
+            arr = getattr(out, name)
+            out = out._replace(**{name: arr.at[:, k].set(val)})
+        return out
+
+
+# ---------------------------------------------------------------------------
+# pdf helpers (Vertex::ConvertDensity / PDF / PDFLight / PDFLightOrigin)
+# ---------------------------------------------------------------------------
+
+
+def convert_density(pdf_solid, from_p, to_p, to_ng, to_on_surface):
+    """Solid-angle pdf at from_p -> area density at to_p
+    (integrators.cpp:1777)."""
+    w = to_p - from_p
+    d2 = jnp.sum(w * w, -1)
+    inv_d2 = safe_div(1.0, d2, 0.0)
+    cos_term = jnp.where(to_on_surface,
+                         jnp.abs(dot(to_ng, w)) * jnp.sqrt(inv_d2), 1.0)
+    return jnp.where(d2 > 0, pdf_solid * cos_term * inv_d2, 0.0)
+
+
+def _surface_pdf_dir(scene, mat_id, uv, p, ns, wo_world, wi_world):
+    """BSDF sampling pdf (solid angle) at a stored surface vertex."""
+    lanes = scene.materials.gather_textured(scene.textures, mat_id, uv, p)
+    t1, t2 = coordinate_system(ns)
+
+    def loc(w):
+        return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], -1)
+
+    return bsdf_pdf(lanes, loc(wo_world), loc(wi_world))
+
+
+def _surface_f(scene, mat_id, uv, p, ns, wo_world, wi_world):
+    """BSDF value at a stored surface vertex (no cosine)."""
+    lanes = scene.materials.gather_textured(scene.textures, mat_id, uv, p)
+    t1, t2 = coordinate_system(ns)
+
+    def loc(w):
+        return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], -1)
+
+    return bsdf_f(lanes, loc(wo_world), loc(wi_world))
+
+
+def _area_light_pdf_le_dir(lights, light_id, n_l, w):
+    """Emission direction pdf (solid angle) of area light light_id along w
+    (DiffuseAreaLight::PDF_Le): cosine-hemisphere, halved if two-sided."""
+    if lights.n_area == 0:
+        return jnp.zeros(w.shape[:-1])
+    ai = jnp.clip(light_id, 0, lights.n_area - 1)
+    cos_l = dot(n_l, w)
+    two = lights.area_twosided[ai]
+    pdf_one = jnp.maximum(cos_l, 0.0) * INV_PI
+    pdf_two = jnp.abs(cos_l) * INV_PI * 0.5
+    return jnp.where(two, pdf_two, pdf_one)
+
+
+def _area_light_pdf_pos(lights, light_id):
+    """1 / triangle area (Shape::PDF in area measure)."""
+    if lights.n_area == 0:
+        return jnp.zeros(light_id.shape, jnp.float32)
+    ai = jnp.clip(light_id, 0, lights.n_area - 1)
+    area2 = length(cross(lights.area_p1[ai] - lights.area_p0[ai],
+                         lights.area_p2[ai] - lights.area_p0[ai]))
+    return safe_div(1.0, 0.5 * area2, 0.0)
+
+
+def _light_select_pmf(lights, global_idx):
+    n = lights.n_lights
+    return lights.select_pmf_table[jnp.clip(global_idx, 0, max(n - 1, 0))]
+
+
+def _remap0(x):
+    return jnp.where(x != 0.0, x, 1.0)
+
+
+def _on_surface(v, k):
+    """Vertex::IsOnSurface (ng != 0): surface vertices and area-light
+    endpoints carry a geometric normal; point lights / the camera do not."""
+    is_surf = v.vtype[:, k] == VT_SURFACE
+    is_area_light = (v.vtype[:, k] == VT_LIGHT) \
+        & (jnp.sum(v.ng[:, k] ** 2, -1) > 0.25)
+    return is_surf | is_area_light
+
+
+# ---------------------------------------------------------------------------
+# Subpath random walks
+# ---------------------------------------------------------------------------
+
+
+def _random_walk(scene, sampler, v, k0, K, o, d, beta, pdf_solid, alive,
+                 importance_mode):
+    """Extend a subpath from (o, d) writing vertices k0..K-1
+    (integrators.cpp RandomWalk:2010-2180, surface-only). Returns
+    (sampler, verts)."""
+    pdf_fwd_solid = pdf_solid
+    prev_p = o
+    for k in range(k0, K):
+        t_far = jnp.full_like(o[..., 0], INF)
+        h = scene.geometry.intersect(o, d, t_far)
+        hit = alive & h.hit & (h.mat_id >= 0)
+        alive = hit  # interface/mat-less surfaces end the walk (v1)
+        ns = face_forward(h.ns, h.n)
+        pdf_fwd_area = convert_density(pdf_fwd_solid, prev_p, h.p, h.n,
+                                       jnp.ones_like(hit))
+        v = v.set(
+            k,
+            p=_m(hit, h.p, v.p[:, k]),
+            ng=_m(hit, h.n, v.ng[:, k]),
+            ns=_m(hit, ns, v.ns[:, k]),
+            beta=_m(hit, beta, v.beta[:, k]),
+            pdf_fwd=jnp.where(hit, pdf_fwd_area, v.pdf_fwd[:, k]),
+            mat_id=jnp.where(hit, h.mat_id, v.mat_id[:, k]),
+            uv=_m(hit, h.uv, v.uv[:, k]),
+            light_id=jnp.where(hit, h.light_id, v.light_id[:, k]),
+            vtype=jnp.where(hit, VT_SURFACE, v.vtype[:, k]),
+            valid=v.valid[:, k] | hit,
+        )
+        if k == K - 1:
+            break
+        lanes = scene.materials.gather_textured(scene.textures, h.mat_id,
+                                                h.uv, h.p)
+        t1, t2 = coordinate_system(ns)
+
+        def loc(w):
+            return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], -1)
+
+        def unloc(w):
+            return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * ns
+
+        wo_l = loc(-d)
+        sampler, u_lobe = sampler.get_1d()
+        sampler, u2 = sampler.get_2d()
+        bs = bsdf_sample(lanes, wo_l, u_lobe, u2)
+        ok = hit & bs.valid & (bs.pdf > 0)
+        wi_w = normalize(unloc(bs.wi))
+        cos_wi = jnp.abs(dot(wi_w, ns))
+        beta_new = beta * bs.f * cos_wi[..., None] \
+            / jnp.maximum(bs.pdf, 1e-30)[..., None]
+        if importance_mode:
+            # radiance carries 1/eta^2 on refraction; importance does not
+            eta2 = jnp.where(bs.is_transmission, bs.eta**2, 1.0)
+            beta_new = beta_new * eta2[..., None]
+        # reverse pdf at the previous vertex; specular lobes are deltas
+        pdf_rev_solid = bsdf_pdf(lanes, loc(wi_w), wo_l)
+        pdf_rev_solid = jnp.where(bs.is_specular, 0.0, pdf_rev_solid)
+        if k > 0:
+            prev_on_surface = _on_surface(v, k - 1)
+            pdf_rev_area = convert_density(pdf_rev_solid, h.p, v.p[:, k - 1],
+                                           v.ng[:, k - 1], prev_on_surface)
+            v = v.set(k - 1, pdf_rev=jnp.where(ok, pdf_rev_area,
+                                               v.pdf_rev[:, k - 1]))
+        v = v.set(k, delta=jnp.where(ok, bs.is_specular, v.delta[:, k]))
+        pdf_fwd_solid = jnp.where(bs.is_specular, 0.0, bs.pdf)
+        prev_p = h.p
+        o = offset_ray_origin(h.p, h.n, wi_w)
+        d = wi_w
+        beta = _m(ok, beta_new, beta)
+        alive = ok & (jnp.max(beta, -1) > 0)
+    return sampler, v
+
+
+def generate_camera_subpath(scene, camera, sampler, pixel_id, K):
+    """(integrators.cpp GenerateCameraSubpath:1939). Vertex 0 = the pinhole;
+    the walk fills 1..K-1."""
+    R = pixel_id.shape[0]
+    v = Verts.empty(R, K)
+    pix = pixel_coords(camera.resolution)[pixel_id]
+    sampler, u_pix = sampler.get_2d()
+    p_raster = pix.astype(jnp.float32) + u_pix
+    sampler, u_lens = sampler.get_2d()
+    o, d = camera.generate_rays(p_raster, u_lens)
+    cam_p = jnp.broadcast_to(camera.origin_world, o.shape)
+    ones = jnp.ones_like(o)
+    v = v.set(0, p=cam_p, beta=ones, pdf_fwd=jnp.ones(R),
+              vtype=jnp.full(R, VT_CAMERA, jnp.int32),
+              valid=jnp.ones(R, bool))
+    pdf_dir = camera.pdf_we_dir(d)
+    sampler, v = _random_walk(scene, sampler, v, 1, K, o, d, ones, pdf_dir,
+                              jnp.ones(R, bool), importance_mode=False)
+    return sampler, v
+
+
+def _sample_le_detailed(lights, sampler):
+    """Light subpath origin with separate densities
+    (GenerateLightSubpath:1956-1989). Finite emitters only: point + area;
+    pmf = the selection table restricted to finite lights."""
+    sampler, u_sel = sampler.get_1d()
+    sampler, u_side = sampler.get_1d()
+    sampler, u2a = sampler.get_2d()
+    sampler, u2b = sampler.get_2d()
+    R = u_sel.shape
+    n = lights.n_lights
+    n_emit = n - (1 if lights.has_env else 0)
+    z3 = jnp.zeros(R + (3,))
+    out = dict(p=z3, d=z3, Le=z3, n_l=z3,
+               pdf_pos=jnp.zeros(R), pdf_dir=jnp.zeros(R),
+               pmf=jnp.zeros(R), light_id=jnp.full(R, -1, jnp.int32),
+               is_delta=jnp.zeros(R, bool), on_surface=jnp.zeros(R, bool),
+               valid=jnp.zeros(R, bool))
+    if n_emit == 0:
+        return sampler, out
+    pmf_t = lights.select_pmf_table[:n_emit]
+    pmf_t = pmf_t / jnp.maximum(jnp.sum(pmf_t), 1e-20)
+    cdf = jnp.cumsum(pmf_t)
+    idx = jnp.minimum(
+        jnp.sum((u_sel[..., None] >= cdf).astype(jnp.int32), -1), n_emit - 1)
+    pmf = jnp.maximum(pmf_t[idx], 1e-20)
+
+    if lights.n_point > 0:
+        pi = jnp.clip(idx, 0, lights.n_point - 1)
+        sel = idx < lights.n_point
+        d_p = sample_uniform_sphere(u2a)
+        out["p"] = _m(sel, lights.point_p[pi], out["p"])
+        out["d"] = _m(sel, d_p, out["d"])
+        out["Le"] = _m(sel, lights.point_I[pi], out["Le"])
+        out["pdf_pos"] = jnp.where(sel, 1.0, out["pdf_pos"])
+        out["pdf_dir"] = jnp.where(sel, INV_PI * 0.25, out["pdf_dir"])
+        out["pmf"] = jnp.where(sel, pmf, out["pmf"])
+        out["is_delta"] = out["is_delta"] | sel
+        out["valid"] = out["valid"] | sel
+
+    if lights.n_area > 0:
+        base = lights.base_area
+        ai = jnp.clip(idx - base, 0, lights.n_area - 1)
+        sel = (idx >= base) & (idx < base + lights.n_area)
+        from ...utils.sampling import sample_uniform_triangle
+
+        b = sample_uniform_triangle(u2a)
+        p0, p1, p2 = (lights.area_p0[ai], lights.area_p1[ai],
+                      lights.area_p2[ai])
+        p_l = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
+        nc = cross(p1 - p0, p2 - p0)
+        area2 = length(nc)
+        nl = nc * safe_div(1.0, area2, 0.0)[..., None]
+        two = lights.area_twosided[ai]
+        flip = two & (u_side < 0.5)
+        nl = jnp.where(flip[..., None], -nl, nl)
+        t1, t2 = coordinate_system(nl)
+        dl = sample_cosine_hemisphere(u2b)
+        d_a = dl[..., 0:1] * t1 + dl[..., 1:2] * t2 + dl[..., 2:3] * nl
+        cos_l = jnp.maximum(dl[..., 2], 0.0)
+        pdf_dir = cos_l * INV_PI * jnp.where(two, 0.5, 1.0)
+        out["p"] = _m(sel, p_l, out["p"])
+        out["d"] = _m(sel, d_a, out["d"])
+        out["Le"] = _m(sel, lights.area_L[ai], out["Le"])
+        out["n_l"] = _m(sel, nl, out["n_l"])
+        out["pdf_pos"] = jnp.where(sel, safe_div(1.0, 0.5 * area2, 0.0),
+                                   out["pdf_pos"])
+        out["pdf_dir"] = jnp.where(sel, pdf_dir, out["pdf_dir"])
+        out["pmf"] = jnp.where(sel, pmf, out["pmf"])
+        out["light_id"] = jnp.where(sel, ai, out["light_id"])
+        out["on_surface"] = out["on_surface"] | sel
+        out["valid"] = out["valid"] | (sel & (area2 > 0) & (pdf_dir > 0))
+    return sampler, out
+
+
+def generate_light_subpath(scene, sampler, R, K):
+    """(integrators.cpp GenerateLightSubpath:1956)."""
+    v = Verts.empty(R, K)
+    sampler, le = _sample_le_detailed(scene.lights, sampler)
+    ok = le["valid"]
+    p_l = le["pmf"] * le["pdf_pos"]
+    v = v.set(
+        0,
+        p=_m(ok, le["p"], v.p[:, 0]),
+        ng=_m(ok, le["n_l"], v.ng[:, 0]),
+        ns=_m(ok, le["n_l"], v.ns[:, 0]),
+        beta=_m(ok, le["Le"] / jnp.maximum(p_l, 1e-30)[..., None],
+                v.beta[:, 0]),
+        pdf_fwd=jnp.where(ok, p_l, v.pdf_fwd[:, 0]),
+        light_id=jnp.where(ok, le["light_id"], v.light_id[:, 0]),
+        vtype=jnp.full(R, VT_LIGHT, jnp.int32),
+        # Vertex::delta stays FALSE for light endpoints (it flags specular
+        # CONNECTIONS); the light's delta-ness is IsDeltaLight, used only
+        # to exclude the hypothetical s'=0 strategy (integrators.cpp:2254)
+        delta_light=jnp.where(ok, le["is_delta"], v.delta_light[:, 0]),
+        valid=ok,
+    )
+    cos0 = jnp.where(le["on_surface"], jnp.abs(dot(le["n_l"], le["d"])), 1.0)
+    beta = le["Le"] * cos0[..., None] \
+        / jnp.maximum(p_l * le["pdf_dir"], 1e-30)[..., None]
+    o = jnp.where(le["on_surface"][..., None],
+                  offset_ray_origin(le["p"], le["n_l"], le["d"]), le["p"])
+    sampler, v = _random_walk(scene, sampler, v, 1, K, o, le["d"], beta,
+                              le["pdf_dir"], ok, importance_mode=True)
+    return sampler, v
+
+
+# ---------------------------------------------------------------------------
+# Connections + MIS
+# ---------------------------------------------------------------------------
+
+
+def _visible(scene, p0, n0, p1, active):
+    """Binary visibility between two points (Tr without media)."""
+    d = p1 - p0
+    dist = length(d)
+    w = d * safe_div(1.0, dist, 0.0)[..., None]
+    o = offset_ray_origin(p0, n0, w)
+    h = scene.geometry.intersect(o, w, dist * (1.0 - 1e-3))
+    blocked = h.hit & (h.mat_id >= 0) & (h.t < dist * (1.0 - 1e-3))
+    return active & ~blocked
+
+
+def _mis_weight(lv, cv, s, t, patch, pdf_fwd_light0=None,
+                is_delta_light0=None):
+    """MISWeight (integrators.cpp:2186): balance heuristic via the
+    remap0-ratio walk, with this strategy's endpoint pdf/delta patches
+    applied functionally. `patch`: (side, k) -> pdf_rev override,
+    ("delta", side, k) -> forced delta. For s=1, pdf_fwd_light0 /
+    is_delta_light0 describe the resampled light vertex."""
+    R = cv.p.shape[0]
+    if s + t == 2:
+        return jnp.ones(R)
+
+    def pr(side, k):
+        key = (side, k)
+        if key in patch:
+            return patch[key]
+        v = cv if side == "cam" else lv
+        return v.pdf_rev[:, k]
+
+    def pf(side, k):
+        if side == "light" and k == 0 and pdf_fwd_light0 is not None:
+            return pdf_fwd_light0
+        v = cv if side == "cam" else lv
+        return v.pdf_fwd[:, k]
+
+    def dl(side, k):
+        key = ("delta", side, k)
+        if key in patch:
+            return patch[key]
+        v = cv if side == "cam" else lv
+        return v.delta[:, k]
+
+    sum_ri = jnp.zeros(R)
+    ri = jnp.ones(R)
+    for i in range(t - 1, 0, -1):
+        ri = ri * _remap0(pr("cam", i)) / _remap0(pf("cam", i))
+        use = ~dl("cam", i) & ~dl("cam", i - 1)
+        sum_ri = sum_ri + jnp.where(use, ri, 0.0)
+    ri = jnp.ones(R)
+    for i in range(s - 1, -1, -1):
+        ri = ri * _remap0(pr("light", i)) / _remap0(pf("light", i))
+        if i > 0:
+            delta_prev = dl("light", i - 1)
+        else:
+            # the light endpoint itself: excluded if it is a delta light
+            # (IsDeltaLight, integrators.cpp:2254-2257)
+            delta_prev = (is_delta_light0 if is_delta_light0 is not None
+                          else lv.delta_light[:, 0])
+        use = ~dl("light", i) & ~delta_prev
+        sum_ri = sum_ri + jnp.where(use, ri, 0.0)
+    return 1.0 / (1.0 + sum_ri)
+
+
+def connect(scene, camera, sampler, lv, cv, s, t):
+    """One (s,t) strategy for all lanes (ConnectBDPT, integrators.cpp:2387).
+
+    Returns (sampler, L (R,3), splat_pixel (R,) or None)."""
+    R = cv.p.shape[0]
+    zero3 = jnp.zeros((R, 3))
+    false_r = jnp.zeros(R, bool)
+    patch = {}
+
+    if s == 0:
+        # the camera subpath hit an emitter: interpret it as a full path
+        pt_valid = cv.valid[:, t - 1]
+        lid = cv.light_id[:, t - 1]
+        emissive = pt_valid & (lid >= 0)
+        wo = normalize(cv.p[:, t - 2] - cv.p[:, t - 1])
+        Le = scene.lights.le_area(lid, wo, cv.ng[:, t - 1])
+        L = jnp.where(emissive[..., None], cv.beta[:, t - 1] * Le, zero3)
+        ok = emissive & (average(L) > 0)
+        base_idx = scene.lights.base_area + jnp.maximum(lid, 0)
+        # pt.pdfRev = PDFLightOrigin; ptMinus.pdfRev = PDFLight
+        patch[("cam", t - 1)] = jnp.where(
+            emissive,
+            _light_select_pmf(scene.lights, base_idx)
+            * _area_light_pdf_pos(scene.lights, lid), 0.0)
+        patch[("delta", "cam", t - 1)] = false_r
+        if t > 1:
+            w_pm = cv.p[:, t - 2] - cv.p[:, t - 1]
+            d2 = jnp.sum(w_pm * w_pm, -1)
+            w_n = w_pm * safe_div(1.0, jnp.sqrt(d2), 0.0)[..., None]
+            pdf_dir = _area_light_pdf_le_dir(scene.lights, lid,
+                                             cv.ng[:, t - 1], w_n)
+            cos_pm = jnp.where(_on_surface(cv, t - 2),
+                               jnp.abs(dot(cv.ng[:, t - 2], w_n)), 1.0)
+            patch[("cam", t - 2)] = pdf_dir * safe_div(1.0, d2, 0.0) * cos_pm
+        w = _mis_weight(lv, cv, s, t, patch)
+        return sampler, jnp.where(ok[..., None], L * w[..., None], zero3), None
+
+    if t == 1:
+        # connect a light-subpath vertex to the camera (splat)
+        qs_ok = lv.valid[:, s - 1] & (lv.vtype[:, s - 1] == VT_SURFACE) \
+            & ~lv.delta[:, s - 1]
+        qp = lv.p[:, s - 1]
+        valid_c, pixel_id, wi, dist, we = camera.sample_wi(qp)
+        ok = qs_ok & valid_c
+        wo_q = normalize(lv.p[:, s - 2] - qp)
+        f_q = _surface_f(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
+                         lv.ns[:, s - 1], wo_q, wi)
+        cos_q = jnp.abs(dot(wi, lv.ns[:, s - 1]))
+        cam_p = jnp.broadcast_to(camera.origin_world, qp.shape)
+        vis = _visible(scene, qp, lv.ng[:, s - 1], cam_p, ok)
+        L = lv.beta[:, s - 1] * f_q \
+            * (cos_q * we / jnp.maximum(dist * dist, 1e-12))[..., None]
+        ok = vis & (average(L) > 0)
+        # qs.pdfRev = camera ray density toward qs (area measure)
+        patch[("light", s - 1)] = convert_density(
+            camera.pdf_we_dir(-wi), cam_p, qp, lv.ng[:, s - 1],
+            jnp.ones(R, bool))
+        patch[("delta", "light", s - 1)] = false_r
+        if s > 1:
+            # qsMinus.pdfRev = qs BSDF pdf back toward qsMinus given wi in
+            patch[("light", s - 2)] = convert_density(
+                _surface_pdf_dir(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1],
+                                 qp, lv.ns[:, s - 1], wi, wo_q),
+                qp, lv.p[:, s - 2], lv.ng[:, s - 2],
+                _on_surface(lv, s - 2))
+        w = _mis_weight(lv, cv, s, t, patch)
+        L = jnp.where(ok[..., None], L * w[..., None], zero3)
+        return sampler, L, jnp.where(ok, pixel_id, -1)
+
+    if s == 1:
+        # resample a light point toward the camera vertex (NEE-style,
+        # integrators.cpp:2430-2470)
+        pt_ok = cv.valid[:, t - 1] & (cv.vtype[:, t - 1] == VT_SURFACE) \
+            & ~cv.delta[:, t - 1]
+        pp = cv.p[:, t - 1]
+        wo_p = normalize(cv.p[:, t - 2] - pp)
+        sampler, u_sel = sampler.get_1d()
+        sampler, u2 = sampler.get_2d()
+        ls = scene.lights.sample(offset_ray_origin(pp, cv.ng[:, t - 1], wo_p),
+                                 u_sel, u2)
+        # finite lights only: an env pick (t_shadow = 2*world_radius) is void
+        finite = ls.t_shadow < 1.9 * scene.lights.world_radius
+        ok = pt_ok & ls.valid & finite
+        sampled_beta = ls.L / jnp.maximum(ls.pdf_dir * ls.select_pmf,
+                                          1e-30)[..., None]
+        f_p = _surface_f(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
+                         cv.ns[:, t - 1], wo_p, ls.wi)
+        cos_p = jnp.abs(dot(ls.wi, cv.ns[:, t - 1]))
+        dist = ls.t_shadow / (1.0 - 1e-3)
+        d2 = jnp.maximum(dist * dist, 1e-12)
+        p_light = pp + ls.wi * dist[..., None]
+        vis = _visible(scene, pp, cv.ng[:, t - 1], p_light, ok)
+        L = cv.beta[:, t - 1] * f_p * cos_p[..., None] * sampled_beta
+        ok = vis & (average(L) > 0)
+
+        is_area = ls.area_id >= 0
+        n_l = ls.n_light
+        cos_l = jnp.abs(dot(n_l, ls.wi))  # emission direction = -ls.wi
+        # sampled.pdfFwd = PDFLightOrigin = pmf/area; for area lights
+        # 1/area = pdf_dir(solid) * cos_l / d^2; delta lights -> 0
+        inv_area = ls.pdf_dir * cos_l * safe_div(1.0, d2, 0.0)
+        pdf_fwd0 = jnp.where(is_area, ls.select_pmf * inv_area, 0.0)
+        # sampled.pdfRev = pt BSDF pdf toward the light, area measure there
+        patch[("light", 0)] = convert_density(
+            _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1],
+                             pp, cv.ns[:, t - 1], wo_p, ls.wi),
+            pp, p_light, n_l, is_area)
+        patch[("delta", "light", 0)] = false_r
+        # pt.pdfRev = emission direction density toward pt (PDFLight)
+        cos_pt = jnp.abs(dot(cv.ng[:, t - 1], ls.wi))
+        pdf_le_dir = jnp.where(
+            is_area,
+            _area_light_pdf_le_dir(scene.lights, jnp.maximum(ls.area_id, 0),
+                                   n_l, -ls.wi),
+            INV_PI * 0.25)  # point light: uniform sphere
+        patch[("cam", t - 1)] = pdf_le_dir * safe_div(1.0, d2, 0.0) * cos_pt
+        patch[("delta", "cam", t - 1)] = false_r
+        if t > 1:
+            patch[("cam", t - 2)] = convert_density(
+                _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1],
+                                 pp, cv.ns[:, t - 1], ls.wi, wo_p),
+                pp, cv.p[:, t - 2], cv.ng[:, t - 2],
+                _on_surface(cv, t - 2))
+        w = _mis_weight(lv, cv, s, t, patch, pdf_fwd_light0=pdf_fwd0,
+                        is_delta_light0=ls.is_delta)
+        L = jnp.where(ok[..., None], L * w[..., None], zero3)
+        return sampler, L, None
+
+    # s >= 2 and t >= 2: general vertex-to-vertex connection
+    qs_ok = lv.valid[:, s - 1] & (lv.vtype[:, s - 1] == VT_SURFACE) \
+        & ~lv.delta[:, s - 1]
+    pt_ok = cv.valid[:, t - 1] & (cv.vtype[:, t - 1] == VT_SURFACE) \
+        & ~cv.delta[:, t - 1]
+    ok = qs_ok & pt_ok
+    qp = lv.p[:, s - 1]
+    pp = cv.p[:, t - 1]
+    d_qp = pp - qp
+    dist2 = jnp.sum(d_qp * d_qp, -1)
+    w_qp = d_qp * safe_div(1.0, jnp.sqrt(dist2), 0.0)[..., None]
+    wo_q = normalize(lv.p[:, s - 2] - qp)
+    wo_p = normalize(cv.p[:, t - 2] - pp)
+    f_q = _surface_f(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
+                     lv.ns[:, s - 1], wo_q, w_qp)
+    f_p = _surface_f(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
+                     cv.ns[:, t - 1], wo_p, -w_qp)
+    g = safe_div(1.0, dist2, 0.0) * jnp.abs(dot(lv.ns[:, s - 1], w_qp)) \
+        * jnp.abs(dot(cv.ns[:, t - 1], w_qp))
+    vis = _visible(scene, qp, lv.ng[:, s - 1], pp, ok)
+    L = lv.beta[:, s - 1] * f_q * f_p * cv.beta[:, t - 1] * g[..., None]
+    ok = vis & (average(L) > 0)
+    # MIS patches (integrators.cpp:2224-2244)
+    patch[("delta", "light", s - 1)] = false_r
+    patch[("delta", "cam", t - 1)] = false_r
+    patch[("cam", t - 1)] = convert_density(
+        _surface_pdf_dir(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
+                         lv.ns[:, s - 1], wo_q, w_qp),
+        qp, pp, cv.ng[:, t - 1], jnp.ones_like(ok))
+    patch[("cam", t - 2)] = convert_density(
+        _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
+                         cv.ns[:, t - 1], -w_qp, wo_p),
+        pp, cv.p[:, t - 2], cv.ng[:, t - 2],
+        _on_surface(cv, t - 2))
+    patch[("light", s - 1)] = convert_density(
+        _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
+                         cv.ns[:, t - 1], wo_p, -w_qp),
+        pp, qp, lv.ng[:, s - 1], jnp.ones_like(ok))
+    patch[("light", s - 2)] = convert_density(
+        _surface_pdf_dir(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
+                         lv.ns[:, s - 1], w_qp, wo_q),
+        qp, lv.p[:, s - 2], lv.ng[:, s - 2],
+        _on_surface(lv, s - 2))
+    w = _mis_weight(lv, cv, s, t, patch)
+    L = jnp.where(ok[..., None], L * w[..., None], zero3)
+    return sampler, L, None
+
+
+# ---------------------------------------------------------------------------
+# Render driver
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_depth", "n_lanes"))
+def _bdpt_wave(scene, camera, film, film_state, seed, wave_idx, max_depth,
+               n_lanes):
+    R = n_lanes
+    pixel_id = jnp.arange(R, dtype=jnp.int32) % film.npix
+    sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), wave_idx)
+    Kc = max_depth + 2
+    Kl = max_depth + 1
+    sampler, cv = generate_camera_subpath(scene, camera, sampler, pixel_id, Kc)
+    sampler, lv = generate_light_subpath(scene, sampler, R, Kl)
+    L = jnp.zeros((R, 3))
+    for t in range(1, Kc + 1):
+        for s in range(0, Kl + 1):
+            depth = s + t - 2
+            if depth < 0 or depth > max_depth:
+                continue
+            if t == 1 and s < 2:
+                continue  # (1,1) skipped per the reference; (0,1) is n/a
+            sampler, Lst, splat_pix = connect(scene, camera, sampler, lv, cv,
+                                              s, t)
+            if splat_pix is not None:
+                film_state = film.add_splats(
+                    film_state, jnp.maximum(splat_pix, 0),
+                    jnp.where((splat_pix >= 0)[..., None], Lst, 0.0))
+            else:
+                L = L + Lst
+    film_state = film.add_samples(film_state, pixel_id, L, jnp.ones(R))
+    return film_state
+
+
+def render(scene: Scene, camera, film, spp=16, max_depth=5, seed=0):
+    """BDPT render: image = (t>=2 strategies averaged per pixel) +
+    splats/(npix*spp) (BDPTIntegrator::Render, splatScale=1/spp with the
+    per-pixel We convention)."""
+    import warnings
+
+    if scene.lights.has_env:
+        warnings.warn("bdpt v1 ignores infinite lights; use volpath/path "
+                      "for env-lit scenes", stacklevel=2)
+    film_state = film.init_state()
+    for wave in range(spp):
+        film_state = _bdpt_wave(scene, camera, film, film_state,
+                                jnp.uint32(seed), jnp.uint32(wave),
+                                int(max_depth), film.npix)
+    return film.image(film_state, splat_scale=1.0 / (spp * film.npix))

@@ -609,7 +609,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     rr_beta = beta * eta_scale[..., None] / jnp.maximum(average(r_u), 1e-30)[..., None]
     rr_max = jnp.max(rr_beta, -1)
     sampler, u_rr = sampler.get_1d()
-    do_rr = shade & (rr_max < 1.0) & (depth > 1)
+    do_rr = shade & (rr_max < 1.0) & (depth >= cfg.rr_start_depth)
     q = jnp.maximum(0.0, 1.0 - rr_max)
     rr_kill = do_rr & (u_rr < q)
     alive = alive & ~rr_kill

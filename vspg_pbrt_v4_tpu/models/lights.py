@@ -36,6 +36,8 @@ class LightSample(NamedTuple):
     is_delta: jnp.ndarray  # (R,) bool
     t_shadow: jnp.ndarray  # (R,) parametric shadow-ray length (d normalized)
     valid: jnp.ndarray  # (R,) bool
+    n_light: jnp.ndarray = None  # (R,3) emission normal (area lights; else 0)
+    area_id: jnp.ndarray = None  # (R,) sampled area-light id (-1 otherwise)
 
 
 @struct.dataclass
@@ -360,7 +362,9 @@ class Lights:
         if n == 0:
             z3 = jnp.zeros(R + (3,))
             z = jnp.zeros(R)
-            return LightSample(z3, z3, z, z, z.astype(bool), z, jnp.zeros(R, bool))
+            return LightSample(z3, z3, z, z, z.astype(bool), z,
+                               jnp.zeros(R, bool), z3,
+                               jnp.full(R, -1, jnp.int32))
         if self.bvh is not None:
             # adaptive spatial selection (BVH light sampler)
             idx, pmf = self._select_bvh(ref_p, u_select)
@@ -377,6 +381,8 @@ class Lights:
         pdf_dir = jnp.zeros(R)
         is_delta = jnp.zeros(R, bool)
         t_shadow = jnp.zeros(R)
+        n_light = jnp.zeros(R + (3,))
+        area_id = jnp.full(R, -1, jnp.int32)
 
         if self.n_point > 0:
             pi = jnp.clip(idx, 0, self.n_point - 1)
@@ -477,6 +483,8 @@ class Lights:
             L = jnp.where((sel & front)[..., None], self.area_L[ai], L)
             pdf_dir = jnp.where(sel, jnp.where(front, pdf_a, 0.0), pdf_dir)
             t_shadow = jnp.where(sel, dist * (1.0 - 1e-3), t_shadow)
+            n_light = jnp.where(sel[..., None], n_l, n_light)
+            area_id = jnp.where(sel, ai, area_id)
 
         if self.has_env:
             sel = idx == (n - 1)
@@ -510,7 +518,8 @@ class Lights:
             t_shadow = jnp.where(sel, 2.0 * self.world_radius, t_shadow)
 
         valid = (pdf_dir > 0) & (pmf > 0)
-        return LightSample(wi, L, pdf_dir, pmf, is_delta, t_shadow, valid)
+        return LightSample(wi, L, pdf_dir, pmf, is_delta, t_shadow, valid,
+                           n_light, area_id)
 
     # -- emitted-ray sampling for particle tracing (SampleLe) ----------------
     def sample_le(self, u_select, u_side, u2a, u2b):

@@ -204,6 +204,24 @@ def main(argv=None):
             setup.scene, setup.camera, setup.film, spp=setup.spp, cfg=cfg,
             seed=args.seed, light_medium=setup.camera_medium,
             spp_per_pass=spp_per_pass))
+    elif name == "bdpt":
+        from .models.integrators import bdpt
+
+        img = np.asarray(bdpt.render(
+            setup.scene, setup.camera, setup.film, spp=setup.spp,
+            max_depth=ip.get_int("maxdepth", 5), seed=args.seed))
+    elif name == "mlt":
+        from .models.integrators import mlt
+
+        img = np.asarray(mlt.render(
+            setup.scene, setup.camera, setup.film,
+            mutations_per_pixel=ip.get_int("mutationsperpixel", 100),
+            max_depth=ip.get_int("maxdepth", 5),
+            n_chains=ip.get_int("chains", 1000),
+            n_bootstrap=ip.get_int("bootstrapsamples", 16384),
+            sigma=ip.get_float("sigma", 0.01),
+            large_step_probability=ip.get_float("largestepprobability", 0.3),
+            seed=args.seed))
     elif name in ("volpath", "path", "simplevolpath"):
         img = volpath.render(setup.scene, setup.camera, setup.film,
                              spp=setup.spp, cfg=cfg, seed=args.seed,

@@ -56,6 +56,20 @@ def _m(mask, new, old):
     return jnp.where(mask, new, old)
 
 
+def shading_frame(ns, tangent=None):
+    """Orthonormal (t1, t2) for the shading frame. Lanes carrying a fiber
+    tangent (curve hits) align t1 with it so the hair BSDF's longitudinal
+    axis is the x-axis (the reference's dpdu-aligned curve frame)."""
+    t1, t2 = coordinate_system(ns)
+    if tangent is not None:
+        has_t = jnp.sum(tangent * tangent, -1) > 0.5
+        tt = tangent - dot(tangent, ns)[..., None] * ns
+        tt = normalize(tt)
+        t1 = jnp.where(has_t[..., None], tt, t1)
+        t2 = jnp.where(has_t[..., None], jnp.cross(ns, t1), t2)
+    return t1, t2
+
+
 class VolPathConfig(NamedTuple):
     max_depth: int = 32
     spectral: bool = False  # N=4 hero-wavelength mode (static; RGB otherwise)
@@ -391,7 +405,8 @@ def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
 
 
 def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
-                      hero_idx, sampler, beta, r_p, active, lam=None):
+                      hero_idx, sampler, beta, r_p, active, lam=None,
+                      tangent=None):
     """NEE from a surface vertex (SampleLd with BSDF).
 
     Directions converted to the shading frame for masked BSDF dispatch.
@@ -406,7 +421,7 @@ def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
         ls = ls._replace(L=uplift_unbounded(ls.L, lam))
     ok = active & ls.valid & (average(ls.L) > 0)
 
-    t1, t2 = coordinate_system(ns)
+    t1, t2 = shading_frame(ns, tangent)
 
     def to_local(w):
         return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], axis=-1)
@@ -567,12 +582,12 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     can_nee = shade & ~lanes.is_specular
     sampler, Ld_s, _ = sample_ld_surface(
         scene, cfg, h.p, h.n, ns, -s.d, lanes, medium_id, s.hero_idx, sampler,
-        beta, r_u, can_nee, s.lam,
+        beta, r_u, can_nee, s.lam, h.tangent,
     )
     L = _m(can_nee, L + Ld_s, L)
 
     # BSDF sampling
-    t1, t2 = coordinate_system(ns)
+    t1, t2 = shading_frame(ns, h.tangent)
 
     def to_local(w):
         return jnp.stack([dot(w, t1), dot(w, t2), dot(w, ns)], axis=-1)

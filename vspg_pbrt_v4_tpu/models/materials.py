@@ -62,6 +62,9 @@ THIN_DIELECTRIC = 4
 COATED_DIFFUSE = 5
 COATED_CONDUCTOR = 6
 MIX = 7
+HAIR = 8  # Chiang et al. 2016 fiber model (bxdfs.h HairBxDF:~700)
+          # field reuse: albedo2=sigma_a, roughness=beta_m,
+          # roughness2=beta_n, mix_amount=alpha (scale tilt, radians)
 
 
 class Materials(NamedTuple):
@@ -123,13 +126,17 @@ class Materials(NamedTuple):
         return BSDFLanes(
             self.mat_type[mid], self.albedo[mid], self.albedo2[mid],
             self.eta[mid], self.roughness[mid], self.roughness2[mid],
+            self.mix_amount[mid], jnp.zeros_like(self.eta[mid]),
         )
 
     def gather_textured(self, textures, mat_id, uv, p=None):
         """Gather + evaluate the albedo texture at the hit uv
-        (materials.h -> textures.h evaluation at shading time)."""
+        (materials.h -> textures.h evaluation at shading time). For hair
+        lanes the curve cross-section offset h = 2v-1 rides along."""
         mat_id = self.resolve_mix(mat_id, p)
         lanes = self.gather(mat_id)
+        lanes = lanes._replace(h=jnp.clip(2.0 * uv[..., 1] - 1.0,
+                                          -0.9995, 0.9995))
         if textures is None:
             return lanes
         from .textures import eval_texture
@@ -150,6 +157,8 @@ class BSDFLanes(NamedTuple):
     eta: jnp.ndarray  # (R,)
     roughness: jnp.ndarray  # (R,)
     roughness2: jnp.ndarray  # (R,) coat roughness
+    alpha: jnp.ndarray = None  # (R,) hair scale tilt
+    h: jnp.ndarray = None  # (R,) hair cross-section offset in [-1,1]
 
     @property
     def is_specular(self):
@@ -365,6 +374,10 @@ def bsdf_f(lanes: BSDFLanes, wo, wi):
                  * safe_div(1.0, denom_l, 0.0)[..., None] * atten)
     f = jnp.where((is_cd & same & wm_lok)[..., None], coat + diff_base, f)
     f = jnp.where((is_cc & same & wm_lok)[..., None], coat + cond_base, f)
+
+    # hair fibers (frame x = tangent; see hair_f below)
+    is_hair = lanes.mat_type == HAIR
+    f = jnp.where(is_hair[..., None], hair_f(lanes, wo, wi), f)
     return f
 
 
@@ -434,6 +447,9 @@ def bsdf_pdf(lanes: BSDFLanes, wo, wi):
     pdf_cc = p_c * pdf_coat + (1 - p_c) * pdf_base_c
     pdf = jnp.where(is_cd & same, pdf_cd, pdf)
     pdf = jnp.where(is_cc & same, pdf_cc, pdf)
+
+    is_hair = lanes.mat_type == HAIR
+    pdf = jnp.where(is_hair, hair_pdf(lanes, wo, wi), pdf)
     return pdf
 
 
@@ -612,4 +628,260 @@ def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
     pdf = jnp.where(is_coat, pdf_l, pdf)
     valid = valid | (is_coat & same_hemisphere(wo, wi_l) & (pdf_l > 0))
 
+    # ---- hair ----
+    is_hair = lanes.mat_type == HAIR
+    wi_h, f_h, pdf_h = hair_sample(lanes, wo, u_lobe, u2)
+    wi = jnp.where(is_hair[..., None], wi_h, wi)
+    f = jnp.where(is_hair[..., None], f_h, f)
+    pdf = jnp.where(is_hair, pdf_h, pdf)
+    valid = valid | (is_hair & (pdf_h > 0))
+
     return BSDFSample(wi, f, pdf, is_spec, is_trans, eta_out, valid)
+
+
+# -- hair fiber scattering (Chiang et al. 2016; bxdfs.h/bxdfs.cpp HairBxDF) --
+# Local frame convention: x = fiber tangent (longitudinal axis), z = shading
+# normal; sin(theta) = w.x, azimuth phi = atan2(w.z, w.y) — the reference's
+# curve shading frame (dpdu along the fiber).
+
+_P_MAX = 3
+
+
+def _bessel_i0(x):
+    """Modified Bessel I0 by series (bxdfs.cpp I0), accurate for the small
+    arguments the v<=0.1 branch does NOT take."""
+    out = jnp.zeros_like(x)
+    x2 = x * x
+    term = jnp.ones_like(x)
+    out = term
+    fact = 1.0
+    for i in range(1, 10):
+        fact *= i
+        term = term * x2 / 4.0
+        out = out + term / (fact * fact) * (4.0 ** 0)  # (x^2/4)^i/(i!)^2
+    return out
+
+
+def _log_bessel_i0(x):
+    big = x - 0.5 * jnp.log(2.0 * jnp.pi * jnp.maximum(x, 1e-6)) \
+        + jnp.log1p(jnp.exp(-2.0 * x) * 0 + 0.0) + 1.0 / (8.0 * jnp.maximum(x, 1e-6))
+    small = jnp.log(_bessel_i0(jnp.minimum(x, 12.0)))
+    return jnp.where(x > 12.0, x + 0.5 * (-jnp.log(2 * jnp.pi)
+                                          - jnp.log(jnp.maximum(x, 1e-6))
+                                          + 1.0 / (8.0 * jnp.maximum(x, 1e-6))),
+                     small)
+
+
+def _mp(cos_ti, cos_to, sin_ti, sin_to, v):
+    """Longitudinal scattering function (bxdfs.cpp Mp)."""
+    v = jnp.maximum(v, 1e-5)
+    a = cos_ti * cos_to / v
+    b = sin_ti * sin_to / v
+    small_v = v <= 0.1
+    mp_small = jnp.exp(_log_bessel_i0(a) - b - 1.0 / v + 0.6931
+                       + jnp.log(1.0 / (2.0 * v)))
+    mp_big = (jnp.exp(-b) * _bessel_i0(jnp.minimum(a, 80.0))
+              / (jnp.sinh(1.0 / v) * 2.0 * v))
+    return jnp.where(small_v, mp_small, mp_big)
+
+
+def _logistic(x, s):
+    x = jnp.abs(x)
+    e = jnp.exp(-x / s)
+    return e / (s * sqr(1.0 + e))
+
+
+def _logistic_cdf(x, s):
+    return 1.0 / (1.0 + jnp.exp(-x / s))
+
+
+def _trimmed_logistic(x, s, a, b):
+    return _logistic(x, s) / (_logistic_cdf(b, s) - _logistic_cdf(a, s))
+
+
+def _sample_trimmed_logistic(u, s, a, b):
+    k = _logistic_cdf(b, s) - _logistic_cdf(a, s)
+    x = -s * jnp.log(1.0 / jnp.maximum(u * k + _logistic_cdf(a, s), 1e-9) - 1.0)
+    return jnp.clip(x, a, b)
+
+
+def _hair_phi(p, gamma_o, gamma_t):
+    return 2.0 * p * gamma_t - 2.0 * gamma_o + p * jnp.pi
+
+
+def _wrap_pi(x):
+    return x - 2.0 * jnp.pi * jnp.round(x / (2.0 * jnp.pi))
+
+
+def _hair_derived(lanes, wo):
+    """Shared per-evaluation quantities (bxdfs.cpp HairBxDF ctor + f)."""
+    beta_m = jnp.clip(lanes.roughness, 1e-3, 1.0)
+    beta_n = jnp.clip(lanes.roughness2, 1e-3, 1.0)
+    h = lanes.h if lanes.h is not None else jnp.zeros_like(beta_m)
+    eta = lanes.eta
+    sigma_a = lanes.albedo2
+
+    v0 = sqr(0.726 * beta_m + 0.812 * sqr(beta_m) + 3.7 * beta_m ** 20)
+    vs = (v0, 0.25 * v0, 4.0 * v0, 4.0 * v0)
+    s_az = 0.626657069 * (0.265 * beta_n + 1.194 * sqr(beta_n)
+                          + 5.372 * beta_n ** 22)
+
+    sin_to = jnp.clip(wo[..., 0], -1.0, 1.0)
+    cos_to = safe_sqrt(1.0 - sqr(sin_to))
+    phi_o = jnp.arctan2(wo[..., 2], wo[..., 1])
+
+    gamma_o = jnp.arcsin(jnp.clip(h, -1.0, 1.0))
+    etap = safe_sqrt(sqr(eta) - sqr(sin_to)) / jnp.maximum(cos_to, 1e-6)
+    sin_gt = h / jnp.maximum(etap, 1e-6)
+    cos_gt = safe_sqrt(1.0 - sqr(sin_gt))
+    gamma_t = jnp.arcsin(jnp.clip(sin_gt, -1.0, 1.0))
+    sin_tt = sin_to / eta
+    cos_tt = safe_sqrt(1.0 - sqr(sin_tt))
+
+    # transmittance of one internal pass (bxdfs.cpp:~hair T)
+    T = jnp.exp(-sigma_a * (2.0 * cos_gt / jnp.maximum(cos_tt, 1e-6))[..., None])
+
+    # Ap attenuations
+    cos_go = safe_sqrt(1.0 - sqr(h))
+    f_fres = fresnel_dielectric(cos_to * cos_go, eta)
+    A = [f_fres[..., None] * jnp.ones_like(T)]
+    A.append(sqr(1.0 - f_fres)[..., None] * T)
+    A.append(A[1] * T * f_fres[..., None])
+    A.append(A[2] * f_fres[..., None] * T
+             / jnp.maximum(1.0 - T * f_fres[..., None], 1e-4))
+
+    # scale-tilt rotations sin/cos(2^k alpha), k=0..2
+    alpha = lanes.alpha if lanes.alpha is not None else jnp.zeros_like(beta_m)
+    s2k = [jnp.sin(alpha)]
+    c2k = [safe_sqrt(1.0 - sqr(s2k[0]))]
+    for _ in range(2):
+        s2k.append(2.0 * c2k[-1] * s2k[-1])
+        c2k.append(sqr(c2k[-1]) - sqr(s2k[-1]))
+    return dict(vs=vs, s_az=s_az, sin_to=sin_to, cos_to=cos_to, phi_o=phi_o,
+                gamma_o=gamma_o, gamma_t=gamma_t, T=T, A=A, s2k=s2k, c2k=c2k)
+
+
+def _hair_tilted(d, p):
+    """(sin,cos) of theta_o rotated by the p-th scale tilt
+    (bxdfs.cpp Sample_f theta_op logic)."""
+    sin_to, cos_to = d["sin_to"], d["cos_to"]
+    s2k, c2k = d["s2k"], d["c2k"]
+    if p == 0:
+        s = sin_to * c2k[1] - cos_to * s2k[1]
+        c = cos_to * c2k[1] + sin_to * s2k[1]
+    elif p == 1:
+        s = sin_to * c2k[0] + cos_to * s2k[0]
+        c = cos_to * c2k[0] - sin_to * s2k[0]
+    elif p == 2:
+        s = sin_to * c2k[2] + cos_to * s2k[2]
+        c = cos_to * c2k[2] - sin_to * s2k[2]
+    else:
+        s, c = sin_to, cos_to
+    return s, jnp.abs(c)
+
+
+def _hair_ap_pdf(d):
+    """Lobe selection pmf from Ap luminances (bxdfs.cpp ApPDF)."""
+    lum = [jnp.mean(a, -1) for a in d["A"]]
+    tot = jnp.maximum(sum(lum), 1e-9)
+    return [l_ / tot for l_ in lum]
+
+
+def hair_f(lanes, wo, wi):
+    """Hair BSDF value (bxdfs.cpp HairBxDF::f). (R,3)."""
+    d = _hair_derived(lanes, wo)
+    sin_ti = jnp.clip(wi[..., 0], -1.0, 1.0)
+    cos_ti = safe_sqrt(1.0 - sqr(sin_ti))
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 1])
+    phi = phi_i - d["phi_o"]
+    fsum = jnp.zeros_like(lanes.albedo2)
+    for p in range(_P_MAX):
+        s_op, c_op = _hair_tilted(d, p)
+        mp = _mp(cos_ti, c_op, sin_ti, s_op, d["vs"][p])
+        np_ = _trimmed_logistic(_wrap_pi(phi - _hair_phi(p, d["gamma_o"],
+                                                        d["gamma_t"])),
+                                d["s_az"], -jnp.pi, jnp.pi)
+        fsum = fsum + (mp * np_)[..., None] * d["A"][p]
+    mp_max = _mp(cos_ti, d["cos_to"], sin_ti, d["sin_to"], d["vs"][_P_MAX])
+    fsum = fsum + (mp_max / (2.0 * jnp.pi))[..., None] * d["A"][_P_MAX]
+    abs_cos_wi = jnp.abs(wi[..., 2])
+    return fsum / jnp.maximum(abs_cos_wi, 1e-5)[..., None]
+
+
+def hair_pdf(lanes, wo, wi):
+    """Hair sampling pdf (bxdfs.cpp HairBxDF::PDF). (R,)."""
+    d = _hair_derived(lanes, wo)
+    sin_ti = jnp.clip(wi[..., 0], -1.0, 1.0)
+    cos_ti = safe_sqrt(1.0 - sqr(sin_ti))
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 1])
+    phi = phi_i - d["phi_o"]
+    ap_pdf = _hair_ap_pdf(d)
+    pdf = jnp.zeros_like(sin_ti)
+    for p in range(_P_MAX):
+        s_op, c_op = _hair_tilted(d, p)
+        mp = _mp(cos_ti, c_op, sin_ti, s_op, d["vs"][p])
+        np_ = _trimmed_logistic(_wrap_pi(phi - _hair_phi(p, d["gamma_o"],
+                                                        d["gamma_t"])),
+                                d["s_az"], -jnp.pi, jnp.pi)
+        pdf = pdf + ap_pdf[p] * mp * np_
+    mp_max = _mp(cos_ti, d["cos_to"], sin_ti, d["sin_to"], d["vs"][_P_MAX])
+    pdf = pdf + ap_pdf[_P_MAX] * mp_max / (2.0 * jnp.pi)
+    return pdf
+
+
+def hair_sample(lanes, wo, u_lobe, u2):
+    """Sample the hair BSDF (bxdfs.cpp HairBxDF::Sample_f).
+
+    Returns (wi, f, pdf). The fourth uniform is derived from the fractional
+    expansion of u2[...,0] (documented precision trade)."""
+    d = _hair_derived(lanes, wo)
+    ap_pdf = _hair_ap_pdf(d)
+    # lobe choice by cumulative ap_pdf
+    c0 = ap_pdf[0]
+    c1 = c0 + ap_pdf[1]
+    c2 = c1 + ap_pdf[2]
+    p_idx = (jnp.where(u_lobe < c0, 0,
+             jnp.where(u_lobe < c1, 1,
+             jnp.where(u_lobe < c2, 2, 3))))
+    u1m = jnp.maximum(u2[..., 0] * 4096.0 - jnp.floor(u2[..., 0] * 4096.0),
+                      1e-5)
+    u1 = jnp.maximum(u2[..., 0], 1e-5)
+    u_phi = u2[..., 1]
+
+    sin_ti = jnp.zeros_like(u_lobe)
+    cos_ti = jnp.zeros_like(u_lobe)
+    phi = jnp.zeros_like(u_lobe)
+    for p in range(_P_MAX + 1):
+        sel = p_idx == p
+        s_op, c_op = _hair_tilted(d, p)
+        v = d["vs"][p]
+        cos_t = 1.0 + v * jnp.log(jnp.maximum(
+            u1 + (1.0 - u1) * jnp.exp(-2.0 / jnp.maximum(v, 1e-5)), 1e-12))
+        sin_t = safe_sqrt(1.0 - sqr(cos_t))
+        cos_phi_m = jnp.cos(2.0 * jnp.pi * u1m)
+        s_ti = -cos_t * s_op + sin_t * cos_phi_m * c_op
+        c_ti = safe_sqrt(1.0 - sqr(s_ti))
+        if p < _P_MAX:
+            dphi = _hair_phi(p, d["gamma_o"], d["gamma_t"]) \
+                + _sample_trimmed_logistic(u_phi, d["s_az"], -jnp.pi, jnp.pi)
+        else:
+            dphi = 2.0 * jnp.pi * u_phi - jnp.pi
+        sin_ti = jnp.where(sel, s_ti, sin_ti)
+        cos_ti = jnp.where(sel, c_ti, cos_ti)
+        phi = jnp.where(sel, dphi, phi)
+    phi_i = d["phi_o"] + phi
+    wi = jnp.stack([sin_ti, cos_ti * jnp.cos(phi_i),
+                    cos_ti * jnp.sin(phi_i)], -1)
+    f = hair_f(lanes, wo, wi)
+    pdf = hair_pdf(lanes, wo, wi)
+    return wi, f, pdf
+
+
+def hair_sigma_a_from_reflectance(c, beta_n):
+    """RGB reflectance -> fiber absorption (HairBxDF::SigmaAFromReflectance)."""
+    import numpy as _np
+
+    c = _np.clip(_np.asarray(c, _np.float64), 1e-4, 0.9999)
+    denom = (5.969 - 0.215 * beta_n + 2.532 * beta_n**2 - 10.73 * beta_n**3
+             + 5.574 * beta_n**4 + 0.245 * beta_n**5)
+    return (_np.log(c) / denom) ** 2

@@ -33,6 +33,7 @@ class HitRecord(NamedTuple):
     med_in: jnp.ndarray  # (R,) int32 medium on the side the normal points away from
     med_out: jnp.ndarray  # (R,) int32 medium on the normal side
     prim_id: jnp.ndarray  # (R,) int32 global primitive id
+    tangent: jnp.ndarray = None  # (R,3) curve/fiber tangent (hair frames)
 
 
 class Geometry(NamedTuple):
@@ -88,15 +89,29 @@ class Geometry(NamedTuple):
     blp_light: jnp.ndarray
     blp_med_in: jnp.ndarray
     blp_med_out: jnp.ndarray
+    # curve segments (shapes.h Curve:1219): cubic Beziers flattened
+    # host-side into linear ribbon segments facing the ray ("flat" type)
+    crv_p0: jnp.ndarray = None  # (K,3)
+    crv_p1: jnp.ndarray = None
+    crv_r0: jnp.ndarray = None  # (K,) radius (half-width) at ends
+    crv_r1: jnp.ndarray = None
+    crv_u0: jnp.ndarray = None  # (K,) curve parameter at ends
+    crv_u1: jnp.ndarray = None
+    crv_mat: jnp.ndarray = None
+    crv_light: jnp.ndarray = None
+    crv_med_in: jnp.ndarray = None
+    crv_med_out: jnp.ndarray = None
     tri_bvh: object = None  # ops.bvh.BVH over triangles (None = brute force)
 
     @staticmethod
     def build(triangles=(), spheres=(), boxes=(), disks=(), cylinders=(),
-              patches=(), use_bvh="auto"):
+              patches=(), curves=(), use_bvh="auto"):
         """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
         spheres: {c,r,...}; boxes: {bmin,bmax,...};
         disks: {c,n,r,[ri],...}; cylinders: {c,a,r,h,...};
-        patches: {p00,p10,p01,p11,...}."""
+        patches: {p00,p10,p01,p11,...};
+        curves: {cp (4,3) cubic Bezier control points, width0, width1,
+        [n_segs=8], ...} — flattened to ribbon segments."""
 
         def stack(items, key, default, shape):
             if not items:
@@ -132,6 +147,49 @@ class Geometry(NamedTuple):
         dk = list(disks)
         cy = list(cylinders)
         bp = list(patches)
+        # flatten cubic Beziers into linear segments (the vectorized
+        # equivalent of the reference's recursive subdivision,
+        # shapes.cpp Curve::RecursiveIntersect)
+        cv = list(curves)
+        seg_p0, seg_p1, seg_r0, seg_r1, seg_u0, seg_u1 = [], [], [], [], [], []
+        seg_mat, seg_light, seg_mi, seg_mo = [], [], [], []
+        for c in cv:
+            cp = np.asarray(c["cp"], np.float64).reshape(4, 3)
+            w0 = float(c.get("width0", c.get("width", 0.01))) * 0.5
+            w1 = float(c.get("width1", c.get("width", 0.01))) * 0.5
+            ns = int(c.get("n_segs", 8))
+            u = np.linspace(0.0, 1.0, ns + 1)
+            bez = ((1 - u)[:, None] ** 3 * cp[0] + 3 * (1 - u)[:, None] ** 2
+                   * u[:, None] * cp[1] + 3 * (1 - u)[:, None] * u[:, None] ** 2
+                   * cp[2] + u[:, None] ** 3 * cp[3])
+            r = w0 + (w1 - w0) * u
+            for i in range(ns):
+                seg_p0.append(bez[i])
+                seg_p1.append(bez[i + 1])
+                seg_r0.append(r[i])
+                seg_r1.append(r[i + 1])
+                seg_u0.append(u[i])
+                seg_u1.append(u[i + 1])
+                seg_mat.append(int(c.get("mat", -1)))
+                seg_light.append(int(c.get("light", -1)))
+                seg_mi.append(int(c.get("med_in", -1)))
+                seg_mo.append(int(c.get("med_out", -1)))
+        if seg_p0:
+            crv = (jnp.asarray(np.asarray(seg_p0), jnp.float32),
+                   jnp.asarray(np.asarray(seg_p1), jnp.float32),
+                   jnp.asarray(seg_r0, jnp.float32),
+                   jnp.asarray(seg_r1, jnp.float32),
+                   jnp.asarray(seg_u0, jnp.float32),
+                   jnp.asarray(seg_u1, jnp.float32),
+                   jnp.asarray(seg_mat, jnp.int32),
+                   jnp.asarray(seg_light, jnp.int32),
+                   jnp.asarray(seg_mi, jnp.int32),
+                   jnp.asarray(seg_mo, jnp.int32))
+        else:
+            z3 = jnp.zeros((0, 3), jnp.float32)
+            z1 = jnp.zeros((0,), jnp.float32)
+            zi = jnp.zeros((0,), jnp.int32)
+            crv = (z3, z3, z1, z1, z1, z1, zi, zi, zi, zi)
         tri_bvh = None
         n_tri = tri_p0.shape[0]
         if use_bvh is True or (use_bvh == "auto" and n_tri > 64):
@@ -183,6 +241,7 @@ class Geometry(NamedTuple):
             stack(bp, "p11", (0, 0, 0), (3,)),
             stack_i(bp, "mat"), stack_i(bp, "light"),
             stack_i(bp, "med_in"), stack_i(bp, "med_out"),
+            *crv,
             tri_bvh,
         )
 
@@ -210,6 +269,10 @@ class Geometry(NamedTuple):
     def n_blp(self):
         return self.blp_p00.shape[0]
 
+    @property
+    def n_crv(self):
+        return 0 if self.crv_p0 is None else self.crv_p0.shape[0]
+
     # -- closest hit ---------------------------------------------------------
     def intersect(self, o, d, t_max):
         """Brute-force closest hit over all primitives (vectorized over R).
@@ -232,9 +295,11 @@ class Geometry(NamedTuple):
             med_in=jnp.full(R, -1, jnp.int32),
             med_out=jnp.full(R, -1, jnp.int32),
             prim_id=jnp.full(R, -1, jnp.int32),
+            tangent=jnp.zeros_like(o),
         )
 
-        def upd(best, closer, t, p, n, ns, uv, mat, light, mi, mo, pid):
+        def upd(best, closer, t, p, n, ns, uv, mat, light, mi, mo, pid,
+                tangent=None):
             c = closer
 
             def w(new, old):
@@ -248,6 +313,7 @@ class Geometry(NamedTuple):
                 w(ns, best.ns), w(uv, best.uv), w(mat, best.mat_id),
                 w(light, best.light_id), w(mi, best.med_in), w(mo, best.med_out),
                 w(pid, best.prim_id),
+                best.tangent if tangent is None else w(tangent, best.tangent),
             )
 
         # triangles
@@ -374,6 +440,63 @@ class Geometry(NamedTuple):
                  + self.n_cyl + k).astype(jnp.int32),
             )
 
+        # curve ribbon segments ("flat" curves face the ray;
+        # shapes.h Curve:1219 / shapes.cpp RecursiveIntersect leaf test)
+        if self.n_crv > 0:
+            from ..utils.vecmath import coordinate_system as _cs
+
+            dn = normalize(d)
+            e1, e2 = _cs(dn)
+            q0 = self.crv_p0 - o[..., None, :]  # (R,K,3)
+            q1 = self.crv_p1 - o[..., None, :]
+            ax = jnp.sum(q0 * e1[..., None, :], -1)
+            ay = jnp.sum(q0 * e2[..., None, :], -1)
+            az = jnp.sum(q0 * dn[..., None, :], -1)
+            bx = jnp.sum(q1 * e1[..., None, :], -1)
+            by = jnp.sum(q1 * e2[..., None, :], -1)
+            bz = jnp.sum(q1 * dn[..., None, :], -1)
+            abx, aby = bx - ax, by - ay
+            ab2 = abx * abx + aby * aby
+            wseg = jnp.clip(-(ax * abx + ay * aby)
+                            / jnp.where(ab2 < 1e-18, 1e-18, ab2), 0.0, 1.0)
+            cx = ax + wseg * abx
+            cy = ay + wseg * aby
+            d2 = cx * cx + cy * cy
+            r_w = self.crv_r0 + (self.crv_r1 - self.crv_r0) * wseg
+            t_c = az + wseg * (bz - az)
+            okc = (d2 <= r_w * r_w) & (t_c > 1e-4) & (t_c < best.t[..., None])
+            t_c = jnp.where(okc, t_c, inf)
+            k = jnp.argmin(t_c, axis=-1)
+            t_k = jnp.take_along_axis(t_c, k[..., None], -1)[..., 0]
+            closer = jnp.isfinite(t_k) & (t_k < best.t)
+            p_k = o + t_k[..., None] * d
+            tang = normalize(self.crv_p1[k] - self.crv_p0[k])
+            # flat-curve normal: ray direction's component perpendicular
+            # to the fiber, facing back along the ray
+            n_k = normalize(-(dn - jnp.sum(dn * tang, -1)[..., None] * tang))
+            w_k = jnp.take_along_axis(wseg, k[..., None], -1)[..., 0]
+            u_k = (self.crv_u0[k]
+                   + (self.crv_u1[k] - self.crv_u0[k]) * w_k)
+            # v in [0,1] across the ribbon, signed by the 2D side
+            cxk = jnp.take_along_axis(cx, k[..., None], -1)[..., 0]
+            cyk = jnp.take_along_axis(cy, k[..., None], -1)[..., 0]
+            abxk = jnp.take_along_axis(abx, k[..., None], -1)[..., 0]
+            abyk = jnp.take_along_axis(aby, k[..., None], -1)[..., 0]
+            side = jnp.sign(abxk * cyk - abyk * cxk)
+            r_k = jnp.take_along_axis(r_w, k[..., None], -1)[..., 0]
+            d_k = jnp.sqrt(jnp.take_along_axis(d2, k[..., None], -1)[..., 0])
+            v_k = jnp.clip(0.5 + side * d_k
+                           / jnp.maximum(2.0 * r_k, 1e-12), 0.0, 1.0)
+            best = upd(
+                best, closer, t_k, p_k, n_k, n_k,
+                jnp.stack([u_k, v_k], -1),
+                self.crv_mat[k], self.crv_light[k],
+                self.crv_med_in[k], self.crv_med_out[k],
+                (self.n_tri + self.n_sph + self.n_box + self.n_dsk
+                 + self.n_cyl + self.n_blp + k).astype(jnp.int32),
+                tangent=tang,
+            )
+
         # boxes (face crossings; nearest of t_near/t_far ahead of origin)
         if self.n_box > 0:
             eps = 1e-4
@@ -444,6 +567,7 @@ class Geometry(NamedTuple):
             w(jnp.stack([b0k, b1k], -1), best.uv), w(self.tri_mat[kc], best.mat_id),
             w(self.tri_light[kc], best.light_id), w(self.tri_med_in[kc], best.med_in),
             w(self.tri_med_out[kc], best.med_out), w(kc, best.prim_id),
+            best.tangent,
         )
 
     def intersect_p(self, o, d, t_max):
@@ -511,4 +635,29 @@ class Geometry(NamedTuple):
                 o[..., None, :], d[..., None, :], t_max[..., None],
                 self.blp_p00, self.blp_p10, self.blp_p01, self.blp_p11)
             occluded |= jnp.any(hp & (self.blp_mat >= 0), axis=-1)
+        if self.n_crv > 0:
+            from ..utils.vecmath import coordinate_system as _cs
+
+            dn = normalize(d)
+            e1, e2 = _cs(dn)
+            q0 = self.crv_p0 - o[..., None, :]
+            q1 = self.crv_p1 - o[..., None, :]
+            ax = jnp.sum(q0 * e1[..., None, :], -1)
+            ay = jnp.sum(q0 * e2[..., None, :], -1)
+            az = jnp.sum(q0 * dn[..., None, :], -1)
+            bx = jnp.sum(q1 * e1[..., None, :], -1)
+            by = jnp.sum(q1 * e2[..., None, :], -1)
+            bz = jnp.sum(q1 * dn[..., None, :], -1)
+            abx, aby = bx - ax, by - ay
+            ab2 = abx * abx + aby * aby
+            wseg = jnp.clip(-(ax * abx + ay * aby)
+                            / jnp.where(ab2 < 1e-18, 1e-18, ab2), 0.0, 1.0)
+            cx = ax + wseg * abx
+            cy = ay + wseg * aby
+            d2 = cx * cx + cy * cy
+            r_w = self.crv_r0 + (self.crv_r1 - self.crv_r0) * wseg
+            t_c = az + wseg * (bz - az)
+            okc = ((d2 <= r_w * r_w) & (t_c > 1e-4)
+                   & (t_c < t_max[..., None]))
+            occluded |= jnp.any(okc & (self.crv_mat >= 0), axis=-1)
         return occluded

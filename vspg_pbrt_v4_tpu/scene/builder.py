@@ -75,6 +75,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     tris = []
     spheres = []
     boxes = []
+    curves = []
     disks = []
     cylinders = []
     patches = []
@@ -189,6 +190,32 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 med_in=st.medium_in, med_out=st.medium_out))
             if has_light:
                 warn("cylinder area light not supported for NEE", d.loc)
+        elif stype == "curve":
+            # cubic Bezier curves (shapes.h Curve:1219; pbrt "curve" shape:
+            # P = 4 (or 4+3k chained) control points, width/width0/width1)
+            P = p.get_floats("P").reshape(-1, 3)
+            w = p.get_float("width", 1.0)
+            w0 = p.get_float("width0", w)
+            w1 = p.get_float("width1", w)
+            ctype = p.get_string("type", "flat")
+            if ctype not in ("flat", "cylinder", "ribbon"):
+                warn(f"curve type '{ctype}' unknown; flat", d.loc)
+            n_seg_curves = max((P.shape[0] - 1) // 3, 1)
+            Pw = xf_pts(P)
+            for ci in range(n_seg_curves):
+                cp = Pw[3 * ci:3 * ci + 4]
+                if cp.shape[0] < 4:
+                    break
+                u_lo = ci / n_seg_curves
+                u_hi = (ci + 1) / n_seg_curves
+                curves.append(dict(
+                    cp=cp,
+                    width0=w0 + (w1 - w0) * u_lo,
+                    width1=w0 + (w1 - w0) * u_hi,
+                    n_segs=8, mat=mat_id, light=-1,
+                    med_in=st.medium_in, med_out=st.medium_out))
+            if has_light:
+                warn("curve area light not supported", d.loc)
         elif stype in ("bilinearmesh", "bilinear"):
             P = p.get_floats("P").reshape(-1, 3)
             bidx = p.get_ints("indices")
@@ -603,7 +630,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
 
     geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes,
                               disks=disks, cylinders=cylinders,
-                              patches=patches)
+                              patches=patches, curves=curves)
     materials = Materials.build(mats)
     tex_bank = Textures.build(textures, tex_images) if textures else None
     media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media),
@@ -736,6 +763,27 @@ def _make_material(mtype, p: ParameterDictionary, warn, loc,
                     roughness2=p.get_float("interface.roughness",
                                            p.get_float("roughness", 0.0)),
                     eta=p.get_float("interface.eta", 1.5))
+    if mtype == "hair":
+        # bxdfs.h HairBxDF parameters (materials.h HairMaterial): sigma_a
+        # directly, or from reflectance, else brown-ish eumelanin default
+        from ..models.materials import HAIR, hair_sigma_a_from_reflectance
+
+        beta_m = p.get_float("beta_m", 0.3)
+        beta_n = p.get_float("beta_n", 0.3)
+        sig = p.get_rgb("sigma_a", None)
+        if sig is None:
+            refl = p.get_rgb("reflectance", p.get_rgb("color", None))
+            if refl is not None:
+                sig = hair_sigma_a_from_reflectance(refl, beta_n)
+            else:
+                ce = p.get_float("eumelanin", 1.3)
+                cp2 = p.get_float("pheomelanin", 0.0)
+                sig = (ce * np.asarray([0.419, 0.697, 1.37])
+                       + cp2 * np.asarray([0.187, 0.4, 1.05]))
+        return dict(type=HAIR, albedo2=tuple(np.asarray(sig, np.float64)),
+                    eta=p.get_float("eta", 1.55),
+                    roughness=beta_m, roughness2=beta_n,
+                    mix_amount=float(np.radians(p.get_float("alpha", 2.0))))
     if mtype == "mix":
         names = [str(s) for s in p.params.get(
             "materials", ("string", []))[1]]

@@ -111,7 +111,12 @@ def main(argv=None):
 
     ip = ParameterDictionary(setup.integrator_params)
     max_depth = args.maxdepth or ip.get_int("maxdepth", 32)
-    cfg = volpath.VolPathConfig(max_depth=max_depth)
+    import numpy as _np
+
+    from .models.materials import SUBSURFACE as _SSS
+
+    has_sss = bool((_np.asarray(setup.scene.materials.mat_type) == _SSS).any())
+    cfg = volpath.VolPathConfig(max_depth=max_depth, sss=has_sss)
 
     ref = read_image(args.mse_reference_image) if args.mse_reference_image else None
     mse_log = []

@@ -77,6 +77,8 @@ class VolPathConfig(NamedTuple):
     max_collisions: int = 4096  # delta-tracking runaway guard (media_sampleTMaj.h:216)
     max_shadow_segments: int = 8  # shadow ray interface crossings
     rr_start_depth: int = 2  # RR applied when depth > 1 (integrators.cpp:1305)
+    sss: bool = False  # enable subsurface probe relocation (static; set by
+    #     the builder when the scene has SUBSURFACE materials)
 
 
 class Scene(NamedTuple):
@@ -578,10 +580,59 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
         lanes = lanes._replace(albedo=uplift_unbounded(lanes.albedo, s.lam),
                                albedo2=uplift_unbounded(lanes.albedo2, s.lam))
     ns = face_forward(h.ns, h.n)  # keep shading normal consistent w/ geometric
+    hp, hn = h.p, h.n
+
+    # ---- subsurface scattering: Fresnel split + probe relocation ----------
+    # (bssrdf.h SeparableBSSRDF; see models/bssrdf.py for the redesign)
+    if cfg.sss:
+        from ..bssrdf import sample_exit_point, sp_weight
+        from ..materials import SUBSURFACE, fresnel_dielectric
+        from ..materials import CONDUCTOR as _COND
+        from ..materials import DIFFUSE as _DIFF
+
+        is_sss = shade & (lanes.mat_type == SUBSURFACE)
+        t1s, t2s = shading_frame(ns, h.tangent)
+        sampler, u_fr = sampler.get_1d()
+        F_in = fresnel_dielectric(jnp.abs(dot(-s.d, ns)), lanes.eta)
+        sss_refl = is_sss & (u_fr < F_in)  # interface reflection lobe
+        sss_trans = is_sss & ~sss_refl
+        sampler, u_r1 = sampler.get_1d()
+        sampler, u_r2 = sampler.get_1d()
+        sampler, u_phi = sampler.get_1d()
+        d_mfp = scene.materials.albedo2[jnp.maximum(h.mat_id, 0)]
+        alb_sss = scene.materials.albedo[jnp.maximum(h.mat_id, 0)]
+        d_hero = jnp.mean(d_mfp, -1)
+        sss_ok, p_x, n_x, r_s, cos_x = sample_exit_point(
+            scene.geometry, h.p, ns, t1s, t2s, h.mat_id, d_hero,
+            u_r1, u_r2, u_phi, sss_trans)
+        w_sp = sp_weight(h.p, p_x, alb_sss, d_mfp, r_s, cos_x)
+        dead_sss = sss_trans & ~sss_ok
+        alive = alive & ~dead_sss
+        shade = shade & ~dead_sss
+        relocated = sss_trans & sss_ok
+        if s.lam is not None:
+            from ...utils.spectrum import uplift_unbounded
+
+            w_sp = uplift_unbounded(w_sp, s.lam)
+        beta = _m(relocated, beta * w_sp, beta)
+        hp = _m(relocated, p_x, hp)
+        hn = _m(relocated, n_x, hn)
+        ns = _m(relocated, n_x, ns)
+        # transmitted lanes exit through a Lambertian lobe (the Sw factor
+        # integrates to 1 over the hemisphere); reflected lanes become a
+        # perfect mirror (the Fresnel-weighted interface lobe)
+        one = jnp.ones_like(lanes.albedo)
+        lanes = lanes._replace(
+            mat_type=jnp.where(sss_refl, _COND,
+                               jnp.where(relocated, _DIFF, lanes.mat_type)),
+            albedo=jnp.where(is_sss[..., None], one, lanes.albedo),
+            roughness=jnp.where(is_sss, 0.0, lanes.roughness),
+        )
+
     # NEE from surface (skipped for pure-specular lanes)
     can_nee = shade & ~lanes.is_specular
     sampler, Ld_s, _ = sample_ld_surface(
-        scene, cfg, h.p, h.n, ns, -s.d, lanes, medium_id, s.hero_idx, sampler,
+        scene, cfg, hp, hn, ns, -s.d, lanes, medium_id, s.hero_idx, sampler,
         beta, r_u, can_nee, s.lam, h.tangent,
     )
     L = _m(can_nee, L + Ld_s, L)
@@ -611,12 +662,12 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     eta_scale = jnp.where(bs_ok & bs.is_transmission,
                           s.eta_scale * bs.eta * bs.eta, s.eta_scale)
     # medium switch on transmission through the surface
-    crossing = bs_ok & (dot(wi_world, h.n) < 0)
+    crossing = bs_ok & (dot(wi_world, hn) < 0)
     new_med_x = jnp.where(crossing, h.med_in, h.med_out)
     medium_id = jnp.where(bs_ok, new_med_x, medium_id)
-    o_new = _m(bs_ok, offset_ray_origin(h.p, h.n, wi_world), o_new)
+    o_new = _m(bs_ok, offset_ray_origin(hp, hn, wi_world), o_new)
     d_new = _m(bs_ok, wi_world, d_new)
-    prev_p = _m(bs_ok, h.p, prev_p)
+    prev_p = _m(bs_ok, hp, prev_p)
 
     # ---- Russian roulette (surface bounces; integrators.cpp:1301-1312) ----
     dead_beta = shade & (jnp.max(beta, -1) == 0)

@@ -65,6 +65,9 @@ MIX = 7
 HAIR = 8  # Chiang et al. 2016 fiber model (bxdfs.h HairBxDF:~700)
           # field reuse: albedo2=sigma_a, roughness=beta_m,
           # roughness2=beta_n, mix_amount=alpha (scale tilt, radians)
+SUBSURFACE = 9  # separable BSSRDF (bssrdf.h:135; models/bssrdf.py)
+          # field reuse: albedo=A, albedo2=diffusion mfp d, eta=IOR;
+          # handled by the integrator's probe relocation (cfg.sss)
 
 
 class Materials(NamedTuple):

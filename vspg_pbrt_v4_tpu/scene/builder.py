@@ -763,6 +763,25 @@ def _make_material(mtype, p: ParameterDictionary, warn, loc,
                     roughness2=p.get_float("interface.roughness",
                                            p.get_float("roughness", 0.0)),
                     eta=p.get_float("interface.eta", 1.5))
+    if mtype == "subsurface":
+        # materials.h SubsurfaceMaterial -> SUBSURFACE rows: mfp from
+        # sigma_a/sigma_s if given (d ~ 1/sigma_t'), else mfp directly
+        from ..models.materials import SUBSURFACE
+
+        sig_s = p.get_rgb("sigma_s", None)
+        sig_a2 = p.get_rgb("sigma_a", None)
+        g_ = p.get_float("g", 0.0)
+        scale_ = p.get_float("scale", 1.0)
+        if sig_s is not None and sig_a2 is not None:
+            sig_sp = np.asarray(sig_s) * (1.0 - g_) * scale_
+            sig_t = sig_sp + np.asarray(sig_a2) * scale_
+            A = sig_sp / np.maximum(sig_t, 1e-6)
+            d_mfp = 1.0 / np.maximum(sig_t, 1e-6)
+        else:
+            A = np.asarray(p.get_rgb("reflectance", np.asarray([0.5] * 3)))
+            d_mfp = np.asarray(p.get_rgb("mfp", np.asarray([1.0] * 3)))
+        return dict(type=SUBSURFACE, albedo=tuple(A), albedo2=tuple(d_mfp),
+                    eta=p.get_float("eta", 1.33))
     if mtype == "hair":
         # bxdfs.h HairBxDF parameters (materials.h HairMaterial): sigma_a
         # directly, or from reflectance, else brown-ish eumelanin default

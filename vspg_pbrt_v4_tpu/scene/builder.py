@@ -190,6 +190,29 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 med_in=st.medium_in, med_out=st.medium_out))
             if has_light:
                 warn("cylinder area light not supported for NEE", d.loc)
+        elif stype == "loopsubdiv":
+            # util/loopsubdiv.cpp LoopSubdivide: refine at build time
+            from ..utils.loopsubdiv import subdivide
+
+            P = p.get_floats("P").reshape(-1, 3)
+            idx = p.get_ints("indices").reshape(-1, 3)
+            levels = p.get_int("levels", 3)
+            Pl, Fl, Nl = subdivide(P, idx, levels=levels)
+            Pw = xf_pts(Pl)
+            Nw = xf_nrm(Nl)
+            for t_i in range(Fl.shape[0]):
+                a, b2, c3 = Fl[t_i]
+                if has_light:
+                    light_id = len(area_tris)
+                    area_tris.append(dict(p0=Pw[a], p1=Pw[b2], p2=Pw[c3],
+                                          L=L_area, twosided=two))
+                tris.append(dict(p0=Pw[a], p1=Pw[b2], p2=Pw[c3],
+                                 n0=Nw[a], n1=Nw[b2], n2=Nw[c3],
+                                 mat=mat_id,
+                                 light=light_id if has_light else -1,
+                                 med_in=st.medium_in,
+                                 med_out=st.medium_out))
+                light_id = -1
         elif stype == "curve":
             # cubic Bezier curves (shapes.h Curve:1219; pbrt "curve" shape:
             # P = 4 (or 4+3k chained) control points, width/width0/width1)

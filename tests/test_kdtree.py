@@ -1,0 +1,91 @@
+"""Kd-tree aggregate vs brute force (the reference's KdTreeAggregate,
+cpu/aggregates.h:76). The BVH/brute-force closest hit is the oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vspg_pbrt_v4_tpu.ops.intersect import ray_triangle
+from vspg_pbrt_v4_tpu.ops.kdtree import build_kdtree, kdtree_traverse
+
+
+def _tri_soup(n, rng, spread=4.0, size=0.4):
+    c = rng.uniform(-spread, spread, (n, 3))
+    a = c + rng.uniform(-size, size, (n, 3))
+    b = c + rng.uniform(-size, size, (n, 3))
+    d = c + rng.uniform(-size, size, (n, 3))
+    return (np.asarray(a, np.float32), np.asarray(b, np.float32),
+            np.asarray(d, np.float32))
+
+
+def _closest_brute(o, d, t_max, p0, p1, p2):
+    ht, tt, _, _, _ = ray_triangle(o[:, None, :], d[:, None, :],
+                                   t_max[:, None], jnp.asarray(p0),
+                                   jnp.asarray(p1), jnp.asarray(p2))
+    tt = jnp.where(ht, tt, jnp.inf)
+    k = jnp.argmin(tt, -1)
+    t = jnp.take_along_axis(tt, k[:, None], -1)[:, 0]
+    return jnp.where(jnp.isfinite(t), k, -1), t
+
+
+def _closest_kd(kd, o, d, t_max, p0, p1, p2):
+    p0j, p1j, p2j = jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2)
+
+    def leaf_fn(pid, m, t_best, best_k):
+        hit, t, _, _, _ = ray_triangle(o, d, t_best, p0j[pid], p1j[pid],
+                                       p2j[pid])
+        closer = m & hit
+        return jnp.where(closer, t, t_best), jnp.where(closer, pid, best_k)
+
+    t, k = kdtree_traverse(kd, o, d, t_max,
+                           leaf_fn, jnp.full(o.shape[0], -1, jnp.int32))
+    return k, t
+
+
+def test_kdtree_matches_brute_force():
+    rng = np.random.default_rng(0)
+    p0, p1, p2 = _tri_soup(300, rng)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    kd = build_kdtree(lo, hi)
+    R = 2048
+    o = jnp.asarray(rng.uniform(-6, 6, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t_max = jnp.full(R, jnp.inf)
+    kb, tb = _closest_brute(o, d, t_max, p0, p1, p2)
+    kk, tk = _closest_kd(kd, o, d, t_max, p0, p1, p2)
+    hit_b = np.asarray(kb) >= 0
+    hit_k = np.asarray(kk) >= 0
+    assert (hit_b == hit_k).mean() > 0.999, (hit_b.sum(), hit_k.sum())
+    both = hit_b & hit_k
+    assert np.allclose(np.asarray(tb)[both], np.asarray(tk)[both],
+                       rtol=1e-4), "closest-hit t mismatch"
+
+
+def test_kdtree_rays_from_inside():
+    rng = np.random.default_rng(1)
+    p0, p1, p2 = _tri_soup(150, rng, spread=2.0)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    kd = build_kdtree(lo, hi)
+    R = 1024
+    o = jnp.asarray(rng.uniform(-1, 1, (R, 3)), jnp.float32)  # deep inside
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t_max = jnp.full(R, jnp.inf)
+    kb, tb = _closest_brute(o, d, t_max, p0, p1, p2)
+    kk, tk = _closest_kd(kd, o, d, t_max, p0, p1, p2)
+    both = (np.asarray(kb) >= 0) & (np.asarray(kk) >= 0)
+    assert ((np.asarray(kb) >= 0) == (np.asarray(kk) >= 0)).mean() > 0.999
+    assert np.allclose(np.asarray(tb)[both], np.asarray(tk)[both], rtol=1e-4)
+
+
+def test_kdtree_degenerate_single_prim():
+    p0 = np.asarray([[0, 0, 0]], np.float32)
+    p1 = np.asarray([[1, 0, 0]], np.float32)
+    p2 = np.asarray([[0, 1, 0]], np.float32)
+    kd = build_kdtree(p0, np.maximum(p1, p2))
+    o = jnp.asarray([[0.2, 0.2, -1.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    k, t = _closest_kd(kd, o, d, jnp.full(1, jnp.inf), p0, p1, p2)
+    assert int(k[0]) == 0 and abs(float(t[0]) - 1.0) < 1e-5

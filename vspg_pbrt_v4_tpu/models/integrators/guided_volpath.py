@@ -232,7 +232,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     # ---- non-scattered: escape / surface ----------------------------------
     flew = alive & ~scat
     escaped = flew & ~h.hit
-    Le_env = scene.lights.le_escaped(s.d)
+    Le_env = scene.lights.le_escaped(s.d, s.o)
     any_env = average(Le_env) > 0
     first = (s.depth == 0) | s.specular
     no_mis = escaped & first & any_env

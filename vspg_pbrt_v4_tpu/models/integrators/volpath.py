@@ -525,7 +525,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
 
     # escaped: infinite lights with MIS (integrators.cpp:1127-1143)
     escaped = flew & ~h.hit
-    Le_env = scene.lights.le_escaped(s.d)
+    Le_env = scene.lights.le_escaped(s.d, s.o)
     if s.lam is not None:
         from ...utils.spectrum import uplift_unbounded
 
@@ -535,7 +535,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     no_mis = escaped & first & any_env
     L = _m(no_mis, L + beta * Le_env / jnp.maximum(average(r_u), 1e-30)[..., None], L)
     with_mis = escaped & ~first & any_env
-    p_l_esc = scene.lights.pdf_li_escaped(s.d)
+    p_l_esc = scene.lights.pdf_li_escaped(s.d, s.prev_p)
     r_l_esc = r_l * p_l_esc[..., None]
     denom_esc = jnp.maximum(average(r_u + r_l_esc), 1e-30)
     L = _m(with_mis, L + beta * Le_env / denom_esc[..., None], L)

@@ -874,7 +874,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     # ---- escape / surface (same structure as guided_volpath) ---------------
     flew = alive & ~scat
     escaped = flew & ~h.hit
-    Le_env = scene.lights.le_escaped(s.d)
+    Le_env = scene.lights.le_escaped(s.d, s.o)
     any_env = average(Le_env) > 0
     first = (s.depth == 0) | s.specular
     no_mis = escaped & first & any_env

@@ -85,6 +85,9 @@ class Lights:
     world_radius: float = struct.field(pytree_node=False)  # shadow-ray lengths
     # BVH light sampler over the finite lights (sampler="bvh"); None = table
     bvh: object = struct.field(default=None)
+    # portal-constrained env (models/portal_light.PortalLight); when set it
+    # replaces the plain env light's sampling/emission
+    portal: object = struct.field(default=None)
 
     @staticmethod
     def make(point_p=None, point_I=None, distant_dir=None, distant_L=None,
@@ -488,7 +491,10 @@ class Lights:
 
         if self.has_env:
             sel = idx == (n - 1)
-            if self.has_env_img:
+            if self.portal is not None:
+                wi_e, L_e, pdf_e, ok_e = self.portal.sample_li(ref_p, u2)
+                pdf_e = jnp.where(ok_e, jnp.maximum(pdf_e, 1e-12), 0.0)
+            elif self.has_env_img:
                 # importance-sample texels of the equal-area map
                 S = self.env_img.shape[0]
                 u_flat = jnp.clip(u2[..., 0], 0.0, 0.999999)
@@ -676,10 +682,13 @@ class Lights:
         return p, d, alpha, n_l, is_area, valid, alpha_pos
 
     # -- escaped-ray emission (infinite lights) -----------------------------
-    def le_escaped(self, d):
-        """Radiance from infinite lights along escaped direction d: (R,3)."""
+    def le_escaped(self, d, o=None):
+        """Radiance from infinite lights along escaped direction d: (R,3).
+        o: escaped-ray origins (portal lights window-test against them)."""
         if not self.has_env:
             return jnp.zeros(d.shape[:-1] + (3,))
+        if self.portal is not None:
+            return self.portal.le(d, o)
         if self.has_env_img:
             from ..utils.vecmath import equal_area_sphere_to_square
 
@@ -690,11 +699,19 @@ class Lights:
             return self.env_img[iy, ix]
         return jnp.broadcast_to(self.env_L, d.shape[:-1] + (3,))
 
-    def pdf_li_escaped(self, d):
+    def pdf_li_escaped(self, d, ref_p=None):
         """select_pmf * directional pdf for MIS of escaped rays
-        (UniformInfiniteLight::PDF_Li = uniform-sphere pdf)."""
+        (UniformInfiniteLight::PDF_Li = uniform-sphere pdf; portal lights
+        need the previous scattering vertex ref_p)."""
         if not self.has_env:
             return jnp.zeros(d.shape[:-1])
+        if self.portal is not None:
+            sel = (self.select_pmf_table[self.n_lights - 1]
+                   if self.bvh is None else
+                   (self.n_infinite / (self.n_infinite + 1.0)) / self.n_infinite)
+            if ref_p is None:
+                ref_p = jnp.zeros(d.shape[:-1] + (3,))
+            return self.portal.pdf_li(ref_p, d) * sel
         if self.bvh is not None:
             n_inf = self.n_infinite
             sel = (n_inf / (n_inf + 1.0)) / n_inf

@@ -89,6 +89,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     distant_lights = []
     env_L = None
     env_img = None
+    portal_corners = [None]
     homog_media = []
     grid_media = []
     proc_media = []
@@ -434,6 +435,10 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                     if L is None:
                         L = p.get_rgb("radiance", np.asarray([1.0, 1, 1]))
                     env_L = L * scale
+                prt = p.get_floats("portal")
+                if prt is not None and len(prt) == 12:
+                    portal_corners[0] = xf_pts(
+                        np.asarray(prt, np.float32).reshape(4, 3))
             else:
                 warn(f"light '{ltype}' unsupported; ignored", d.loc)
 
@@ -678,6 +683,31 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         sampler=lsampler, spots=spot_lights or None,
         gonios=gonio_lights or None, projections=proj_lights or None,
     )
+    if portal_corners[0] is not None and (env_L is not None
+                                          or env_img is not None):
+        from ..models.portal_light import PortalLight
+        from ..utils.vecmath import equal_area_sphere_to_square
+
+        if env_img is not None:
+            import jax.numpy as jnp
+
+            S = env_img.shape[0]
+            eimg = np.asarray(env_img, np.float32)
+
+            def env_fn(dirs):
+                sq = np.asarray(equal_area_sphere_to_square(
+                    jnp.asarray(dirs, jnp.float32)))
+                ix = np.clip((sq[:, 0] * S).astype(int), 0, S - 1)
+                iy = np.clip((sq[:, 1] * S).astype(int), 0, S - 1)
+                return eimg[iy, ix]
+        else:
+            const = np.asarray(env_L, np.float32)
+
+            def env_fn(dirs):
+                return np.broadcast_to(const, (len(dirs), 3))
+
+        lights = lights.replace(portal=PortalLight.make(
+            env_fn, portal_corners[0], res=128))
     scene = volpath.Scene(geometry, materials, media, lights, tex_bank)
 
     # film + camera

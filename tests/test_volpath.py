@@ -110,3 +110,12 @@ def test_emissive_medium():
     center = img[28:36, 28:36].mean((0, 1))
     expected = 2.0 * (1.0 - np.exp(-2.0))
     assert np.allclose(center, expected, rtol=0.05), (center, expected)
+
+
+def test_persistent_wavefront_matches_analytic():
+    """render_persistent (ray-pool regeneration) stays unbiased: the
+    scattering furnace is exact and pure absorption matches Beer-Lambert."""
+    scene = _fog_box_scene([0, 0, 0], [1.0, 1.0, 1.0], env_L=[1, 1, 1])
+    img = np.asarray(volpath.render_persistent(
+        scene, _camera(), RGBFilm.make((32, 32)), spp=48, seed=0))
+    assert np.allclose(img.mean((0, 1)), 1.0, atol=0.02), img.mean((0, 1))

@@ -871,3 +871,94 @@ def make_fog_box_scene(sigma_a, sigma_s, g=0.0, Le=None, env_L=None,
                     med_out=-1)]
     )
     return Scene(geom, Materials.build([]), media, lights)
+
+
+# ---------------------------------------------------------------------------
+# Persistent wavefront: ray-pool regeneration
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "camera_medium", "n_lanes",
+                                   "sampler_kind"))
+def _render_persistent_jit(scene, camera, film, cfg, spp, seed, camera_medium,
+                           n_lanes, sampler_kind="independent"):
+    """Persistent-wavefront render: R lanes stay saturated — when a path
+    dies its radiance is committed and the lane immediately restarts the
+    next (pixel, sample) from a global counter. Replaces the wave-drain
+    outer loop (utilization ~1 instead of tailing off as paths die; the
+    reference's wavefront keeps queues full the same way,
+    wavefront/integrator.cpp:336-374)."""
+    R = n_lanes
+    npix = film.npix
+    total = npix * spp
+
+    def fresh(global_id, active):
+        pixel_id = (global_id % npix).astype(jnp.int32)
+        sample_index = (global_id // npix).astype(jnp.uint32)
+        s, fw = start_camera_paths(camera, film, seed, sample_index, pixel_id,
+                                   camera_medium, sampler_kind, 0,
+                                   cfg.spectral)
+        s = s._replace(alive=s.alive & active)
+        return s, pixel_id, fw
+
+    gid0 = jnp.arange(R, dtype=jnp.uint32)
+    s, pixel_id, fw = fresh(gid0, gid0 < total)
+    next_ctr = jnp.uint32(min(R, total))
+    film_state = film.init_state()
+
+    def cond(c):
+        s, pixel_id, fw, film_state, next_ctr, it = c
+        return jnp.any(s.alive) & (it < spp * cfg.max_events)
+
+    def body(c):
+        s, pixel_id, fw, film_state, next_ctr, it = c
+        was_alive = s.alive
+        s = volpath_bounce(scene, cfg, s)
+        died = was_alive & ~s.alive
+        # commit finished paths
+        if cfg.spectral:
+            film_state = film.add_spectral_samples(
+                film_state, jnp.where(died, pixel_id, 0),
+                jnp.where(died[..., None], s.L, 0.0), s.lam, s.pdf_lam,
+                jnp.where(died, fw, 0.0))
+        else:
+            film_state = film.add_samples(
+                film_state, jnp.where(died, pixel_id, 0),
+                jnp.where(died[..., None], s.L, 0.0),
+                jnp.where(died, fw, 0.0))
+        # reseed died lanes with fresh samples while budget remains
+        rank = jnp.cumsum(died.astype(jnp.uint32)) - died.astype(jnp.uint32)
+        new_gid = next_ctr + rank
+        has_budget = died & (new_gid < total)
+        s2, pixel2, fw2 = fresh(new_gid, has_budget)
+        pick = has_budget
+
+        def sel(new, old):
+            if new.ndim == 0:  # scalars (sampler seed) are identical
+                return new
+            m = pick
+            while m.ndim < new.ndim:
+                m = m[..., None]
+            return jnp.where(m, new, old)
+
+        s = jax.tree_util.tree_map(sel, s2, s)
+        pixel_id = jnp.where(pick, pixel2, pixel_id)
+        fw = jnp.where(pick, fw2, fw)
+        next_ctr = next_ctr + jnp.sum(died.astype(jnp.uint32))
+        next_ctr = jnp.minimum(next_ctr, jnp.uint32(total))
+        return s, pixel_id, fw, film_state, next_ctr, it + 1
+
+    s, pixel_id, fw, film_state, next_ctr, _ = jax.lax.while_loop(
+        cond, body, (s, pixel_id, fw, film_state, next_ctr, jnp.int32(0)))
+    return film.image(film_state)
+
+
+def render_persistent(scene: Scene, camera, film, spp=16,
+                      cfg=VolPathConfig(), seed=0, camera_medium=-1,
+                      lanes_per_pixel=2, sampler="independent"):
+    """Persistent-wavefront render driver. lanes_per_pixel controls the
+    pool size (R = npix * lanes_per_pixel)."""
+    R = film.npix * max(int(lanes_per_pixel), 1)
+    return _render_persistent_jit(scene, camera, film, cfg, int(spp),
+                                  jnp.uint32(seed), int(camera_medium), R,
+                                  str(sampler))

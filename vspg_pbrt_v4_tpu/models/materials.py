@@ -68,6 +68,12 @@ HAIR = 8  # Chiang et al. 2016 fiber model (bxdfs.h HairBxDF:~700)
 SUBSURFACE = 9  # separable BSSRDF (bssrdf.h:135; models/bssrdf.py)
           # field reuse: albedo=A, albedo2=diffusion mfp d, eta=IOR;
           # handled by the integrator's probe relocation (cfg.sss)
+MEASURED = 10  # tabulated measured BRDF (materials.h Measured:909 role).
+          # The reference reads RGL .bsdf tensors (Dupuy-Jakob adaptive
+          # parameterization); here: a Rusinkiewicz (theta_h, theta_d,
+          # phi_d) table bank with trilinear lookup + cosine sampling,
+          # fed by the MERL .binary loader (load_merl_brdf) or synthetic
+          # tables. meas_id picks the table; sampling is cosine-hemisphere.
 
 
 class Materials(NamedTuple):
@@ -81,11 +87,14 @@ class Materials(NamedTuple):
     mix_m1: jnp.ndarray  # (M,) MIX constituent ids (-1 elsewhere)
     mix_m2: jnp.ndarray  # (M,)
     mix_amount: jnp.ndarray  # (M,) probability of mix_m1
+    meas_id: jnp.ndarray = None  # (M,) measured-table id (-1 = none)
+    meas_bank: jnp.ndarray = None  # (K,Nh,Nd,Np,3) measured BRDF tables
 
     @staticmethod
-    def build(mats):
+    def build(mats, measured_tables=None):
         """mats: list of dicts {type, albedo, albedo2, eta, roughness,
-        roughness2, albedo_tex, mix_m1, mix_m2, mix_amount}."""
+        roughness2, albedo_tex, mix_m1, mix_m2, mix_amount, meas_id};
+        measured_tables: optional (K,Nh,Nd,Np,3) array bank."""
         n = len(mats)
         if n == 0:
             # dummy black-diffuse row so lane gathers stay in range
@@ -101,6 +110,9 @@ class Materials(NamedTuple):
             jnp.asarray([m.get("mix_m1", -1) for m in mats], jnp.int32),
             jnp.asarray([m.get("mix_m2", -1) for m in mats], jnp.int32),
             jnp.asarray([m.get("mix_amount", 0.5) for m in mats], jnp.float32),
+            jnp.asarray([m.get("meas_id", -1) for m in mats], jnp.int32),
+            (None if measured_tables is None
+             else jnp.asarray(measured_tables, jnp.float32)),
         )
 
     def resolve_mix(self, mat_id, p=None):
@@ -130,6 +142,8 @@ class Materials(NamedTuple):
             self.mat_type[mid], self.albedo[mid], self.albedo2[mid],
             self.eta[mid], self.roughness[mid], self.roughness2[mid],
             self.mix_amount[mid], jnp.zeros_like(self.eta[mid]),
+            None if self.meas_id is None else self.meas_id[mid],
+            self.meas_bank,
         )
 
     def gather_textured(self, textures, mat_id, uv, p=None):
@@ -162,6 +176,8 @@ class BSDFLanes(NamedTuple):
     roughness2: jnp.ndarray  # (R,) coat roughness
     alpha: jnp.ndarray = None  # (R,) hair scale tilt
     h: jnp.ndarray = None  # (R,) hair cross-section offset in [-1,1]
+    meas_id: jnp.ndarray = None  # (R,) measured-table id
+    meas_bank: jnp.ndarray = None  # shared (K,Nh,Nd,Np,3) bank
 
     @property
     def is_specular(self):
@@ -381,6 +397,11 @@ def bsdf_f(lanes: BSDFLanes, wo, wi):
     # hair fibers (frame x = tangent; see hair_f below)
     is_hair = lanes.mat_type == HAIR
     f = jnp.where(is_hair[..., None], hair_f(lanes, wo, wi), f)
+
+    # measured tables (reflection only, reciprocal by construction)
+    if lanes.meas_bank is not None:
+        is_meas = (lanes.mat_type == MEASURED) & same
+        f = jnp.where(is_meas[..., None], measured_f(lanes, wo, wi), f)
     return f
 
 
@@ -453,6 +474,11 @@ def bsdf_pdf(lanes: BSDFLanes, wo, wi):
 
     is_hair = lanes.mat_type == HAIR
     pdf = jnp.where(is_hair, hair_pdf(lanes, wo, wi), pdf)
+
+    if lanes.meas_bank is not None:
+        is_meas = lanes.mat_type == MEASURED
+        pdf = jnp.where(is_meas & same,
+                        cosine_hemisphere_pdf(abs_cos_theta(wi)), pdf)
     return pdf
 
 
@@ -630,6 +656,19 @@ def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
     f = jnp.where(is_coat[..., None], f_l, f)
     pdf = jnp.where(is_coat, pdf_l, pdf)
     valid = valid | (is_coat & same_hemisphere(wo, wi_l) & (pdf_l > 0))
+
+    # ---- measured: cosine-hemisphere sampling ----
+    if lanes.meas_bank is not None:
+        is_meas = lanes.mat_type == MEASURED
+        wi_me = sample_cosine_hemisphere(u2)
+        wi_me = jnp.where(flip[..., None],
+                          wi_me * jnp.asarray([1.0, 1.0, -1.0]), wi_me)
+        pdf_me = cosine_hemisphere_pdf(abs_cos_theta(wi_me))
+        f_me = measured_f(lanes, wo, wi_me)
+        wi = jnp.where(is_meas[..., None], wi_me, wi)
+        f = jnp.where(is_meas[..., None], f_me, f)
+        pdf = jnp.where(is_meas, pdf_me, pdf)
+        valid = valid | (is_meas & (pdf_me > 0))
 
     # ---- hair ----
     is_hair = lanes.mat_type == HAIR
@@ -888,3 +927,85 @@ def hair_sigma_a_from_reflectance(c, beta_n):
     denom = (5.969 - 0.215 * beta_n + 2.532 * beta_n**2 - 10.73 * beta_n**3
              + 5.574 * beta_n**4 + 0.245 * beta_n**5)
     return (_np.log(c) / denom) ** 2
+
+
+# -- measured BRDF (materials.h MeasuredMaterial role) -----------------------
+
+
+def _rusinkiewicz(wo, wi):
+    """(theta_h, theta_d, phi_d) half/difference angles of (wo, wi) in the
+    local frame (the MERL/measured-BRDF parameterization)."""
+    wh = normalize(wo + wi)
+    theta_h = jnp.arccos(jnp.clip(cos_theta(wh), -1.0, 1.0))
+    # rotate wi into the half-vector frame
+    from ..utils.vecmath import coordinate_system as _cs
+
+    bi_n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wh.shape)
+    t1 = normalize(jnp.cross(bi_n, wh) + 1e-12)
+    t2 = jnp.cross(wh, t1)
+    wd = jnp.stack([dot(wi, t1), dot(wi, t2), dot(wi, wh)], -1)
+    theta_d = jnp.arccos(jnp.clip(wd[..., 2], -1.0, 1.0))
+    phi_d = jnp.arctan2(wd[..., 1], wd[..., 0]) % jnp.pi  # reciprocity fold
+    return theta_h, theta_d, phi_d
+
+
+def measured_f(lanes: BSDFLanes, wo, wi):
+    """Trilinear table lookup of the measured BRDF. (R,3)."""
+    if lanes.meas_bank is None:
+        return jnp.zeros_like(lanes.albedo)
+    bank = lanes.meas_bank
+    K, Nh, Nd, Np_ = bank.shape[:4]
+    th, td, pd = _rusinkiewicz(wo, wi)
+    # MERL-style sqrt warp concentrates resolution near theta_h = 0
+    fh = jnp.sqrt(jnp.clip(th / (jnp.pi / 2), 0.0, 1.0)) * (Nh - 1)
+    fd = jnp.clip(td / (jnp.pi / 2), 0.0, 1.0) * (Nd - 1)
+    fp = jnp.clip(pd / jnp.pi, 0.0, 1.0) * (Np_ - 1)
+    mid = jnp.clip(lanes.meas_id if lanes.meas_id is not None else 0,
+                   0, K - 1)
+
+    def tri(f, n):
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 1)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        return i0, i1, f - i0
+
+    h0, h1, wh_ = tri(fh, Nh)
+    d0, d1, wd_ = tri(fd, Nd)
+    p0, p1, wp_ = tri(fp, Np_)
+    out = jnp.zeros(wo.shape[:-1] + (3,))
+    for hi, hw in ((h0, 1 - wh_), (h1, wh_)):
+        for di, dw in ((d0, 1 - wd_), (d1, wd_)):
+            for pi, pw in ((p0, 1 - wp_), (p1, wp_)):
+                out = out + (hw * dw * pw)[..., None] * bank[mid, hi, di, pi]
+    return jnp.maximum(out, 0.0)
+
+
+def load_merl_brdf(path, out_res=(32, 16, 16)):
+    """Read a MERL .binary BRDF and downsample to an (Nh,Nd,Np,3) table in
+    the sqrt-warped Rusinkiewicz grid used by measured_f. MERL layout:
+    three int32 dims (90,90,180) then float64 channels scaled by
+    (1/1500, 1.15/1500, 1.66/1500)."""
+    import numpy as _np
+
+    with open(path, "rb") as f:
+        dims = _np.fromfile(f, _np.int32, 3)
+        n = int(dims[0] * dims[1] * dims[2])
+        data = _np.fromfile(f, _np.float64, 3 * n)
+    th_n, td_n, pd_n = int(dims[0]), int(dims[1]), int(dims[2])
+    scale = _np.asarray([1.0 / 1500, 1.15 / 1500, 1.66 / 1500])
+    vol = data.reshape(3, th_n, td_n, pd_n)
+    vol = _np.moveaxis(vol, 0, -1) * scale  # (th, td, pd, 3)
+    vol = _np.maximum(vol, 0.0)
+    Nh, Nd, Np_ = out_res
+    ih = _np.minimum((_np.arange(Nh) * th_n) // Nh, th_n - 1)
+    idd = _np.minimum((_np.arange(Nd) * td_n) // Nd, td_n - 1)
+    ip = _np.minimum((_np.arange(Np_) * pd_n) // Np_, pd_n - 1)
+    return vol[_np.ix_(ih, idd, ip)].astype(_np.float32)
+
+
+def make_lambertian_table(albedo, res=(32, 16, 16)):
+    """Synthetic measured table of a Lambertian BRDF (tests/validation)."""
+    import numpy as _np
+
+    t = _np.empty(res + (3,), _np.float32)
+    t[...] = _np.asarray(albedo, _np.float32) / _np.pi
+    return t

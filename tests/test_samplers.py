@@ -197,3 +197,36 @@ def test_sobol_full_deep_dimensions_stratified():
     for p in range(n_pix):
         counts = np.histogram(out[p, :, 0], bins=spp, range=(0, 1))[0]
         assert counts.max() == 1, (p, counts.max())  # exact (0,1)-net
+
+
+def test_pmj02_table_is_02_net():
+    """Every elementary (0,2) interval of every power-of-two prefix holds
+    exactly the right number of points (the defining pmj02 property)."""
+    from vspg_pbrt_v4_tpu.utils.lowdiscrepancy import generate_pmj02_table
+
+    pts = np.asarray(generate_pmj02_table(256, seed=5))
+    for m in (2, 4, 6, 8):  # prefix sizes 4, 16, 64, 256
+        n = 1 << m
+        p = pts[:n]
+        # all splits a+b=m: grid of 2^a x 2^b cells must have exactly 1 pt
+        for a in range(m + 1):
+            b = m - a
+            ix = (p[:, 0] * (1 << a)).astype(int)
+            iy = (p[:, 1] * (1 << b)).astype(int)
+            cells = ix * (1 << b) + iy
+            assert len(np.unique(cells)) == n, (n, a, b)
+
+
+def test_pmj02bn_sampler_stratifies_pixels():
+    spp = 64
+    u = _collect("pmj02bn", spp=spp, n_pix=16)
+    for p in range(16):
+        counts = np.histogram(u[p, :, 0], bins=spp, range=(0, 1))[0]
+        assert counts.max() == 1  # exact 1D stratification
+    # variance reduction vs independent
+    f = lambda u: np.sin(np.pi * u[..., 0]) * u[..., 1] ** 2  # noqa: E731
+    true_val = (2 / np.pi) * (1 / 3)
+    err = ((f(u).mean(1) - true_val) ** 2).mean()
+    ui = _collect("independent", spp=spp, n_pix=16)
+    err_i = ((f(ui).mean(1) - true_val) ** 2).mean()
+    assert err < 0.35 * err_i

@@ -39,6 +39,7 @@ from ..utils.lowdiscrepancy import (
 )
 
 _PADDED = ("paddedsobol", "zsobol", "halton")
+_PMJ = ("pmj02bn", "pmj02")
 
 
 @struct.dataclass
@@ -115,6 +116,15 @@ class LaneSampler:
             idx = zsobol_shuffled_index(morton, n_d4, self._dim_seed(0x2F8B))
             v = sobol_dim1(idx) if lane == 1 else sobol_dim0(idx)
             v = fast_owen_scramble(v, self._dim_seed(0x55 + lane))
+            return u32_to_unit_float(v)
+        if self.kind in _PMJ:
+            # per-pixel progressive pmj02 pairs: the sample_index walks an
+            # Owen-scrambled (0,2) sequence whose scramble is keyed by
+            # (pixel, dim) — pmj02 stratification within every pixel,
+            # hashed decorrelation across pixels (PMJ02BNSampler role)
+            v = sobol_dim1(self.sample_index) if lane == 1 \
+                else sobol_dim0(self.sample_index)
+            v = fast_owen_scramble(v, self._dim_seed(0x2B7E + 0x9E37 * lane))
             return u32_to_unit_float(v)
         if self.kind == "sobol":
             from ..utils.lowdiscrepancy import sobol_u32

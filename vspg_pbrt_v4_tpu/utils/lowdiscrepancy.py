@@ -348,3 +348,27 @@ def zsobol_shuffled_index(morton, n_base4_digits, seed):
         digit = _PERM4[p, digit].astype(_U32)
         out = out | (digit << digit_shift)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PMJ02 point sets (samplers.h PMJ02BNSampler:367 role)
+#
+# Progressive multi-jittered (0,2) sets: every prefix of an Owen-scrambled
+# (0,2)-sequence is a pmj02 set (Christensen et al. 2018 note the
+# equivalence class), so tables are generated from Sobol dims (0,1) under
+# full per-dimension Owen scrambling instead of the reference's shipped
+# blue-noise-optimized tables; pixel decorrelation uses hashed scrambles
+# rather than the blue-noise pixel arrangement.
+# ---------------------------------------------------------------------------
+
+
+def generate_pmj02_table(n, seed=0):
+    """Generate one pmj02 point set of n samples as a (n,2) float array
+    (host-usable; progressive: every power-of-two prefix is stratified on
+    all elementary (0,2) intervals)."""
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    sx = jnp.uint32((seed * 0x9E3779B9 + 0x1234567) & 0xFFFFFFFF)
+    sy = jnp.uint32((seed * 0x85EBCA6B + 0x89ABCD) & 0xFFFFFFFF)
+    x = fast_owen_scramble(sobol_dim0(idx), jnp.full(n, sx, jnp.uint32))
+    y = fast_owen_scramble(sobol_dim1(idx), jnp.full(n, sy, jnp.uint32))
+    return jnp.stack([u32_to_unit_float(x), u32_to_unit_float(y)], -1)

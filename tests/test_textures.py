@@ -105,3 +105,21 @@ def test_mipmap_pyramid():
     # footprint mapping: one-texel width -> level 0, full-image -> top
     assert float(width_to_lod(jnp.asarray(1 / 32), 32)) == 0.0
     assert float(width_to_lod(jnp.asarray(1.0), 32)) == 5.0
+
+
+def test_bilerp_texture_corners():
+    """BilerpTexture: exact corner values + midpoint blend."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.textures import BILERP, Textures, eval_texture
+
+    bank = Textures.build([dict(kind=BILERP, c0=(1, 0, 0), c1=(0, 1, 0),
+                                c2=(0, 0, 1), c3=(1, 1, 1))])
+    uv = jnp.asarray([[0.001, 0.001], [0.001, 0.999], [0.999, 0.001],
+                      [0.5, 0.5]], jnp.float32)
+    tid = jnp.zeros(4, jnp.int32)
+    out = np.asarray(eval_texture(bank, tid, uv))
+    assert np.allclose(out[0], [1, 0, 0], atol=5e-3)
+    assert np.allclose(out[1], [0, 1, 0], atol=5e-3)
+    assert np.allclose(out[2], [0, 0, 1], atol=5e-3)
+    assert np.allclose(out[3], [0.5, 0.5, 0.5], atol=1e-5)

@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--store-guiding-cache", default=None)
     ap.add_argument("--load-guiding-cache", default=None,
                     help="pre-trained field npz (disables training)")
+    ap.add_argument("--guiding-gbuffer", action="store_true",
+                    help="write the guiding-cache-id falsecolor EXR next "
+                         "to the image (GuidedGBufferFilm, film.h:413)")
     ap.add_argument("--pixelstats", action="store_true",
                     help="write per-pixel stats heatmaps next to the image")
     ap.add_argument("--debugstart", default=None, metavar="X,Y,S",
@@ -283,6 +286,16 @@ def main(argv=None):
             from .models.guiding.field import save_field
 
             save_field(field, args.store_guiding_cache)
+        if args.guiding_gbuffer:
+            from .models.integrators import extras as _ex
+
+            gb_rgb, _gb_id = _ex.render_guiding_gbuffer(
+                setup.scene, setup.camera, setup.film, field)
+            base = (args.outfile or setup.outfile or "out.exr").rsplit(".", 1)[0]
+            write_exr(base + "_guiding_ids.exr", np.asarray(gb_rgb))
+            if not args.quiet:
+                print(f"[guiding-gbuffer] {base}_guiding_ids.exr",
+                      file=sys.stderr)
         img = np.asarray(img)
     else:
         print(f"integrator '{name}' not supported; falling back to volpath",

@@ -16,6 +16,8 @@ scene-facing surface):
   8 DOTS      procedural polka dots (textures.h DotsTexture)
   9 UV        uv visualization (textures.h UVTexture)
  10 WINDY     two-scale fBm waves (textures.h WindyTexture)
+ 11 BILERP    bilinear blend of 4 corner values (textures.h BilerpTexture:
+              c0=v00, c1=v01, c2=v10, c3=v11 over wrapped scaled uv)
 
 Evaluation is fully vectorized: ``eval_texture(bank, tex_id, uv, p)``
 gathers parameters per lane and computes all kinds masked; the noise
@@ -39,6 +41,7 @@ MARBLE = 7
 DOTS = 8
 UV = 9
 WINDY = 10
+BILERP = 11
 
 _NOISE_KINDS = (FBM, WRINKLED, MARBLE, WINDY)
 
@@ -62,6 +65,8 @@ class Textures:
     params: jnp.ndarray  # (T,4) [octaves, omega, scale, variation]
     atlas: jnp.ndarray  # (I, H, W, 3) stacked images (uniform size)
     has_images: bool = struct.field(pytree_node=False, default=False)
+    c2: jnp.ndarray = None  # (T,3) bilerp v10
+    c3: jnp.ndarray = None  # (T,3) bilerp v11
 
     @staticmethod
     def build(textures, images=()):
@@ -92,8 +97,12 @@ class Textures:
             atlas = jnp.asarray(atlas)
         else:
             atlas = jnp.zeros((1, 1, 1, 3), jnp.float32)
+        c2 = jnp.asarray([t.get("c2", (0, 0, 0)) for t in textures],
+                         jnp.float32)
+        c3 = jnp.asarray([t.get("c3", (0, 0, 0)) for t in textures],
+                         jnp.float32)
         return Textures(kind, c0, c1, uvs, img_id, inner, inner2, params,
-                        atlas, bool(images))
+                        atlas, bool(images), c2, c3)
 
 
 def _eval_level(bank: Textures, tid, uv, p=None):
@@ -126,6 +135,15 @@ def _eval_level(bank: Textures, tid, uv, p=None):
         d = bank.atlas[img_id, y1, x1]
         bil = (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
         out = jnp.where((k == IMAGE)[..., None], bil, out)
+    # bilerp (textures.h BilerpTexture: corner blend over wrapped uv)
+    if bank.c2 is not None:
+        bu = su[..., 0] % 1.0
+        bv = su[..., 1] % 1.0
+        blp = ((1 - bu) * (1 - bv))[..., None] * c0 \
+            + ((1 - bu) * bv)[..., None] * c1 \
+            + (bu * (1 - bv))[..., None] * bank.c2[tid] \
+            + (bu * bv)[..., None] * bank.c3[tid]
+        out = jnp.where((k == BILERP)[..., None], blp, out)
     # uv visualization
     out = jnp.where((k == UV)[..., None],
                     jnp.stack([uv[..., 0] % 1.0, uv[..., 1] % 1.0,

@@ -620,6 +620,16 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                            c1=tuple(p.get_rgb("inside", np.zeros(3))),
                            uvscale=(p.get_float("uscale", 1.0),
                                     p.get_float("vscale", 1.0)))
+            elif tclass == "bilerp":
+                from ..models.textures import BILERP
+
+                row = dict(kind=BILERP,
+                           c0=tuple(p.get_rgb("v00", np.zeros(3))),
+                           c1=tuple(p.get_rgb("v01", np.zeros(3))),
+                           c2=tuple(p.get_rgb("v10", np.ones(3))),
+                           c3=tuple(p.get_rgb("v11", np.ones(3))),
+                           uvscale=(p.get_float("uscale", 1.0),
+                                    p.get_float("vscale", 1.0)))
             elif tclass == "uv":
                 row = dict(kind=UV_TEX)
             else:

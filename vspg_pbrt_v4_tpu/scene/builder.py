@@ -456,13 +456,21 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 ))
                 named_media[mname] = ("homog", len(homog_media) - 1)
             elif mtype in ("uniformgrid", "grid"):
-                dens = p.get_floats("density")
-                nx = p.get_int("nx", 1)
-                ny = p.get_int("ny", 1)
-                nz = p.get_int("nz", 1)
-                p0 = p.get_point3("p0", np.zeros(3))
-                p1 = p.get_point3("p1", np.ones(3))
-                dens = dens.reshape(nz, ny, nx).transpose(2, 1, 0)  # pbrt order
+                gridfile = p.get_string("gridfile", "")
+                if gridfile:
+                    # npz from tools/nanovdb2grid (density+bmin+bmax)
+                    z = np.load(gridfile)
+                    dens = np.asarray(z["density"], np.float32)
+                    p0 = np.asarray(z.get("bmin", np.zeros(3)), np.float32)
+                    p1 = np.asarray(z.get("bmax", np.ones(3)), np.float32)
+                else:
+                    dens = p.get_floats("density")
+                    nx = p.get_int("nx", 1)
+                    ny = p.get_int("ny", 1)
+                    nz = p.get_int("nz", 1)
+                    p0 = p.get_point3("p0", np.zeros(3))
+                    p1 = p.get_point3("p1", np.ones(3))
+                    dens = dens.reshape(nz, ny, nx).transpose(2, 1, 0)  # pbrt order
                 b0 = xf_pts(p0)
                 b1 = xf_pts(p1)
                 grid_media.append(GridMedium.make(
@@ -470,7 +478,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                     p.get_rgb("sigma_a", np.asarray([1.0, 1, 1])) * p.get_float("scale", 1.0),
                     p.get_rgb("sigma_s", np.asarray([1.0, 1, 1])) * p.get_float("scale", 1.0),
                     np.minimum(b0, b1), np.maximum(b0, b1),
-                    g=p.get_float("g", 0.0), maj_res=16,
+                    g=p.get_float("g", 0.0),
+                    maj_res=64 if gridfile else 16,  # media.cpp:252 vs :574
+                    majorant_scale=p.get_float("majorantscale", 1.0),
                 ))
                 named_media[mname] = ("grid", len(grid_media) - 1)
             elif mtype == "cloud":

@@ -51,6 +51,11 @@ class FieldHalf:
     vsp_n: jnp.ndarray  # (C,) sample counts
     flux: jnp.ndarray  # (C,3) RGB fluence/irradiance accumulator
     flux_w: jnp.ndarray  # (C,)
+    # directional VSP: per-lobe contribution moments, responsibility-
+    # weighted (the distribution-level VolumeScatterProbability(wi) of the
+    # fork's OpenPGL branch; guiding.h:564-574)
+    vsp_lobe_vol: jnp.ndarray = None  # (C,K)
+    vsp_lobe_surf: jnp.ndarray = None  # (C,K)
 
 
 @struct.dataclass
@@ -91,6 +96,8 @@ class GuidingField:
                 vsp_n=jnp.zeros((C,)),
                 flux=jnp.zeros((C, 3)),
                 flux_w=jnp.zeros((C,)),
+                vsp_lobe_vol=jnp.zeros((C, K)),
+                vsp_lobe_surf=jnp.zeros((C, K)),
             )
 
         return GuidingField(
@@ -123,6 +130,8 @@ class CellDistribution(NamedTuple):
     cell: jnp.ndarray  # (R,) cell id (GetId analog)
     vsp: jnp.ndarray  # (R,) cell volume-scatter-probability estimate
     flux: jnp.ndarray  # (R,3) cell mean radiance (radiance-cache analog)
+    vsp_lobe_vol: jnp.ndarray = None  # (R,K) directional VSP moments
+    vsp_lobe_surf: jnp.ndarray = None  # (R,K)
 
 
 def _gather_half(field: GuidingField, half: FieldHalf, p, vsp_variance=True):
@@ -158,7 +167,9 @@ def _gather_half(field: GuidingField, half: FieldHalf, p, vsp_variance=True):
     vsp = jnp.where(half.vsp_n[cid] > 8.0, vsp, -1.0)
 
     flux = half.flux[cid] / jnp.maximum(half.flux_w[cid], 1e-12)[..., None]
-    return CellDistribution(w, mu, kap, valid, cid, vsp, flux)
+    lv = None if half.vsp_lobe_vol is None else half.vsp_lobe_vol[cid]
+    ls_ = None if half.vsp_lobe_surf is None else half.vsp_lobe_surf[cid]
+    return CellDistribution(w, mu, kap, valid, cid, vsp, flux, lv, ls_)
 
 
 def _cell_center(field: GuidingField, cid):
@@ -205,6 +216,22 @@ def dist_sample(d: CellDistribution, u_sel, u2):
 
 def dist_pdf(d: CellDistribution, wi):
     return vmf.mixture_pdf(wi, d.weights, d.mu, d.kappa)
+
+
+def dist_vsp_directional(d: CellDistribution, wi):
+    """Directional VolumeScatterProbability(wi) (guiding.h:564-574): blend
+    the per-lobe contribution moments by the mixture posterior at wi; falls
+    back to the cell-level estimate where the lobes carry too little
+    mass."""
+    if d.vsp_lobe_vol is None:
+        return d.vsp
+    resp = d.weights * vmf.vmf_pdf(wi[..., None, :], d.mu, d.kappa)
+    resp = resp / jnp.maximum(jnp.sum(resp, -1, keepdims=True), 1e-20)
+    num = jnp.sum(resp * d.vsp_lobe_vol, -1)
+    den = num + jnp.sum(resp * d.vsp_lobe_surf, -1)
+    mass = jnp.sum(d.vsp_lobe_vol + d.vsp_lobe_surf, -1)
+    vdir = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-20), -1.0)
+    return jnp.where((mass > 8.0) & (vdir >= 0.0), vdir, d.vsp)
 
 
 def incoming_radiance_pdf(field: GuidingField, half_name, p, wi):
@@ -263,9 +290,14 @@ def _update_half(field, half: FieldHalf, batch: TrainBatch, sel, decay):
     flux = half.flux * decay + jnp.zeros_like(half.flux).at[cid].add(
         jnp.where((sel & batch.valid)[..., None], batch.radiance, 0.0))
     flux_w = half.flux_w * decay + jnp.zeros_like(half.flux_w).at[cid].add(wv)
+    # directional VSP: responsibility-weighted per-lobe moments
+    vsp_lobe_vol = half.vsp_lobe_vol * decay + jnp.zeros_like(
+        half.vsp_lobe_vol).at[cid].add(resp * (wv * batch.c_vol)[..., None])
+    vsp_lobe_surf = half.vsp_lobe_surf * decay + jnp.zeros_like(
+        half.vsp_lobe_surf).at[cid].add(resp * (wv * batch.c_surf)[..., None])
     return FieldHalf(weights, mu, kappa, stats_w, stats_s, stats_dist,
                      vsp_c_vol, vsp_c_surf, vsp_c2_vol, vsp_c2_surf, vsp_n,
-                     flux, flux_w)
+                     flux, flux_w, vsp_lobe_vol, vsp_lobe_surf)
 
 
 def field_update(field: GuidingField, batch: TrainBatch, decay=0.75):

@@ -138,7 +138,11 @@ def lookup_vsp(vopt: VSPGOptions, field: GuidingField, isgb: ISGB, s,
                                     vopt.vsp_criterion == "variance")
         d_srf = gfield._gather_half(field, field.surface, s.o,
                                     vopt.vsp_criterion == "variance")
-        v_sec = jnp.where(last_vol, d_vol.vsp, d_srf.vsp)
+        # directional query along the ray (VolumeScatterProbability(wi),
+        # guiding.h:564-574); falls back to the cell estimate
+        v_vol_dir = gfield.dist_vsp_directional(d_vol, s.d)
+        v_srf_dir = gfield.dist_vsp_directional(d_srf, s.d)
+        v_sec = jnp.where(last_vol, v_vol_dir, v_srf_dir)
         vsp = jnp.where(~primary & field.trained, v_sec, vsp)
     guide = vsp >= 0.0
     vsp = jnp.clip(vsp, 0.001, 0.999)

@@ -108,3 +108,15 @@ def test_function_integrator_convergence():
     err_s = float(jnp.mean((img_s[..., 0] - exact) ** 2))
     assert abs(float(img_i.mean()) - exact) < 0.01
     assert err_s < 0.5 * err_i, (err_s, err_i)
+
+
+def test_simplevolpath_matches_volpath_fog():
+    """SimpleVolPath (no NEE/MIS) is unbiased for env-lit media: matches
+    the MIS volpath's furnace exactly."""
+    from vspg_pbrt_v4_tpu.models.integrators import extras
+
+    scene = volpath.make_fog_box_scene([0, 0, 0], [1.0, 1.0, 1.0],
+                                       env_L=[1, 1, 1])
+    img = np.asarray(extras.render_simplevolpath(
+        scene, _camera(), RGBFilm.make((32, 32)), spp=48))
+    assert np.allclose(img.mean((0, 1)), 1.0, atol=0.03), img.mean((0, 1))

@@ -131,6 +131,7 @@ def main(argv=None):
     progressive = (args.time is not None or args.display_server
                    or args.write_partial_images or args.checkpoint)
     if progressive and name in ("volpath", "path", "simplevolpath"):
+        from .utils.progress import ProgressReporter
         from .utils.display import TevClient
 
         tev = None
@@ -155,7 +156,13 @@ def main(argv=None):
 
         ck_state = {}
 
+        reporter = ProgressReporter(
+            setup.spp if args.time is None else 0,
+            quiet=args.quiet or args.time is not None)
+
         def cb(wave, spp_done, image_fn, _state=None):
+            reporter.count = 0
+            reporter.update(spp_done)
             if tev is not None and tev.connected:
                 tev.update_image(out, image_fn())
             if args.write_partial_images:
@@ -172,6 +179,7 @@ def main(argv=None):
             resume_state=resume)
         if args.checkpoint:
             save_render_state(args.checkpoint, fstate, spp_done, args.seed)
+        reporter.done()
         img = np.asarray(img)
         if not args.quiet:
             print(f"[budget] rendered {spp_done} spp", file=sys.stderr)
@@ -230,7 +238,14 @@ def main(argv=None):
             sigma=ip.get_float("sigma", 0.01),
             large_step_probability=ip.get_float("largestepprobability", 0.3),
             seed=args.seed))
-    elif name in ("volpath", "path", "simplevolpath"):
+    elif name == "simplevolpath":
+        from .models.integrators import extras
+
+        img = np.asarray(extras.render_simplevolpath(
+            setup.scene, setup.camera, setup.film, spp=setup.spp,
+            seed=args.seed, spp_per_pass=spp_per_pass, cfg=cfg,
+            camera_medium=setup.camera_medium))
+    elif name in ("volpath", "path"):
         img = volpath.render(setup.scene, setup.camera, setup.film,
                              spp=setup.spp, cfg=cfg, seed=args.seed,
                              camera_medium=setup.camera_medium,

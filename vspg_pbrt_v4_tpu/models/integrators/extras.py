@@ -320,3 +320,82 @@ def render_pixel_stats(scene, camera, film, spp=16, cfg=None, seed=0,
     nx, ny = film.resolution
     img = jnp.stack([depth_sum, alive_sum, lum_sum], -1) / spp
     return img.reshape(ny, nx, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "spp_per_pass",
+                                   "camera_medium"))
+def _render_svp_jit(scene, camera, film, cfg, spp, seed, spp_per_pass,
+                    camera_medium):
+    """SimpleVolPath (cpu/integrators.cpp:879): null-scattering volumetric
+    path tracing WITHOUT NEE or MIS — absorb/emit, phase-sampled scatter,
+    emitter/env hits only. The teaching/validation integrator: its means
+    must match volpath within MC noise."""
+    from ...utils.sampling import sample_henyey_greenstein
+
+    R = film.npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass
+    state = film.init_state()
+
+    def bounce(s):
+        h = scene.geometry.intersect(s.o, s.d, jnp.full(R, jnp.inf))
+        seg_end = jnp.where(h.hit, h.t, jnp.inf)
+        in_med = s.alive & (s.medium_id >= 0)
+        mr = vp.sample_medium_interaction(
+            scene, cfg, s.o, s.d, seg_end, s.medium_id, s.hero_idx,
+            s.sampler, s.beta, s.r_u, s.r_l, s.L, s.depth, in_med)
+        sampler, beta, L, depth = mr.sampler, mr.beta, mr.L, mr.depth
+        r_u = mr.r_u
+        alive = s.alive & ~mr.terminated
+
+        scat = mr.scattered & alive
+        p_s = s.o + mr.t_scatter[..., None] * s.d
+        sampler, u2p = sampler.get_2d()
+        wi_p, _ = sample_henyey_greenstein(-s.d, mr.g_scatter, u2p)
+        o_new = _m(scat, p_s, s.o)
+        d_new = _m(scat, wi_p, s.d)
+
+        flew = alive & ~scat
+        esc = flew & ~h.hit
+        L = _m(esc, L + beta * scene.lights.le_escaped(s.d, s.o)
+               / jnp.maximum(vp.average(r_u), 1e-30)[..., None], L)
+        alive = alive & ~esc
+        emis = flew & h.hit & (h.light_id >= 0)
+        Le = scene.lights.le_area(h.light_id, -s.d, h.n)
+        L = _m(emis, L + beta * Le
+               / jnp.maximum(vp.average(r_u), 1e-30)[..., None], L)
+        # surfaces end the path (the reference errors on real materials;
+        # interface-only surfaces are crossed)
+        iface = flew & h.hit & (h.mat_id < 0)
+        new_med = jnp.where(dot(s.d, h.n) < 0, h.med_in, h.med_out)
+        medium_id = jnp.where(iface, new_med, s.medium_id)
+        o_new = _m(iface, h.p + 1e-4 * s.d, o_new)
+        alive = alive & ~(flew & h.hit & (h.mat_id >= 0))
+        return s._replace(sampler=sampler, o=o_new, d=d_new, beta=beta,
+                          r_u=r_u, L=L, depth=depth, alive=alive,
+                          medium_id=medium_id)
+
+    def one_pass(i, st):
+        sample_index = (i * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
+        s, fw = vp.start_camera_paths(camera, film, seed, sample_index,
+                                      pixel_id, camera_medium)
+
+        def cond(c):
+            return jnp.any(c[0].alive) & (c[1] < cfg.max_events)
+
+        def body(c):
+            return bounce(c[0]), c[1] + 1
+
+        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+        return film.add_samples(st, pixel_id, s.L, fw)
+
+    state = jax.lax.fori_loop(0, spp // spp_per_pass, one_pass, state)
+    return film.image(state)
+
+
+def render_simplevolpath(scene, camera, film, spp=16, seed=0, spp_per_pass=4,
+                         cfg=vp.VolPathConfig(max_depth=32),
+                         camera_medium=-1):
+    return _render_svp_jit(scene, camera, film, cfg, int(spp),
+                           jnp.uint32(seed), int(min(spp_per_pass, spp)),
+                           int(camera_medium))

@@ -119,6 +119,13 @@ def sample_medium_interaction(
     single segment, grids = DDA supervoxel walk per DDAMajorantIterator).
     """
     media = scene.media
+    if len(media.grids) == 0 and len(media.procedurals) == 0:
+        # static fast path: homogeneous-only scenes have majorant == sigma_t,
+        # so there are no null collisions — one exponential step decides
+        # everything (the loop below would run exactly one iteration)
+        return _homogeneous_medium_interaction(
+            scene, cfg, o, d, seg_end, medium_id, hero_idx, sampler, beta,
+            r_u, r_l, L, depth, active, lam)
     it0 = seg_init(media, medium_id, o, d, seg_end, active, lam)
 
     # carries derived from varying inputs (shard_map vma-compatible)
@@ -241,6 +248,68 @@ def sample_medium_interaction(
                         t_scatter, g_scatter)
 
 
+def _homogeneous_medium_interaction(scene, cfg, o, d, seg_end, medium_id,
+                                    hero_idx, sampler, beta, r_u, r_l, L,
+                                    depth, active, lam=None):
+    """Closed-form single-step delta tracking for homogeneous-only scenes
+    (media.h HomogeneousMajorantIterator + the one-collision algebra):
+    p_null = 0, so the collision loop degenerates to one exponential draw.
+    Identical estimator to the general loop, no while_loop."""
+    media = scene.media
+    z = jnp.zeros_like(seg_end)
+    f0 = active & (seg_end < 0)
+    mp = media.sample_point(medium_id, o, lam)  # constant within the medium
+    sigma_maj = mp.sigma_a + mp.sigma_s
+    maj_h = hero(sigma_maj, hero_idx)
+    in_med = active & media.is_homogeneous(medium_id)
+    seg = jnp.where(jnp.isfinite(seg_end), seg_end, 3e37)
+
+    sampler, u_step = sampler.get_1d()
+    t = jnp.where(maj_h > 0,
+                  sample_exponential(u_step, jnp.maximum(maj_h, 1e-30)),
+                  jnp.inf)
+    coll = in_med & (t < seg)
+
+    # ran-to-end lanes: spectral rescale exp(-seg*(sigma - sigma_h))
+    ran = in_med & ~coll
+    T_end = jnp.exp(-jnp.minimum(seg, 3e37)[..., None] * sigma_maj)
+    T_end_h = jnp.maximum(hero(T_end, hero_idx), 1e-30)
+    scale_end = T_end / T_end_h[..., None]
+    beta = _m(ran, beta * scale_end, beta)
+    r_u = _m(ran, r_u * scale_end, r_u)
+    r_l = _m(ran, r_l * scale_end, r_l)
+
+    # collision lanes
+    T_maj = jnp.exp(-t[..., None] * sigma_maj)
+    T_maj_h = hero(T_maj, hero_idx)
+    # medium emission (integrators.cpp:1032-1046)
+    emit = coll & (depth < cfg.max_depth) & (jnp.max(mp.Le, -1) > 0)
+    pdf_e = jnp.maximum(maj_h * T_maj_h, 1e-30)
+    betap = beta * T_maj / pdf_e[..., None]
+    r_e = r_u * sigma_maj * T_maj / pdf_e[..., None]
+    r_e_avg = average(r_e)
+    L = _m(emit & (r_e_avg > 0),
+           L + betap * mp.sigma_a * mp.Le
+           / jnp.maximum(r_e_avg, 1e-30)[..., None], L)
+
+    sa_h = hero(mp.sigma_a, hero_idx)
+    ss_h = hero(mp.sigma_s, hero_idx)
+    sampler, um = sampler.get_1d()
+    p_absorb = sa_h / jnp.maximum(maj_h, 1e-30)
+    is_absorb = coll & (um < p_absorb)
+    is_scatter = coll & ~is_absorb
+    depth_exceeded = is_scatter & (depth >= cfg.max_depth)
+    terminated = is_absorb | depth_exceeded | f0
+    do_scatter = is_scatter & ~depth_exceeded
+    depth = jnp.where(do_scatter, depth + 1, depth)
+    pdf_s = jnp.maximum(T_maj_h * ss_h, 1e-30)
+    scale_s = T_maj * mp.sigma_s / pdf_s[..., None]
+    beta = _m(do_scatter, beta * scale_s, beta)
+    r_u = _m(do_scatter, r_u * scale_s, r_u)
+    return MediumResult(sampler, beta, r_u, r_l, L, depth,
+                        do_scatter, terminated, jnp.where(coll, t, z), mp.g)
+
+
 # ---------------------------------------------------------------------------
 # NEE with ratio-tracking transmittance (VolPath::SampleLd)
 # ---------------------------------------------------------------------------
@@ -262,6 +331,8 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
     t_cur = jnp.zeros_like(o[..., 0])
     med_id = medium_start
     seg_active = active
+    homog_only = (len(scene.media.grids) == 0
+                  and len(scene.media.procedurals) == 0)
 
     def seg_cond(c):
         (_, _, _, _, _, _, seg_active, it) = c
@@ -277,6 +348,22 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
         seg_len = jnp.where(h.hit & (h.t < rem), h.t, rem)
 
         live = seg_active & ~blocked
+        if homog_only:
+            # analytic homogeneous transmittance: exactly the ratio-tracking
+            # expectation with zero variance and no collision loop
+            mp_h = scene.media.sample_point(med_id, p_cur, lam)
+            in_m = live & scene.media.is_homogeneous(med_id)
+            sl = jnp.where(jnp.isfinite(seg_len), seg_len, 0.0)
+            T_seg = jnp.exp(-sl[..., None] * (mp_h.sigma_a + mp_h.sigma_s))
+            T_ray = _m(in_m, T_ray * T_seg, T_ray)
+            crossing = live & h.hit & (h.t < rem)
+            new_med = jnp.where(dot(wi, h.n) < 0, h.med_in, h.med_out)
+            med_id = jnp.where(crossing, new_med, med_id)
+            dead = jnp.max(T_ray, -1) == 0
+            t_cur = jnp.where(live, t_cur + seg_len + 1e-4, t_cur)
+            seg_active = live & ~dead & crossing & (t_cur < t_max)
+            return (sampler, T_ray, r_l, r_u, t_cur, med_id, seg_active,
+                    it + 1)
         # majorant-segment iterator over this interface segment
         sit0 = seg_init(scene.media, med_id, p_cur, wi, seg_len, live, lam)
         t_min = sit0.t_seg_start

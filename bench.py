@@ -44,7 +44,7 @@ def main():
         # wave-drain driver at equal sample count)
         img = volpath.render_persistent(scene, camera, film, spp=spp_,
                                         cfg=cfg, seed=seed,
-                                        lanes_per_pixel=2)
+                                        lanes_per_pixel=1)
         return jax.device_get(img)  # true sync on axon
 
     run(0, 8)  # compile + warm

@@ -102,3 +102,46 @@ def test_bvh_render_matches_brute_force():
     i2 = np.asarray(volpath.render(s2, setup.camera, setup.film, spp=4,
                                    cfg=cfg, seed=3, spp_per_pass=4))
     assert np.allclose(i1, i2, atol=1e-4), np.abs(i1 - i2).max()
+
+
+def test_hlbvh_matches_brute_force():
+    """HLBVH (Morton/LBVH build) traverses to the same closest hits as
+    brute force; shares bvh_traverse with the SAH build."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.ops.bvh import build_hlbvh, bvh_traverse
+    from vspg_pbrt_v4_tpu.ops.intersect import ray_triangle
+
+    rng = np.random.default_rng(7)
+    n = 200
+    c = rng.uniform(-3, 3, (n, 3))
+    p0 = (c + rng.uniform(-0.3, 0.3, (n, 3))).astype(np.float32)
+    p1 = (c + rng.uniform(-0.3, 0.3, (n, 3))).astype(np.float32)
+    p2 = (c + rng.uniform(-0.3, 0.3, (n, 3))).astype(np.float32)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    bvh = build_hlbvh(lo, hi)
+    R = 1024
+    o = jnp.asarray(rng.uniform(-5, 5, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    p0j, p1j, p2j = jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2)
+
+    def leaf_fn(pid, m, t_best, best):
+        hit, t, _, _, _ = ray_triangle(o, d, t_best, p0j[pid], p1j[pid],
+                                       p2j[pid])
+        closer = m & hit
+        return jnp.where(closer, t, t_best), jnp.where(closer, pid, best)
+
+    t_h, k_h = bvh_traverse(bvh, o, d, jnp.full(R, jnp.inf), leaf_fn,
+                            jnp.full(R, -1, jnp.int32))
+    # brute force oracle
+    ht, tt, _, _, _ = ray_triangle(o[:, None, :], d[:, None, :],
+                                   jnp.full((R, 1), jnp.inf), p0j, p1j, p2j)
+    tt = jnp.where(ht, tt, jnp.inf)
+    t_b = jnp.min(tt, -1)
+    hit_b = np.isfinite(np.asarray(t_b))
+    hit_h = np.asarray(k_h) >= 0
+    assert (hit_b == hit_h).all()
+    assert np.allclose(np.asarray(t_h)[hit_b], np.asarray(t_b)[hit_b],
+                       rtol=1e-4)

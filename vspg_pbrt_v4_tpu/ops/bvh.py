@@ -194,3 +194,89 @@ def bvh_traverse(bvh: BVH, o, d, t_max, leaf_fn, payload0, max_leaf=4):
     stack, sp, node, t_best, active, payload = jax.lax.while_loop(
         cond, body, (stack, sp, node, t_best, active, payload0))
     return t_best, payload
+
+
+# ---------------------------------------------------------------------------
+# HLBVH build (aggregates.cpp buildHLBVH: Morton-code radix sort + LBVH
+# treelets + SAH over treelet roots). Host-side numpy variant: sort
+# primitives by 30-bit Morton codes of their centroids, then build the
+# hierarchy by splitting at the highest differing Morton bit (the LBVH
+# rule); degenerate all-equal ranges fall back to median splits. Produces
+# the same flattened node layout as build_bvh, so bvh_traverse is shared.
+# ---------------------------------------------------------------------------
+
+
+def _morton3(x, y, z):
+    """Interleave 10-bit x/y/z into 30-bit Morton codes (numpy)."""
+    def part(v):
+        v = v.astype(np.uint32) & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return part(x) | (part(y) << 1) | (part(z) << 2)
+
+
+def build_hlbvh(prim_bmin, prim_bmax, max_leaf=4):
+    """Morton-ordered build; same BVH output type as build_bvh."""
+    prim_bmin = np.asarray(prim_bmin, np.float32)
+    prim_bmax = np.asarray(prim_bmax, np.float32)
+    P = prim_bmin.shape[0]
+    centroids = 0.5 * (prim_bmin + prim_bmax)
+    lo = centroids.min(0)
+    ext = np.maximum(centroids.max(0) - lo, 1e-12)
+    q = np.clip(((centroids - lo) / ext) * 1023.0, 0, 1023).astype(np.uint32)
+    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+    codes = codes[order]
+
+    bmins, bmaxs, rights, starts, counts = [], [], [], [], []
+    prim_out = []
+
+    def new_node():
+        bmins.append(np.zeros(3, np.float32))
+        bmaxs.append(np.zeros(3, np.float32))
+        rights.append(0)
+        starts.append(0)
+        counts.append(0)
+        return len(bmins) - 1
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000 + 4 * P)
+
+    def build(ni, s0, s1, bit):
+        ids = order[s0:s1]
+        bmins[ni] = prim_bmin[ids].min(0) - 1e-6
+        bmaxs[ni] = prim_bmax[ids].max(0) + 1e-6
+        n = s1 - s0
+        if n <= max_leaf or bit < 0:
+            starts[ni] = len(prim_out)
+            counts[ni] = n
+            prim_out.extend(int(i) for i in ids)
+            return
+        mask = np.uint32(1 << bit)
+        # first index whose code has the bit set (codes sorted)
+        seg = (codes[s0:s1] & mask) != 0
+        split = s0 + int(np.searchsorted(seg, True))
+        if split == s0 or split == s1:
+            build(ni, s0, s1, bit - 1)  # bit doesn't discriminate: descend
+            return
+        left = new_node()
+        assert left == ni + 1
+        build(left, s0, split, bit - 1)
+        right = new_node()
+        rights[ni] = right
+        build(right, split, s1, bit - 1)
+
+    root = new_node()
+    build(root, 0, P, 29)
+    sys.setrecursionlimit(old)
+    return BVH(
+        jnp.asarray(np.stack(bmins)), jnp.asarray(np.stack(bmaxs)),
+        jnp.asarray(rights, jnp.int32), jnp.asarray(starts, jnp.int32),
+        jnp.asarray(counts, jnp.int32),
+        jnp.asarray(prim_out or [0], jnp.int32),
+    )

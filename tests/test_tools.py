@@ -207,3 +207,34 @@ def test_spectral_film_accumulation():
     # vs sRGB D65 gives a small tint)
     assert np.abs(img - 0.6).max() < 0.15, img.reshape(-1, 3)[0]
     assert np.abs(img.mean(-1) - 0.6).max() < 0.03
+
+
+def test_imgtool_average_bloom_splitn(tmp_path):
+    from vspg_pbrt_v4_tpu.tools.imgtool import main as imgtool_main
+    from vspg_pbrt_v4_tpu.utils.image import read_image, write_exr
+
+    a = np.full((16, 16, 3), 1.0, np.float32)
+    b = np.full((16, 16, 3), 3.0, np.float32)
+    write_exr(str(tmp_path / "a.exr"), a)
+    write_exr(str(tmp_path / "b.exr"), b)
+    out = str(tmp_path / "avg.exr")
+    assert imgtool_main(["average", str(tmp_path / "a.exr"),
+                         str(tmp_path / "b.exr"), "--outfile", out]) == 0
+    assert np.allclose(read_image(out), 2.0)
+
+    # bloom: bright spot spreads energy
+    img = np.zeros((32, 32, 3), np.float32)
+    img[16, 16] = 50.0
+    write_exr(str(tmp_path / "spot.exr"), img)
+    outb = str(tmp_path / "bloom.exr")
+    assert imgtool_main(["bloom", str(tmp_path / "spot.exr"), "--outfile",
+                         outb, "--level", "1.0"]) == 0
+    bl = read_image(outb)
+    assert bl[18, 18].mean() > 0  # energy spread beyond the spot
+    assert bl[16, 16].mean() >= 50.0
+
+    outs = str(tmp_path / "strip%d.exr")
+    assert imgtool_main(["splitn", str(tmp_path / "spot.exr"),
+                         "--n", "2", "--outfile", outs]) == 0
+    s0 = read_image(str(tmp_path / "strip0.exr"))
+    assert s0.shape == (32, 16, 3)

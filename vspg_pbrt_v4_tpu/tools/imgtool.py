@@ -75,6 +75,25 @@ def main(argv=None):
     me.add_argument("--outfile", required=True)
     me.add_argument("--resolution", type=int, default=None)
 
+    av = sub.add_parser("average")  # cmd/imgtool.cpp:66 average
+    av.add_argument("images", nargs="+")
+    av.add_argument("--outfile", required=True)
+
+    bl = sub.add_parser("bloom")  # cmd/imgtool.cpp:78 bloom
+    bl.add_argument("image")
+    bl.add_argument("--outfile", required=True)
+    bl.add_argument("--level", type=float, default=1.0,
+                    help="luminance threshold feeding the bloom")
+    bl.add_argument("--width", type=int, default=15)
+    bl.add_argument("--scale", type=float, default=0.3)
+    bl.add_argument("--iterations", type=int, default=5)
+
+    sp = sub.add_parser("splitn")  # cmd/imgtool.cpp:222 splitn
+    sp.add_argument("image")
+    sp.add_argument("--n", type=int, default=2, help="vertical strips")
+    sp.add_argument("--outfile", required=True,
+                    help="pattern with %%d for the strip index")
+
     args = ap.parse_args(argv)
     from ..utils.flip import mean_flip
 
@@ -142,6 +161,39 @@ def main(argv=None):
         out = latlong_to_equal_area(read_image(args.image), args.resolution)
         write_exr(args.outfile, out)
         print(f"wrote equal-area {out.shape[0]}x{out.shape[1]} -> {args.outfile}")
+        return 0
+
+    if args.cmd == "average":
+        imgs = [read_image(pth) for pth in args.images]
+        write_exr(args.outfile, np.mean(imgs, axis=0).astype(np.float32))
+        print(f"averaged {len(imgs)} -> {args.outfile}")
+        return 0
+
+    if args.cmd == "bloom":
+        img = read_image(args.image)
+        bright = np.where(img.mean(-1, keepdims=True) > args.level, img, 0.0)
+        blur = bright
+        k = max(int(args.width) | 1, 3)
+        for _ in range(max(args.iterations, 1)):
+            # separable box blur (iterated ~ gaussian)
+            csum = np.cumsum(np.pad(blur, ((k // 2 + 1, k // 2), (0, 0), (0, 0))), 0)
+            blur = (csum[k:] - csum[:-k]) / k
+            csum = np.cumsum(np.pad(blur, ((0, 0), (k // 2 + 1, k // 2), (0, 0))), 1)
+            blur = (csum[:, k:] - csum[:, :-k]) / k
+        out = img + args.scale * blur
+        write_exr(args.outfile, out.astype(np.float32))
+        print(f"bloom -> {args.outfile}")
+        return 0
+
+    if args.cmd == "splitn":
+        img = read_image(args.image)
+        w = img.shape[1]
+        for i in range(args.n):
+            x0 = i * w // args.n
+            x1 = (i + 1) * w // args.n
+            path = args.outfile % i if "%" in args.outfile else                 f"{args.outfile}.{i}.exr"
+            write_exr(path, img[:, x0:x1].astype(np.float32))
+            print(f"strip {i}: {path}")
         return 0
 
     if args.cmd == "info":

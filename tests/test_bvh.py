@@ -145,3 +145,47 @@ def test_hlbvh_matches_brute_force():
     assert (hit_b == hit_h).all()
     assert np.allclose(np.asarray(t_h)[hit_b], np.asarray(t_b)[hit_b],
                        rtol=1e-4)
+
+
+def test_hlbvh_colocated_centroids_leaf_cap():
+    """Primitives with identical quantized centroids exhaust the Morton bits;
+    the build must median-split instead of emitting a leaf larger than the
+    traversal unroll (regression: extra prims were silently never tested)."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.ops.bvh import build_hlbvh, bvh_traverse
+    from vspg_pbrt_v4_tpu.ops.intersect import ray_triangle
+
+    rng = np.random.default_rng(11)
+    n = 32
+    # all centroids at the origin => identical Morton codes
+    half = rng.uniform(0.2, 0.5, (n, 3)).astype(np.float32)
+    p0 = -half
+    p1 = np.stack([half[:, 0], -half[:, 1], -half[:, 2]], -1)
+    p2 = np.stack([-half[:, 0], half[:, 1], half[:, 2]], -1)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    bvh = build_hlbvh(lo, hi, max_leaf=4)
+    assert int(np.asarray(bvh.count).max()) <= 4
+    R = 512
+    o = jnp.asarray(rng.uniform(-2, 2, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    p0j, p1j, p2j = jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2)
+
+    def leaf_fn(pid, m, t_best, best):
+        hit, t, _, _, _ = ray_triangle(o, d, t_best, p0j[pid], p1j[pid],
+                                       p2j[pid])
+        closer = m & hit
+        return jnp.where(closer, t, t_best), jnp.where(closer, pid, best)
+
+    t_h, k_h = bvh_traverse(bvh, o, d, jnp.full(R, jnp.inf), leaf_fn,
+                            jnp.full(R, -1, jnp.int32))
+    ht, tt, _, _, _ = ray_triangle(o[:, None, :], d[:, None, :],
+                                   jnp.full((R, 1), jnp.inf), p0j, p1j, p2j)
+    tt = jnp.where(ht, tt, jnp.inf)
+    t_b = jnp.min(tt, -1)
+    hit_b = np.isfinite(np.asarray(t_b))
+    assert (hit_b == (np.asarray(k_h) >= 0)).all()
+    assert np.allclose(np.asarray(t_h)[hit_b], np.asarray(t_b)[hit_b],
+                       rtol=1e-4)

@@ -56,7 +56,7 @@ def test_kdtree_matches_brute_force():
     kk, tk = _closest_kd(kd, o, d, t_max, p0, p1, p2)
     hit_b = np.asarray(kb) >= 0
     hit_k = np.asarray(kk) >= 0
-    assert (hit_b == hit_k).mean() > 0.999, (hit_b.sum(), hit_k.sum())
+    assert (hit_b == hit_k).all(), (hit_b.sum(), hit_k.sum())
     both = hit_b & hit_k
     assert np.allclose(np.asarray(tb)[both], np.asarray(tk)[both],
                        rtol=1e-4), "closest-hit t mismatch"
@@ -76,7 +76,70 @@ def test_kdtree_rays_from_inside():
     kb, tb = _closest_brute(o, d, t_max, p0, p1, p2)
     kk, tk = _closest_kd(kd, o, d, t_max, p0, p1, p2)
     both = (np.asarray(kb) >= 0) & (np.asarray(kk) >= 0)
-    assert ((np.asarray(kb) >= 0) == (np.asarray(kk) >= 0)).mean() > 0.999
+    assert ((np.asarray(kb) >= 0) == (np.asarray(kk) >= 0)).all()
+    assert np.allclose(np.asarray(tb)[both], np.asarray(tk)[both], rtol=1e-4)
+
+
+def test_kdtree_flat_prims_on_split_planes():
+    """Zero-extent (axis-aligned flat) prims lying exactly on split planes
+    must land in at least one child (regression: strict classification lost
+    them — 40/80 prims vanished from prim_ids)."""
+    rng = np.random.default_rng(2)
+    n = 80
+    # flat axis-aligned quad-ish triangles: zero extent on a random axis
+    p0, p1, p2 = _tri_soup(n, rng, spread=3.0)
+    for i in range(n):
+        ax = i % 3
+        v = p0[i, ax]
+        p1[i, ax] = v
+        p2[i, ax] = v
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    kd = build_kdtree(lo, hi)
+    present = np.unique(np.asarray(kd.prim_ids))
+    assert len(present) == n, f"{n - len(present)} prims missing from tree"
+    R = 2048
+    o = jnp.asarray(rng.uniform(-5, 5, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t_max = jnp.full(R, jnp.inf)
+    kb, tb = _closest_brute(o, d, t_max, p0, p1, p2)
+    kk, tk = _closest_kd(kd, o, d, t_max, p0, p1, p2)
+    assert ((np.asarray(kb) >= 0) == (np.asarray(kk) >= 0)).all()
+    both = (np.asarray(kb) >= 0)
+    assert np.allclose(np.asarray(tb)[both], np.asarray(tk)[both], rtol=1e-4)
+
+
+def test_kdtree_large_leaf_fully_tested():
+    """Leaves larger than max_leaf (depth cutoff / co-located prims) must
+    still test every prim (regression: traversal only unrolled the first
+    max_leaf prims of each leaf)."""
+    rng = np.random.default_rng(3)
+    # co-located cluster => build cannot separate, leaf >> max_leaf
+    n = 64
+    c = np.zeros((n, 3), np.float32)
+    a = c + rng.uniform(-0.01, 0.01, (n, 3)).astype(np.float32)
+    b = c + rng.uniform(-0.01, 0.01, (n, 3)).astype(np.float32)
+    e = c + rng.uniform(-0.01, 0.01, (n, 3)).astype(np.float32)
+    # one far-away triangle that only appears late in its leaf's prim list
+    far = np.asarray([[3.0, -0.5, -0.5], [3.0, 0.5, -0.5], [3.0, 0.0, 0.5]],
+                     np.float32)
+    p0 = np.concatenate([a, far[0:1]])
+    p1 = np.concatenate([b, far[1:2]])
+    p2 = np.concatenate([e, far[2:3]])
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    kd = build_kdtree(lo, hi, max_leaf=8)
+    assert int(np.asarray(kd.count).max()) > 8  # premise: a big leaf exists
+    R = 512
+    o = jnp.asarray(rng.uniform(-4, 4, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t_max = jnp.full(R, jnp.inf)
+    kb, tb = _closest_brute(o, d, t_max, p0, p1, p2)
+    kk, tk = _closest_kd(kd, o, d, t_max, p0, p1, p2)
+    assert ((np.asarray(kb) >= 0) == (np.asarray(kk) >= 0)).all()
+    both = (np.asarray(kb) >= 0)
     assert np.allclose(np.asarray(tb)[both], np.asarray(tk)[both], rtol=1e-4)
 
 

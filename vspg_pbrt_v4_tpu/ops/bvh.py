@@ -252,10 +252,24 @@ def build_hlbvh(prim_bmin, prim_bmax, max_leaf=4):
         bmins[ni] = prim_bmin[ids].min(0) - 1e-6
         bmaxs[ni] = prim_bmax[ids].max(0) + 1e-6
         n = s1 - s0
-        if n <= max_leaf or bit < 0:
+        if n <= max_leaf:
             starts[ni] = len(prim_out)
             counts[ni] = n
             prim_out.extend(int(i) for i in ids)
+            return
+        if bit < 0:
+            # Morton bits exhausted with n > max_leaf (co-located centroids):
+            # median-split so leaf size never exceeds bvh_traverse's static
+            # unroll — mirrors build_bvh's fallback (aggregates.cpp
+            # emitLBVH makes a leaf here only because its traversal loops
+            # over arbitrary leaf sizes; ours does not).
+            split = s0 + n // 2
+            left = new_node()
+            assert left == ni + 1
+            build(left, s0, split, bit)
+            right = new_node()
+            rights[ni] = right
+            build(right, split, s1, bit)
             return
         mask = np.uint32(1 << bit)
         # first index whose code has the bit set (codes sorted)

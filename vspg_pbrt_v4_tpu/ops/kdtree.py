@@ -109,8 +109,16 @@ def build_kdtree(prim_bmin, prim_bmax, max_leaf=8, isect_cost=5.0,
             make_leaf(ni, ids)
             return
         _, ax, pos = best
-        left_ids = ids[prim_bmin[ids, ax] < pos]
-        right_ids = ids[prim_bmax[ids, ax] > pos]
+        # Inclusive classification: a prim goes below if any part of it is
+        # below the plane OR it ends exactly at the plane; above if any part
+        # is above OR it starts exactly at the plane. Zero-extent prims lying
+        # exactly on the plane (bmin==bmax==pos) land in BOTH children, never
+        # in neither — matching the guarantee of the reference's edge-index
+        # classification (aggregates.cpp prims0/prims1 around bestOffset).
+        lo_ax = prim_bmin[ids, ax]
+        hi_ax = prim_bmax[ids, ax]
+        left_ids = ids[(lo_ax < pos) | (hi_ax <= pos)]
+        right_ids = ids[(hi_ax > pos) | (lo_ax >= pos)]
         if len(left_ids) == len(ids) and len(right_ids) == len(ids):
             make_leaf(ni, ids)
             return
@@ -167,6 +175,7 @@ def kdtree_traverse(kd: KdTree, o, d, t_max, leaf_fn, payload0, max_leaf=8):
     stack_t1 = jnp.zeros((R, MAX_STACK))
     sp = jnp.zeros((R,), jnp.int32)
     node = jnp.zeros((R,), jnp.int32)
+    leaf_off = jnp.zeros((R,), jnp.int32)
     active = (t0 <= t1) & (t_max > 0)
     t_best = t_max
 
@@ -174,23 +183,30 @@ def kdtree_traverse(kd: KdTree, o, d, t_max, leaf_fn, payload0, max_leaf=8):
         return jnp.any(c[0][3])
 
     def body(c):
-        (node, t0, t1, active, t_best, sp), stacks, payload = c
+        (node, t0, t1, active, t_best, sp, leaf_off), stacks, payload = c
         stack_node, stack_t0, stack_t1 = stacks
         ax = kd.axis[node]
         # an interval that starts beyond the best hit cannot contain a
         # closer one: treat the node as an empty leaf (early exit ala
         # aggregates.cpp "if (tHit < tMin) break" pruning)
         pruned = t0 > t_best * (1.0 + 1e-6)
-        done_node = (ax == 3) | pruned
-
-        # real leaf: test prims
         start = kd.start[node]
         cnt = kd.count[node]
+        # leaves may hold more than max_leaf prims (depth cutoff / cost-based
+        # leaves): iterate the leaf in max_leaf-sized chunks, carrying
+        # leaf_off across loop iterations so every prim is tested.
+        is_leaf = ax == 3
+        leaf_done = leaf_off + max_leaf >= cnt
+        done_node = (is_leaf & leaf_done) | pruned
+
+        # real leaf: test the current chunk of prims
         for j in range(max_leaf):
-            pid = kd.prim_ids[jnp.clip(start + j, 0,
-                                       kd.prim_ids.shape[0] - 1)]
-            m = active & (ax == 3) & ~pruned & (j < cnt)
+            idx = start + leaf_off + j
+            pid = kd.prim_ids[jnp.clip(idx, 0, kd.prim_ids.shape[0] - 1)]
+            m = active & is_leaf & ~pruned & (leaf_off + j < cnt)
             t_best, payload = leaf_fn(pid, m, t_best, payload)
+        cont_leaf = active & is_leaf & ~pruned & ~leaf_done
+        leaf_off = jnp.where(cont_leaf, leaf_off + max_leaf, 0)
 
         # interior: order children, maybe push far
         axc = jnp.clip(ax, 0, 2)
@@ -206,7 +222,7 @@ def kdtree_traverse(kd: KdTree, o, d, t_max, leaf_fn, payload0, max_leaf=8):
         only_first = (t_split > t1) | (t_split <= 0)
         only_second = (t_split < t0) & ~only_first
         both = ~only_first & ~only_second
-        interior = active & ~done_node
+        interior = active & ~is_leaf & ~pruned
 
         push = interior & both & (sp < MAX_STACK)
         spc = jnp.minimum(sp, MAX_STACK - 1)
@@ -232,11 +248,11 @@ def kdtree_traverse(kd: KdTree, o, d, t_max, leaf_fn, payload0, max_leaf=8):
         t0 = jnp.where(can_pop, stack_t0[lanes, spc2], t0)
         t1 = jnp.where(can_pop, stack_t1[lanes, spc2], t1)
         active = active & ~(need_pop & ~can_pop)
-        return ((node, t0, t1, active, t_best, sp),
+        return ((node, t0, t1, active, t_best, sp, leaf_off),
                 (stack_node, stack_t0, stack_t1), payload)
 
-    state0 = ((node, t0, t1, active, t_best, sp),
+    state0 = ((node, t0, t1, active, t_best, sp, leaf_off),
               (stack_node, stack_t0, stack_t1), payload0)
-    (node, t0, t1, active, t_best, sp), _, payload = jax.lax.while_loop(
-        cond, body, state0)
+    (node, t0, t1, active, t_best, sp, leaf_off), _, payload = \
+        jax.lax.while_loop(cond, body, state0)
     return t_best, payload

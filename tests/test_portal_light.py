@@ -101,6 +101,40 @@ def test_portal_render_vs_open_env():
     assert abs(center - expect) / expect < 0.15, (center, expect)
 
 
+def test_portal_guided_matches_unguided():
+    """Portal-lit floor with guiding: guided_volpath's escaped-ray MIS must
+    pass the previous vertex to pdf_li_escaped (portal pdfs depend on the
+    reference point; regression: ref_p was omitted, biasing escape weights)."""
+    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
+
+    tris = [dict(p0=(-5, 0, -5), p1=(5, 0, -5), p2=(5, 0, 5), mat=0,
+                 light=-1, med_in=-1, med_out=-1),
+            dict(p0=(-5, 0, -5), p1=(5, 0, 5), p2=(-5, 0, 5), mat=0,
+                 light=-1, med_in=-1, med_out=-1)]
+    geom = Geometry.build(triangles=tris)
+    mats = Materials.build([dict(type=DIFFUSE, albedo=(0.6, 0.6, 0.6))])
+    media = HomogeneousMedia.make(jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    pl = PortalLight.make(lambda d: np.ones((len(d), 3)),
+                          [(-1, 2, -1), (-1, 2, 1), (1, 2, 1), (1, 2, -1)],
+                          res=64)
+    lights_portal = Lights.make(env_L=[1.0, 1, 1],
+                                world_radius=50.0).replace(portal=pl)
+    scene = volpath.Scene(geom, mats, media, lights_portal)
+    c2w = tr.look_at((0, 1.0, -3), (0, 0, 0), (0, 1, 0))
+    cam = PerspectiveCamera.make(c2w, fov_deg=40.0, resolution=(16, 16))
+    film = RGBFilm.make((16, 16))
+    ref = np.asarray(volpath.render(scene, cam, film, spp=128, seed=3))
+    img, field = gvp.render_guided(
+        scene, cam, film, spp=128,
+        gopt=gvp.GuidingOptions(mode="mis", field_res=8, record_depth=4,
+                                min_train_weight=16.0),
+        seed=4, spp_per_pass=8)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.04, (img.mean(), ref.mean())
+
+
 def test_parser_portal():
     from vspg_pbrt_v4_tpu.scene import build_render_setup, parse_pbrt_string
 

@@ -140,6 +140,26 @@ def test_isgb_estimates_sane():
     assert v[10:14, 10:14].mean() > 0.5, v[10:14, 10:14].mean()
 
 
+def test_atrous_no_edge_wraparound():
+    """The à-trous filter must use clamp-to-edge shifts: with wrap-around
+    (jnp.roll) a hot right border used to bleed into left-edge pixels."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.guiding.isgb import _atrous
+
+    ny = nx = 32
+    img = np.zeros((ny, nx, 1), np.float32)
+    img[:, -2:, :] = 100.0  # hot right border
+    flat = np.zeros((ny, nx, 3), np.float32)
+    out = np.asarray(_atrous(jnp.asarray(img), jnp.asarray(flat),
+                             jnp.asarray(flat), steps=3))
+    # left-edge pixels are >= 8 (2*stride_max) texels from the hot border:
+    # any energy there can only have wrapped around
+    assert out[:, :4, 0].max() < 1e-4, out[:, :4, 0].max()
+    # sanity: the filter did spread the border inward a little
+    assert out[:, -5, 0].max() > 1e-3
+
+
 def test_vspg_nds_heterogeneous_furnace():
     """NDS optical-depth-space sampling keeps the cloud furnace exact: any
     error in the truncated-exp warp / tpScaleFactor / r_u_factor algebra

@@ -70,6 +70,16 @@ def isgb_add_samples(buf: ISGB, pixel_id, L, albedo, normal,
     )
 
 
+def _shift_clamp(a, sy, sx):
+    """Shift image content by (sy, sx) with clamp-to-edge boundary:
+    out[y, x] = a[clip(y - sy), clip(x - sx)] (roll semantics without the
+    wrap-around that contaminated edge pixels with the opposite border)."""
+    ny, nx = a.shape[:2]
+    iy = jnp.clip(jnp.arange(ny) - sy, 0, ny - 1)
+    ix = jnp.clip(jnp.arange(nx) - sx, 0, nx - 1)
+    return a[iy][:, ix]
+
+
 def _atrous(img, albedo, normal, steps=3):
     """Edge-aware à-trous wavelet filter (Dammertz et al. 2010 style).
 
@@ -88,9 +98,9 @@ def _atrous(img, albedo, normal, steps=3):
             for j, dx in enumerate(offsets):
                 w_k = kernel[i] * kernel[j]
                 sy, sx = dy * stride, dx * stride
-                sh = jnp.roll(jnp.roll(out, sy, 0), sx, 1)
-                sh_alb = jnp.roll(jnp.roll(albedo, sy, 0), sx, 1)
-                sh_nrm = jnp.roll(jnp.roll(normal, sy, 0), sx, 1)
+                sh = _shift_clamp(out, sy, sx)
+                sh_alb = _shift_clamp(albedo, sy, sx)
+                sh_nrm = _shift_clamp(normal, sy, sx)
                 w_alb = jnp.exp(-jnp.sum((albedo - sh_alb) ** 2, -1, keepdims=True) / 0.05)
                 w_nrm = jnp.exp(-jnp.sum((normal - sh_nrm) ** 2, -1, keepdims=True) / 0.2)
                 w = w_k * w_alb * w_nrm

@@ -238,7 +238,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     no_mis = escaped & first & any_env
     L = _m(no_mis, L + beta * Le_env / jnp.maximum(average(r_u), 1e-30)[..., None], L)
     with_mis = escaped & ~first & any_env
-    p_l_esc = scene.lights.pdf_li_escaped(s.d)
+    p_l_esc = scene.lights.pdf_li_escaped(s.d, s.prev_p)
     r_l_esc = r_l * p_l_esc[..., None]
     denom_esc = jnp.maximum(average(r_u + r_l_esc), 1e-30)
     L = _m(with_mis, L + beta * Le_env / denom_esc[..., None], L)

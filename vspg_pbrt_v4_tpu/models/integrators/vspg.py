@@ -746,10 +746,14 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
 # ---------------------------------------------------------------------------
 
 
+_LUM_W = jnp.asarray([0.2126, 0.7152, 0.0722])
+
+
 def guided_rr_survival(beta, adjoint, pixel_estimate, min_survival=0.1):
-    """survival = clamp(lum(beta*adjoint)/lum(pixelEstimate), min, 1)."""
-    num = jnp.mean(beta * adjoint, -1)
-    den = jnp.maximum(jnp.mean(pixel_estimate, -1), 1e-6)
+    """survival = clamp(lum(beta*adjoint)/lum(pixelEstimate), min, 1)
+    (openpgl util::GuidedRussianRoulette, Rec.709 luminance weighting)."""
+    num = jnp.sum(beta * adjoint * _LUM_W, -1)
+    den = jnp.maximum(jnp.sum(pixel_estimate * _LUM_W, -1), 1e-6)
     return jnp.clip(num / den, min_survival, 1.0)
 
 
@@ -884,7 +888,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     no_mis = escaped & first & any_env
     L = _m(no_mis, L + beta * Le_env / jnp.maximum(average(r_u), 1e-30)[..., None], L)
     with_mis = escaped & ~first & any_env
-    p_l_esc = scene.lights.pdf_li_escaped(s.d)
+    p_l_esc = scene.lights.pdf_li_escaped(s.d, s.prev_p)
     r_l_esc = r_l * p_l_esc[..., None]
     denom_esc = jnp.maximum(average(r_u + r_l_esc), 1e-30)
     L = _m(with_mis, L + beta * Le_env / denom_esc[..., None], L)

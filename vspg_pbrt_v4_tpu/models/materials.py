@@ -705,13 +705,12 @@ def _bessel_i0(x):
 
 
 def _log_bessel_i0(x):
-    big = x - 0.5 * jnp.log(2.0 * jnp.pi * jnp.maximum(x, 1e-6)) \
-        + jnp.log1p(jnp.exp(-2.0 * x) * 0 + 0.0) + 1.0 / (8.0 * jnp.maximum(x, 1e-6))
+    # Asymptotic expansion log I0(x) ~ x - log(2*pi*x)/2 + 1/(8x) for large x
+    # (bxdfs.cpp LogI0 large branch).
+    xs = jnp.maximum(x, 1e-6)
+    big = x - 0.5 * jnp.log(2.0 * jnp.pi * xs) + 1.0 / (8.0 * xs)
     small = jnp.log(_bessel_i0(jnp.minimum(x, 12.0)))
-    return jnp.where(x > 12.0, x + 0.5 * (-jnp.log(2 * jnp.pi)
-                                          - jnp.log(jnp.maximum(x, 1e-6))
-                                          + 1.0 / (8.0 * jnp.maximum(x, 1e-6))),
-                     small)
+    return jnp.where(x > 12.0, big, small)
 
 
 def _mp(cos_ti, cos_to, sin_ti, sin_to, v):

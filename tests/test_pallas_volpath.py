@@ -1,0 +1,109 @@
+"""Megakernel volpath (ops/pallas_volpath) vs the jnp wavefront path.
+
+Cross-backend idiom (SURVEY §4): the Pallas kernel in interpret mode on CPU
+must agree with the jnp volpath estimator within MC noise — same estimator,
+independent sample streams.
+"""
+
+import numpy as np
+import pytest
+
+from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
+from vspg_pbrt_v4_tpu.models.film import RGBFilm
+from vspg_pbrt_v4_tpu.models.integrators import volpath
+from vspg_pbrt_v4_tpu.ops import pallas_volpath as pv
+from vspg_pbrt_v4_tpu.utils import transform as tr
+
+
+def _setup(res=64, sigma_a=(0.05, 0.05, 0.05), sigma_s=(0.5, 0.6, 0.7),
+           g=0.3, env=(0.1, 0.12, 0.15), point=((0.0, 0.8, 0.0),
+                                                (5.0, 5.0, 5.0))):
+    scene = volpath.make_fog_box_scene(list(sigma_a), list(sigma_s), g=g,
+                                       env_L=None if env is None else list(env),
+                                       point=point)
+    camera = PerspectiveCamera.make(
+        tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)), 30.0, (res, res))
+    film = RGBFilm.make((res, res))
+    cfg = volpath.VolPathConfig(max_depth=32, max_events=128)
+    return scene, camera, film, cfg
+
+
+def test_supports_fogbox():
+    scene, camera, film, cfg = _setup()
+    assert pv.supports(scene, camera, film, cfg)
+
+
+def test_rejects_spectral_and_geometry():
+    scene, camera, film, cfg = _setup()
+    cfg_sp = cfg._replace(spectral=True)
+    assert not pv.supports(scene, camera, film, cfg_sp)
+    # a scene with triangles is out of class
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+
+    tri_geom = Geometry.build(triangles=[dict(
+        p0=(0, 0, 0), p1=(1, 0, 0), p2=(0, 1, 0), mat=0, light=-1,
+        med_in=-1, med_out=-1)])
+    scene2 = scene._replace(geometry=tri_geom)
+    assert not pv.supports(scene2, camera, film, cfg)
+
+
+def test_megakernel_matches_volpath_fog_external_light():
+    """Point light OUTSIDE the fog (bounded 1/r^2 kernel — an embedded
+    light's in-scatter estimator is heavy-tailed and quadrant means vary
+    several percent between seeds): megakernel and jnp volpath must agree
+    tightly per quadrant."""
+    scene, camera, film, cfg = _setup(
+        res=64, point=((0.0, 1.8, 0.0), (8.0, 8.0, 8.0)))
+    ref = np.asarray(volpath.render(scene, camera, film, spp=48, seed=3,
+                                    spp_per_pass=8))
+    img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48, cfg,
+                                            seed=7, interpret=True))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.02, (img.mean(), ref.mean())
+    # per-quadrant agreement, not just global mean
+    for sl in (np.s_[:32, :32], np.s_[32:, 32:], np.s_[:32, 32:]):
+        a, b = ref[sl].mean(), img[sl].mean()
+        assert abs(b - a) / a < 0.05, (sl, a, b)
+
+
+def test_megakernel_matches_volpath_bench_scene():
+    """The exact bench config (embedded point light): global mean within the
+    heavy-tailed MC noise band."""
+    scene, camera, film, cfg = _setup(res=64)
+    ref = np.asarray(volpath.render(scene, camera, film, spp=48, seed=3,
+                                    spp_per_pass=8))
+    img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48, cfg,
+                                            seed=7, interpret=True))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.04, (img.mean(), ref.mean())
+
+
+def test_megakernel_scatter_furnace():
+    """Pure-scattering fog in a uniform env furnace: every pixel must be
+    exactly the env radiance (energy conservation of the closed-form
+    homogeneous transport + env MIS)."""
+    scene, camera, film, cfg = _setup(
+        sigma_a=(0.0, 0.0, 0.0), sigma_s=(1.0, 1.0, 1.0), g=0.0,
+        env=(0.7, 0.7, 0.7), point=None)
+    img = np.asarray(pv.render_homog_pallas(scene, camera, film, 64, cfg,
+                                            seed=1, interpret=True))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - 0.7) / 0.7 < 0.01, img.mean()
+    # per-pixel MC noise at 64 spp: bound the tail loosely + the std tightly
+    assert np.abs(img - 0.7).max() / 0.7 < 0.3, np.abs(img - 0.7).max()
+    assert img.std() < 0.06, img.std()
+
+
+@pytest.mark.skipif(
+    not any(d.platform == "tpu" for d in __import__("jax").devices())
+    if not __import__("os").environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    else True,
+    reason="needs a real TPU (axon) device")
+def test_megakernel_compiles_on_tpu():
+    scene, camera, film, cfg = _setup(res=64)
+    img = np.asarray(pv.render_homog_pallas(scene, camera, film, 8, cfg,
+                                            seed=2))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0

@@ -1042,9 +1042,23 @@ def _render_persistent_jit(scene, camera, film, cfg, spp, seed, camera_medium,
 
 def render_persistent(scene: Scene, camera, film, spp=16,
                       cfg=VolPathConfig(), seed=0, camera_medium=-1,
-                      lanes_per_pixel=2, sampler="independent"):
+                      lanes_per_pixel=2, sampler="independent",
+                      backend="auto"):
     """Persistent-wavefront render driver. lanes_per_pixel controls the
-    pool size (R = npix * lanes_per_pixel)."""
+    pool size (R = npix * lanes_per_pixel).
+
+    backend: "auto" uses the Pallas megakernel (ops/pallas_volpath) when the
+    scene qualifies (homogeneous box media, pinhole camera, point/env
+    lights) — the whole path life-cycle stays in VMEM, ~40x the XLA
+    while_loop driver on real TPU; "jnp" forces the XLA path."""
+    if (backend == "auto" and sampler == "independent"
+            and camera_medium == -1
+            and jax.default_backend() in ("tpu", "axon")):
+        from ...ops import pallas_volpath as _pv
+
+        if _pv.supports(scene, camera, film, cfg):
+            return _pv.render_homog_pallas(scene, camera, film, int(spp),
+                                           cfg, seed)
     R = film.npix * max(int(lanes_per_pixel), 1)
     return _render_persistent_jit(scene, camera, film, cfg, int(spp),
                                   jnp.uint32(seed), int(camera_medium), R,

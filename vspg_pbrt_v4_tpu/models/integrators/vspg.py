@@ -1054,18 +1054,31 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
                                    "train", "spp_per_pass"))
 def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
               seed, wave_idx, camera_medium, train, spp_per_pass,
-              tr_buffer=None):
-    R = film.npix * spp_per_pass
-    lane = jnp.arange(R, dtype=jnp.int32)
-    pixel_id = lane // spp_per_pass
+              tr_buffer=None, pixel_id=None, pixel_base=None):
+    """One VSPG wave. pixel_id/pixel_base support the sharded driver
+    (parallel/mesh.render_vspg_sharded): lanes cover pixel_id (a slice of
+    the frame) and film_state/isgb/tr_buffer hold only the local rows
+    starting at pixel_base."""
+    if pixel_id is None:
+        R = film.npix * spp_per_pass
+        lane = jnp.arange(R, dtype=jnp.int32)
+        pixel_id = lane // spp_per_pass
+        local_pid = pixel_id
+    else:
+        R = pixel_id.shape[0]
+        lane = jnp.arange(R, dtype=jnp.int32) + 0 * pixel_id
+        base = pixel_id[0] if pixel_base is None else pixel_base
+        local_pid = pixel_id - base
     sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
     s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
                                   camera_medium)
     rec = SegmentRecord.make(R, gopt.record_depth if train else 1,
                              pixel_id.astype(jnp.float32))
     z3 = jnp.zeros_like(s.o)
-    tr_prev = jnp.ones_like(s.o) if tr_buffer is None else tr_buffer[pixel_id]
-    gs = VState(s, rec, pixel_id, pixel_id < 0, pixel_id < 0, pixel_id < 0,
+    tr_prev = (jnp.ones_like(s.o) if tr_buffer is None
+               else tr_buffer[local_pid])
+    # VState.pixel_id indexes the (possibly sharded) ISGB rows -> local ids
+    gs = VState(s, rec, local_pid, pixel_id < 0, pixel_id < 0, pixel_id < 0,
                 z3, z3, jnp.ones_like(s.o), tr_prev)
 
     def cond(c):
@@ -1077,8 +1090,8 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
         return vspg_bounce(scene, cfg, gopt, vopt, field, isgb, train, gs), it + 1
 
     gs, _ = jax.lax.while_loop(cond, body, (gs, jnp.int32(0)))
-    film_state = film.add_samples(film_state, pixel_id, gs.s.L, fw)
-    isgb = gisgb.isgb_add_samples(isgb, pixel_id, gs.s.L, gs.first_albedo,
+    film_state = film.add_samples(film_state, local_pid, gs.s.L, fw)
+    isgb = gisgb.isgb_add_samples(isgb, local_pid, gs.s.L, gs.first_albedo,
                                   gs.first_normal, gs.first_vol,
                                   pixel_id >= 0)
     batch = grec.propagate(gs.rec) if train else None

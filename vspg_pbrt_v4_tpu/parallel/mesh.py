@@ -33,11 +33,12 @@ def default_mesh(devices=None, axis_name="rays"):
 
 def _trace_wave(scene, camera, film, cfg, seed, sample_index, pixel_id,
                 camera_medium=-1):
-    """Trace lanes for the given pixel ids; returns their radiance (R,3)."""
-    s, _ = volpath.start_camera_paths(camera, film, seed, sample_index,
-                                      pixel_id, camera_medium)
+    """Trace lanes for the given pixel ids; returns (radiance (R,3),
+    filter weight (R,))."""
+    s, fw = volpath.start_camera_paths(camera, film, seed, sample_index,
+                                       pixel_id, camera_medium)
     s = volpath.trace_paths(scene, cfg, s)
-    return s.L
+    return s.L, fw
 
 
 def render_sharded(scene, camera, film, spp, cfg, seed, mesh=None):
@@ -54,14 +55,15 @@ def render_sharded(scene, camera, film, spp, cfg, seed, mesh=None):
     assert npix % n_dev == 0, "pixel count must divide the mesh"
 
     def shard_fn(pixel_id_shard):
-        def wave(i, acc):
-            L = _trace_wave(scene, camera, film, cfg, jnp.uint32(seed),
-                            i.astype(jnp.uint32), pixel_id_shard)
-            return acc + L
+        def wave(i, c):
+            acc, wacc = c
+            L, fw = _trace_wave(scene, camera, film, cfg, jnp.uint32(seed),
+                                i.astype(jnp.uint32), pixel_id_shard)
+            return acc + L * fw[:, None], wacc + fw
 
         acc0 = jnp.zeros((pixel_id_shard.shape[0], 3)) * pixel_id_shard[:, None]
-        acc = jax.lax.fori_loop(0, spp, wave, acc0)
-        return acc / spp
+        acc, wacc = jax.lax.fori_loop(0, spp, wave, (acc0, acc0[:, 0]))
+        return acc / jnp.maximum(wacc, 1e-12)[:, None]
 
     pixel_id = jnp.arange(npix, dtype=jnp.int32)
     fn = jax.shard_map(
@@ -89,8 +91,9 @@ def render_spp_psum(scene, camera, film, spp_per_device, cfg, seed, mesh=None):
 
         def wave(i, acc):
             s_idx = (dev * spp_per_device + i).astype(jnp.uint32)
-            L = _trace_wave(scene, camera, film, cfg, jnp.uint32(seed), s_idx, pixel_id)
-            return acc + L
+            L, fw = _trace_wave(scene, camera, film, cfg, jnp.uint32(seed),
+                                s_idx, pixel_id)
+            return acc + L * fw[:, None]
 
         # seed the carry with a varying term so vma types match in the loop
         acc0 = jnp.zeros((film.npix, 3)) + 0.0 * marker[0]
@@ -104,3 +107,108 @@ def render_spp_psum(scene, camera, film, spp_per_device, cfg, seed, mesh=None):
     rgb = jax.jit(fn)(dummy)[0]  # all shards identical post-psum
     nx, ny = film.resolution
     return (rgb * film.imaging_ratio).reshape(ny, nx, 3)
+
+
+# ---------------------------------------------------------------------------
+# Sharded VSPG wave (SURVEY §5: ICI reduction of film + guiding statistics)
+# ---------------------------------------------------------------------------
+
+
+def _row_specs(tree, npix, axis):
+    """Pytree of PartitionSpecs: leading-axis sharding for per-pixel/lane
+    arrays, replicated for scalars."""
+    return jax.tree.map(
+        lambda x: P(axis) if (hasattr(x, "ndim") and x.ndim >= 1
+                              and x.shape[0] % npix == 0
+                              and x.shape[0] > 0) else P(),
+        tree)
+
+
+def render_vspg_sharded(scene, camera, film, spp, cfg=None, gopt=None,
+                        vopt=None, seed=0, mesh=None, spp_per_pass=1,
+                        train=True):
+    """Multi-device VSPG: lanes + film + ISGB rows sharded over the 'rays'
+    axis; the per-wave TrainBatch stays row-sharded and the field EM update
+    runs on the global batch (GSPMD inserts the cross-device reductions —
+    the psum of guiding statistics per wave), so every device holds the
+    identical updated field for the next wave. The reference's serial
+    PostProcessWave barrier (cpu/integrators.cpp:214) becomes this
+    per-wave collective.
+
+    Returns (image, field, isgb)."""
+    from ..models.guiding import field as gfield
+    from ..models.guiding import isgb as gisgb
+    from ..models.integrators import guided_volpath as gvp
+    from ..models.integrators import vspg as vs
+    from ..models.integrators.volpath import VolPathConfig
+
+    cfg = cfg or VolPathConfig()
+    gopt = gopt or gvp.GuidingOptions()
+    vopt = vopt or vs.VSPGOptions()
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    npix = film.npix
+    assert npix % n_dev == 0, "pixel count must divide the mesh"
+
+    g = scene.geometry
+    pts = []
+    for arr in (g.tri_p0, g.tri_p1, g.tri_p2, g.box_min, g.box_max):
+        if arr.shape[0]:
+            pts.append(np.asarray(arr))
+    if g.sph_c.shape[0]:
+        c = np.asarray(g.sph_c)
+        r = np.asarray(g.sph_r)[:, None]
+        pts += [c - r, c + r]
+    allp = np.concatenate(pts, 0)
+    field = gfield.GuidingField.make(allp.min(0) - 1e-3, allp.max(0) + 1e-3,
+                                     res=gopt.field_res, n_lobes=gopt.n_lobes)
+    isgb = gisgb.ISGB.make(film.resolution, vopt.vsp_criterion)
+    film_state = film.init_state()
+    tr_buffer = (jnp.ones((npix, 3))
+                 if vopt.sampling_method == "nds+" else None)
+
+    R = npix * spp_per_pass
+    lane = jnp.arange(R, dtype=jnp.int32)
+    pixel_id = lane // spp_per_pass  # pixel-major: contiguous pixel slices
+
+    fs_specs = _row_specs(film_state, npix // n_dev, axis)
+    isgb_specs = _row_specs(isgb, npix // n_dev, axis)
+    tr_specs = P(axis) if tr_buffer is not None else None
+
+    def wave_shard(pixel_id_s, film_s, isgb_s, tr_s, field_rep, wave_idx):
+        fs, ib, batch, tr = vs.vspg_wave.__wrapped__(
+            scene, camera, film, film_s, field_rep, isgb_s, cfg, gopt, vopt,
+            jnp.uint32(seed), wave_idx, -1, bool(train), int(spp_per_pass),
+            tr_s, pixel_id_s, pixel_id_s[0])
+        if batch is None:
+            batch = 0
+        return fs, ib, batch, tr
+
+    in_specs = (P(axis), fs_specs, isgb_specs, tr_specs,
+                jax.tree.map(lambda _: P(), field), P())
+    sharded = jax.jit(jax.shard_map(
+        wave_shard, mesh=mesh, in_specs=in_specs,
+        out_specs=(fs_specs, isgb_specs,
+                   P(axis) if train else P(), P(axis)),
+        check_vma=False,
+    ))
+
+    n_waves = spp // spp_per_pass
+    for wave in range(n_waves):
+        do_train = train and int(field.iteration) < gopt.train_waves
+        film_state, isgb, batch, tr = sharded(
+            pixel_id, film_state, isgb, tr_buffer, field, jnp.int32(wave))
+        if tr_buffer is not None:
+            tr_pix = tr.reshape(npix, spp_per_pass, 3).mean(1)
+            tr_buffer = (tr_pix if wave == 0
+                         else (tr_buffer * wave + tr_pix) / (wave + 1))
+        if do_train:
+            total_w = float(jnp.sum(jnp.where(batch.valid, batch.weight,
+                                              0.0)))
+            if total_w > gopt.min_train_weight:
+                field = gvp.train_step(field, batch)
+        if (wave + 1) in vopt.isgb_update_waves:
+            isgb = gisgb.isgb_update(isgb)
+    return film.image(film_state), field, isgb

@@ -54,10 +54,12 @@ def load_volume(path):
         return arr, np.asarray(bbox[0], np.float32), np.asarray(
             bbox[1], np.float32) + 1
     if path.endswith(".nvdb"):
-        raise ValueError(
-            "raw NanoVDB parsing is not implemented (no headers or "
-            "validation data in this environment); run `nanovdb_convert` "
-            "/ openvdb tools offline to produce a dense .npy first")
+        from .nvdb import read_nvdb
+
+        dens, org, vs, wbb = read_nvdb(path)
+        bmin = org.astype(np.float32) * vs
+        bmax = bmin + np.asarray(dens.shape, np.float32) * vs
+        return dens, bmin, bmax
     raise ValueError(f"unknown volume format: {path}")
 
 

@@ -238,3 +238,59 @@ def test_imgtool_average_bloom_splitn(tmp_path):
                          "--n", "2", "--outfile", outs]) == 0
     s0 = read_image(str(tmp_path / "strip0.exr"))
     assert s0.shape == (32, 16, 3)
+
+
+def test_imgtool_new_subcommands(tmp_path, capsys):
+    """cat / denoise / makesky / makeemitters / scalenormalmap
+    (cmd/imgtool.cpp:57-229 long tail)."""
+    from vspg_pbrt_v4_tpu.tools.imgtool import main as imgtool_main
+    from vspg_pbrt_v4_tpu.utils.image import read_image, write_exr
+
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    src = str(tmp_path / "in.exr")
+    write_exr(src, img)
+
+    # cat prints every pixel
+    assert imgtool_main(["cat", src]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == 16
+
+    # denoise smooths noise but keeps the mean
+    outd = str(tmp_path / "dn.exr")
+    assert imgtool_main(["denoise", src, "--outfile", outd]) == 0
+    dn = read_image(outd)
+    assert abs(dn.mean() - img.mean()) < 0.05
+    assert dn.std() < img.std()
+
+    # makesky: positive finite radiance, brighter above the horizon
+    outs = str(tmp_path / "sky.exr")
+    assert imgtool_main(["makesky", "--outfile", outs, "--resolution", "64",
+                         "--elevation", "30"]) == 0
+    sky = read_image(outs)
+    assert np.isfinite(sky).all() and sky.min() >= 0
+    assert sky.max() > 1.0
+
+    # makeemitters: one quad light per downsampled pixel
+    oute = str(tmp_path / "em.pbrt")
+    assert imgtool_main(["makeemitters", src, "--outfile", oute,
+                         "--downsample", "8"]) == 0
+    txt = open(oute).read()
+    assert txt.count("AreaLightSource") == 4
+    # and it parses through the scene pipeline
+    from vspg_pbrt_v4_tpu.scene import parse_pbrt_string
+
+    parse_pbrt_string("Camera \"perspective\"\nWorldBegin\n" + txt)
+
+    # scalenormalmap: flattening scale pulls normals toward +z
+    nm = rng.random((8, 8, 3)).astype(np.float32)
+    nm[..., 2] = 1.0
+    nmf = str(tmp_path / "nm.exr")
+    write_exr(nmf, (nm / np.linalg.norm(nm * 2 - 1, axis=-1,
+                                        keepdims=True) + 1) / 2)
+    outn = str(tmp_path / "nm2.exr")
+    assert imgtool_main(["scalenormalmap", nmf, "--outfile", outn,
+                         "--scale", "0.3"]) == 0
+    n2 = read_image(outn) * 2 - 1
+    ln = np.linalg.norm(n2, axis=-1)
+    assert np.allclose(ln, 1.0, atol=1e-3)

@@ -1056,7 +1056,11 @@ def render_persistent(scene: Scene, camera, film, spp=16,
             and jax.default_backend() in ("tpu", "axon")):
         from ...ops import pallas_volpath as _pv
 
-        if _pv.supports(scene, camera, film, cfg):
+        c = _pv.extract_constants(scene, camera, film, cfg)
+        # grid kernel is interpret-validated but currently faults the real
+        # TPU (under investigation) — auto-dispatch homogeneous only
+        if (c is not None and c["kind"] == "homog"
+                and _pv.supports(scene, camera, film, cfg)):
             return _pv.render_homog_pallas(scene, camera, film, int(spp),
                                            cfg, seed)
     R = film.npix * max(int(lanes_per_pixel), 1)

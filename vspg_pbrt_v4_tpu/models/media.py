@@ -34,6 +34,40 @@ class MediumProperties(NamedTuple):
     g: jnp.ndarray  # (R,) HG asymmetry
 
 
+def _trilerp(grid, b_min, b_max, res, p):
+    """Trilinear lookup of `grid` ((nx,ny,nz) or (nx,ny,nz,C)) at world p;
+    zero outside [b_min, b_max] (media.h GridMedium::Density semantics)."""
+    nx, ny, nz = res
+    resf = jnp.asarray([nx, ny, nz], jnp.float32)
+    g = (p - b_min) / (b_max - b_min) * resf - 0.5
+    g0 = jnp.floor(g)
+    w = g - g0
+    i0 = jnp.clip(g0.astype(jnp.int32), 0, resf.astype(jnp.int32) - 1)
+    i1 = jnp.clip(i0 + 1, 0, resf.astype(jnp.int32) - 1)
+    has_c = grid.ndim == 4
+
+    def at(ix, iy, iz):
+        return grid[ix, iy, iz]
+
+    def lerp(a, b, t):
+        t = t[..., None] if has_c else t
+        return a * (1 - t) + b * t
+
+    d00 = lerp(at(i0[..., 0], i0[..., 1], i0[..., 2]),
+               at(i1[..., 0], i0[..., 1], i0[..., 2]), w[..., 0])
+    d10 = lerp(at(i0[..., 0], i1[..., 1], i0[..., 2]),
+               at(i1[..., 0], i1[..., 1], i0[..., 2]), w[..., 0])
+    d01 = lerp(at(i0[..., 0], i0[..., 1], i1[..., 2]),
+               at(i1[..., 0], i0[..., 1], i1[..., 2]), w[..., 0])
+    d11 = lerp(at(i0[..., 0], i1[..., 1], i1[..., 2]),
+               at(i1[..., 0], i1[..., 1], i1[..., 2]), w[..., 0])
+    d0 = lerp(d00, d10, w[..., 1])
+    d1 = lerp(d01, d11, w[..., 1])
+    out = lerp(d0, d1, w[..., 2])
+    inside = jnp.all((p >= b_min) & (p <= b_max), axis=-1)
+    return jnp.where(inside[..., None] if has_c else inside, out, 0.0)
+
+
 @struct.dataclass
 class GridMedium:
     """Axis-aligned dense density grid. density scales sigma_a/sigma_s."""
@@ -84,34 +118,72 @@ class GridMedium:
 
     def density_at(self, p):
         """Trilinear density lookup at world p (media.h GridMedium::Density)."""
-        nx, ny, nz = self.res
-        res = jnp.asarray([nx, ny, nz], jnp.float32)
-        g = (p - self.b_min) / (self.b_max - self.b_min) * res - 0.5
-        g0 = jnp.floor(g)
-        w = g - g0
-        i0 = jnp.clip(g0.astype(jnp.int32), 0, res.astype(jnp.int32) - 1)
-        i1 = jnp.clip(i0 + 1, 0, res.astype(jnp.int32) - 1)
+        return _trilerp(self.density, self.b_min, self.b_max, self.res, p)
 
-        def at(ix, iy, iz):
-            return self.density[ix, iy, iz]
 
-        d000 = at(i0[..., 0], i0[..., 1], i0[..., 2])
-        d100 = at(i1[..., 0], i0[..., 1], i0[..., 2])
-        d010 = at(i0[..., 0], i1[..., 1], i0[..., 2])
-        d110 = at(i1[..., 0], i1[..., 1], i0[..., 2])
-        d001 = at(i0[..., 0], i0[..., 1], i1[..., 2])
-        d101 = at(i1[..., 0], i0[..., 1], i1[..., 2])
-        d011 = at(i0[..., 0], i1[..., 1], i1[..., 2])
-        d111 = at(i1[..., 0], i1[..., 1], i1[..., 2])
-        wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
-        d00 = d000 * (1 - wx) + d100 * wx
-        d10 = d010 * (1 - wx) + d110 * wx
-        d01 = d001 * (1 - wx) + d101 * wx
-        d11 = d011 * (1 - wx) + d111 * wx
-        d0 = d00 * (1 - wy) + d10 * wy
-        d1 = d01 * (1 - wy) + d11 * wy
-        inside = jnp.all((p >= self.b_min) & (p <= self.b_max), axis=-1)
-        return jnp.where(inside, d0 * (1 - wz) + d1 * wz, 0.0)
+@struct.dataclass
+class RGBGridMedium:
+    """Dense per-voxel RGB coefficient grids (media.h RGBGridMedium:392):
+    sigma_a/sigma_s stored as full RGB per voxel (not density x base color);
+    optional RGB emission grid with LeScale. The majorant supergrid holds
+    the per-channel max of sigma_t over each supervoxel (media.h
+    MajorantGrid over RGB maxima)."""
+
+    sigma_a_grid: jnp.ndarray  # (nx,ny,nz,3)
+    sigma_s_grid: jnp.ndarray  # (nx,ny,nz,3)
+    Le_grid: jnp.ndarray  # (nx,ny,nz,3) or (1,1,1,3) zeros
+    Le_scale: jnp.ndarray  # ()
+    g: jnp.ndarray  # ()
+    b_min: jnp.ndarray  # (3,)
+    b_max: jnp.ndarray  # (3,)
+    majorant: jnp.ndarray  # (mx,my,mz,3) per-channel sigma_t max
+    res: tuple = struct.field(pytree_node=False)
+    maj_res: tuple = struct.field(pytree_node=False)
+
+    @staticmethod
+    def make(sigma_a, sigma_s, b_min, b_max, Le=None, Le_scale=1.0, g=0.0,
+             maj_res=16, majorant_scale=1.0):
+        """sigma_a/sigma_s: numpy (nx,ny,nz,3) RGB coefficient grids."""
+        sa = np.asarray(sigma_a, np.float32)
+        ss = np.asarray(sigma_s, np.float32)
+        assert sa.ndim == 4 and sa.shape[-1] == 3, sa.shape
+        nx, ny, nz = sa.shape[:3]
+        st = sa + ss
+        if isinstance(maj_res, int):
+            maj_res = (min(maj_res, nx), min(maj_res, ny), min(maj_res, nz))
+        mx, my, mz = maj_res
+        maj = np.zeros((mx, my, mz, 3), np.float32)
+        xs = np.linspace(0, nx, mx + 1).astype(int)
+        ys = np.linspace(0, ny, my + 1).astype(int)
+        zs = np.linspace(0, nz, mz + 1).astype(int)
+        for i in range(mx):
+            x0, x1 = max(xs[i] - 1, 0), min(xs[i + 1] + 1, nx)
+            for j in range(my):
+                y0, y1 = max(ys[j] - 1, 0), min(ys[j + 1] + 1, ny)
+                for k in range(mz):
+                    z0, z1 = max(zs[k] - 1, 0), min(zs[k + 1] + 1, nz)
+                    maj[i, j, k] = st[x0:x1, y0:y1, z0:z1].max((0, 1, 2))
+        maj *= majorant_scale
+        le = (np.zeros((1, 1, 1, 3), np.float32) if Le is None
+              else np.asarray(Le, np.float32))
+        return RGBGridMedium(
+            jnp.asarray(sa), jnp.asarray(ss), jnp.asarray(le),
+            jnp.asarray(Le_scale, jnp.float32), jnp.asarray(g, jnp.float32),
+            jnp.asarray(b_min, jnp.float32), jnp.asarray(b_max, jnp.float32),
+            jnp.asarray(maj), (nx, ny, nz), (mx, my, mz),
+        )
+
+    def sigma_at(self, p):
+        """(sigma_a, sigma_s) RGB at world p."""
+        sa = _trilerp(self.sigma_a_grid, self.b_min, self.b_max, self.res, p)
+        ss = _trilerp(self.sigma_s_grid, self.b_min, self.b_max, self.res, p)
+        return sa, ss
+
+    def le_at(self, p):
+        if self.Le_grid.shape[0] == 1:
+            return jnp.zeros(p.shape[:-1] + (3,))
+        return self.Le_scale * _trilerp(self.Le_grid, self.b_min, self.b_max,
+                                        self.res, p)
 
 
 @struct.dataclass
@@ -323,6 +395,13 @@ class Media:
             g = jnp.zeros(medium_id.shape)
         for i, gm in enumerate(self.grids):
             sel = medium_id == self.n_homog + i
+            if isinstance(gm, RGBGridMedium):
+                sa_g, ss_g = gm.sigma_at(p)
+                sigma_a = jnp.where(sel[..., None], sa_g, sigma_a)
+                sigma_s = jnp.where(sel[..., None], ss_g, sigma_s)
+                Le = jnp.where(sel[..., None], gm.le_at(p), Le)
+                g = jnp.where(sel, gm.g, g)
+                continue
             dens = gm.density_at(p)
             sigma_a = jnp.where(sel[..., None], dens[..., None] * gm.sigma_a, sigma_a)
             sigma_s = jnp.where(sel[..., None], dens[..., None] * gm.sigma_s, sigma_s)
@@ -428,8 +507,12 @@ def seg_init(media: Media, medium_id, o, d, t_max, active, lam=None) -> SegIter:
         t_next = jnp.where(jnp.abs(d_idx) < 1e-20, jnp.inf, t_next)
         t_delta = jnp.abs(safe_inv)
         seg_end = jnp.minimum(jnp.min(t_next, -1), t1)
-        maj_dens = gm.majorant[vox[..., 0], vox[..., 1], vox[..., 2]]
-        smaj = maj_dens[..., None] * _up(gm.sigma_a + gm.sigma_s, lam)
+        if isinstance(gm, RGBGridMedium):
+            smaj = _up(gm.majorant[vox[..., 0], vox[..., 1], vox[..., 2]],
+                       lam)
+        else:
+            maj_dens = gm.majorant[vox[..., 0], vox[..., 1], vox[..., 2]]
+            smaj = maj_dens[..., None] * _up(gm.sigma_a + gm.sigma_s, lam)
         it = it._replace(
             t_seg_start=jnp.where(sel, t0, it.t_seg_start),
             t_seg_end=jnp.where(sel, jnp.where(miss, t0, seg_end), it.t_seg_end),
@@ -486,8 +569,13 @@ def seg_next(media: Media, medium_id, it: SegIter, want, lam=None) -> SegIter:
         )
         vox_c = jnp.clip(vox, 0, jnp.asarray([mx - 1, my - 1, mz - 1]))
         seg_end = jnp.minimum(jnp.min(t_next, -1), it.t_exit)
-        maj_dens = gm.majorant[vox_c[..., 0], vox_c[..., 1], vox_c[..., 2]]
-        smaj = maj_dens[..., None] * _up(gm.sigma_a + gm.sigma_s, lam)
+        if isinstance(gm, RGBGridMedium):
+            smaj = _up(gm.majorant[vox_c[..., 0], vox_c[..., 1],
+                                   vox_c[..., 2]], lam)
+        else:
+            maj_dens = gm.majorant[vox_c[..., 0], vox_c[..., 1],
+                                   vox_c[..., 2]]
+            smaj = maj_dens[..., None] * _up(gm.sigma_a + gm.sigma_s, lam)
         out = out._replace(
             t_seg_start=jnp.where(sel, t_start, out.t_seg_start),
             t_seg_end=jnp.where(sel, seg_end, out.t_seg_end),

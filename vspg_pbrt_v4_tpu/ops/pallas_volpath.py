@@ -105,11 +105,41 @@ def extract_constants(scene, camera, film, cfg):
         if med_in != 0 or med_out != -1:
             return None
         m = scene.media
-        if len(m.grids) or len(m.procedurals):
+        if len(m.procedurals):
             return None
-        if int(m.h_sigma_a.shape[0]) != 1:
-            return None
-        if float(np.asarray(m.h_Le).max()) > 0:
+        medium_kind = None
+        if len(m.grids) == 0:
+            if int(m.h_sigma_a.shape[0]) != 1:
+                return None
+            if float(np.asarray(m.h_Le).max()) > 0:
+                return None
+            medium_kind = "homog"
+        elif len(m.grids) == 1 and m.n_homog == 0:
+            from ..models.media import GridMedium, RGBGridMedium
+
+            gm = m.grids[0]
+            if isinstance(gm, RGBGridMedium) or not isinstance(gm,
+                                                               GridMedium):
+                return None
+            if float(np.asarray(gm.Le).max()) > 0:
+                return None
+            if not (np.allclose(np.asarray(gm.b_min),
+                                np.asarray(g.box_min)[0])
+                    and np.allclose(np.asarray(gm.b_max),
+                                    np.asarray(g.box_max)[0])):
+                return None
+            nvox = int(np.prod(gm.res))
+            if nvox > 64 ** 3 or nvox % 128 != 0:
+                return None
+            if int(np.prod(gm.maj_res)) % 128 != 0:
+                return None
+            # the kernel's uniform majorant cells must match the jnp DDA's
+            # linspace partition: grid res divisible by majorant res
+            if any(int(gm.res[k]) % int(gm.maj_res[k])
+                   for k in range(3)):
+                return None
+            medium_kind = "grid"
+        else:
             return None
         li = scene.lights
         if (li.n_spot or li.n_gonio or li.n_proj or li.n_distant
@@ -135,10 +165,25 @@ def extract_constants(scene, camera, film, cfg):
         has_point = int(li.n_point) == 1
         if not (has_env or has_point):
             return None
+        if medium_kind == "homog":
+            sa_base = tuple(float(x) for x in np.asarray(m.h_sigma_a)[0])
+            ss_base = tuple(float(x) for x in np.asarray(m.h_sigma_s)[0])
+            g_hg = float(np.asarray(m.h_g)[0])
+            grid_res = maj_res = None
+        else:
+            gm = m.grids[0]
+            sa_base = tuple(float(x) for x in np.asarray(gm.sigma_a))
+            ss_base = tuple(float(x) for x in np.asarray(gm.sigma_s))
+            g_hg = float(np.asarray(gm.g))
+            grid_res = tuple(int(v) for v in gm.res)
+            maj_res = tuple(int(v) for v in gm.maj_res)
         c = dict(
-            sigma_a=tuple(float(x) for x in np.asarray(m.h_sigma_a)[0]),
-            sigma_s=tuple(float(x) for x in np.asarray(m.h_sigma_s)[0]),
-            g_hg=float(np.asarray(m.h_g)[0]),
+            kind=medium_kind,
+            grid_res=grid_res,
+            maj_res=maj_res,
+            sigma_a=sa_base,
+            sigma_s=ss_base,
+            g_hg=g_hg,
             bmin=tuple(float(x) for x in np.asarray(g.box_min)[0]),
             bmax=tuple(float(x) for x in np.asarray(g.box_max)[0]),
             has_point=has_point,
@@ -582,6 +627,553 @@ def _make_kernel(c, spp, sub):
 
 
 # ---------------------------------------------------------------------------
+# Grid-medium megakernel: fused DDA majorant walk + delta tracking
+# ---------------------------------------------------------------------------
+
+
+def _make_grid_kernel(c, spp, sub):
+    """Megakernel for the single-GridMedium scene class: the DDA majorant
+    iteration and delta-tracking collisions (media.h:140-218 +
+    media_sampleTMaj.h:40-117, the jnp loop in
+    volpath.sample_medium_interaction) run fused in VMEM. Density and
+    majorant grids are VMEM tables; per-lane scalar lookups use chunked
+    (sub,128) lane-gathers (Mosaic supports only idx<128 gathers, so a
+    fori_loop sweeps the table chunks).
+
+    Each outer iteration processes ONE medium event per lane (segment
+    tail, tentative collision, or surface/escape) — the memoryless
+    exponential lets the ray origin advance to each event point, so the
+    DDA cursor is re-derived from position instead of carried."""
+    sa = np.asarray(c["sigma_a"], np.float32)   # per-channel base
+    ss = np.asarray(c["sigma_s"], np.float32)
+    st = sa + ss
+    g_hg = c["g_hg"]
+    bmin, bmax = c["bmin"], c["bmax"]
+    ext = tuple(bmax[k] - bmin[k] for k in range(3))
+    gx, gy, gz = c["grid_res"]
+    mx, my, mz = c["maj_res"]
+    n_dens_chunks = (gx * gy * gz) // 128
+    n_maj_chunks = (mx * my * mz) // 128
+    has_point, has_env = c["has_point"], c["has_env"]
+    lp = np.asarray(c["point_p"], np.float32)
+    lI = np.asarray(c["point_I"], np.float32)
+    envL = np.asarray(c["env_L"], np.float32)
+    n_lights = int(has_point) + int(has_env)
+    pmf = 1.0 / max(n_lights, 1)
+    rc = np.asarray(c["rc"], np.float32)
+    cw = np.asarray(c["cw"], np.float32)
+    nx = c["nx"]
+    max_depth = c["max_depth"]
+    max_iters = spp * c["max_events"] * 4  # events include null collisions
+    MAX_SHADOW = 192
+    nx_pow2 = (nx & (nx - 1)) == 0
+    nx_shift = int(np.log2(nx)) if nx_pow2 else 0
+    LB = sub * 128
+
+    def chan(vec3, h):
+        return jnp.where(h == 0, float(vec3[0]),
+                         jnp.where(h == 1, float(vec3[1]), float(vec3[2])))
+
+    def avg3(v):
+        return (v[0] + v[1] + v[2]) * (1.0 / 3.0)
+
+    def camera_ray(px, py):
+        xc = rc[0, 0] * px + rc[0, 1] * py + rc[0, 3]
+        yc = rc[1, 0] * px + rc[1, 1] * py + rc[1, 3]
+        zc = rc[2, 0] * px + rc[2, 1] * py + rc[2, 3]
+        wc = rc[3, 0] * px + rc[3, 1] * py + rc[3, 3]
+        inv_w = jnp.where(jnp.abs(wc - 1.0) < 1e-9, 1.0, 1.0 / wc)
+        xc, yc, zc = xc * inv_w, yc * inv_w, zc * inv_w
+        dxc, dyc, dzc = _normalize(xc, yc, zc)
+        dx = cw[0, 0] * dxc + cw[0, 1] * dyc + cw[0, 2] * dzc
+        dy = cw[1, 0] * dxc + cw[1, 1] * dyc + cw[1, 2] * dzc
+        dz = cw[2, 0] * dxc + cw[2, 1] * dyc + cw[2, 2] * dzc
+        return _normalize(dx, dy, dz)
+
+    cam_o = (float(cw[0, 3]), float(cw[1, 3]), float(cw[2, 3]))
+
+    def kernel(seed_ref, dens_ref, maj_ref, out_ref):
+        block = pl.program_id(0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+        pix_i = block * LB + lane_i * 128 + lane_j
+        pix = pix_i.astype(_U32)
+        if nx_pow2:
+            px_i = (pix_i & (nx - 1)).astype(jnp.float32)
+            py_i = (pix_i >> nx_shift).astype(jnp.float32)
+        else:
+            pf = pix_i.astype(jnp.float32)
+            py_i = jnp.floor(pf * (1.0 / nx) + 1e-6)
+            px_i = pf - py_i * nx
+        seed_a = jnp.full((sub, 128), seed_ref[0, 0], _U32)
+        zf = jnp.zeros((sub, 128), jnp.float32)
+        zi = jnp.zeros((sub, 128), jnp.int32)
+
+        def table_lookup(tab_ref, n_chunks, flat_idx):
+            """tab[flat_idx] via a chunk sweep; flat_idx (sub,128) int32."""
+            c_idx = flat_idx >> 7
+            l_idx = flat_idx & 127
+
+            def body(cc, acc):
+                row = tab_ref[cc]
+                chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
+                return jnp.where(c_idx == cc, gathered, acc)
+
+            return jax.lax.fori_loop(0, n_chunks, body, zf)
+
+        def density_at(px, py, pz):
+            """Trilinear density (media.py GridMedium.density_at / _trilerp
+            semantics: clamp-to-edge inside, zero outside)."""
+            fx = (px - bmin[0]) / ext[0] * gx - 0.5
+            fy = (py - bmin[1]) / ext[1] * gy - 0.5
+            fz = (pz - bmin[2]) / ext[2] * gz - 0.5
+            x0 = jnp.floor(fx)
+            y0 = jnp.floor(fy)
+            z0 = jnp.floor(fz)
+            wx, wy, wz = fx - x0, fy - y0, fz - z0
+            ix0 = jnp.clip(x0.astype(jnp.int32), 0, gx - 1)
+            iy0 = jnp.clip(y0.astype(jnp.int32), 0, gy - 1)
+            iz0 = jnp.clip(z0.astype(jnp.int32), 0, gz - 1)
+            ix1 = jnp.minimum(ix0 + 1, gx - 1)
+            iy1 = jnp.minimum(iy0 + 1, gy - 1)
+            iz1 = jnp.minimum(iz0 + 1, gz - 1)
+            # one sweep over chunks, 8 corner gathers per chunk
+            corner_idx = []
+            corner_w = []
+            for cx, wxa in ((ix0, 1.0 - wx), (ix1, wx)):
+                for cy, wya in ((iy0, 1.0 - wy), (iy1, wy)):
+                    for cz, wza in ((iz0, 1.0 - wz), (iz1, wz)):
+                        corner_idx.append((cx * gy + cy) * gz + cz)
+                        corner_w.append(wxa * wya * wza)
+
+            def body(cc, accs):
+                row = dens_ref[cc]
+                chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                new = []
+                for ci, acc in zip(corner_idx, accs):
+                    gathered = jnp.take_along_axis(chunk, ci & 127, axis=1)
+                    new.append(jnp.where((ci >> 7) == cc, gathered, acc))
+                return tuple(new)
+
+            vals = jax.lax.fori_loop(0, n_dens_chunks, body, (zf,) * 8)
+            d = sum(v * w for v, w in zip(vals, corner_w))
+            inside = ((px >= bmin[0]) & (px <= bmax[0])
+                      & (py >= bmin[1]) & (py <= bmax[1])
+                      & (pz >= bmin[2]) & (pz <= bmax[2]))
+            return jnp.where(inside, d, 0.0)
+
+        def maj_dens_at(px, py, pz):
+            """Supervoxel majorant density at p (nearest cell)."""
+            ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
+                          0, mx - 1)
+            iy = jnp.clip(((py - bmin[1]) / ext[1] * my).astype(jnp.int32),
+                          0, my - 1)
+            iz = jnp.clip(((pz - bmin[2]) / ext[2] * mz).astype(jnp.int32),
+                          0, mz - 1)
+            return table_lookup(maj_ref, n_maj_chunks,
+                                (ix * my + iy) * mz + iz)
+
+        def seg_exit(px, py, pz, dx, dy, dz):
+            """Distance to the current majorant supervoxel's exit plane
+            (the DDA step length, media.h:182-207 re-derived from
+            position)."""
+            t_seg = jnp.full_like(px, _BIG)
+            for (p_c, d_c, lo, ex_c, m_c) in (
+                    (px, dx, bmin[0], ext[0], mx),
+                    (py, dy, bmin[1], ext[1], my),
+                    (pz, dz, bmin[2], ext[2], mz)):
+                u = (p_c - lo) / ex_c * m_c
+                sgn = jnp.where(d_c >= 0, 1.0, -1.0)
+                cell = jnp.floor(u + sgn * 3e-4)
+                bound = jnp.where(d_c >= 0, cell + 1.0, cell)
+                t_axis = (bound / m_c * ex_c + lo - p_c) / jnp.where(
+                    jnp.abs(d_c) < 1e-12,
+                    jnp.where(d_c >= 0, 1e-12, -1e-12), d_c)
+                t_axis = jnp.where(jnp.abs(d_c) < 1e-12, _BIG, t_axis)
+                t_seg = jnp.minimum(t_seg, t_axis)
+            return jnp.maximum(t_seg, 1e-5)
+
+        def shadow_tr(px, py, pz, wx, wy, wz, t_end, hero, dim, samp,
+                      active):
+            """Ratio-tracked spectral transmittance along a shadow ray
+            (volpath.transmittance_ratio_tracking's collision loop), with
+            the transmittance RR. Only `active` lanes iterate. Returns
+            (T (3,), r_l (3,), r_u (3,), dim)."""
+            st_h = chan(st, hero)
+            T = [jnp.ones_like(zf) for _ in range(3)]
+            rl = [jnp.ones_like(zf) for _ in range(3)]
+            ru = [jnp.ones_like(zf) for _ in range(3)]
+            t_cur = zf
+            live = (active & (t_end > 0)).astype(jnp.int32)
+
+            def cond(carry):
+                return jnp.any(carry[10] != 0) & (carry[12] < MAX_SHADOW)
+
+            def body(carry):
+                (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur, live_i,
+                 dim, it) = carry
+                live = live_i != 0
+                cx = px + t_cur * wx
+                cy = py + t_cur * wy
+                cz = pz + t_cur * wz
+                m_d = maj_dens_at(cx, cy, cz)
+                maj_h = m_d * st_h
+                t_seg = seg_exit(cx, cy, cz, wx, wy, wz)
+                t_seg = jnp.minimum(t_seg, t_end - t_cur)
+                u0, u1, _, _ = _uniform4(seed_a, pix, samp, dim)
+                dim = dim + _U32(1)
+                dt = jnp.where(maj_h > 0,
+                               -jnp.log1p(-u0) / jnp.maximum(maj_h, 1e-30),
+                               _BIG)
+                coll = live & (dt < t_seg)
+                step = jnp.where(coll, dt, t_seg)
+                # spectral interval transmittance vs per-channel majorant
+                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
+                           for k in range(3))
+                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
+                # tail: per-segment telescoping rescale
+                tail = live & ~coll
+                sc = tuple(Tm[k] / Tm_h for k in range(3))
+                T0 = jnp.where(tail, T0 * sc[0], T0)
+                T1 = jnp.where(tail, T1 * sc[1], T1)
+                T2 = jnp.where(tail, T2 * sc[2], T2)
+                rl0 = jnp.where(tail, rl0 * sc[0], rl0)
+                rl1 = jnp.where(tail, rl1 * sc[1], rl1)
+                rl2 = jnp.where(tail, rl2 * sc[2], rl2)
+                ru0 = jnp.where(tail, ru0 * sc[0], ru0)
+                ru1 = jnp.where(tail, ru1 * sc[1], ru1)
+                ru2 = jnp.where(tail, ru2 * sc[2], ru2)
+                # collision: null-scatter ratio tracking update
+                dcol = density_at(px + (t_cur + dt) * wx,
+                                  py + (t_cur + dt) * wy,
+                                  pz + (t_cur + dt) * wz)
+                sn = tuple(jnp.maximum(m_d * float(st[k])
+                                       - dcol * float(st[k]), 0.0)
+                           for k in range(3))
+                sn_h = chan(st, hero) * jnp.maximum(m_d - dcol, 0.0)
+                pdf = jnp.maximum(Tm_h * maj_h, 1e-30)
+                T0 = jnp.where(coll, T0 * Tm[0] * sn[0] / pdf, T0)
+                T1 = jnp.where(coll, T1 * Tm[1] * sn[1] / pdf, T1)
+                T2 = jnp.where(coll, T2 * Tm[2] * sn[2] / pdf, T2)
+                rl0 = jnp.where(coll, rl0 * Tm[0] * m_d * float(st[0]) / pdf,
+                                rl0)
+                rl1 = jnp.where(coll, rl1 * Tm[1] * m_d * float(st[1]) / pdf,
+                                rl1)
+                rl2 = jnp.where(coll, rl2 * Tm[2] * m_d * float(st[2]) / pdf,
+                                rl2)
+                ru0 = jnp.where(coll, ru0 * Tm[0] * sn[0] / pdf, ru0)
+                ru1 = jnp.where(coll, ru1 * Tm[1] * sn[1] / pdf, ru1)
+                ru2 = jnp.where(coll, ru2 * Tm[2] * sn[2] / pdf, ru2)
+                # transmittance russian roulette (integrators.cpp:1404)
+                denom_rr = jnp.maximum(
+                    avg3((rl0 + ru0, rl1 + ru1, rl2 + ru2)), 1e-30)
+                trm = jnp.maximum(jnp.maximum(T0, T1), T2) / denom_rr
+                low = coll & (trm < 0.05)
+                killed = low & (u1 < 0.75)
+                T0 = jnp.where(killed, zf, jnp.where(low, T0 / 0.25, T0))
+                T1 = jnp.where(killed, zf, jnp.where(low, T1 / 0.25, T1))
+                T2 = jnp.where(killed, zf, jnp.where(low, T2 / 0.25, T2))
+                dead = jnp.maximum(jnp.maximum(T0, T1), T2) == 0
+                t_cur = jnp.where(live, t_cur + step + 1e-6, t_cur)
+                live = live & ~dead & (t_cur < t_end)
+                return (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur,
+                        live.astype(jnp.int32), dim, it + 1)
+
+            init = (T[0], T[1], T[2], rl[0], rl[1], rl[2], ru[0], ru[1],
+                    ru[2], t_cur, live, dim, jnp.int32(0))
+            out = jax.lax.while_loop(cond, body, init)
+            return ((out[0], out[1], out[2]), (out[3], out[4], out[5]),
+                    (out[6], out[7], out[8]), out[11])
+
+        def start_path(samp, dim):
+            u0, u1, u2, _ = _uniform4(seed_a, pix, samp, dim)
+            px = px_i + 0.5 + (u0 - 0.5)
+            py = py_i + 0.5 + (u1 - 0.5)
+            dx, dy, dz = camera_ray(px, py)
+            hero = jnp.minimum(jnp.floor(u2 * 3.0).astype(jnp.int32), 2)
+            o = (jnp.full_like(zf, cam_o[0]), jnp.full_like(zf, cam_o[1]),
+                 jnp.full_like(zf, cam_o[2]))
+            return o, (dx, dy, dz), hero, dim + _U32(1)
+
+        o0, d0, hero0, _ = start_path(jnp.zeros((sub, 128), _U32),
+                                      jnp.zeros((sub, 128), _U32))
+        ones3 = (jnp.ones_like(zf),) * 3
+        zeros3 = (zf,) * 3
+        carry = (
+            jnp.zeros((sub, 128), _U32),      # 0 samp
+            jnp.full((sub, 128), 1, _U32),    # 1 dim
+            jnp.ones((sub, 128), jnp.int32),  # 2 alive
+            *o0, *d0,                         # 3..8
+            *ones3, *ones3, *ones3,           # 9..17 beta/ru/rl
+            *zeros3,                          # 18..20 L
+            zi,                               # 21 depth
+            hero0,                            # 22 hero
+            jnp.full((sub, 128), -1, jnp.int32),  # 23 medium
+            *zeros3,                          # 24..26 acc
+            jnp.int32(0),                     # 27 iter
+        )
+
+        def cond(cy):
+            return jnp.any(cy[2] != 0) & (cy[27] < max_iters)
+
+        def body(cy):
+            (samp, dim, alive_i, ox, oy, oz, dx, dy, dz,
+             b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
+             L0, L1, L2, depth, hero, med, a0, a1, a2, it) = cy
+            alive = alive_i != 0
+            st_h = chan(st, hero)
+
+            hit, t_wall, entering = _box_hit(ox, oy, oz, dx, dy, dz,
+                                             bmin, bmax)
+            in_med = alive & (med == 0)
+            wall_rem = jnp.where(hit, t_wall, _BIG)
+
+            # -- one DDA event -------------------------------------------
+            m_d = maj_dens_at(ox, oy, oz)
+            maj_h = m_d * st_h
+            t_seg = jnp.minimum(seg_exit(ox, oy, oz, dx, dy, dz), wall_rem)
+            ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            dt_coll = jnp.where(maj_h > 0,
+                                -jnp.log1p(-ua)
+                                / jnp.maximum(maj_h, 1e-30), _BIG)
+            coll = in_med & (dt_coll < t_seg)
+            step = jnp.where(coll, dt_coll, t_seg)
+            Tm = tuple(jnp.exp(-m_d * float(st[k]) * step) for k in range(3))
+            Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
+            sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
+
+            # segment tail: telescoping rescale + advance
+            at_wall = in_med & ~coll & (t_seg >= wall_rem - 1e-6)
+            tail = in_med & ~coll
+            b0 = jnp.where(tail, b0 * sc_tail[0], b0)
+            b1 = jnp.where(tail, b1 * sc_tail[1], b1)
+            b2 = jnp.where(tail, b2 * sc_tail[2], b2)
+            ru0 = jnp.where(tail, ru0 * sc_tail[0], ru0)
+            ru1 = jnp.where(tail, ru1 * sc_tail[1], ru1)
+            ru2 = jnp.where(tail, ru2 * sc_tail[2], ru2)
+            rl0 = jnp.where(tail, rl0 * sc_tail[0], rl0)
+            rl1 = jnp.where(tail, rl1 * sc_tail[1], rl1)
+            rl2 = jnp.where(tail, rl2 * sc_tail[2], rl2)
+            adv = tail & ~at_wall
+            ox = jnp.where(adv, ox + (step + 1e-6) * dx, ox)
+            oy = jnp.where(adv, oy + (step + 1e-6) * dy, oy)
+            oz = jnp.where(adv, oz + (step + 1e-6) * dz, oz)
+
+            # collision point + local coefficients
+            sx = ox + dt_coll * dx
+            sy = oy + dt_coll * dy
+            sz = oz + dt_coll * dz
+            dloc = density_at(sx, sy, sz)
+            sa_h = dloc * chan(sa, hero)
+            ss_h = dloc * chan(ss, hero)
+            maj_safe = jnp.maximum(maj_h, 1e-30)
+            p_absorb = sa_h / maj_safe
+            p_scatter = ss_h / maj_safe
+            is_absorb = coll & (ub < p_absorb)
+            is_scatter = coll & ~is_absorb & (ub < p_absorb + p_scatter)
+            is_null = coll & ~is_absorb & ~is_scatter
+            depth_exceeded = is_scatter & (depth >= max_depth)
+            terminated = is_absorb | depth_exceeded
+            scat = is_scatter & ~depth_exceeded
+            depth = jnp.where(scat, depth + 1, depth)
+            alive = alive & ~terminated
+
+            # scatter weights (integrators.cpp:1064-1100)
+            pdf_s = jnp.maximum(Tm_h * ss_h, 1e-30)
+            sc_s = tuple(Tm[k] * dloc * float(ss[k]) / pdf_s
+                         for k in range(3))
+            b0 = jnp.where(scat, b0 * sc_s[0], b0)
+            b1 = jnp.where(scat, b1 * sc_s[1], b1)
+            b2 = jnp.where(scat, b2 * sc_s[2], b2)
+            ru0 = jnp.where(scat, ru0 * sc_s[0], ru0)
+            ru1 = jnp.where(scat, ru1 * sc_s[1], ru1)
+            ru2 = jnp.where(scat, ru2 * sc_s[2], ru2)
+
+            # null-scatter weights (integrators.cpp:1102-1110)
+            sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
+                       for k in range(3))
+            sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
+            pdf_n = Tm_h * sn_h
+            zero_pdf = is_null & (pdf_n <= 0)
+            inv_pdf_n = 1.0 / jnp.maximum(pdf_n, 1e-30)
+            b0 = jnp.where(is_null, b0 * Tm[0] * sn[0] * inv_pdf_n, b0)
+            b1 = jnp.where(is_null, b1 * Tm[1] * sn[1] * inv_pdf_n, b1)
+            b2 = jnp.where(is_null, b2 * Tm[2] * sn[2] * inv_pdf_n, b2)
+            ru0 = jnp.where(is_null, ru0 * Tm[0] * sn[0] * inv_pdf_n, ru0)
+            ru1 = jnp.where(is_null, ru1 * Tm[1] * sn[1] * inv_pdf_n, ru1)
+            ru2 = jnp.where(is_null, ru2 * Tm[2] * sn[2] * inv_pdf_n, ru2)
+            rl0 = jnp.where(is_null,
+                            rl0 * Tm[0] * m_d * float(st[0]) * inv_pdf_n,
+                            rl0)
+            rl1 = jnp.where(is_null,
+                            rl1 * Tm[1] * m_d * float(st[1]) * inv_pdf_n,
+                            rl1)
+            rl2 = jnp.where(is_null,
+                            rl2 * Tm[2] * m_d * float(st[2]) * inv_pdf_n,
+                            rl2)
+            died_null = is_null & (zero_pdf
+                                   | (jnp.maximum(jnp.maximum(b0, b1), b2)
+                                      == 0))
+            alive = alive & ~died_null
+            # null lanes advance to the collision point and stay in flight
+            nadv = is_null & ~died_null
+            ox = jnp.where(nadv, sx, ox)
+            oy = jnp.where(nadv, sy, oy)
+            oz = jnp.where(nadv, sz, oz)
+
+            # -- NEE + phase sampling at real scatters --------------------
+            # ONE shadow walk per iteration: the selected light's direction
+            # is chosen first (the two branches are mutually exclusive)
+            wox, woy, woz = -dx, -dy, -dz
+            u_sel = uc
+            un0, un1, _, _ = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            sel_pt = ((u_sel < pmf) if has_env else (u_sel >= -1.0)) \
+                if has_point else (u_sel < -1.0)
+            # point-light candidate
+            plx = sx - float(lp[0])
+            ply = sy - float(lp[1])
+            plz = sz - float(lp[2])
+            dist2 = jnp.maximum(plx * plx + ply * ply + plz * plz, 1e-12)
+            dist = jnp.sqrt(dist2)
+            inv_dist = 1.0 / dist
+            # env candidate (uniform sphere)
+            ez = 1.0 - 2.0 * ud
+            er = jnp.sqrt(jnp.maximum(1.0 - ez * ez, 0.0))
+            ephi = (2.0 * np.pi) * un0
+            wix = jnp.where(sel_pt, -plx * inv_dist, er * jnp.cos(ephi))
+            wiy = jnp.where(sel_pt, -ply * inv_dist, er * jnp.sin(ephi))
+            wiz = jnp.where(sel_pt, -plz * inv_dist, ez)
+            cos_wi = _dot(wox, woy, woz, wix, wiy, wiz)
+            f_hg = _hg_value(cos_wi, g_hg)
+            _, t_exit_s, _ = _box_hit(sx, sy, sz, wix, wiy, wiz, bmin, bmax)
+            t_med = jnp.where(sel_pt, jnp.minimum(dist, t_exit_s), t_exit_s)
+            nee_act = scat & (f_hg > 0)
+            (Tr, trl, tru, dim) = shadow_tr(sx, sy, sz, wix, wiy, wiz,
+                                            t_med, hero, dim, samp, nee_act)
+            if has_point:
+                okp = nee_act & sel_pt
+                denom = jnp.maximum(
+                    avg3((trl[0] * ru0 * pmf, trl[1] * ru1 * pmf,
+                          trl[2] * ru2 * pmf)), 1e-30)
+                w = f_hg / (dist2 * denom)
+                L0 = jnp.where(okp, L0 + b0 * Tr[0] * float(lI[0]) * w, L0)
+                L1 = jnp.where(okp, L1 + b1 * Tr[1] * float(lI[1]) * w, L1)
+                L2 = jnp.where(okp, L2 + b2 * Tr[2] * float(lI[2]) * w, L2)
+            if has_env:
+                oke = nee_act & ~sel_pt
+                p_l = pmf * INV_4PI
+                denom = jnp.maximum(
+                    avg3((trl[0] * ru0 * p_l + tru[0] * ru0 * f_hg,
+                          trl[1] * ru1 * p_l + tru[1] * ru1 * f_hg,
+                          trl[2] * ru2 * p_l + tru[2] * ru2 * f_hg)),
+                    1e-30)
+                w = f_hg / denom
+                L0 = jnp.where(oke, L0 + b0 * Tr[0] * float(envL[0]) * w, L0)
+                L1 = jnp.where(oke, L1 + b1 * Tr[1] * float(envL[1]) * w, L1)
+                L2 = jnp.where(oke, L2 + b2 * Tr[2] * float(envL[2]) * w, L2)
+
+            pwx, pwy, pwz, ppdf = _sample_hg(
+                wox, woy, woz, g_hg, un1,
+                _uniform4(seed_a, pix, samp, dim)[0])
+            dim = dim + _U32(1)
+            bad_phase = scat & (ppdf <= 0)
+            alive = alive & ~bad_phase
+            inv_ppdf = 1.0 / jnp.maximum(ppdf, 1e-30)
+            rl0 = jnp.where(scat, ru0 * inv_ppdf, rl0)
+            rl1 = jnp.where(scat, ru1 * inv_ppdf, rl1)
+            rl2 = jnp.where(scat, ru2 * inv_ppdf, rl2)
+            ox = jnp.where(scat, sx, ox)
+            oy = jnp.where(scat, sy, oy)
+            oz = jnp.where(scat, sz, oz)
+            dx = jnp.where(scat, pwx, dx)
+            dy = jnp.where(scat, pwy, dy)
+            dz = jnp.where(scat, pwz, dz)
+
+            # -- escape / interface for non-medium + wall-reached lanes ---
+            flew = (alive & ~scat & ~coll & ~in_med) | at_wall
+            escaped = alive & ~in_med & ~scat & ~coll & ~hit
+            if has_env:
+                first = depth == 0
+                ru_avg = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
+                no_mis = escaped & first
+                L0 = jnp.where(no_mis, L0 + b0 * float(envL[0]) / ru_avg,
+                               L0)
+                L1 = jnp.where(no_mis, L1 + b1 * float(envL[1]) / ru_avg,
+                               L1)
+                L2 = jnp.where(no_mis, L2 + b2 * float(envL[2]) / ru_avg,
+                               L2)
+                with_mis = escaped & ~first
+                p_esc = pmf * INV_4PI
+                den = jnp.maximum(avg3((ru0 + rl0 * p_esc,
+                                        ru1 + rl1 * p_esc,
+                                        ru2 + rl2 * p_esc)), 1e-30)
+                L0 = jnp.where(with_mis, L0 + b0 * float(envL[0]) / den, L0)
+                L1 = jnp.where(with_mis, L1 + b1 * float(envL[1]) / den, L1)
+                L2 = jnp.where(with_mis, L2 + b2 * float(envL[2]) / den, L2)
+            alive = alive & ~escaped
+
+            iface = (alive & flew & hit) | (alive & at_wall)
+            med = jnp.where(iface, jnp.where(entering & ~at_wall, 0, -1),
+                            med)
+            ox = jnp.where(iface, ox + (t_wall + 1e-4) * dx, ox)
+            oy = jnp.where(iface, oy + (t_wall + 1e-4) * dy, oy)
+            oz = jnp.where(iface, oz + (t_wall + 1e-4) * dz, oz)
+
+            # -- commit + regenerate --------------------------------------
+            died = ~alive & (samp < spp)
+            bad = ~(jnp.isfinite(L0) & jnp.isfinite(L1) & jnp.isfinite(L2))
+            L0 = jnp.where(bad, zf, L0)
+            L1 = jnp.where(bad, zf, L1)
+            L2 = jnp.where(bad, zf, L2)
+            a0 = jnp.where(died, a0 + L0, a0)
+            a1 = jnp.where(died, a1 + L1, a1)
+            a2 = jnp.where(died, a2 + L2, a2)
+            has_budget = died & (samp + _U32(1) < spp)
+            samp = jnp.where(died, samp + _U32(1), samp)
+            o_n, d_n, hero_n, _ = start_path(samp, jnp.zeros_like(dim))
+            dim = jnp.where(has_budget, _U32(1), dim)
+            ox = jnp.where(has_budget, o_n[0], ox)
+            oy = jnp.where(has_budget, o_n[1], oy)
+            oz = jnp.where(has_budget, o_n[2], oz)
+            dx = jnp.where(has_budget, d_n[0], dx)
+            dy = jnp.where(has_budget, d_n[1], dy)
+            dz = jnp.where(has_budget, d_n[2], dz)
+            hero = jnp.where(has_budget, hero_n, hero)
+            one = jnp.ones_like(b0)
+            b0 = jnp.where(has_budget, one, b0)
+            b1 = jnp.where(has_budget, one, b1)
+            b2 = jnp.where(has_budget, one, b2)
+            ru0 = jnp.where(has_budget, one, ru0)
+            ru1 = jnp.where(has_budget, one, ru1)
+            ru2 = jnp.where(has_budget, one, ru2)
+            rl0 = jnp.where(has_budget, one, rl0)
+            rl1 = jnp.where(has_budget, one, rl1)
+            rl2 = jnp.where(has_budget, one, rl2)
+            L0 = jnp.where(has_budget, zf, L0)
+            L1 = jnp.where(has_budget, zf, L1)
+            L2 = jnp.where(has_budget, zf, L2)
+            depth = jnp.where(has_budget, 0, depth)
+            med = jnp.where(has_budget, -1, med)
+            alive = alive | has_budget
+
+            return (samp, dim, alive.astype(jnp.int32), ox, oy, oz,
+                    dx, dy, dz, b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
+                    L0, L1, L2, depth, hero, med, a0, a1, a2, it + 1)
+
+        final = jax.lax.while_loop(cond, body, carry)
+        a0, a1, a2 = final[24], final[25], final[26]
+        scale = c["imaging_ratio"] / spp
+        out_ref[0] = a0 * scale
+        out_ref[1] = a1 * scale
+        out_ref[2] = a2 * scale
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
 
@@ -596,25 +1188,54 @@ def _get_callable(c, spp, interpret):
     if fn is not None:
         return fn
     npix = c["nx"] * c["ny"]
-    sub = 64
+    is_grid = c["kind"] == "grid"
+    sub = 8 if is_grid else 64  # grid: lane gathers validated at (8,128)
     while npix % (sub * 128) != 0:
         sub //= 2
     n_blocks = npix // (sub * 128)
-    kernel = _make_kernel(c, spp, sub)
-    call = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )
+    if is_grid:
+        kernel = _make_grid_kernel(c, spp, sub)
+        nvox = int(np.prod(c["grid_res"]))
+        nmaj = int(np.prod(c["maj_res"]))
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128),
+                                           jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec((nvox // 128, 128), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((nmaj // 128, 128), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
 
-    @jax.jit
-    def fn(seed):
-        out = call(jnp.reshape(seed.astype(jnp.uint32), (1, 1)))
-        return jnp.transpose(out, (1, 2, 0)).reshape(c["ny"], c["nx"], 3)
+        @jax.jit
+        def fn(seed, dens, maj):
+            out = call(jnp.reshape(seed.astype(jnp.uint32), (1, 1)),
+                       dens, maj)
+            return jnp.transpose(out, (1, 2, 0)).reshape(c["ny"], c["nx"],
+                                                         3)
+    else:
+        kernel = _make_kernel(c, spp, sub)
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128),
+                                           jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+        @jax.jit
+        def fn(seed):
+            out = call(jnp.reshape(seed.astype(jnp.uint32), (1, 1)))
+            return jnp.transpose(out, (1, 2, 0)).reshape(c["ny"], c["nx"],
+                                                         3)
 
     _KERNEL_CACHE[key] = fn
     return fn
@@ -622,16 +1243,22 @@ def _get_callable(c, spp, interpret):
 
 def render_homog_pallas(scene, camera, film, spp, cfg, seed,
                         interpret=False):
-    """Render via the megakernel. Caller must have verified support via
-    extract_constants (raises ValueError otherwise). Returns (ny, nx, 3)."""
+    """Render via the megakernel (homogeneous OR single-grid scene class).
+    Caller must have verified support via extract_constants (raises
+    ValueError otherwise). Returns (ny, nx, 3)."""
     c = extract_constants(scene, camera, film, cfg)
     if c is None:
-        raise ValueError("scene not supported by the homogeneous megakernel")
+        raise ValueError("scene not supported by the megakernel")
     npix = c["nx"] * c["ny"]
     if npix % 128 != 0:
         raise ValueError("npix must be a multiple of 128")
-    return _get_callable(c, int(spp), bool(interpret))(
-        jnp.asarray(seed, jnp.uint32))
+    fn = _get_callable(c, int(spp), bool(interpret))
+    if c["kind"] == "grid":
+        gm = scene.media.grids[0]
+        dens = jnp.reshape(gm.density, (-1, 128))
+        maj = jnp.reshape(gm.majorant, (-1, 128))
+        return fn(jnp.asarray(seed, jnp.uint32), dens, maj)
+    return fn(jnp.asarray(seed, jnp.uint32))
 
 
 def supports(scene, camera, film, cfg):

@@ -94,6 +94,36 @@ def main(argv=None):
     sp.add_argument("--outfile", required=True,
                     help="pattern with %%d for the strip index")
 
+    ct = sub.add_parser("cat")  # cmd/imgtool.cpp:95 cat
+    ct.add_argument("image")
+    ct.add_argument("--csv", action="store_true")
+
+    dn = sub.add_parser("denoise")  # cmd/imgtool.cpp:145 denoise-optix
+    dn.add_argument("image")
+    dn.add_argument("--outfile", required=True)
+    dn.add_argument("--albedo", default=None)
+    dn.add_argument("--normal", default=None)
+    dn.add_argument("--steps", type=int, default=4)
+
+    mk = sub.add_parser("makesky")  # cmd/imgtool.cpp:170 makesky
+    mk.add_argument("--outfile", required=True)
+    mk.add_argument("--albedo", type=float, default=0.5,
+                    help="ground albedo")
+    mk.add_argument("--elevation", type=float, default=10.0,
+                    help="sun elevation in degrees")
+    mk.add_argument("--turbidity", type=float, default=3.0)
+    mk.add_argument("--resolution", type=int, default=512)
+
+    mem = sub.add_parser("makeemitters")  # cmd/imgtool.cpp:184 makeemitters
+    mem.add_argument("image")
+    mem.add_argument("--outfile", required=True)
+    mem.add_argument("--downsample", type=int, default=1)
+
+    sn = sub.add_parser("scalenormalmap")  # cmd/imgtool.cpp:205
+    sn.add_argument("image")
+    sn.add_argument("--outfile", required=True)
+    sn.add_argument("--scale", type=float, default=1.0)
+
     args = ap.parse_args(argv)
     from ..utils.flip import mean_flip
 
@@ -201,6 +231,87 @@ def main(argv=None):
             img = read_image(p)
             print(f"{p}: {img.shape[1]}x{img.shape[0]} min {img.min():.4g} "
                   f"max {img.max():.4g} mean {img.mean():.4g}")
+        return 0
+
+    if args.cmd == "cat":
+        img = read_image(args.image)
+        sep = "," if args.csv else " "
+        for y in range(img.shape[0]):
+            row = []
+            for x in range(img.shape[1]):
+                row.append(sep.join(f"{v:.6g}" for v in img[y, x]))
+            print((sep if args.csv else "  ").join(row))
+        return 0
+
+    if args.cmd == "denoise":
+        # role of imgtool denoise-optix (imgtool.cpp:145): here the ISGB's
+        # edge-aware a-trous filter with optional albedo/normal guides
+        import jax.numpy as jnp
+
+        from ..models.guiding.isgb import _atrous
+
+        img = read_image(args.image).astype(np.float32)
+        flat = np.zeros_like(img)
+        alb = (read_image(args.albedo).astype(np.float32)
+               if args.albedo else flat)
+        nrm = (read_image(args.normal).astype(np.float32)
+               if args.normal else flat)
+        out = np.asarray(_atrous(jnp.asarray(img), jnp.asarray(alb),
+                                 jnp.asarray(nrm), steps=args.steps))
+        write_exr(args.outfile, out)
+        print(f"denoised -> {args.outfile}")
+        return 0
+
+    if args.cmd == "makesky":
+        from ..utils.sky import make_sky_equal_area
+
+        out = make_sky_equal_area(args.resolution, args.elevation,
+                                  args.turbidity, args.albedo)
+        write_exr(args.outfile, out.astype(np.float32))
+        print(f"sky {args.resolution}^2 elevation {args.elevation} "
+              f"turbidity {args.turbidity} -> {args.outfile}")
+        return 0
+
+    if args.cmd == "makeemitters":
+        # quad area emitters per (down-sampled) pixel (imgtool.cpp:184)
+        img = read_image(args.image)
+        ds = max(args.downsample, 1)
+        h, w = img.shape[:2]
+        hh, ww = h // ds, w // ds
+        img = img[:hh * ds, :ww * ds].reshape(hh, ds, ww, ds, 3).mean((1, 3))
+        with open(args.outfile, "w") as f:
+            f.write("AttributeBegin\n")
+            for y in range(hh):
+                for x in range(ww):
+                    r, g, b = (float(v) for v in img[y, x])
+                    if max(r, g, b) <= 0:
+                        continue
+                    x0, x1 = x / ww, (x + 1) / ww
+                    y0, y1 = y / hh, (y + 1) / hh
+                    f.write(
+                        f'AreaLightSource "diffuse" "rgb L" '
+                        f"[ {r:.6g} {g:.6g} {b:.6g} ]\n"
+                        f'Shape "trianglemesh" "integer indices" '
+                        f"[ 0 1 2 0 2 3 ] \"point3 P\" "
+                        f"[ {x0} {y0} 0 {x1} {y0} 0 {x1} {y1} 0 "
+                        f"{x0} {y1} 0 ]\n")
+            f.write("AttributeEnd\n")
+        print(f"emitters ({hh}x{ww} quads) -> {args.outfile}")
+        return 0
+
+    if args.cmd == "scalenormalmap":
+        # rescale tangent-space normals encoded in [0,1] (imgtool.cpp:205)
+        img = read_image(args.image)
+        n = img * 2.0 - 1.0
+        n[..., :2] *= args.scale
+        ln = np.sqrt(np.maximum((n * n).sum(-1, keepdims=True), 1e-12))
+        n = n / ln
+        out = (n + 1.0) * 0.5
+        if args.outfile.endswith(".png"):
+            write_png(args.outfile, out)
+        else:
+            write_exr(args.outfile, out.astype(np.float32))
+        print(f"scaled normal map -> {args.outfile}")
         return 0
     return 1
 

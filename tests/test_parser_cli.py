@@ -186,3 +186,52 @@ AttributeEnd
     # instanced shapes carry the material defined inside the object block
     mats = np.asarray(g.sph_mat)
     assert (mats == mats[0]).all() and mats[0] >= 0
+
+
+def test_parser_nanovdb_and_rgbgrid_media(tmp_path):
+    """MakeNamedMedium 'nanovdb' loads a raw .nvdb (media.h:657) and
+    'rgbgrid' builds an RGBGridMedium (media.h:392)."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.models.media import RGBGridMedium
+    from vspg_pbrt_v4_tpu.scene import build_render_setup, parse_pbrt_string
+    from vspg_pbrt_v4_tpu.tools import nvdb
+
+    d = np.ones((16, 16, 16), np.float32) * 2.0
+    pth = str(tmp_path / "cl.nvdb")
+    nvdb.write_nvdb(pth, d, index_origin=(0, 0, 0), voxel_size=0.125)
+    res = parse_pbrt_string(f'''
+Camera "perspective" "float fov" [30]
+WorldBegin
+MakeNamedMedium "cl" "string type" "nanovdb" "string filename" "{pth}"
+AttributeBegin
+MediumInterface "cl" ""
+Material "none"
+Shape "sphere" "float radius" [3]
+AttributeEnd
+LightSource "infinite" "rgb L" [0.5 0.5 0.5]
+''')
+    setup = build_render_setup(res, res_override=(16, 16))
+    assert len(setup.scene.media.grids) == 1
+    gm = setup.scene.media.grids[0]
+    assert np.allclose(np.asarray(gm.density), 2.0)
+    # world bounds from index bbox * voxel size
+    assert np.allclose(np.asarray(gm.b_max) - np.asarray(gm.b_min), 2.0)
+
+    res2 = parse_pbrt_string('''
+Camera "perspective"
+WorldBegin
+MakeNamedMedium "m" "string type" "rgbgrid"
+  "integer nx" [2] "integer ny" [2] "integer nz" [2]
+  "rgb sigma_a" [''' + " ".join(["0.5 1.0 1.5"] * 8) + ''']
+AttributeBegin
+MediumInterface "m" ""
+Material "none"
+Shape "sphere" "float radius" [1]
+AttributeEnd
+LightSource "infinite" "rgb L" [1 1 1]
+''')
+    setup2 = build_render_setup(res2, res_override=(8, 8))
+    gm2 = setup2.scene.media.grids[0]
+    assert isinstance(gm2, RGBGridMedium)
+    assert np.allclose(np.asarray(gm2.sigma_a_grid)[0, 0, 0], [0.5, 1.0, 1.5])

@@ -455,9 +455,18 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                     g=p.get_float("g", 0.0),
                 ))
                 named_media[mname] = ("homog", len(homog_media) - 1)
-            elif mtype in ("uniformgrid", "grid"):
-                gridfile = p.get_string("gridfile", "")
-                if gridfile:
+            elif mtype in ("uniformgrid", "grid", "nanovdb"):
+                gridfile = p.get_string("gridfile",
+                                        p.get_string("filename", ""))
+                if gridfile.endswith(".nvdb") or mtype == "nanovdb":
+                    # raw NanoVDB (media.h:657 NanoVDBMedium; tools/nvdb.py)
+                    from ..tools.nanovdb2grid import load_volume
+
+                    dens, p0, p1 = load_volume(gridfile)
+                    if p0 is None:
+                        p0, p1 = np.zeros(3), np.ones(3)
+                    dens = dens + p.get_float("densityoffset", 0.0)
+                elif gridfile:
                     # npz from tools/nanovdb2grid (density+bmin+bmax)
                     z = np.load(gridfile)
                     dens = np.asarray(z["density"], np.float32)
@@ -482,6 +491,34 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                     maj_res=64 if gridfile else 16,  # media.cpp:252 vs :574
                     majorant_scale=p.get_float("majorantscale", 1.0),
                 ))
+                named_media[mname] = ("grid", len(grid_media) - 1)
+            elif mtype == "rgbgrid":
+                # per-voxel RGB coefficient grids (media.h RGBGridMedium:392)
+                from ..models.media import RGBGridMedium
+
+                nx = p.get_int("nx", 1)
+                ny = p.get_int("ny", 1)
+                nz = p.get_int("nz", 1)
+                scale = p.get_float("scale", 1.0)
+
+                def rgb_grid(key):
+                    vals = p.get_floats(key)
+                    if vals is None or vals.size == 0:
+                        return np.zeros((nx, ny, nz, 3), np.float32)
+                    return (vals.reshape(nz, ny, nx, 3)
+                            .transpose(2, 1, 0, 3) * scale)
+
+                p0 = xf_pts(p.get_point3("p0", np.zeros(3)))
+                p1 = xf_pts(p.get_point3("p1", np.ones(3)))
+                le = p.get_floats("Le")
+                grid_media.append(RGBGridMedium.make(
+                    rgb_grid("sigma_a"), rgb_grid("sigma_s"),
+                    np.minimum(p0, p1), np.maximum(p0, p1),
+                    Le=(le.reshape(nz, ny, nx, 3).transpose(2, 1, 0, 3)
+                        if le is not None and le.size else None),
+                    Le_scale=p.get_float("Lescale", 1.0),
+                    g=p.get_float("g", 0.0),
+                    majorant_scale=p.get_float("majorantscale", 1.0)))
                 named_media[mname] = ("grid", len(grid_media) - 1)
             elif mtype == "cloud":
                 from ..models.media import CloudMedium

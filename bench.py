@@ -124,6 +124,47 @@ def bench_config2():
     }
 
 
+def bench_config2b():
+    """Small-grid cloud through the fused Pallas DDA kernel (auto-dispatch:
+    density grids <= 32^3 run in VMEM — 68x the XLA loop at 16^3)."""
+    from vspg_pbrt_v4_tpu.models.lights import Lights
+    from vspg_pbrt_v4_tpu.models.materials import Materials
+    from vspg_pbrt_v4_tpu.models.media import GridMedium, Media
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+
+    res, spp = 128, 32
+    n = 16
+    x = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    dens = np.clip(1.0 - np.sqrt(X * X + Y * Y + Z * Z), 0.0, 1.0) * 3.0
+    gm = GridMedium.make(dens.astype(np.float32), [0.1] * 3, [1.5, 1.8, 2.1],
+                         (-1, -1, -1), (1, 1, 1), g=0.3, maj_res=8)
+    media = Media.make(grids=(gm,))
+    lights = Lights.make(point_p=[(0.0, 1.8, 0.0)], point_I=[(6.0,) * 3],
+                         env_L=[0.3, 0.35, 0.4], world_radius=100.0)
+    geom = Geometry.build(
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    scene = volpath.Scene(geom, Materials.build([]), media, lights)
+    camera = _camera(res)
+    film = RGBFilm.make((res, res))
+    cfg = volpath.VolPathConfig(max_depth=16, max_events=64)
+
+    def run(seed, spp_):
+        return volpath.render_persistent(scene, camera, film, spp=spp_,
+                                         cfg=cfg, seed=seed,
+                                         lanes_per_pixel=1)
+
+    best = _time_best(run, (0, 8), [(i + 1, spp) for i in range(2)])
+    mpaths = res * res * spp / best / 1e6
+    return {
+        "metric": "volpath_cloud16_pallas_128x128x32spp",
+        "value": round(mpaths, 3),
+        "unit": "Mpaths/sec/chip",
+        "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
+    }
+
+
 def bench_config3():
     """Primary-ray VSP guiding, resampling route, contribution criterion.
     Small frame: the VSPG wave is dispatch-bound through the axon relay
@@ -218,7 +259,7 @@ def main():
     # driver records the final line)
     primary = bench_config1()
     print(json.dumps(primary), flush=True)
-    for fn in (bench_config2, bench_config3, bench_config4):
+    for fn in (bench_config2, bench_config2b, bench_config3, bench_config4):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # a secondary config must not sink the run

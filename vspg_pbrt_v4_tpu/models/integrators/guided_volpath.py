@@ -74,6 +74,15 @@ class GState(NamedTuple):
     rec: SegmentRecord
 
 
+def _to3(x):
+    """Spectral->vec3 bridge for guiding/ISGB data (guiding.h:24-36:
+    spectral mode trains on max-component grayscale; RGB passes through)."""
+    if x.shape[-1] == 3:
+        return x
+    return jnp.broadcast_to(jnp.max(x, -1, keepdims=True),
+                            x.shape[:-1] + (3,))
+
+
 # ---------------------------------------------------------------------------
 # Guided direction sampling (GuidedBSDF / GuidedPhaseFunction)
 # ---------------------------------------------------------------------------
@@ -158,7 +167,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     in_medium = s.alive & (s.medium_id >= 0)
     mr = sample_medium_interaction(
         scene, cfg, s.o, s.d, seg_end, s.medium_id, s.hero_idx, s.sampler,
-        s.beta, s.r_u, s.r_l, s.L, s.depth, in_medium,
+        s.beta, s.r_u, s.r_l, s.L, s.depth, in_medium, s.lam,
     )
     sampler, beta, r_u, r_l, L, depth = (
         mr.sampler, mr.beta, mr.r_u, mr.r_l, mr.L, mr.depth,
@@ -177,6 +186,10 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     sampler, u_sel = sampler.get_1d()
     sampler, u2l = sampler.get_2d()
     ls = scene.lights.sample(p_scat, u_sel, u2l)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        ls = ls._replace(L=uplift_unbounded(ls.L, s.lam))
     ok = scat & ls.valid & (average(ls.L) > 0)
     cos_wo_wi = jnp.sum(wo * ls.wi, axis=-1)
     f_scalar = henyey_greenstein(cos_wo_wi, mr.g_scatter)
@@ -190,7 +203,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     ok &= f_scalar > 0
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
         scene, cfg, p_scat, ls.wi, ls.t_shadow, s.medium_id, s.hero_idx,
-        sampler, ok)
+        sampler, ok, s.lam)
     Ld, Ld_local = _combine_ld(ls, f_hat, scatter_pdf_l, T_ray, tr_l, tr_u,
                                r_u, beta, ok)
     L = _m(scat, L + Ld, L)
@@ -227,12 +240,16 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
         rec = grec.record_vertex(rec, scat, p_scat, wi_v,
                                  scale_v[..., None] * jnp.ones(3),
                                  pdf_v, jnp.ones_like(scat))
-        rec = grec.record_direct(rec, ok, Ld_local)
+        rec = grec.record_direct(rec, ok, _to3(Ld_local))
 
     # ---- non-scattered: escape / surface ----------------------------------
     flew = alive & ~scat
     escaped = flew & ~h.hit
     Le_env = scene.lights.le_escaped(s.d, s.o)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        Le_env = uplift_unbounded(Le_env, s.lam)
     any_env = average(Le_env) > 0
     first = (s.depth == 0) | s.specular
     no_mis = escaped & first & any_env
@@ -249,13 +266,17 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
             first, jnp.ones_like(denom_esc),
             average(r_u) / jnp.maximum(average(r_u + r_l_esc), 1e-30))
         rec = grec.record_emission(
-            rec, escaped & any_env, Le_env * w_mis_env[..., None],
+            rec, escaped & any_env, _to3(Le_env * w_mis_env[..., None]),
             jnp.full_like(denom_esc, 1e6))
     alive = alive & ~escaped
 
     surf = flew & h.hit
     emissive = surf & (h.light_id >= 0)
     Le_surf = scene.lights.le_area(h.light_id, -s.d, h.n)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        Le_surf = uplift_unbounded(Le_surf, s.lam)
     has_le = average(Le_surf) > 0
     no_mis_s = emissive & first & has_le
     L = _m(no_mis_s, L + beta * Le_surf / jnp.maximum(average(r_u), 1e-30)[..., None], L)
@@ -269,7 +290,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
             first, jnp.ones_like(denom_s),
             average(r_u) / jnp.maximum(average(r_u + r_l_area), 1e-30))
         rec = grec.record_emission(rec, emissive & has_le,
-                                   Le_surf * w_mis_srf[..., None], h.t)
+                                   _to3(Le_surf * w_mis_srf[..., None]), h.t)
 
     # interface skip
     iface = surf & (h.mat_id < 0)
@@ -285,6 +306,12 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     depth = jnp.where(shade, depth + 1, depth)
 
     lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        lanes = lanes._replace(albedo=uplift_unbounded(lanes.albedo, s.lam),
+                               albedo2=uplift_unbounded(lanes.albedo2,
+                                                        s.lam))
     ns = face_forward(h.ns, h.n)
     # guided surface distribution: cosine product only on opaque materials
     is_transmissive = (lanes.mat_type == 2) | (lanes.mat_type == 3)
@@ -314,6 +341,10 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     sampler, u_sel2 = sampler.get_1d()
     sampler, u2l2 = sampler.get_2d()
     ls2 = scene.lights.sample(p_off, u_sel2, u2l2)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        ls2 = ls2._replace(L=uplift_unbounded(ls2.L, s.lam))
     can_nee = shade & ~lanes.is_specular
     ok2 = can_nee & ls2.valid & (average(ls2.L) > 0)
     wi_l2 = to_local(ls2.wi)
@@ -324,7 +355,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     ok2 &= jnp.max(f_hat2, -1) > 0
     sampler, T_ray2, tr_l2, tr_u2 = transmittance_ratio_tracking(
         scene, cfg, p_off, ls2.wi, ls2.t_shadow, medium_id, s.hero_idx,
-        sampler, ok2)
+        sampler, ok2, s.lam)
     Ld2, Ld2_local = _combine_ld(ls2, f_hat2, scatter_pdf2, T_ray2, tr_l2,
                                  tr_u2, r_u, beta, ok2)
     L = _m(can_nee, L + Ld2, L)
@@ -371,9 +402,10 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     prev_p = _m(bs_ok, h.p, prev_p)
 
     if train:
-        rec = grec.record_vertex(rec, bs_ok & ~spec_lane, h.p, wi_s, scale_b,
-                                 pdf_s, jnp.zeros_like(bs_ok))
-        rec = grec.record_direct(rec, ok2, Ld2_local)
+        rec = grec.record_vertex(rec, bs_ok & ~spec_lane, h.p, wi_s,
+                                 _to3(scale_b), pdf_s,
+                                 jnp.zeros_like(bs_ok))
+        rec = grec.record_direct(rec, ok2, _to3(Ld2_local))
 
     # ---- Russian roulette --------------------------------------------------
     dead_beta = shade & (jnp.max(beta, -1) == 0)
@@ -389,7 +421,7 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
 
     s2 = PathState(
         sampler, o_new, d_new, beta, r_u, r_l, L, depth, alive, specular,
-        s.hero_idx, medium_id, eta_scale, prev_p,
+        s.hero_idx, medium_id, eta_scale, prev_p, s.lam, s.pdf_lam,
     )
     return GState(s2, rec)
 
@@ -409,7 +441,7 @@ def guided_wave(scene, camera, film, film_state, field, cfg, gopt, seed,
     pixel_id = lane // spp_per_pass
     sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
     s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                                  camera_medium)
+                                  camera_medium, spectral=cfg.spectral)
     rec = SegmentRecord.make(R, gopt.record_depth if train else 1,
                              pixel_id.astype(jnp.float32))
     gs = GState(s, rec)
@@ -423,7 +455,7 @@ def guided_wave(scene, camera, film, film_state, field, cfg, gopt, seed,
         return guided_bounce(scene, cfg, gopt, field, train, gs), it + 1
 
     gs, _ = jax.lax.while_loop(cond, body, (gs, jnp.int32(0)))
-    film_state = film.add_samples(film_state, pixel_id, gs.s.L, fw)
+    film_state = vp._film_add(film, film_state, pixel_id, gs.s, fw)
     batch = grec.propagate(gs.rec) if train else None
     return film_state, batch
 

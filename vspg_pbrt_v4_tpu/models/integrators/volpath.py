@@ -1057,9 +1057,13 @@ def render_persistent(scene: Scene, camera, film, spp=16,
         from ...ops import pallas_volpath as _pv
 
         c = _pv.extract_constants(scene, camera, film, cfg)
-        # grid kernel is interpret-validated but currently faults the real
-        # TPU (under investigation) — auto-dispatch homogeneous only
-        if (c is not None and c["kind"] == "homog"
+        # grid scenes: the fused kernel's chunked VMEM gathers win for
+        # small density grids (68x measured at 16^3) but lose to the XLA
+        # DDA loop at 64^3 (PERF.md "gather-bound") — dispatch by size
+        grid_ok = (c is not None and c["kind"] == "grid"
+                   and (c["grid_res"][0] * c["grid_res"][1]
+                        * c["grid_res"][2]) <= 32768)
+        if (c is not None and (c["kind"] == "homog" or grid_ok)
                 and _pv.supports(scene, camera, film, cfg)):
             return _pv.render_homog_pallas(scene, camera, film, int(spp),
                                            cfg, seed)

@@ -156,7 +156,7 @@ def lookup_vsp(vopt: VSPGOptions, field: GuidingField, isgb: ISGB, s,
 
 def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
                          sampler, beta, r_u, r_l, L, guide, vsp, active,
-                         tr_prev=None, depth=None):
+                         tr_prev=None, depth=None, lam=None):
     """The paper's SampleDistance (guidedvolpathvspgintegrator.cpp:650-1100),
     vectorized over the lane classes:
       homogeneous (closed form, optionally VSP-warped),
@@ -178,7 +178,7 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
     tr_est = jnp.ones_like(beta)
 
     # ======== homogeneous lanes: closed form ================================
-    mp0 = media.sample_point(medium_id, o)  # constant within the medium
+    mp0 = media.sample_point(medium_id, o, lam)  # constant within the medium
     sigma_t = mp0.sigma_a + mp0.sigma_s
     sig_h = hero(sigma_t, hero_idx)
     h_act = is_h & (sig_h > 0) & jnp.isfinite(seg_end)
@@ -206,7 +206,7 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
     h_pass = h_act & ~h_scatter
 
     # tpScaleFactor (spectral) + r_u_factor for guided lanes
-    tp_sc = one_m_e[..., None] * jnp.ones(3) / jnp.maximum(vsp, 1e-4)[..., None]
+    tp_sc = one_m_e[..., None] * jnp.ones_like(beta) / jnp.maximum(vsp, 1e-4)[..., None]
     tp_pa = jnp.exp(-t_v[..., None] * norm_maj) / jnp.maximum(1 - vsp, 1e-4)[..., None]
     tp = jnp.where(h_scatter[..., None], tp_sc, tp_pa)
     r_u_factor = jnp.where(
@@ -250,7 +250,7 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
             depth = jnp.zeros_like(medium_id)
         ores = _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id,
                                   hero_idx, sampler, beta, r_u, r_l, vsp,
-                                  tr_prev, depth, het_ods)
+                                  tr_prev, depth, het_ods, lam)
         (sampler, beta, r_u, r_l, o_scat, o_term, o_t, o_g, o_alb, o_tr,
          nds_fallback) = ores
         scattered = scattered | o_scat
@@ -265,7 +265,7 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
         else (guide & ~nds_fallback)
     het_delta = het & ~guided_route
     dres = _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
-                                sampler, beta, r_u, r_l, het_delta)
+                                sampler, beta, r_u, r_l, het_delta, lam)
     (sampler, beta, r_u, r_l, d_scat, d_term, d_t, d_g, d_alb) = dres
     scattered = scattered | d_scat
     terminated = terminated | d_term
@@ -278,7 +278,7 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
         het_rs = het & guide
         rres = _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end,
                                          medium_id, hero_idx, sampler, beta,
-                                         r_u, r_l, vsp, het_rs)
+                                         r_u, r_l, vsp, het_rs, lam)
         (sampler, beta, r_u, r_l, rs_scat, rs_term, rs_t, rs_g, rs_alb,
          rs_tr) = rres
         scattered = scattered | rs_scat
@@ -293,7 +293,8 @@ def sample_distance_vspg(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
 
 
 def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
-                       sampler, beta, r_u, r_l, vsp, tr_prev, depth, active):
+                       sampler, beta, r_u, r_l, vsp, tr_prev, depth, active,
+                       lam=None):
     """NDS / NDS+ optical-depth-space distance sampling
     (media_sampleTMaj.h:251-491; called from the delta-tracking routine of
     guidedvolpathvspgintegrator.cpp:878-1094).
@@ -321,7 +322,7 @@ def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
     eps = 1e-5
 
     # --- pre-pass: total hero-channel majorant optical depth ---------------
-    it = seg_init(media, medium_id, o, d, seg_end, active)
+    it = seg_init(media, medium_id, o, d, seg_end, active, lam)
     t_v = jnp.zeros_like(seg_end)
 
     def pre_cond(c):
@@ -335,7 +336,7 @@ def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
         tv = tv + jnp.where(
             live, maj_h * jnp.clip(it.t_seg_end - it.t_seg_start, 0.0, 3e37),
             0.0)
-        return seg_next(media, medium_id, it, live), tv, n + 1
+        return seg_next(media, medium_id, it, live, lam), tv, n + 1
 
     _, t_v, _ = jax.lax.while_loop(pre_cond, pre_body, (it, t_v, jnp.int32(0)))
 
@@ -361,7 +362,7 @@ def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
     u0 = jnp.clip(u0, 0.0, 1.0 - 1e-7)
 
     # --- main walk in optical-depth space ------------------------------------
-    it0 = seg_init(media, medium_id, o, d, seg_end, act)
+    it0 = seg_init(media, medium_id, o, d, seg_end, act, lam)
     z = jnp.zeros_like(seg_end)
     ones3 = jnp.ones_like(beta)
     T_maj = ones3
@@ -405,7 +406,7 @@ def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
         t_v_cur = jnp.where(consume, t_v_cur - seg_tau, t_v_cur)
         t_n_cur = jnp.where(consume, t_n_cur - seg_tau, t_n_cur)
         rem = jnp.where(consume & ~passed, rem - seg_tau, rem)
-        it = seg_next(media, medium_id, it, consume)
+        it = seg_next(media, medium_id, it, consume, lam)
         t_min = jnp.where(consume, it.t_seg_start, t_min)
         live = live & ~(consume & it.done)
 
@@ -421,7 +422,7 @@ def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
         u_cur = jnp.where(arrive, u_next, u_cur)
 
         p = o + t[..., None] * d
-        mp = media.sample_point(medium_id, p)
+        mp = media.sample_point(medium_id, p, lam)
         sigma_t = mp.sigma_a + mp.sigma_s
         st_h = hero(sigma_t, hero_idx)
         p_scat = st_h / jnp.maximum(maj_h, 1e-30)
@@ -485,10 +486,10 @@ def _heterogeneous_ods(scene, cfg, vopt, o, d, seg_end, medium_id, hero_idx,
 
 
 def _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
-                         sampler, beta, r_u, r_l, active):
+                         sampler, beta, r_u, r_l, active, lam=None):
     """Absorption-free delta tracking over the majorant segment iterator."""
     media = scene.media
-    it0 = seg_init(media, medium_id, o, d, seg_end, active)
+    it0 = seg_init(media, medium_id, o, d, seg_end, active, lam)
     z = jnp.zeros_like(seg_end)
     f0 = active & (seg_end < 0)
     t_min = it0.t_seg_start
@@ -513,14 +514,14 @@ def _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
         tail = act & past
         dt_end = jnp.clip(it.t_seg_end - t_min, 0.0, 3e37)
         T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
-        it = seg_next(media, medium_id, it, tail)
+        it = seg_next(media, medium_id, it, tail, lam)
         t_min = jnp.where(tail, it.t_seg_start, t_min)
         act_new = act & ~(tail & it.done)
 
         coll = act & ~past
         T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
         p = o + t[..., None] * d
-        mp = media.sample_point(medium_id, p)
+        mp = media.sample_point(medium_id, p, lam)
         sigma_t = mp.sigma_a + mp.sigma_s
         st_h = hero(sigma_t, hero_idx)
         p_scatter = st_h / jnp.maximum(maj_h, 1e-30)
@@ -569,7 +570,8 @@ def _heterogeneous_delta(scene, cfg, o, d, seg_end, medium_id, hero_idx,
 
 
 def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
-                              hero_idx, sampler, beta, r_u, r_l, vsp, active):
+                              hero_idx, sampler, beta, r_u, r_l, vsp,
+                              active, lam=None):
     """The resampling routine (media_sampleTMaj.h:120-247 + :679-877).
 
     Deviation from the reference: on a pass-through (surface candidate
@@ -583,7 +585,7 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
     media = scene.media
 
     # --- pre-pass: total majorant optical length -----------------------------
-    it = seg_init(media, medium_id, o, d, seg_end, active)
+    it = seg_init(media, medium_id, o, d, seg_end, active, lam)
     total_len = jnp.zeros_like(seg_end)
 
     def pre_cond(c):
@@ -596,7 +598,7 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
         live = ~it.done
         total = total + jnp.where(
             live, maj_h * jnp.clip(it.t_seg_end - it.t_seg_start, 0.0, 3e37), 0.0)
-        it = seg_next(media, medium_id, it, live)
+        it = seg_next(media, medium_id, it, live, lam)
         return it, total, n + 1
 
     _, total_len, _ = jax.lax.while_loop(pre_cond, pre_body,
@@ -611,7 +613,7 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
     vol_ratio_comp = vsp / jnp.maximum(1.0 - jnp.exp(-total_eff), 1e-6)
 
     # --- main walk: reservoir over all tentative collisions -----------------
-    it0 = seg_init(media, medium_id, o, d, seg_end, act)
+    it0 = seg_init(media, medium_id, o, d, seg_end, act, lam)
     z = jnp.zeros_like(seg_end)
     T_maj = jnp.ones_like(beta)
     tr_ratio = jnp.ones_like(beta)
@@ -646,14 +648,14 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
         tail = live & past
         dt_end = jnp.clip(it.t_seg_end - t_min, 0.0, 3e37)
         T_maj = _m(tail, T_maj * jnp.exp(-dt_end[..., None] * sigma_maj), T_maj)
-        it = seg_next(media, medium_id, it, tail)
+        it = seg_next(media, medium_id, it, tail, lam)
         t_min = jnp.where(tail, it.t_seg_start, t_min)
         live_new = live & ~(tail & it.done)
 
         coll = live & ~past
         T_maj = _m(coll, T_maj * jnp.exp(-(t - t_min)[..., None] * sigma_maj), T_maj)
         p = o + t[..., None] * d
-        mp = media.sample_point(medium_id, p)
+        mp = media.sample_point(medium_id, p, lam)
         sigma_t = mp.sigma_a + mp.sigma_s
         sigma_n = jnp.maximum(sigma_maj - sigma_t, 0.0)
         # candidate weight: (sigma_t/sigma_maj * trRatioEst)[hero]
@@ -783,7 +785,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     dr = sample_distance_vspg(
         scene, cfg, vopt, s.o, s.d, seg_end, s.medium_id, s.hero_idx,
         s.sampler, s.beta, s.r_u, s.r_l, s.L, guide & in_medium, vsp,
-        in_medium, tr_prev=gs.tr_prev, depth=s.depth)
+        in_medium, tr_prev=gs.tr_prev, depth=s.depth, lam=s.lam)
     sampler, beta, r_u, r_l, L = dr.sampler, dr.beta, dr.r_u, dr.r_l, dr.L
     depth = s.depth
     alive = s.alive & ~dr.terminated
@@ -802,10 +804,12 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     first_now_v = scat & ~gs.first_set & (s.depth == 0)
     first_set = gs.first_set | first_now_v
     first_vol = jnp.where(first_now_v, True, gs.first_vol)
-    first_albedo = _m(first_now_v, dr.albedo_scatter, gs.first_albedo)
+    first_albedo = _m(first_now_v, gv._to3(dr.albedo_scatter),
+                      gs.first_albedo)
     first_normal = _m(first_now_v, wo, gs.first_normal)
     # primary transmittance estimate for the TrBuffer
-    tr_est = _m((s.depth == 0) & in_medium, dr.tr_est, gs.tr_est)
+    tr_est = _m((s.depth == 0) & in_medium, gv._to3(dr.tr_est),
+                gs.tr_est)
 
     # ---- volume vertex shading: NEE + guided RR + guided phase -------------
     dist_v = gfield.volume_distribution(field, p_scat, wo, dr.g_scatter)
@@ -814,6 +818,10 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     sampler, u_sel = sampler.get_1d()
     sampler, u2l = sampler.get_2d()
     ls = scene.lights.sample(p_scat, u_sel, u2l)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        ls = ls._replace(L=uplift_unbounded(ls.L, s.lam))
     ok = scat & ls.valid & (average(ls.L) > 0)
     cos_wo_wi = jnp.sum(wo * ls.wi, axis=-1)
     f_scalar = henyey_greenstein(cos_wo_wi, dr.g_scatter)
@@ -825,7 +833,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     ok &= f_scalar > 0
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
         scene, cfg, p_scat, ls.wi, ls.t_shadow, s.medium_id, s.hero_idx,
-        sampler, ok)
+        sampler, ok, s.lam)
     Ld, Ld_local = _combine_ld(ls, f_hat, scatter_pdf_l, T_ray, tr_l, tr_u,
                                r_u, beta, ok)
     L = _m(scat, L + Ld, L)
@@ -837,7 +845,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     if vopt.guide_rr:
         survival = jnp.where(
             dist_v.valid & (jnp.mean(pixel_est, -1) > 0),
-            guided_rr_survival(beta, adjoint, pixel_est), 1.0)
+            guided_rr_survival(gv._to3(beta), adjoint, pixel_est), 1.0)
     else:
         survival = throughput_rr_survival(beta, r_u)
     do_rr_v = scat & (depth > vopt.min_rr_depth) & (survival < 1.0)
@@ -877,12 +885,16 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
         rec = grec.record_vertex(rec, scat, p_scat, wi_v,
                                  scale_v[..., None] * jnp.ones(3), pdf_v,
                                  jnp.ones_like(scat))
-        rec = grec.record_direct(rec, ok, Ld_local)
+        rec = grec.record_direct(rec, ok, gv._to3(Ld_local))
 
     # ---- escape / surface (same structure as guided_volpath) ---------------
     flew = alive & ~scat
     escaped = flew & ~h.hit
     Le_env = scene.lights.le_escaped(s.d, s.o)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        Le_env = uplift_unbounded(Le_env, s.lam)
     any_env = average(Le_env) > 0
     first = (s.depth == 0) | s.specular
     no_mis = escaped & first & any_env
@@ -896,13 +908,17 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
         w_mis_env = jnp.where(first, jnp.ones_like(denom_esc),
                               average(r_u) / denom_esc)
         rec = grec.record_emission(rec, escaped & any_env,
-                                   Le_env * w_mis_env[..., None],
+                                   gv._to3(Le_env * w_mis_env[..., None]),
                                    jnp.full_like(denom_esc, 1e6))
     alive = alive & ~escaped
 
     surf = flew & h.hit
     emissive = surf & (h.light_id >= 0)
     Le_surf = scene.lights.le_area(h.light_id, -s.d, h.n)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        Le_surf = uplift_unbounded(Le_surf, s.lam)
     has_le = average(Le_surf) > 0
     no_mis_s = emissive & first & has_le
     L = _m(no_mis_s, L + beta * Le_surf / jnp.maximum(average(r_u), 1e-30)[..., None], L)
@@ -915,7 +931,8 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
         w_mis_srf = jnp.where(first, jnp.ones_like(denom_s),
                               average(r_u) / denom_s)
         rec = grec.record_emission(rec, emissive & has_le,
-                                   Le_surf * w_mis_srf[..., None], h.t)
+                                   gv._to3(Le_surf * w_mis_srf[..., None]),
+                                   h.t)
 
     iface = surf & (h.mat_id < 0)
     new_med_skip = jnp.where(dot(s.d, h.n) < 0, h.med_in, h.med_out)
@@ -929,13 +946,19 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     depth = jnp.where(shade, depth + 1, depth)
 
     lanes = scene.materials.gather_textured(scene.textures, h.mat_id, h.uv, h.p)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        lanes = lanes._replace(albedo=uplift_unbounded(lanes.albedo, s.lam),
+                               albedo2=uplift_unbounded(lanes.albedo2,
+                                                        s.lam))
     ns = face_forward(h.ns, h.n)
 
     # ISGB first-event data (surface)
     first_now_s = shade & ~first_set & (s.depth == 0)
     first_set = first_set | first_now_s
     first_vol = jnp.where(first_now_s, False, first_vol)
-    first_albedo = _m(first_now_s, lanes.albedo, first_albedo)
+    first_albedo = _m(first_now_s, gv._to3(lanes.albedo), first_albedo)
     first_normal = _m(first_now_s, ns, first_normal)
 
     is_transmissive = (lanes.mat_type == 2) | (lanes.mat_type == 3)
@@ -963,6 +986,10 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     sampler, u_sel2 = sampler.get_1d()
     sampler, u2l2 = sampler.get_2d()
     ls2 = scene.lights.sample(p_off, u_sel2, u2l2)
+    if s.lam is not None:
+        from ...utils.spectrum import uplift_unbounded
+
+        ls2 = ls2._replace(L=uplift_unbounded(ls2.L, s.lam))
     can_nee = shade & ~lanes.is_specular
     ok2 = can_nee & ls2.valid & (average(ls2.L) > 0)
     wi_l2 = to_local(ls2.wi)
@@ -973,7 +1000,7 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     ok2 &= jnp.max(f_hat2, -1) > 0
     sampler, T_ray2, tr_l2, tr_u2 = transmittance_ratio_tracking(
         scene, cfg, p_off, ls2.wi, ls2.t_shadow, medium_id, s.hero_idx,
-        sampler, ok2)
+        sampler, ok2, s.lam)
     Ld2, Ld2_local = _combine_ld(ls2, f_hat2, scatter_pdf2, T_ray2, tr_l2,
                                  tr_u2, r_u, beta, ok2)
     L = _m(can_nee, L + Ld2, L)
@@ -1017,9 +1044,10 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     last_vol = jnp.where(bs_ok, False, last_vol)
 
     if train:
-        rec = grec.record_vertex(rec, bs_ok & ~spec_lane, h.p, wi_s, scale_b,
-                                 pdf_s, jnp.zeros_like(bs_ok))
-        rec = grec.record_direct(rec, ok2, Ld2_local)
+        rec = grec.record_vertex(rec, bs_ok & ~spec_lane, h.p, wi_s,
+                                 gv._to3(scale_b), pdf_s,
+                                 jnp.zeros_like(bs_ok))
+        rec = grec.record_direct(rec, ok2, gv._to3(Ld2_local))
 
     # surface RR (guided or throughput)
     dead_beta = shade & (jnp.max(beta, -1) == 0)
@@ -1028,7 +1056,8 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     if vopt.guide_rr:
         survival_s = jnp.where(
             dist_srr.valid & (jnp.mean(pixel_est, -1) > 0),
-            guided_rr_survival(beta, dist_srr.flux, pixel_est), 1.0)
+            guided_rr_survival(gv._to3(beta), dist_srr.flux, pixel_est),
+            1.0)
         survival_s = jnp.where(specular, 0.95, survival_s)
     else:
         survival_s = throughput_rr_survival(beta, r_u)
@@ -1040,7 +1069,8 @@ def vspg_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
               beta / jnp.maximum(survival_s, 1e-3)[..., None], beta)
 
     s2 = PathState(sampler, o_new, d_new, beta, r_u, r_l, L, depth, alive,
-                   specular, s.hero_idx, medium_id, eta_scale, prev_p)
+                   specular, s.hero_idx, medium_id, eta_scale, prev_p,
+                   s.lam, s.pdf_lam)
     return VState(s2, rec, gs.pixel_id, last_vol, first_set, first_vol,
                   first_albedo, first_normal, tr_est, gs.tr_prev)
 
@@ -1071,7 +1101,7 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
         local_pid = pixel_id - base
     sample_index = (wave_idx * spp_per_pass + lane % spp_per_pass).astype(jnp.uint32)
     s, fw = vp.start_camera_paths(camera, film, seed, sample_index, pixel_id,
-                                  camera_medium)
+                                  camera_medium, spectral=cfg.spectral)
     rec = SegmentRecord.make(R, gopt.record_depth if train else 1,
                              pixel_id.astype(jnp.float32))
     z3 = jnp.zeros_like(s.o)
@@ -1090,8 +1120,9 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
         return vspg_bounce(scene, cfg, gopt, vopt, field, isgb, train, gs), it + 1
 
     gs, _ = jax.lax.while_loop(cond, body, (gs, jnp.int32(0)))
-    film_state = film.add_samples(film_state, local_pid, gs.s.L, fw)
-    isgb = gisgb.isgb_add_samples(isgb, local_pid, gs.s.L, gs.first_albedo,
+    film_state = vp._film_add(film, film_state, local_pid, gs.s, fw)
+    isgb = gisgb.isgb_add_samples(isgb, local_pid, gv._to3(gs.s.L),
+                                  gs.first_albedo,
                                   gs.first_normal, gs.first_vol,
                                   pixel_id >= 0)
     batch = grec.propagate(gs.rec) if train else None

@@ -58,6 +58,14 @@ def _box_scene(light_kind="area", wall_albedo=0.7, L=8.0,
                       med_out=-1),
                  dict(p0=l0, p1=l2, p2=l3, mat=0, light=1, med_in=-1,
                       med_out=-1)]
+    spots = None
+    if light_kind == "area":
+        pass
+    elif light_kind == "spot":
+        # wide downward cone from near the ceiling
+        spots = [dict(p=(0.0, 0.8, 0.0), I=(L / 3, L / 3, L / 3),
+                      dir=(0.0, -1.0, 0.0),
+                      cos_total=0.3, cos_start=0.8)]
     else:
         point_p = [(0.0, 0.8, 0.0)]
         point_I = [(L / 4, L / 4, L / 4)]
@@ -68,7 +76,7 @@ def _box_scene(light_kind="area", wall_albedo=0.7, L=8.0,
         mats.append(dict(type=CONDUCTOR, albedo=(0.9, 0.9, 0.9),
                          roughness=0.0))
     lights = Lights.make(area_tris=area_tris, point_p=point_p,
-                         point_I=point_I, world_radius=10.0)
+                         point_I=point_I, spots=spots, world_radius=10.0)
     media = HomogeneousMedia.make(jnp.zeros((1, 3)), jnp.zeros((1, 3)))
     return volpath.Scene(geom, Materials.build(mats), media, lights)
 
@@ -105,6 +113,17 @@ def test_bdpt_matches_path_area_light():
 
 def test_bdpt_matches_path_point_light():
     scene = _box_scene("point")
+    img_pt, img_bd = _render_pair(scene)
+    m_pt, m_bd = img_pt.mean(), img_bd.mean()
+    assert np.isfinite(img_bd).all()
+    assert abs(m_bd - m_pt) / m_pt < 0.06, (m_pt, m_bd)
+
+
+def test_bdpt_matches_path_spot_light():
+    """Spot emitters exercise _sample_le_detailed's cone sampling and the
+    s=1 per-type PDF_Le patch (regression: spot picks used to produce
+    valid=False light subpaths, silently darkening the render)."""
+    scene = _box_scene("spot")
     img_pt, img_bd = _render_pair(scene)
     m_pt, m_bd = img_pt.mean(), img_bd.mean()
     assert np.isfinite(img_bd).all()

@@ -145,9 +145,71 @@ def _area_light_pdf_pos(lights, light_id):
     return safe_div(1.0, 0.5 * area2, 0.0)
 
 
-def _light_select_pmf(lights, global_idx):
+def _subpath_light_pmf_table(lights):
+    """Selection pmf over the lights the light-subpath sampler can start
+    from: finite emitters minus distant (delta-direction, handled like env —
+    excluded with a warning). Renormalized so PDFLightOrigin evaluations are
+    consistent with _sample_le_detailed (integrators.cpp PdfLightOrigin uses
+    the same sampler's pmf as GenerateLightSubpath)."""
     n = lights.n_lights
-    return lights.select_pmf_table[jnp.clip(global_idx, 0, max(n - 1, 0))]
+    n_emit = n - (1 if lights.has_env else 0)
+    t = lights.select_pmf_table[:max(n_emit, 1)]
+    if lights.n_distant > 0:
+        keep = ~((jnp.arange(t.shape[0]) >= lights.base_distant)
+                 & (jnp.arange(t.shape[0]) < lights.base_area))
+        t = jnp.where(keep, t, 0.0)
+    return t / jnp.maximum(jnp.sum(t), 1e-20)
+
+
+def _light_select_pmf(lights, global_idx):
+    """Subpath-sampler origin pmf of the light at global_idx (0 for lights
+    the subpath sampler never starts from: env, distant)."""
+    t = _subpath_light_pmf_table(lights)
+    gi = jnp.clip(global_idx, 0, t.shape[0] - 1)
+    in_range = (global_idx >= 0) & (global_idx < t.shape[0])
+    return jnp.where(in_range, t[gi], 0.0)
+
+
+def _light_pdf_le_dir(lights, light_idx, n_l, w):
+    """Solid-angle emission-direction pdf of finite light light_idx along w
+    (the per-type PDF_Le dir, matching _sample_le_detailed's samplers):
+    point/gonio uniform sphere, spot uniform cone, projection uniform image
+    plane, area cosine hemisphere."""
+    R = w.shape[:-1]
+    pdf = jnp.zeros(R)
+    idx = light_idx
+    if lights.n_point > 0:
+        sel = (idx >= 0) & (idx < lights.n_point)
+        pdf = jnp.where(sel, INV_PI * 0.25, pdf)
+    if lights.n_spot > 0:
+        si = jnp.clip(idx - lights.n_point, 0, lights.n_spot - 1)
+        ct_tot = lights.spot_cos_total[si]
+        inside = dot(lights.spot_dir[si], w) >= ct_tot
+        p_cone = safe_div(1.0, 2.0 * jnp.pi * (1.0 - ct_tot), 0.0)
+        sel = (idx >= lights.n_point) & (idx < lights.n_point + lights.n_spot)
+        pdf = jnp.where(sel, jnp.where(inside, p_cone, 0.0), pdf)
+    if lights.n_gonio > 0:
+        sel = (idx >= lights.base_gonio) & (idx < lights.base_proj)
+        pdf = jnp.where(sel, INV_PI * 0.25, pdf)
+    if lights.n_proj > 0:
+        pi2 = jnp.clip(idx - lights.base_proj, 0, lights.n_proj - 1)
+        tanf = lights.proj_tan[pi2]
+        d_l = jnp.einsum("...ij,...j->...i", lights.proj_r[pi2], w)
+        z = jnp.maximum(d_l[..., 2], 1e-9)
+        inside = (d_l[..., 2] > 0) \
+            & (jnp.abs(d_l[..., 0] / z) <= tanf) \
+            & (jnp.abs(d_l[..., 1] / z) <= tanf)
+        cos3 = jnp.clip(d_l[..., 2], 0.0, 1.0) ** 3
+        p_plane = safe_div(1.0, (2.0 * tanf) ** 2 * cos3, 0.0)
+        sel = (idx >= lights.base_proj) & (idx < lights.base_distant)
+        pdf = jnp.where(sel, jnp.where(inside, p_plane, 0.0), pdf)
+    if lights.n_area > 0:
+        ai = jnp.clip(idx - lights.base_area, 0, lights.n_area - 1)
+        sel = (idx >= lights.base_area) \
+            & (idx < lights.base_area + lights.n_area)
+        pdf_a = _area_light_pdf_le_dir(lights, ai, n_l, w)
+        pdf = jnp.where(sel, pdf_a, pdf)
+    return pdf
 
 
 def _remap0(x):
@@ -280,8 +342,7 @@ def _sample_le_detailed(lights, sampler):
                valid=jnp.zeros(R, bool))
     if n_emit == 0:
         return sampler, out
-    pmf_t = lights.select_pmf_table[:n_emit]
-    pmf_t = pmf_t / jnp.maximum(jnp.sum(pmf_t), 1e-20)
+    pmf_t = _subpath_light_pmf_table(lights)
     cdf = jnp.cumsum(pmf_t)
     idx = jnp.minimum(
         jnp.sum((u_sel[..., None] >= cdf).astype(jnp.int32), -1), n_emit - 1)
@@ -299,6 +360,69 @@ def _sample_le_detailed(lights, sampler):
         out["pmf"] = jnp.where(sel, pmf, out["pmf"])
         out["is_delta"] = out["is_delta"] | sel
         out["valid"] = out["valid"] | sel
+
+    if lights.n_spot > 0:
+        # uniform-cone direction sampling (SpotLight::SampleLe analog; the
+        # smoothstep falloff rides in Le, the pdf is the cone's)
+        si = jnp.clip(idx - lights.n_point, 0, lights.n_spot - 1)
+        sel = (idx >= lights.n_point) & (idx < lights.n_point + lights.n_spot)
+        ct_tot = lights.spot_cos_total[si]
+        cos_t = 1.0 - u2a[..., 0] * (1.0 - ct_tot)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t**2, 0.0))
+        phi = 2.0 * jnp.pi * u2a[..., 1]
+        axis = lights.spot_dir[si]
+        t1, t2 = coordinate_system(axis)
+        d_s = (jnp.cos(phi) * sin_t)[..., None] * t1 \
+            + (jnp.sin(phi) * sin_t)[..., None] * t2 \
+            + cos_t[..., None] * axis
+        tt = safe_div(cos_t - ct_tot, lights.spot_cos_start[si] - ct_tot)
+        fall = jnp.clip(tt, 0.0, 1.0)
+        fall = fall * fall * (3.0 - 2.0 * fall)
+        pdf_dir = safe_div(1.0, 2.0 * jnp.pi * (1.0 - ct_tot), 0.0)
+        out["p"] = _m(sel, lights.spot_p[si], out["p"])
+        out["d"] = _m(sel, d_s, out["d"])
+        out["Le"] = _m(sel, lights.spot_I[si] * fall[..., None], out["Le"])
+        out["pdf_pos"] = jnp.where(sel, 1.0, out["pdf_pos"])
+        out["pdf_dir"] = jnp.where(sel, pdf_dir, out["pdf_dir"])
+        out["pmf"] = jnp.where(sel, pmf, out["pmf"])
+        out["is_delta"] = out["is_delta"] | sel
+        out["valid"] = out["valid"] | (sel & (pdf_dir > 0))
+
+    if lights.n_gonio > 0:
+        gi = jnp.clip(idx - lights.base_gonio, 0, lights.n_gonio - 1)
+        sel = (idx >= lights.base_gonio) & (idx < lights.base_proj)
+        d_g = sample_uniform_sphere(u2a)
+        I_g = lights.gonio_I[gi] * lights._gonio_scale(gi, d_g)
+        out["p"] = _m(sel, lights.gonio_p[gi], out["p"])
+        out["d"] = _m(sel, d_g, out["d"])
+        out["Le"] = _m(sel, I_g, out["Le"])
+        out["pdf_pos"] = jnp.where(sel, 1.0, out["pdf_pos"])
+        out["pdf_dir"] = jnp.where(sel, INV_PI * 0.25, out["pdf_dir"])
+        out["pmf"] = jnp.where(sel, pmf, out["pmf"])
+        out["is_delta"] = out["is_delta"] | sel
+        out["valid"] = out["valid"] | sel
+
+    if lights.n_proj > 0:
+        # uniform on the z=1 image plane inside the frustum
+        # (ProjectionLight::SampleLe analog, mirrors Lights.sample_le)
+        pi2 = jnp.clip(idx - lights.base_proj, 0, lights.n_proj - 1)
+        sel = (idx >= lights.base_proj) & (idx < lights.base_distant)
+        tanf = lights.proj_tan[pi2]
+        x = (2.0 * u2a[..., 0] - 1.0) * tanf
+        y = (2.0 * u2a[..., 1] - 1.0) * tanf
+        d_l = normalize(jnp.stack([x, y, jnp.ones_like(x)], -1))
+        d_w = jnp.einsum("...ji,...j->...i", lights.proj_r[pi2], d_l)
+        cos3 = d_l[..., 2] ** 3
+        pdf_dir = safe_div(1.0, (2.0 * tanf) ** 2 * cos3, 0.0)
+        I_p = lights.proj_I[pi2] * lights._proj_scale(pi2, d_w)
+        out["p"] = _m(sel, lights.proj_p[pi2], out["p"])
+        out["d"] = _m(sel, d_w, out["d"])
+        out["Le"] = _m(sel, I_p, out["Le"])
+        out["pdf_pos"] = jnp.where(sel, 1.0, out["pdf_pos"])
+        out["pdf_dir"] = jnp.where(sel, pdf_dir, out["pdf_dir"])
+        out["pmf"] = jnp.where(sel, pmf, out["pmf"])
+        out["is_delta"] = out["is_delta"] | sel
+        out["valid"] = out["valid"] | (sel & (pdf_dir > 0))
 
     if lights.n_area > 0:
         base = lights.base_area
@@ -534,22 +658,24 @@ def connect(scene, camera, sampler, lv, cv, s, t):
         n_l = ls.n_light
         cos_l = jnp.abs(dot(n_l, ls.wi))  # emission direction = -ls.wi
         # sampled.pdfFwd = PDFLightOrigin = pmf/area; for area lights
-        # 1/area = pdf_dir(solid) * cos_l / d^2; delta lights -> 0
+        # 1/area = pdf_dir(solid) * cos_l / d^2; delta lights -> 0. The pmf
+        # is the SUBPATH sampler's (finite lights, renormalized) — it must
+        # match GenerateLightSubpath's selection density for MIS consistency.
         inv_area = ls.pdf_dir * cos_l * safe_div(1.0, d2, 0.0)
-        pdf_fwd0 = jnp.where(is_area, ls.select_pmf * inv_area, 0.0)
+        pdf_fwd0 = jnp.where(
+            is_area,
+            _light_select_pmf(scene.lights, ls.light_idx) * inv_area, 0.0)
         # sampled.pdfRev = pt BSDF pdf toward the light, area measure there
         patch[("light", 0)] = convert_density(
             _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1],
                              pp, cv.ns[:, t - 1], wo_p, ls.wi),
             pp, p_light, n_l, is_area)
         patch[("delta", "light", 0)] = false_r
-        # pt.pdfRev = emission direction density toward pt (PDFLight)
+        # pt.pdfRev = emission direction density toward pt (PDFLight):
+        # per-light-type PDF_Le along the emission direction -wi
         cos_pt = jnp.abs(dot(cv.ng[:, t - 1], ls.wi))
-        pdf_le_dir = jnp.where(
-            is_area,
-            _area_light_pdf_le_dir(scene.lights, jnp.maximum(ls.area_id, 0),
-                                   n_l, -ls.wi),
-            INV_PI * 0.25)  # point light: uniform sphere
+        pdf_le_dir = _light_pdf_le_dir(scene.lights, ls.light_idx, n_l,
+                                       -ls.wi)
         patch[("cam", t - 1)] = pdf_le_dir * safe_div(1.0, d2, 0.0) * cos_pt
         patch[("delta", "cam", t - 1)] = false_r
         if t > 1:
@@ -655,6 +781,9 @@ def render(scene: Scene, camera, film, spp=16, max_depth=5, seed=0):
     if scene.lights.has_env:
         warnings.warn("bdpt v1 ignores infinite lights; use volpath/path "
                       "for env-lit scenes", stacklevel=2)
+    if scene.lights.n_distant > 0:
+        warnings.warn("bdpt v1 ignores distant (delta-direction) lights; "
+                      "use volpath/path for distant-lit scenes", stacklevel=2)
     film_state = film.init_state()
     for wave in range(spp):
         film_state = _bdpt_wave(scene, camera, film, film_state,

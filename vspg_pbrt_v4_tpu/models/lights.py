@@ -38,6 +38,7 @@ class LightSample(NamedTuple):
     valid: jnp.ndarray  # (R,) bool
     n_light: jnp.ndarray = None  # (R,3) emission normal (area lights; else 0)
     area_id: jnp.ndarray = None  # (R,) sampled area-light id (-1 otherwise)
+    light_idx: jnp.ndarray = None  # (R,) global index of the sampled light
 
 
 @struct.dataclass
@@ -525,7 +526,7 @@ class Lights:
 
         valid = (pdf_dir > 0) & (pmf > 0)
         return LightSample(wi, L, pdf_dir, pmf, is_delta, t_shadow, valid,
-                           n_light, area_id)
+                           n_light, area_id, idx)
 
     # -- emitted-ray sampling for particle tracing (SampleLe) ----------------
     def sample_le(self, u_select, u_side, u2a, u2b):

@@ -67,11 +67,23 @@ class GuidingField:
     iteration: jnp.ndarray  # () int32 training iterations done
     res: int = struct.field(pytree_node=False)  # cells per axis
     n_lobes: int = struct.field(pytree_node=False)
+    # -- adaptive two-level addressing (OpenPGL's sample-density-adaptive
+    #    kd-tree, SURVEY §2.4, re-designed gather-friendly): a coarse res^3
+    #    grid whose dense cells are split into 2^3 children; leaves live in
+    #    flat (L, ...) arrays addressed through an indirection table.
+    #    n_extra == 0 -> plain uniform grid (r1 behavior, zero overhead).
+    leaf_of: jnp.ndarray = None  # (C,) int32 coarse cell -> leaf
+    refined: jnp.ndarray = None  # (C,) bool
+    child_base: jnp.ndarray = None  # (C,) int32 first of the 8 children
+    n_leaves: jnp.ndarray = None  # () int32 allocated leaves
+    leaf_center: jnp.ndarray = None  # (L,3) leaf centers (parallax re-aim)
+    n_extra: int = struct.field(pytree_node=False, default=0)
 
     # ---------------------------------------------------------------
     @staticmethod
-    def make(b_min, b_max, res=16, n_lobes=8):
+    def make(b_min, b_max, res=16, n_lobes=8, n_extra=0):
         C = res**3
+        L = C + int(n_extra)
         K = n_lobes
         # init lobes: directions on a sphere via fibonacci spiral
         i = np.arange(K)
@@ -83,34 +95,57 @@ class GuidingField:
 
         def half():
             return FieldHalf(
-                weights=jnp.full((C, K), 1.0 / K),
-                mu=jnp.tile(jnp.asarray(dirs)[None], (C, 1, 1)),
-                kappa=jnp.full((C, K), 1.0),
-                stats_w=jnp.zeros((C, K)),
-                stats_s=jnp.zeros((C, K, 3)),
-                stats_dist=jnp.zeros((C, K)),
-                vsp_c_vol=jnp.zeros((C,)),
-                vsp_c_surf=jnp.zeros((C,)),
-                vsp_c2_vol=jnp.zeros((C,)),
-                vsp_c2_surf=jnp.zeros((C,)),
-                vsp_n=jnp.zeros((C,)),
-                flux=jnp.zeros((C, 3)),
-                flux_w=jnp.zeros((C,)),
-                vsp_lobe_vol=jnp.zeros((C, K)),
-                vsp_lobe_surf=jnp.zeros((C, K)),
+                weights=jnp.full((L, K), 1.0 / K),
+                mu=jnp.tile(jnp.asarray(dirs)[None], (L, 1, 1)),
+                kappa=jnp.full((L, K), 1.0),
+                stats_w=jnp.zeros((L, K)),
+                stats_s=jnp.zeros((L, K, 3)),
+                stats_dist=jnp.zeros((L, K)),
+                vsp_c_vol=jnp.zeros((L,)),
+                vsp_c_surf=jnp.zeros((L,)),
+                vsp_c2_vol=jnp.zeros((L,)),
+                vsp_c2_surf=jnp.zeros((L,)),
+                vsp_n=jnp.zeros((L,)),
+                flux=jnp.zeros((L, 3)),
+                flux_w=jnp.zeros((L,)),
+                vsp_lobe_vol=jnp.zeros((L, K)),
+                vsp_lobe_surf=jnp.zeros((L, K)),
             )
 
+        bmin = np.asarray(b_min, np.float32)
+        bmax = np.asarray(b_max, np.float32)
+        ii = np.arange(C)
+        idx = np.stack([ii // (res * res), (ii // res) % res, ii % res],
+                       -1).astype(np.float32) + 0.5
+        centers = bmin + idx / res * (bmax - bmin)
+        leaf_center = np.zeros((L, 3), np.float32)
+        leaf_center[:C] = centers
         return GuidingField(
-            jnp.asarray(b_min, jnp.float32), jnp.asarray(b_max, jnp.float32),
+            jnp.asarray(bmin), jnp.asarray(bmax),
             half(), half(), jnp.int32(0), int(res), int(n_lobes),
+            leaf_of=jnp.arange(C, dtype=jnp.int32),
+            refined=jnp.zeros((C,), bool),
+            child_base=jnp.zeros((C,), jnp.int32),
+            n_leaves=jnp.int32(C),
+            leaf_center=jnp.asarray(leaf_center),
+            n_extra=int(n_extra),
         )
 
     # ---------------------------------------------------------------
     def cell_id(self, p):
-        """(..., 3) world position -> flat cell index (...)."""
+        """(..., 3) world position -> flat LEAF index (...)."""
         g = (p - self.b_min) / (self.b_max - self.b_min)
-        i = jnp.clip((g * self.res).astype(jnp.int32), 0, self.res - 1)
-        return (i[..., 0] * self.res + i[..., 1]) * self.res + i[..., 2]
+        gi = jnp.clip(g * self.res, 0.0, self.res - 1e-4)
+        i = gi.astype(jnp.int32)
+        c = (i[..., 0] * self.res + i[..., 1]) * self.res + i[..., 2]
+        if self.n_extra == 0 or self.leaf_of is None:
+            return c
+        frac = gi - i.astype(jnp.float32)
+        octant = ((frac[..., 0] >= 0.5).astype(jnp.int32) * 4
+                  + (frac[..., 1] >= 0.5).astype(jnp.int32) * 2
+                  + (frac[..., 2] >= 0.5).astype(jnp.int32))
+        return jnp.where(self.refined[c], self.child_base[c] + octant,
+                         self.leaf_of[c])
 
     @property
     def trained(self):
@@ -173,6 +208,8 @@ def _gather_half(field: GuidingField, half: FieldHalf, p, vsp_variance=True):
 
 
 def _cell_center(field: GuidingField, cid):
+    if field.n_extra > 0 and field.leaf_center is not None:
+        return field.leaf_center[cid]
     res = field.res
     iz = cid % res
     iy = (cid // res) % res
@@ -308,17 +345,88 @@ def field_update(field: GuidingField, batch: TrainBatch, decay=0.75):
                          iteration=field.iteration + 1)
 
 
+def refine_field(field: GuidingField, threshold=256.0, max_splits=16):
+    """Between-wave spatial refinement (OpenPGL's sample-adaptive kd-tree
+    subdivision, SURVEY §2.4): coarse cells whose accumulated EM sample
+    mass exceeds `threshold` split into 2^3 children that inherit the
+    parent's distribution with 1/8 of its sufficient statistics. Runs
+    host-side between waves (array SHAPES stay fixed, so the render jit is
+    not invalidated). No-op for uniform-grid fields (n_extra == 0)."""
+    if field.n_extra == 0 or field.leaf_center is None:
+        return field
+    C = field.res ** 3
+    L = C + field.n_extra
+    n_leaves = int(field.n_leaves)
+    cap = (L - n_leaves) // 8
+    if cap <= 0:
+        return field
+    leaf_of = np.asarray(field.leaf_of).copy()
+    refined = np.asarray(field.refined).copy()
+    child_base = np.asarray(field.child_base).copy()
+    leaf_center = np.asarray(field.leaf_center).copy()
+    mass = (np.asarray(field.surface.stats_w).sum(-1)
+            + np.asarray(field.volume.stats_w).sum(-1))
+    cell_mass = np.where(refined, 0.0, mass[leaf_of])
+    order = np.argsort(-cell_mass)
+    picks = [int(c) for c in order if cell_mass[c] > threshold]
+    picks = picks[: min(int(max_splits), cap)]
+    if not picks:
+        return field
+    bmin = np.asarray(field.b_min)
+    bmax = np.asarray(field.b_max)
+    cell = (bmax - bmin) / field.res
+    import dataclasses
+
+    halves = {}
+    for name in ("surface", "volume"):
+        h = getattr(field, name)
+        halves[name] = {f.name: np.asarray(getattr(h, f.name)).copy()
+                        for f in dataclasses.fields(h)}
+    for c in picks:
+        src_leaf = leaf_of[c]
+        base = n_leaves
+        for name, arrs in halves.items():
+            for k, a in arrs.items():
+                row = a[src_leaf]
+                if k in ("weights", "mu", "kappa"):
+                    a[base:base + 8] = row  # inherit the distribution
+                else:
+                    a[base:base + 8] = row / 8.0  # split the statistics
+        ix, iy, iz = c // (field.res ** 2), (c // field.res) % field.res,             c % field.res
+        lo = bmin + np.asarray([ix, iy, iz]) * cell
+        for o in range(8):
+            off = np.asarray([(o >> 2) & 1, (o >> 1) & 1, o & 1],
+                             np.float32)
+            leaf_center[base + o] = lo + (off * 0.5 + 0.25) * cell
+        refined[c] = True
+        child_base[c] = base
+        n_leaves += 8
+    def mk_half(arrs):
+        return FieldHalf(**{k: jnp.asarray(v) for k, v in arrs.items()})
+    return field.replace(
+        surface=mk_half(halves["surface"]),
+        volume=mk_half(halves["volume"]),
+        leaf_of=jnp.asarray(leaf_of), refined=jnp.asarray(refined),
+        child_base=jnp.asarray(child_base),
+        n_leaves=jnp.int32(n_leaves),
+        leaf_center=jnp.asarray(leaf_center))
+
+
 def save_field(field: GuidingField, path):
     """Store the field (storeGuidingCache analog) as an npz."""
     flat, treedef = jax.tree.flatten(field)
     np.savez(path, *[np.asarray(x) for x in flat],
-             res=field.res, n_lobes=field.n_lobes)
+             res=field.res, n_lobes=field.n_lobes,
+             n_extra=field.n_extra)
 
 
 def load_field(path) -> GuidingField:
     data = np.load(path)
-    arrays = [data[f"arr_{i}"] for i in range(len(data.files) - 2)]
-    template = GuidingField.make(arrays[0], arrays[1], res=int(data["res"]),
-                                 n_lobes=int(data["n_lobes"]))
+    n_meta = 3 if "n_extra" in data.files else 2
+    arrays = [data[f"arr_{i}"] for i in range(len(data.files) - n_meta)]
+    template = GuidingField.make(
+        arrays[0], arrays[1], res=int(data["res"]),
+        n_lobes=int(data["n_lobes"]),
+        n_extra=int(data["n_extra"]) if "n_extra" in data.files else 0)
     _, treedef = jax.tree.flatten(template)
     return jax.tree.unflatten(treedef, [jnp.asarray(a) for a in arrays])

@@ -67,6 +67,11 @@ class GuidingOptions(NamedTuple):
     min_train_weight: float = 128.0  # min samples before Update
     field_res: int = 16
     n_lobes: int = 8
+    # adaptive spatial refinement (OpenPGL kd-tree analog): extra leaf
+    # capacity; 0 = uniform grid. Dense cells split into 2^3 children
+    # between waves once their EM mass exceeds refine_threshold.
+    adaptive_extra: int = 0
+    refine_threshold: float = 256.0
 
 
 class GState(NamedTuple):
@@ -489,6 +494,7 @@ def render_guided(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
         allp = np.concatenate(pts, 0)
         lo, hi = allp.min(0) - 1e-3, allp.max(0) + 1e-3
         field = gfield.GuidingField.make(lo, hi, res=gopt.field_res,
+                                         n_extra=gopt.adaptive_extra,
                                          n_lobes=gopt.n_lobes)
 
     film_state = film.init_state()
@@ -502,4 +508,7 @@ def render_guided(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
             total_w = float(jnp.sum(jnp.where(batch.valid, batch.weight, 0.0)))
             if total_w > gopt.min_train_weight:
                 field = train_step(field, batch)
+                if gopt.adaptive_extra:
+                    field = gfield.refine_field(field,
+                                                gopt.refine_threshold)
     return film.image(film_state), field

@@ -1152,7 +1152,9 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
             pts += [c - r, c + r]
         allp = np.concatenate(pts, 0)
         field = gfield.GuidingField.make(allp.min(0) - 1e-3, allp.max(0) + 1e-3,
-                                         res=gopt.field_res, n_lobes=gopt.n_lobes)
+                                         res=gopt.field_res,
+                                         n_lobes=gopt.n_lobes,
+                                         n_extra=gopt.adaptive_extra)
     if isgb is None:
         isgb = ISGB.make(film.resolution, vopt.vsp_criterion)
 
@@ -1178,6 +1180,9 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
             total_w = float(jnp.sum(jnp.where(batch.valid, batch.weight, 0.0)))
             if total_w > gopt.min_train_weight:
                 field = gv.train_step(field, batch)
+                if gopt.adaptive_extra:
+                    field = gfield.refine_field(field,
+                                                gopt.refine_threshold)
         if (wave + 1) in vopt.isgb_update_waves:
             isgb = gisgb.isgb_update(isgb)
     return film.image(film_state), field, isgb

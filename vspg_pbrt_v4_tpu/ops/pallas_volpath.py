@@ -1181,6 +1181,13 @@ def _make_grid_kernel(c, spp, sub):
 _KERNEL_CACHE = {}
 
 
+# spp per grid-kernel launch on real TPU (long launches trip the relay's
+# TPU watchdog; chunking also bounds per-launch wall time for progressive
+# display). Tuned on the axon chip: ~0.3s per 16-spp launch at 128^2,
+# 0.88-0.90 Mpaths/s vs 0.045 for the relay-dispatched XLA loop.
+GRID_SPP_CHUNK = 16
+
+
 def _get_callable(c, spp, interpret):
     """Memoized jitted megakernel render fn for (constants, spp)."""
     key = (tuple(sorted((k, v) for k, v in c.items())), spp, interpret)
@@ -1189,7 +1196,7 @@ def _get_callable(c, spp, interpret):
         return fn
     npix = c["nx"] * c["ny"]
     is_grid = c["kind"] == "grid"
-    sub = 8 if is_grid else 64  # grid: lane gathers validated at (8,128)
+    sub = 64
     while npix % (sub * 128) != 0:
         sub //= 2
     n_blocks = npix // (sub * 128)
@@ -1252,12 +1259,23 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
     npix = c["nx"] * c["ny"]
     if npix % 128 != 0:
         raise ValueError("npix must be a multiple of 128")
-    fn = _get_callable(c, int(spp), bool(interpret))
     if c["kind"] == "grid":
         gm = scene.media.grids[0]
         dens = jnp.reshape(gm.density, (-1, 128))
         maj = jnp.reshape(gm.majorant, (-1, 128))
-        return fn(jnp.asarray(seed, jnp.uint32), dens, maj)
+        # chunk spp across kernel launches: the fused DDA kernel's runtime
+        # scales with spp and long launches can trip the TPU watchdog
+        chunk = int(spp) if interpret else min(int(spp), GRID_SPP_CHUNK)
+        imgs = []
+        done = 0
+        while done < int(spp):
+            n = min(chunk, int(spp) - done)
+            fn = _get_callable(c, n, bool(interpret))
+            imgs.append(fn(jnp.asarray(seed, jnp.uint32)
+                           + jnp.uint32(done * 65537), dens, maj) * n)
+            done += n
+        return sum(imgs) / int(spp)
+    fn = _get_callable(c, int(spp), bool(interpret))
     return fn(jnp.asarray(seed, jnp.uint32))
 
 

@@ -165,64 +165,88 @@ def bench_config2b():
     }
 
 
-def bench_config3():
-    """Primary-ray VSP guiding, resampling route, contribution criterion.
-    Small frame: the VSPG wave is dispatch-bound through the axon relay
-    (PERF.md) — the size mainly bounds bench wall time, not throughput."""
-    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
+def _vspg_cloud32_scene():
+    """32^3 variant of the bench cloud — inside the VSPG megakernel's
+    gather-bound grid-size gate (<= 32^3, see ops/pallas_vspg.supports)."""
+    from vspg_pbrt_v4_tpu.models.lights import Lights
+    from vspg_pbrt_v4_tpu.models.materials import Materials
+    from vspg_pbrt_v4_tpu.models.media import GridMedium, Media
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+
+    n = 32
+    x = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    r = np.sqrt(X * X + Y * Y + Z * Z)
+    dens = np.clip(1.0 - r, 0.0, None)
+    dens *= (0.75 + 0.25 * np.sin(7.1 * X) * np.sin(5.3 * Y + 1.1)
+             * np.sin(6.7 * Z + 2.3))
+    dens = np.clip(dens, 0.0, None) * 4.0
+    gm = GridMedium.make(dens.astype(np.float32), [0.1] * 3, [2.0] * 3,
+                         (-1, -1, -1), (1, 1, 1), g=0.3, maj_res=8)
+    media = Media.make(grids=(gm,))
+    lights = Lights.make(point_p=[(0.0, 1.8, 0.0)], point_I=[(8.0,) * 3],
+                         env_L=[0.1, 0.12, 0.15], world_radius=100.0)
+    geom = Geometry.build(
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    return volpath.Scene(geom, Materials.build([]), media, lights)
+
+
+def _vspg_frozen_bench(metric, gopt, vopt, res=128, spp=32, train_spp=4):
+    """Shared configs-3/4 harness: train the field+ISGB once (untimed
+    startup, the paper's train-then-render protocol,
+    guidedvolpathvspgintegrator.cpp:117-131), then time the frozen-field
+    render phase — served by the ops/pallas_vspg megakernel."""
     from vspg_pbrt_v4_tpu.models.integrators import vspg
 
-    res, spp = 32, 8
-    scene = _cloud_scene()
+    scene = _vspg_cloud32_scene()
     camera = _camera(res)
     film = RGBFilm.make((res, res))
+    _, field, isgb = vspg.render_vspg(
+        scene, camera, film, spp=train_spp, gopt=gopt, vopt=vopt,
+        seed=0, spp_per_pass=train_spp, use_pallas=False)
 
     def run(seed, spp_):
         img, _, _ = vspg.render_vspg(
-            scene, camera, film, spp=spp_,
-            gopt=gvp.GuidingOptions(field_res=8, record_depth=6,
-                                    min_train_weight=16.0),
-            vopt=vspg.VSPGOptions(vsp_criterion="contribution"),
-            seed=seed, spp_per_pass=4)
+            scene, camera, film, spp=spp_, gopt=gopt, vopt=vopt,
+            seed=seed, spp_per_pass=spp_, field=field, isgb=isgb,
+            train=False)
         return img
 
     best = _time_best(run, (0, 4), [(i + 1, spp) for i in range(2)])
     mpaths = res * res * spp / best / 1e6
     return {
-        "metric": "vspg_resampling_cloud_32x32x8spp",
+        "metric": metric,
         "value": round(mpaths, 3),
         "unit": "Mpaths/sec/chip",
         "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
     }
+
+
+def bench_config3():
+    """Primary-ray VSP guiding, resampling route, contribution criterion.
+    Frozen-field render phase through the VSPG megakernel."""
+    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
+    from vspg_pbrt_v4_tpu.models.integrators import vspg
+
+    return _vspg_frozen_bench(
+        "vspg_resampling_cloud32_128x128x32spp_frozen",
+        gvp.GuidingOptions(field_res=8, record_depth=6,
+                           min_train_weight=16.0),
+        vspg.VSPGOptions(vsp_criterion="contribution"))
 
 
 def bench_config4():
-    """Full VSPG: directional guiding + variance criterion + RIS."""
+    """Full VSPG: directional guiding + variance criterion + RIS.
+    Frozen-field render phase through the VSPG megakernel."""
     from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
     from vspg_pbrt_v4_tpu.models.integrators import vspg
 
-    res, spp = 32, 8
-    scene = _cloud_scene()
-    camera = _camera(res)
-    film = RGBFilm.make((res, res))
-
-    def run(seed, spp_):
-        img, _, _ = vspg.render_vspg(
-            scene, camera, film, spp=spp_,
-            gopt=gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
-                                    min_train_weight=16.0),
-            vopt=vspg.VSPGOptions(vsp_criterion="variance"),
-            seed=seed, spp_per_pass=4)
-        return img
-
-    best = _time_best(run, (0, 4), [(i + 1, spp) for i in range(2)])
-    mpaths = res * res * spp / best / 1e6
-    return {
-        "metric": "vspg_full_cloud_32x32x8spp",
-        "value": round(mpaths, 3),
-        "unit": "Mpaths/sec/chip",
-        "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
-    }
+    return _vspg_frozen_bench(
+        "vspg_full_cloud32_128x128x32spp_frozen",
+        gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
+                           min_train_weight=16.0),
+        vspg.VSPGOptions(vsp_criterion="variance"))
 
 
 def bench_config1():

@@ -1,0 +1,156 @@
+"""VSPG megakernel (ops/pallas_vspg) vs the XLA wave path.
+
+Validation idiom (SURVEY §4): interpret-mode kernel on CPU must agree
+with the jnp estimator within MC noise — same estimator algebra,
+independent sample streams. The scattering furnace is the sharp test:
+ANY sampling distribution (trained or handcrafted) must integrate back
+to the env constant if the VSP/guiding MIS algebra is exact.
+"""
+
+import numpy as np
+import pytest
+
+from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
+from vspg_pbrt_v4_tpu.models.film import RGBFilm
+from vspg_pbrt_v4_tpu.models.guiding.isgb import ISGB
+from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
+from vspg_pbrt_v4_tpu.models.integrators import volpath, vspg
+from vspg_pbrt_v4_tpu.models.materials import Materials
+from vspg_pbrt_v4_tpu.models.media import GridMedium, Media
+from vspg_pbrt_v4_tpu.models.lights import Lights
+from vspg_pbrt_v4_tpu.models.shapes import Geometry
+from vspg_pbrt_v4_tpu.ops import pallas_vspg as pk
+from vspg_pbrt_v4_tpu.utils import transform as tr
+
+RES = 16  # npix = 256 (kernel wants npix % 128 == 0)
+
+
+def _camera(res=RES):
+    c2w = tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0))
+    return PerspectiveCamera.make(c2w, fov_deg=30.0, resolution=(res, res))
+
+
+def _grid_scene(density, sigma_a, sigma_s, g=0.0, env_L=None, point=None,
+                maj_res=8):
+    gm = GridMedium.make(density, sigma_a, sigma_s, (-1, -1, -1), (1, 1, 1),
+                         g=g, maj_res=maj_res)
+    media = Media.make(grids=(gm,))
+    lights = Lights.make(
+        point_p=None if point is None else [point[0]],
+        point_I=None if point is None else [point[1]],
+        env_L=env_L, world_radius=100.0)
+    geom = Geometry.build(
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    return volpath.Scene(geom, Materials.build([]), media, lights)
+
+
+def _cloud_density(n=16, scale=3.0):
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    dens = np.clip(1.0 - np.sqrt(X**2 + Y**2 + Z**2), 0, 1)
+    dens *= 0.75 + 0.25 * np.sin(5.1 * X) * np.sin(4.3 * Y + 1.0)
+    return np.clip(dens, 0, None).astype(np.float32) * scale
+
+
+_GOPT = gvp.GuidingOptions(field_res=8, record_depth=6,
+                           min_train_weight=16.0)
+_CFG = volpath.VolPathConfig(max_depth=24)
+
+
+def test_supports_grid_scene():
+    scene = _grid_scene(_cloud_density(), [0.1] * 3, [2.0] * 3, g=0.3,
+                        env_L=[0.5] * 3)
+    from vspg_pbrt_v4_tpu.models.guiding.field import GuidingField
+
+    field = GuidingField.make((-1, -1, -1), (1, 1, 1), res=8, n_lobes=8)
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    assert pk.supports(scene, cam, film, _CFG, _GOPT, vspg.VSPGOptions(),
+                       field)
+    # off-class: 24x24 film (npix not a multiple of 128)
+    assert not pk.supports(scene, _camera(24), RGBFilm.make((24, 24)),
+                           _CFG, _GOPT, vspg.VSPGOptions(), field)
+
+
+def test_kernel_untrained_matches_volpath():
+    """Fresh field + ISGB: every lane takes the unguided delta route, so
+    the kernel must match plain volpath on the cloud (per-quadrant)."""
+    scene = _grid_scene(_cloud_density(), [0.1] * 3, [2.0] * 3, g=0.3,
+                        env_L=[0.15, 0.18, 0.2],
+                        point=((0.0, 1.8, 0.0), (8.0,) * 3))
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    from vspg_pbrt_v4_tpu.models.guiding.field import GuidingField
+
+    field = GuidingField.make((-1, -1, -1), (1, 1, 1), res=8, n_lobes=8)
+    isgb = ISGB.make((RES, RES), "variance")
+    ref = np.asarray(volpath.render(scene, cam, film, spp=64, seed=11,
+                                    spp_per_pass=8))
+    img = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 64, _CFG, _GOPT, vspg.VSPGOptions(), field,
+        isgb, seed=5, interpret=True))
+    assert np.isfinite(img).all()
+    h = RES // 2
+    for sy in (slice(0, h), slice(h, RES)):
+        for sx in (slice(0, h), slice(h, RES)):
+            a = ref[sy, sx].mean()
+            b = img[sy, sx].mean()
+            assert abs(a - b) < 0.08 * max(a, 0.05), (a, b)
+
+
+def test_kernel_furnace_trained_field():
+    """Scattering furnace with a TRAINED field + ready ISGB: the guided
+    routes (VSP resampling + vMF direction MIS/RIS + guided RR) must keep
+    the furnace exact — this catches any pdf/MIS algebra slip."""
+    L0 = 0.7
+    scene = _grid_scene(_cloud_density(), [0, 0, 0], [2.0] * 3, g=0.3,
+                        env_L=[L0] * 3)
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    # train on the XLA path (use_pallas=False keeps this all-XLA)
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT,
+        vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4, use_pallas=False)
+    assert int(field.iteration) > 0
+    img = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 64, _CFG, _GOPT, vspg.VSPGOptions(), field,
+        isgb, seed=9, interpret=True))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
+
+
+def test_kernel_trained_matches_xla_frozen():
+    """Frozen-field render: kernel vs XLA wave path on the lit cloud."""
+    scene = _grid_scene(_cloud_density(), [0.1] * 3, [2.0] * 3, g=0.3,
+                        env_L=[0.15, 0.18, 0.2],
+                        point=((0.0, 1.8, 0.0), (8.0,) * 3))
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT,
+        vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4, use_pallas=False)
+    ref, _, _ = vspg.render_vspg(
+        scene, cam, film, spp=64, cfg=_CFG, gopt=_GOPT,
+        vopt=vspg.VSPGOptions(), seed=21, spp_per_pass=8, field=field,
+        isgb=isgb, train=False, use_pallas=False)
+    ref = np.asarray(ref)
+    img = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 64, _CFG, _GOPT, vspg.VSPGOptions(), field,
+        isgb, seed=33, interpret=True))
+    a, b = ref.mean(), img.mean()
+    assert abs(a - b) < 0.07 * max(a, 0.05), (a, b)
+
+
+def test_render_vspg_auto_dispatch():
+    """render_vspg(use_pallas='auto') trains on XLA then finishes in the
+    kernel; result must agree with the all-XLA run."""
+    L0 = 0.6
+    scene = _grid_scene(_cloud_density(), [0, 0, 0], [1.5] * 3, g=0.2,
+                        env_L=[L0] * 3)
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    gopt = _GOPT._replace(train_waves=1)
+    img, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=24, cfg=_CFG, gopt=gopt,
+        vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4,
+        interpret_pallas=True)
+    img = np.asarray(img)
+    assert int(field.iteration) == 1
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - L0) < 0.06 * L0, img.mean()

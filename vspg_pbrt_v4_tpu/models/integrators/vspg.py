@@ -1133,9 +1133,15 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
 def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
                 gopt=GuidingOptions(), vopt=VSPGOptions(), seed=0,
                 camera_medium=-1, spp_per_pass=1, field=None, isgb=None,
-                train=True):
+                train=True, use_pallas="auto", interpret_pallas=False):
     """Progressive VSPG rendering: waves + training barrier + ISGB updates
     at waves 1,2,4,8,... (PostProcessWave, :230-259).
+
+    use_pallas: once training is over (field frozen), remaining spp render
+    through the fused ops/pallas_vspg megakernel when the scene class
+    supports it ("auto"); False forces the XLA wave path. Freezing the
+    field/ISGB for the kernel phase only changes sampling distributions,
+    never estimator weights — the mixed image stays unbiased.
 
     Returns (image, field, isgb)."""
     if field is None:
@@ -1165,8 +1171,13 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
     tr_buffer = (jnp.ones((film.npix, 3))
                  if vopt.sampling_method == "nds+" else None)
     n_tr = 0
+    spp_done = 0
     for wave in range(spp // spp_per_pass):
         do_train = train and int(field.iteration) < gopt.train_waves
+        if not do_train and use_pallas and _pallas_supported(
+                scene, camera, film, cfg, gopt, vopt, field):
+            break  # remaining spp render through the fused kernel
+        spp_done += spp_per_pass
         film_state, isgb, batch, tr = vspg_wave(
             scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
             jnp.uint32(seed), jnp.int32(wave), int(camera_medium),
@@ -1185,4 +1196,28 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
                                                 gopt.refine_threshold)
         if (wave + 1) in vopt.isgb_update_waves:
             isgb = gisgb.isgb_update(isgb)
+    remaining = spp - spp_done
+    if remaining > 0:
+        from ...ops import pallas_vspg as _pk
+
+        img_k = _pk.render_vspg_pallas(
+            scene, camera, film, remaining, cfg, gopt, vopt, field, isgb,
+            seed=jnp.uint32(seed) + jnp.uint32(0x9E3779B9),
+            interpret=bool(interpret_pallas))
+        if spp_done == 0:
+            return img_k, field, isgb
+        img_x = film.image(film_state)
+        img = (img_x * spp_done + img_k * remaining) / spp
+        return img, field, isgb
     return film.image(film_state), field, isgb
+
+
+def _pallas_supported(scene, camera, film, cfg, gopt, vopt, field):
+    if vopt.sampling_method != "resampling":
+        return False  # NDS/NDS+ distance routes stay on the XLA path
+    try:
+        from ...ops import pallas_vspg as _pk
+
+        return _pk.supports(scene, camera, film, cfg, gopt, vopt, field)
+    except Exception:
+        return False

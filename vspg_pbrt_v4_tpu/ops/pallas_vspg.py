@@ -1,0 +1,1360 @@
+"""Pallas TPU megakernel: VSPG render-phase path tracing for the
+grid-medium scene class.
+
+The VSPG wave (models/integrators/vspg.py) is the paper's flagship
+estimator — VSP-guided distance sampling (reservoir resampling route),
+vMF-mixture directional guiding with one-sample-MIS / RIS combination,
+and guided Russian roulette (guidedvolpathvspgintegrator.cpp:650-1100 +
+media_sampleTMaj.h:120-247 + openpgl GuidedRussianRoulette). As an XLA
+while_loop graph it is relay-dispatch-bound (~0.004 Mpaths/s, PERF.md);
+this kernel runs the ENTIRE render-phase bounce loop fused in VMEM, one
+persistent lane per pixel, the same architecture as
+ops/pallas_volpath._make_grid_kernel.
+
+Scope (render phase only): the guiding field and the ISGB are FROZEN
+inputs — training waves stay on the XLA path (they are a small spp
+fraction), then the remaining spp render through this kernel. Freezing
+mid-render changes only the sampling distributions, never the estimator
+weights, so the result stays unbiased (the reference's
+train-then-freeze protocol, guidedvolpathvspgintegrator.cpp:117-131).
+
+Field data rides in as a packed VMEM table (8K+5 parameter rows of C
+cell values, C = field_res^3); per-lane cell lookups use the chunked
+(sub,128) lane-gather sweep (PERF.md Mosaic facts). ISGB per-pixel rows
+(primary VSP, pixel-estimate luminance/mean) arrive pre-sliced per
+block through the BlockSpec — lane (i,j) IS its pixel, so no gather is
+needed. All vMF mixture math (parallax re-aim, HG product, CDF lobe
+select, pdf sums) is unrolled over the K lobes as pure VPU ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_volpath import (_BIG, INV_4PI, _U32, _box_hit, _coord_system,
+                             _dot, _hg_value, _normalize, _sample_hg,
+                             _uniform4, extract_constants)
+
+MIN_KAPPA = 1e-2
+MAX_KAPPA = 2e3
+_LUM = (0.2126, 0.7152, 0.0722)
+
+
+# ---------------------------------------------------------------------------
+# Host-side table packing
+# ---------------------------------------------------------------------------
+
+
+def pack_field_table(field, criterion="variance"):
+    """Flatten the frozen volume half into a (P, C) f32 table.
+
+    Row layout (P = 8K + 5): for each lobe k: [w, mux, muy, muz, kappa,
+    mean_dist, vsp_lobe_vol, vsp_lobe_surf]; then cell rows [valid, vsp,
+    flux_r, flux_g, flux_b]. vsp has the criterion (variance |
+    contribution) pre-applied exactly as guiding/field._gather_half."""
+    if field.n_extra != 0:
+        raise ValueError("adaptive fields unsupported by the kernel")
+    C = field.res ** 3
+    K = field.n_lobes
+    vol = field.volume
+    w = np.asarray(vol.weights, np.float32)[:C]
+    mu = np.asarray(vol.mu, np.float32)[:C]
+    kap = np.asarray(vol.kappa, np.float32)[:C]
+    sw = np.asarray(vol.stats_w, np.float32)[:C]
+    sd = np.asarray(vol.stats_dist, np.float32)[:C]
+    dist = sd / np.maximum(sw, 1e-12)
+    vlv = np.asarray(vol.vsp_lobe_vol, np.float32)[:C]
+    vls = np.asarray(vol.vsp_lobe_surf, np.float32)[:C]
+    valid = (sw.sum(-1) > 8.0).astype(np.float32)
+    n = np.maximum(np.asarray(vol.vsp_n, np.float32)[:C], 1.0)
+    c_vol = np.asarray(vol.vsp_c_vol, np.float32)[:C] / n
+    c_surf = np.asarray(vol.vsp_c_surf, np.float32)[:C] / n
+    if criterion == "variance":
+        v_vol = np.maximum(
+            np.asarray(vol.vsp_c2_vol, np.float32)[:C] / n - c_vol**2, 0.0)
+        v_surf = np.maximum(
+            np.asarray(vol.vsp_c2_surf, np.float32)[:C] / n - c_surf**2, 0.0)
+        num = c_vol * c_vol + v_vol
+        den = num + c_surf * c_surf + v_surf
+    else:
+        num = c_vol
+        den = c_vol + c_surf
+    vsp = np.where(den > 0, num / np.maximum(den, 1e-20), -1.0)
+    vsp = np.where(np.asarray(vol.vsp_n, np.float32)[:C] > 8.0, vsp, -1.0)
+    flux = (np.asarray(vol.flux, np.float32)[:C]
+            / np.maximum(np.asarray(vol.flux_w, np.float32)[:C], 1e-12)[:, None])
+    rows = []
+    for k in range(K):
+        rows += [w[:, k], mu[:, k, 0], mu[:, k, 1], mu[:, k, 2], kap[:, k],
+                 dist[:, k], vlv[:, k], vls[:, k]]
+    rows += [valid, vsp.astype(np.float32), flux[:, 0], flux[:, 1],
+             flux[:, 2]]
+    return np.stack(rows, 0).astype(np.float32)  # (P, C)
+
+
+def pack_isgb_table(isgb, npix):
+    """(3, npix) f32: [primary_vsp(-1 if not ready), pixel-estimate
+    luminance, pixel-estimate channel mean]."""
+    from ..models.guiding import isgb as gisgb
+
+    pid = jnp.arange(npix, dtype=jnp.int32)
+    vsp = gisgb.isgb_primary_vsp(isgb, pid)
+    pe = gisgb.isgb_contribution(isgb, pid)
+    lum = pe[:, 0] * _LUM[0] + pe[:, 1] * _LUM[1] + pe[:, 2] * _LUM[2]
+    mean = jnp.mean(pe, -1)
+    return jnp.stack([vsp, lum, mean], 0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_vspg_kernel(c, gc, spp, sub):
+    """Build the render-phase kernel. `c` = grid scene constants
+    (pallas_volpath.extract_constants, kind == 'grid'), `gc` = guiding
+    constants dict: fres, K, fb_min, fb_max, pg, mode, vsp_mis_ratio,
+    guide_rr, min_rr_depth, guide_primary, guide_secondary, trained,
+    volume_guiding, max_collisions."""
+    sa = np.asarray(c["sigma_a"], np.float32)
+    ss = np.asarray(c["sigma_s"], np.float32)
+    st = sa + ss
+    g_hg = float(np.clip(c["g_hg"], -0.99, 0.99))
+    bmin, bmax = c["bmin"], c["bmax"]
+    ext = tuple(bmax[k] - bmin[k] for k in range(3))
+    gx, gy, gz = c["grid_res"]
+    mx, my, mz = c["maj_res"]
+    n_dens_chunks = (gx * gy * gz) // 128
+    n_maj_chunks = (mx * my * mz) // 128
+    has_point, has_env = c["has_point"], c["has_env"]
+    lp = np.asarray(c["point_p"], np.float32)
+    lI = np.asarray(c["point_I"], np.float32)
+    envL = np.asarray(c["env_L"], np.float32)
+    n_lights = int(has_point) + int(has_env)
+    pmf = 1.0 / max(n_lights, 1)
+    rc = np.asarray(c["rc"], np.float32)
+    cw = np.asarray(c["cw"], np.float32)
+    nx = c["nx"]
+    max_depth = c["max_depth"]
+    max_iters = spp * c["max_events"]
+    MAX_COLL = int(gc["max_collisions"])
+    MAX_SHADOW = 192
+    nx_pow2 = (nx & (nx - 1)) == 0
+    nx_shift = int(np.log2(nx)) if nx_pow2 else 0
+    LB = sub * 128
+
+    # guiding constants
+    fres = int(gc["fres"])
+    K = int(gc["K"])
+    FC = fres ** 3
+    n_cell_chunks = max(FC // 128, 1)
+    P_ROWS = 8 * K + 5
+    fb0 = tuple(float(v) for v in gc["fb_min"])
+    fb1 = tuple(float(v) for v in gc["fb_max"])
+    fext = tuple(fb1[k] - fb0[k] for k in range(3))
+    pg = float(gc["pg"])
+    ris = gc["mode"] == "ris"
+    # NEE MIS blend ratio (vspg_bounce:828: pg for 'mis', 0.5 for 'ris')
+    pg_nee = pg if not ris else 0.5
+    mis_ratio = float(gc["vsp_mis_ratio"])
+    guide_rr = bool(gc["guide_rr"])
+    min_rr_depth = int(gc["min_rr_depth"])
+    guide_primary = bool(gc["guide_primary"])
+    guide_secondary = bool(gc["guide_secondary"]) and bool(gc["trained"])
+    vol_guiding = bool(gc["volume_guiding"]) and bool(gc["trained"])
+    # static vMF of the HG product lobe (vmf.hg_lobe: rho = |g|)
+    rho = abs(g_hg)
+    kappa_h = float(np.clip(rho * (3 - rho * rho) / max(1 - rho * rho, 1e-6),
+                            0.0, MAX_KAPPA))
+    hg_sign = 1.0 if g_hg >= 0 else -1.0
+    apply_hg_product = abs(g_hg) > 1e-3
+
+    def chan(vec3, h):
+        return jnp.where(h == 0, float(vec3[0]),
+                         jnp.where(h == 1, float(vec3[1]), float(vec3[2])))
+
+    def avg3(v):
+        return (v[0] + v[1] + v[2]) * (1.0 / 3.0)
+
+    def lum3(v0, v1, v2):
+        return v0 * _LUM[0] + v1 * _LUM[1] + v2 * _LUM[2]
+
+    def camera_ray(px, py):
+        xc = rc[0, 0] * px + rc[0, 1] * py + rc[0, 3]
+        yc = rc[1, 0] * px + rc[1, 1] * py + rc[1, 3]
+        zc = rc[2, 0] * px + rc[2, 1] * py + rc[2, 3]
+        wc = rc[3, 0] * px + rc[3, 1] * py + rc[3, 3]
+        inv_w = jnp.where(jnp.abs(wc - 1.0) < 1e-9, 1.0, 1.0 / wc)
+        xc, yc, zc = xc * inv_w, yc * inv_w, zc * inv_w
+        dxc, dyc, dzc = _normalize(xc, yc, zc)
+        dx = cw[0, 0] * dxc + cw[0, 1] * dyc + cw[0, 2] * dzc
+        dy = cw[1, 0] * dxc + cw[1, 1] * dyc + cw[1, 2] * dzc
+        dz = cw[2, 0] * dxc + cw[2, 1] * dyc + cw[2, 2] * dzc
+        return _normalize(dx, dy, dz)
+
+    cam_o = (float(cw[0, 3]), float(cw[1, 3]), float(cw[2, 3]))
+
+    # -- vMF math (all elementwise on (sub,128)) ---------------------------
+
+    def vmf_pdf_e(cw_, kappa):
+        """vMF density from cos(angle to mu): exp(k(c-1)) * k/(2pi(1-e^-2k))."""
+        k = jnp.maximum(kappa, MIN_KAPPA)
+        cnorm = k / (2.0 * np.pi * (1.0 - jnp.exp(-2.0 * k)))
+        val = cnorm * jnp.exp(k * (cw_ - 1.0))
+        return jnp.where(kappa < MIN_KAPPA, INV_4PI, val)
+
+    def log_c(kappa):
+        k = jnp.maximum(kappa, MIN_KAPPA)
+        return jnp.log(k) - np.float32(np.log(2.0 * np.pi)) \
+            - jnp.log1p(-jnp.exp(-2.0 * k))
+
+    log_c_h = float(np.log(max(kappa_h, MIN_KAPPA))
+                    - np.log(2.0 * np.pi)
+                    - np.log1p(-np.exp(-2.0 * max(kappa_h, MIN_KAPPA))))
+
+    def kernel(seed_ref, dens_ref, maj_ref, ftab_ref, isgb_ref, out_ref):
+        block = pl.program_id(0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+        pix_i = block * LB + lane_i * 128 + lane_j
+        pix = pix_i.astype(_U32)
+        if nx_pow2:
+            px_i = (pix_i & (nx - 1)).astype(jnp.float32)
+            py_i = (pix_i >> nx_shift).astype(jnp.float32)
+        else:
+            pf = pix_i.astype(jnp.float32)
+            py_i = jnp.floor(pf * (1.0 / nx) + 1e-6)
+            px_i = pf - py_i * nx
+        seed_a = jnp.full((sub, 128), seed_ref[0, 0], _U32)
+        zf = jnp.zeros((sub, 128), jnp.float32)
+        zi = jnp.zeros((sub, 128), jnp.int32)
+
+        # per-pixel frozen ISGB rows (this block's slice)
+        isgb_vsp = isgb_ref[0]
+        isgb_pel = isgb_ref[1]
+        isgb_pem = isgb_ref[2]
+
+        # -- grid helpers (as in pallas_volpath._make_grid_kernel) --------
+
+        def table_lookup(tab_ref, n_chunks, flat_idx):
+            c_idx = flat_idx >> 7
+            l_idx = flat_idx & 127
+
+            def body(cc, acc):
+                row = tab_ref[cc]
+                chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
+                return jnp.where(c_idx == cc, gathered, acc)
+
+            return jax.lax.fori_loop(0, n_chunks, body, zf)
+
+        def density_at(px, py, pz):
+            fx = (px - bmin[0]) / ext[0] * gx - 0.5
+            fy = (py - bmin[1]) / ext[1] * gy - 0.5
+            fz = (pz - bmin[2]) / ext[2] * gz - 0.5
+            x0 = jnp.floor(fx)
+            y0 = jnp.floor(fy)
+            z0 = jnp.floor(fz)
+            wx, wy, wz = fx - x0, fy - y0, fz - z0
+            ix0 = jnp.clip(x0.astype(jnp.int32), 0, gx - 1)
+            iy0 = jnp.clip(y0.astype(jnp.int32), 0, gy - 1)
+            iz0 = jnp.clip(z0.astype(jnp.int32), 0, gz - 1)
+            ix1 = jnp.minimum(ix0 + 1, gx - 1)
+            iy1 = jnp.minimum(iy0 + 1, gy - 1)
+            iz1 = jnp.minimum(iz0 + 1, gz - 1)
+            corner_idx = []
+            corner_w = []
+            for cx, wxa in ((ix0, 1.0 - wx), (ix1, wx)):
+                for cy, wya in ((iy0, 1.0 - wy), (iy1, wy)):
+                    for cz, wza in ((iz0, 1.0 - wz), (iz1, wz)):
+                        corner_idx.append((cx * gy + cy) * gz + cz)
+                        corner_w.append(wxa * wya * wza)
+
+            def body(cc, accs):
+                row = dens_ref[cc]
+                chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                new = []
+                for ci, acc in zip(corner_idx, accs):
+                    gathered = jnp.take_along_axis(chunk, ci & 127, axis=1)
+                    new.append(jnp.where((ci >> 7) == cc, gathered, acc))
+                return tuple(new)
+
+            vals = jax.lax.fori_loop(0, n_dens_chunks, body, (zf,) * 8)
+            d = sum(v * w for v, w in zip(vals, corner_w))
+            inside = ((px >= bmin[0]) & (px <= bmax[0])
+                      & (py >= bmin[1]) & (py <= bmax[1])
+                      & (pz >= bmin[2]) & (pz <= bmax[2]))
+            return jnp.where(inside, d, 0.0)
+
+        def maj_dens_at(px, py, pz):
+            ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
+                          0, mx - 1)
+            iy = jnp.clip(((py - bmin[1]) / ext[1] * my).astype(jnp.int32),
+                          0, my - 1)
+            iz = jnp.clip(((pz - bmin[2]) / ext[2] * mz).astype(jnp.int32),
+                          0, mz - 1)
+            return table_lookup(maj_ref, n_maj_chunks,
+                                (ix * my + iy) * mz + iz)
+
+        def seg_exit(px, py, pz, dx, dy, dz):
+            t_seg = jnp.full_like(px, _BIG)
+            for (p_c, d_c, lo, ex_c, m_c) in (
+                    (px, dx, bmin[0], ext[0], mx),
+                    (py, dy, bmin[1], ext[1], my),
+                    (pz, dz, bmin[2], ext[2], mz)):
+                u = (p_c - lo) / ex_c * m_c
+                sgn = jnp.where(d_c >= 0, 1.0, -1.0)
+                cell = jnp.floor(u + sgn * 3e-4)
+                bound = jnp.where(d_c >= 0, cell + 1.0, cell)
+                t_axis = (bound / m_c * ex_c + lo - p_c) / jnp.where(
+                    jnp.abs(d_c) < 1e-12,
+                    jnp.where(d_c >= 0, 1e-12, -1e-12), d_c)
+                t_axis = jnp.where(jnp.abs(d_c) < 1e-12, _BIG, t_axis)
+                t_seg = jnp.minimum(t_seg, t_axis)
+            return jnp.maximum(t_seg, 1e-5)
+
+        # -- field query --------------------------------------------------
+
+        def field_query(px, py, pz):
+            """Gather all P_ROWS params of the lane's field cell.
+            Returns dict of per-lobe lists + cell rows, with parallax
+            re-aim applied to mu (guiding/field._gather_half)."""
+            gfx = jnp.clip((px - fb0[0]) / fext[0] * fres, 0.0, fres - 1e-4)
+            gfy = jnp.clip((py - fb0[1]) / fext[1] * fres, 0.0, fres - 1e-4)
+            gfz = jnp.clip((pz - fb0[2]) / fext[2] * fres, 0.0, fres - 1e-4)
+            ix = gfx.astype(jnp.int32)
+            iy = gfy.astype(jnp.int32)
+            iz = gfz.astype(jnp.int32)
+            cid = (ix * fres + iy) * fres + iz
+            c_idx = cid >> 7
+            l_idx = cid & 127
+
+            def body(cc, accs):
+                new = []
+                for p in range(P_ROWS):
+                    row = ftab_ref[p * n_cell_chunks + cc]
+                    chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                    gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
+                    new.append(jnp.where(c_idx == cc, gathered, accs[p]))
+                return tuple(new)
+
+            vals = jax.lax.fori_loop(0, n_cell_chunks, body,
+                                     (zf,) * P_ROWS)
+            lobes = []
+            for k in range(K):
+                w_k, mux, muy, muz, kap, dstk, vlv, vls = vals[8 * k:8 * k + 8]
+                lobes.append(dict(w=w_k, mu=(mux, muy, muz), kappa=kap,
+                                  dist=dstk, vlv=vlv, vls=vls))
+            valid = vals[8 * K] > 0.5
+            vsp_cell = vals[8 * K + 1]
+            flux = (vals[8 * K + 2], vals[8 * K + 3], vals[8 * K + 4])
+            # parallax re-aim: target = cell_center + mu * dist, re-point
+            # at the query position (OpenPGL parallax-aware VMM)
+            ccx = fb0[0] + (ix.astype(jnp.float32) + 0.5) / fres * fext[0]
+            ccy = fb0[1] + (iy.astype(jnp.float32) + 0.5) / fres * fext[1]
+            ccz = fb0[2] + (iz.astype(jnp.float32) + 0.5) / fres * fext[2]
+            for lb in lobes:
+                mux, muy, muz = lb["mu"]
+                tx = ccx + mux * lb["dist"] - px
+                ty = ccy + muy * lb["dist"] - py
+                tz = ccz + muz * lb["dist"] - pz
+                rx, ry, rz = _normalize(tx, ty, tz)
+                use = (lb["dist"] > 1e-6) & valid
+                lb["mu"] = (jnp.where(use, rx, mux),
+                            jnp.where(use, ry, muy),
+                            jnp.where(use, rz, muz))
+            return lobes, valid, vsp_cell, flux
+
+        def mixture_pdf(lobes, wx, wy, wz):
+            # vmf.mixture_pdf: plain weighted sum (weights are EM-normalized)
+            p = zf
+            for lb in lobes:
+                cw_ = wx * lb["mu"][0] + wy * lb["mu"][1] + wz * lb["mu"][2]
+                p = p + lb["w"] * vmf_pdf_e(cw_, lb["kappa"])
+            return p
+
+        def product_hg(lobes, dx, dy, dz):
+            """Apply the HG-lobe vMF product (vmf.product_with_vmf with
+            mu_b = d * sign(g), kappa_b static). Returns new lobes list."""
+            if not apply_hg_product:
+                return lobes
+            mbx, mby, mbz = dx * hg_sign, dy * hg_sign, dz * hg_sign
+            total_old = zf
+            total_new = zf
+            out = []
+            for lb in lobes:
+                kmux = lb["kappa"] * lb["mu"][0] + kappa_h * mbx
+                kmuy = lb["kappa"] * lb["mu"][1] + kappa_h * mby
+                kmuz = lb["kappa"] * lb["mu"][2] + kappa_h * mbz
+                k_new = jnp.sqrt(jnp.maximum(
+                    kmux * kmux + kmuy * kmuy + kmuz * kmuz, 1e-12))
+                inv = 1.0 / jnp.maximum(k_new, 1e-8)
+                log_s = (log_c(lb["kappa"]) + log_c_h - log_c(k_new)
+                         + (k_new - lb["kappa"] - kappa_h))
+                w_new = lb["w"] * jnp.exp(jnp.clip(log_s, -60.0, 60.0))
+                total_old = total_old + lb["w"]
+                total_new = total_new + w_new
+                out.append(dict(w=w_new,
+                                mu=(kmux * inv, kmuy * inv, kmuz * inv),
+                                kappa=jnp.clip(k_new, 0.0, MAX_KAPPA)))
+            scale = total_old / jnp.maximum(total_new, 1e-20)
+            for lb in out:
+                lb["w"] = lb["w"] * scale
+            return out
+
+        def mixture_sample(lobes, u_sel, u0, u1):
+            """CDF lobe select + vMF sample (vmf.mixture_sample)."""
+            tot = zf
+            for lb in lobes:
+                tot = tot + lb["w"]
+            inv_tot = 1.0 / jnp.maximum(tot, 1e-12)
+            cdf = zf
+            k_idx = zi
+            for k, lb in enumerate(lobes):
+                cdf = cdf + lb["w"] * inv_tot
+                k_idx = k_idx + (u_sel >= cdf).astype(jnp.int32)
+            k_idx = jnp.clip(k_idx, 0, K - 1)
+            mux, muy, muz, kap = zf, zf, zf, zf
+            for k, lb in enumerate(lobes):
+                sel = k_idx == k
+                mux = jnp.where(sel, lb["mu"][0], mux)
+                muy = jnp.where(sel, lb["mu"][1], muy)
+                muz = jnp.where(sel, lb["mu"][2], muz)
+                kap = jnp.where(sel, lb["kappa"], kap)
+            # vmf_sample (Jakob 2012 inversion)
+            sk = jnp.maximum(kap, MIN_KAPPA)
+            ct = 1.0 + jnp.log1p(
+                -(1.0 - jnp.exp(-2.0 * sk)) * (1.0 - u0)) / sk
+            ct = jnp.where(kap < MIN_KAPPA, 1.0 - 2.0 * u0, ct)
+            ct = jnp.clip(ct, -1.0, 1.0)
+            st_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+            phi = (2.0 * np.pi) * u1
+            t1, t2 = _coord_system(mux, muy, muz)
+            wx = st_ * jnp.cos(phi) * t1[0] + st_ * jnp.sin(phi) * t2[0] \
+                + ct * mux
+            wy = st_ * jnp.cos(phi) * t1[1] + st_ * jnp.sin(phi) * t2[1] \
+                + ct * muy
+            wz = st_ * jnp.cos(phi) * t1[2] + st_ * jnp.sin(phi) * t2[2] \
+                + ct * muz
+            wx, wy, wz = _normalize(wx, wy, wz)
+            return wx, wy, wz, mixture_pdf(lobes, wx, wy, wz)
+
+        def vsp_directional(lobes, vsp_cell, dx, dy, dz):
+            """dist_vsp_directional: posterior-blended per-lobe VSP
+            moments along d, cell-level fallback."""
+            resp_sum = zf
+            num = zf
+            den = zf
+            mass = zf
+            for lb in lobes:
+                cw_ = dx * lb["mu"][0] + dy * lb["mu"][1] + dz * lb["mu"][2]
+                r = lb["w"] * vmf_pdf_e(cw_, lb["kappa"])
+                resp_sum = resp_sum + r
+                num = num + r * lb["vlv"]
+                den = den + r * (lb["vlv"] + lb["vls"])
+                mass = mass + lb["vlv"] + lb["vls"]
+            inv = 1.0 / jnp.maximum(resp_sum, 1e-20)
+            num = num * inv
+            den = den * inv
+            vdir = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-20),
+                             -1.0)
+            return jnp.where((mass > 8.0) & (vdir >= 0.0), vdir, vsp_cell)
+
+        # -- shadow transmittance walk (as grid kernel) --------------------
+
+        def shadow_tr(px, py, pz, wx, wy, wz, t_end, hero, dim, samp,
+                      active):
+            st_h = chan(st, hero)
+            t_cur = zf
+            live = (active & (t_end > 0)).astype(jnp.int32)
+
+            def cond(carry):
+                return jnp.any(carry[10] != 0) & (carry[12] < MAX_SHADOW)
+
+            def body(carry):
+                (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur, live_i,
+                 dim, it) = carry
+                live = live_i != 0
+                cx = px + t_cur * wx
+                cy = py + t_cur * wy
+                cz = pz + t_cur * wz
+                m_d = maj_dens_at(cx, cy, cz)
+                maj_h = m_d * st_h
+                t_seg = seg_exit(cx, cy, cz, wx, wy, wz)
+                t_seg = jnp.minimum(t_seg, t_end - t_cur)
+                u0, u1, _, _ = _uniform4(seed_a, pix, samp, dim)
+                dim = dim + _U32(1)
+                dt = jnp.where(maj_h > 0,
+                               -jnp.log1p(-u0) / jnp.maximum(maj_h, 1e-30),
+                               _BIG)
+                coll = live & (dt < t_seg)
+                step = jnp.where(coll, dt, t_seg)
+                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
+                           for k in range(3))
+                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
+                tail = live & ~coll
+                sc = tuple(Tm[k] / Tm_h for k in range(3))
+                T0 = jnp.where(tail, T0 * sc[0], T0)
+                T1 = jnp.where(tail, T1 * sc[1], T1)
+                T2 = jnp.where(tail, T2 * sc[2], T2)
+                rl0 = jnp.where(tail, rl0 * sc[0], rl0)
+                rl1 = jnp.where(tail, rl1 * sc[1], rl1)
+                rl2 = jnp.where(tail, rl2 * sc[2], rl2)
+                ru0 = jnp.where(tail, ru0 * sc[0], ru0)
+                ru1 = jnp.where(tail, ru1 * sc[1], ru1)
+                ru2 = jnp.where(tail, ru2 * sc[2], ru2)
+                dcol = density_at(px + (t_cur + dt) * wx,
+                                  py + (t_cur + dt) * wy,
+                                  pz + (t_cur + dt) * wz)
+                sn = tuple(jnp.maximum(m_d * float(st[k])
+                                       - dcol * float(st[k]), 0.0)
+                           for k in range(3))
+                pdf = jnp.maximum(Tm_h * maj_h, 1e-30)
+                T0 = jnp.where(coll, T0 * Tm[0] * sn[0] / pdf, T0)
+                T1 = jnp.where(coll, T1 * Tm[1] * sn[1] / pdf, T1)
+                T2 = jnp.where(coll, T2 * Tm[2] * sn[2] / pdf, T2)
+                rl0 = jnp.where(coll, rl0 * Tm[0] * m_d * float(st[0]) / pdf,
+                                rl0)
+                rl1 = jnp.where(coll, rl1 * Tm[1] * m_d * float(st[1]) / pdf,
+                                rl1)
+                rl2 = jnp.where(coll, rl2 * Tm[2] * m_d * float(st[2]) / pdf,
+                                rl2)
+                ru0 = jnp.where(coll, ru0 * Tm[0] * sn[0] / pdf, ru0)
+                ru1 = jnp.where(coll, ru1 * Tm[1] * sn[1] / pdf, ru1)
+                ru2 = jnp.where(coll, ru2 * Tm[2] * sn[2] / pdf, ru2)
+                denom_rr = jnp.maximum(
+                    avg3((rl0 + ru0, rl1 + ru1, rl2 + ru2)), 1e-30)
+                trm = jnp.maximum(jnp.maximum(T0, T1), T2) / denom_rr
+                low = coll & (trm < 0.05)
+                killed = low & (u1 < 0.75)
+                T0 = jnp.where(killed, zf, jnp.where(low, T0 / 0.25, T0))
+                T1 = jnp.where(killed, zf, jnp.where(low, T1 / 0.25, T1))
+                T2 = jnp.where(killed, zf, jnp.where(low, T2 / 0.25, T2))
+                dead = jnp.maximum(jnp.maximum(T0, T1), T2) == 0
+                t_cur = jnp.where(live, t_cur + step + 1e-6, t_cur)
+                live = live & ~dead & (t_cur < t_end)
+                return (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur,
+                        live.astype(jnp.int32), dim, it + 1)
+
+            one3 = (jnp.ones_like(zf),) * 3
+            init = (*one3, *one3, *one3, t_cur, live, dim, jnp.int32(0))
+            out = jax.lax.while_loop(cond, body, init)
+            return ((out[0], out[1], out[2]), (out[3], out[4], out[5]),
+                    (out[6], out[7], out[8]), out[11])
+
+        # -- distance sampling: absorption-free delta walk -----------------
+
+        def delta_walk(ox, oy, oz, dx, dy, dz, wall, act, hero, dim, samp):
+            """vspg._heterogeneous_delta fused: walk the majorant DDA to
+            the first real collision. Returns multiplicative factors for
+            (beta, r_u, r_l), scattered, terminated, t_sc, dim."""
+            st_h = chan(st, hero)
+            one3 = (jnp.ones_like(zf),) * 3
+
+            def cond(carry):
+                return jnp.any(carry[13] != 0) & (carry[15] < MAX_COLL)
+
+            def body(carry):
+                (t_cur, f0, f1, f2, u0_, u1_, u2_, l0, l1, l2, scat_i,
+                 term_i, t_sc, live_i, dim, n) = carry
+                live = live_i != 0
+                scat = scat_i != 0
+                term = term_i != 0
+                cx = ox + t_cur * dx
+                cy = oy + t_cur * dy
+                cz = oz + t_cur * dz
+                m_d = maj_dens_at(cx, cy, cz)
+                maj_h = m_d * st_h
+                t_seg = jnp.minimum(
+                    seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
+                ua, ub, _, _ = _uniform4(seed_a, pix, samp, dim)
+                dim = dim + _U32(1)
+                dt = jnp.where(maj_h > 0,
+                               -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
+                               _BIG)
+                coll = live & (dt < t_seg)
+                step = jnp.where(coll, dt, t_seg)
+                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
+                           for k in range(3))
+                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
+                # tail: telescoping spectral rescale, advance
+                tail = live & ~coll
+                sc = tuple(Tm[k] / Tm_h for k in range(3))
+                f0 = jnp.where(tail, f0 * sc[0], f0)
+                f1 = jnp.where(tail, f1 * sc[1], f1)
+                f2 = jnp.where(tail, f2 * sc[2], f2)
+                u0_ = jnp.where(tail, u0_ * sc[0], u0_)
+                u1_ = jnp.where(tail, u1_ * sc[1], u1_)
+                u2_ = jnp.where(tail, u2_ * sc[2], u2_)
+                l0 = jnp.where(tail, l0 * sc[0], l0)
+                l1 = jnp.where(tail, l1 * sc[1], l1)
+                l2 = jnp.where(tail, l2 * sc[2], l2)
+                # collision: real (scatter, absorption-free) vs null
+                t_c = t_cur + dt
+                dloc = density_at(ox + t_c * dx, oy + t_c * dy,
+                                  oz + t_c * dz)
+                st_loc_h = dloc * st_h
+                p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
+                is_real = coll & (ub < p_real)
+                is_null = coll & ~is_real
+                pdf_r = jnp.maximum(Tm_h * st_loc_h, 1e-30)
+                f0 = jnp.where(is_real,
+                               f0 * Tm[0] * dloc * float(ss[0]) / pdf_r, f0)
+                f1 = jnp.where(is_real,
+                               f1 * Tm[1] * dloc * float(ss[1]) / pdf_r, f1)
+                f2 = jnp.where(is_real,
+                               f2 * Tm[2] * dloc * float(ss[2]) / pdf_r, f2)
+                u0_ = jnp.where(is_real,
+                                u0_ * Tm[0] * dloc * float(st[0]) / pdf_r,
+                                u0_)
+                u1_ = jnp.where(is_real,
+                                u1_ * Tm[1] * dloc * float(st[1]) / pdf_r,
+                                u1_)
+                u2_ = jnp.where(is_real,
+                                u2_ * Tm[2] * dloc * float(st[2]) / pdf_r,
+                                u2_)
+                scat = scat | is_real
+                t_sc = jnp.where(is_real, t_c, t_sc)
+                # null
+                sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
+                           for k in range(3))
+                sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
+                pdf_n = Tm_h * sn_h
+                inv_n = 1.0 / jnp.maximum(pdf_n, 1e-30)
+                f0 = jnp.where(is_null, f0 * Tm[0] * sn[0] * inv_n, f0)
+                f1 = jnp.where(is_null, f1 * Tm[1] * sn[1] * inv_n, f1)
+                f2 = jnp.where(is_null, f2 * Tm[2] * sn[2] * inv_n, f2)
+                u0_ = jnp.where(is_null, u0_ * Tm[0] * sn[0] * inv_n, u0_)
+                u1_ = jnp.where(is_null, u1_ * Tm[1] * sn[1] * inv_n, u1_)
+                u2_ = jnp.where(is_null, u2_ * Tm[2] * sn[2] * inv_n, u2_)
+                l0 = jnp.where(is_null,
+                               l0 * Tm[0] * m_d * float(st[0]) * inv_n, l0)
+                l1 = jnp.where(is_null,
+                               l1 * Tm[1] * m_d * float(st[1]) * inv_n, l1)
+                l2 = jnp.where(is_null,
+                               l2 * Tm[2] * m_d * float(st[2]) * inv_n, l2)
+                died = is_null & ((pdf_n <= 0)
+                                  | (jnp.maximum(jnp.maximum(f0, f1), f2)
+                                     == 0))
+                term = term | died
+                t_cur = jnp.where(is_null & ~died, t_c + 1e-6,
+                                  jnp.where(tail, t_cur + step + 1e-6,
+                                            t_cur))
+                live = live & ~is_real & ~died & (t_cur < wall)
+                return (t_cur, f0, f1, f2, u0_, u1_, u2_, l0, l1, l2,
+                        scat.astype(jnp.int32), term.astype(jnp.int32),
+                        t_sc, live.astype(jnp.int32), dim, n + 1)
+
+            init = (zf, *one3, *one3, *one3, zi, zi, zf,
+                    act.astype(jnp.int32), dim, jnp.int32(0))
+            out = jax.lax.while_loop(cond, body, init)
+            return ((out[1], out[2], out[3]), (out[4], out[5], out[6]),
+                    (out[7], out[8], out[9]), out[10] != 0, out[11] != 0,
+                    out[12], out[14])
+
+        # -- distance sampling: VSP reservoir-resampling walk --------------
+
+        def resampling_walk(ox, oy, oz, dx, dy, dz, wall, vsp, act, hero,
+                            dim, samp):
+            """vspg._heterogeneous_resampling fused. Returns
+            (factors (beta,r_u,r_l), scattered, terminated, t_sc, dim)."""
+            st_h = chan(st, hero)
+            one3 = (jnp.ones_like(zf),) * 3
+
+            # pre-pass: total majorant optical length (pure DDA, no
+            # density lookups)
+            def pre_cond(carry):
+                return jnp.any(carry[2] != 0) & (carry[3] < MAX_COLL)
+
+            def pre_body(carry):
+                t_cur, total, live_i, n = carry
+                live = live_i != 0
+                cx = ox + t_cur * dx
+                cy = oy + t_cur * dy
+                cz = oz + t_cur * dz
+                m_d = maj_dens_at(cx, cy, cz)
+                t_seg = jnp.minimum(
+                    seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
+                total = total + jnp.where(live, m_d * st_h * t_seg, 0.0)
+                t_cur = jnp.where(live, t_cur + t_seg + 1e-6, t_cur)
+                live = live & (t_cur < wall)
+                return t_cur, total, live.astype(jnp.int32), n + 1
+
+            _, total_len, _, _ = jax.lax.while_loop(
+                pre_cond, pre_body,
+                (zf, zf, act.astype(jnp.int32), jnp.int32(0)))
+            act = act & (total_len > 0)
+
+            min_total = -jnp.log(jnp.maximum(1.0 - vsp, 1e-6))
+            maj_scale = jnp.where(act & (min_total > total_len),
+                                  min_total / jnp.maximum(total_len, 1e-30),
+                                  1.0)
+            total_eff = jnp.maximum(total_len, min_total)
+            vol_ratio_comp = vsp / jnp.maximum(1.0 - jnp.exp(-total_eff),
+                                               1e-6)
+
+            # main walk: reservoir over tentative collisions
+            def cond(carry):
+                return jnp.any(carry[24] != 0) & (carry[26] < MAX_COLL)
+
+            def body(carry):
+                (t_cur, T0, T1, T2, tr0, tr1, tr2, b0, b1, b2, q0, q1, q2,
+                 l0, l1, l2, w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2,
+                 has_c_i, live_i, dim, n, cd0, cd1, cd2) = carry
+                live = live_i != 0
+                has_c = has_c_i != 0
+                cx = ox + t_cur * dx
+                cy = oy + t_cur * dy
+                cz = oz + t_cur * dz
+                m_d = maj_dens_at(cx, cy, cz) * maj_scale
+                maj_h = m_d * st_h
+                t_seg = jnp.minimum(
+                    seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
+                ua, ub, _, _ = _uniform4(seed_a, pix, samp, dim)
+                dim = dim + _U32(1)
+                dt = jnp.where(maj_h > 0,
+                               -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
+                               _BIG)
+                coll = live & (dt < t_seg)
+                tail = live & ~coll
+                step = jnp.where(coll, dt, t_seg)
+                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
+                           for k in range(3))
+                T0 = jnp.where(live, T0 * Tm[0], T0)
+                T1 = jnp.where(live, T1 * Tm[1], T1)
+                T2 = jnp.where(live, T2 * Tm[2], T2)
+                # tentative collision: reservoir candidate + null update
+                t_c = t_cur + dt
+                dloc = density_at(ox + t_c * dx, oy + t_c * dy,
+                                  oz + t_c * dz)
+                st_loc_h = dloc * st_h
+                tr_h = jnp.where(hero == 0, tr0,
+                                 jnp.where(hero == 1, tr1, tr2))
+                wi = jnp.where(coll,
+                               st_loc_h / jnp.maximum(maj_h, 1e-30) * tr_h,
+                               0.0)
+                w_sum_new = w_sum + wi
+                take = coll & (wi > 0) \
+                    & (ub < wi / jnp.maximum(w_sum_new, 1e-30))
+                T_h = jnp.maximum(
+                    jnp.where(hero == 0, T0,
+                              jnp.where(hero == 1, T1, T2)), 1e-30)
+                pdf = jnp.maximum(T_h * st_loc_h, 1e-30)
+                num0 = b0 * T0 * dloc * float(ss[0]) / pdf
+                num1 = b1 * T1 * dloc * float(ss[1]) / pdf
+                num2 = b2 * T2 * dloc * float(ss[2]) / pdf
+                den0 = q0 * T0 * dloc * float(st[0]) / pdf
+                den1 = q1 * T1 * dloc * float(st[1]) / pdf
+                den2 = q2 * T2 * dloc * float(st[2]) / pdf
+                c_t = jnp.where(take, t_c, c_t)
+                c_wi = jnp.where(take, wi, c_wi)
+                c_ste = jnp.where(take, wi, c_ste)
+                cn0 = jnp.where(take, num0, cn0)
+                cn1 = jnp.where(take, num1, cn1)
+                cn2 = jnp.where(take, num2, cn2)
+                cd0 = jnp.where(take, den0, cd0)
+                cd1 = jnp.where(take, den1, cd1)
+                cd2 = jnp.where(take, den2, cd2)
+                has_c = has_c | take
+                w_sum = jnp.where(coll, w_sum_new, w_sum)
+                # null-collision bookkeeping (always continue)
+                sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
+                           for k in range(3))
+                sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
+                pdf_n = jnp.maximum(T_h * sn_h, 1e-30)
+                b0 = jnp.where(coll, b0 * T0 * sn[0] / pdf_n, b0)
+                b1 = jnp.where(coll, b1 * T1 * sn[1] / pdf_n, b1)
+                b2 = jnp.where(coll, b2 * T2 * sn[2] / pdf_n, b2)
+                q0 = jnp.where(coll, q0 * T0 * sn[0] / pdf_n, q0)
+                q1 = jnp.where(coll, q1 * T1 * sn[1] / pdf_n, q1)
+                q2 = jnp.where(coll, q2 * T2 * sn[2] / pdf_n, q2)
+                l0 = jnp.where(coll, l0 * T0 * m_d * float(st[0]) / pdf_n,
+                               l0)
+                l1 = jnp.where(coll, l1 * T1 * m_d * float(st[1]) / pdf_n,
+                               l1)
+                l2 = jnp.where(coll, l2 * T2 * m_d * float(st[2]) / pdf_n,
+                               l2)
+                inv_mh = 1.0 / jnp.maximum(m_d, 1e-30)
+                tr0 = jnp.where(coll, tr0 * jnp.maximum(m_d - dloc, 0.0)
+                                * inv_mh, tr0)
+                tr1 = jnp.where(coll, tr1 * jnp.maximum(m_d - dloc, 0.0)
+                                * inv_mh, tr1)
+                tr2 = jnp.where(coll, tr2 * jnp.maximum(m_d - dloc, 0.0)
+                                * inv_mh, tr2)
+                T0 = jnp.where(coll, jnp.ones_like(T0), T0)
+                T1 = jnp.where(coll, jnp.ones_like(T1), T1)
+                T2 = jnp.where(coll, jnp.ones_like(T2), T2)
+                t_cur = jnp.where(coll, t_c,
+                                  jnp.where(tail, t_cur + step + 1e-6,
+                                            t_cur))
+                live = live & (t_cur < wall)
+                return (t_cur, T0, T1, T2, tr0, tr1, tr2, b0, b1, b2,
+                        q0, q1, q2, l0, l1, l2, w_sum, c_t, c_wi, c_ste,
+                        cn0, cn1, cn2, has_c.astype(jnp.int32),
+                        live.astype(jnp.int32), dim, n + 1, cd0, cd1, cd2)
+
+            init = (zf, *one3, *one3, *one3, *one3, *one3, zf, zf, zf, zf,
+                    *one3, zi, act.astype(jnp.int32), dim, jnp.int32(0),
+                    *one3)
+            out = jax.lax.while_loop(cond, body, init)
+            (t_cur, T0, T1, T2, tr0, tr1, tr2, b0, b1, b2, q0, q1, q2,
+             l0, l1, l2, w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2, has_c_i,
+             _, dim, _, cd0, cd1, cd2) = out
+            has_c = has_c_i != 0
+            # final segment fold: T over the tail since the last event
+            T_h = jnp.maximum(
+                jnp.where(hero == 0, T0, jnp.where(hero == 1, T1, T2)),
+                1e-30)
+            b0, b1, b2 = b0 * T0 / T_h, b1 * T1 / T_h, b2 * T2 / T_h
+            q0, q1, q2 = q0 * T0 / T_h, q1 * T1 / T_h, q2 * T2 / T_h
+            l0, l1, l2 = l0 * T0 / T_h, l1 * T1 / T_h, l2 * T2 / T_h
+
+            tr_h = jnp.where(hero == 0, tr0,
+                             jnp.where(hero == 1, tr1, tr2))
+            # surface candidate (integrator :735-747)
+            surf_wi = tr_h
+            adj = act & (tr_h < 1) & (tr_h > 0) & (w_sum > 0)
+            vol_ratio = (vol_ratio_comp * mis_ratio
+                         + (1.0 - tr_h) * (1.0 - mis_ratio))
+            surf_ratio = 1.0 - vol_ratio
+            surf_wi = jnp.where(
+                adj, surf_ratio / jnp.maximum(vol_ratio, 1e-6) * w_sum,
+                surf_wi)
+            w_total = w_sum + surf_wi
+            dead = act & (w_total <= 0)
+            u_pick, _, _, _ = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            pick_surf = act & ~dead \
+                & (u_pick < surf_wi / jnp.maximum(w_total, 1e-30))
+            pick_vol = act & ~dead & ~pick_surf & has_c
+            dead = dead | (act & ~pick_surf & ~has_c)
+
+            sel_wi = jnp.where(pick_surf, surf_wi, c_wi)
+            sel_ste = jnp.where(pick_surf, tr_h, c_ste)
+            sn0 = jnp.where(pick_surf, b0, cn0)
+            sn1 = jnp.where(pick_surf, b1, cn1)
+            sn2 = jnp.where(pick_surf, b2, cn2)
+            sd0 = jnp.where(pick_surf, q0, cd0)
+            sd1 = jnp.where(pick_surf, q1, cd1)
+            sd2 = jnp.where(pick_surf, q2, cd2)
+            factor = w_total * sel_ste / jnp.maximum(sel_wi, 1e-30)
+            ok = act & ~dead
+            fb0_ = jnp.where(ok, sn0 * factor, 1.0)
+            fb1_ = jnp.where(ok, sn1 * factor, 1.0)
+            fb2_ = jnp.where(ok, sn2 * factor, 1.0)
+            fu0 = jnp.where(ok, sd0, 1.0)
+            fu1 = jnp.where(ok, sd1, 1.0)
+            fu2 = jnp.where(ok, sd2, 1.0)
+            # light-strategy rescaled pdf over the pass-through null
+            # chain (vspg.py:732-734 r_l fix)
+            fl0 = jnp.where(pick_surf, l0, 1.0)
+            fl1 = jnp.where(pick_surf, l1, 1.0)
+            fl2 = jnp.where(pick_surf, l2, 1.0)
+            bad = ok & ~(jnp.isfinite(fb0_) & jnp.isfinite(fb1_)
+                         & jnp.isfinite(fb2_) & jnp.isfinite(fu0)
+                         & jnp.isfinite(fu1) & jnp.isfinite(fu2)
+                         & jnp.isfinite(fl0) & jnp.isfinite(fl1)
+                         & jnp.isfinite(fl2))
+            dead = dead | bad
+            scat = pick_vol & ~bad
+            return ((fb0_, fb1_, fb2_), (fu0, fu1, fu2), (fl0, fl1, fl2),
+                    scat, dead, c_t, dim)
+
+        # -- outer persistent-path loop ------------------------------------
+
+        def start_path(samp, dim):
+            u0, u1, u2, _ = _uniform4(seed_a, pix, samp, dim)
+            px = px_i + 0.5 + (u0 - 0.5)
+            py = py_i + 0.5 + (u1 - 0.5)
+            dx, dy, dz = camera_ray(px, py)
+            hero = jnp.minimum(jnp.floor(u2 * 3.0).astype(jnp.int32), 2)
+            o = (jnp.full_like(zf, cam_o[0]), jnp.full_like(zf, cam_o[1]),
+                 jnp.full_like(zf, cam_o[2]))
+            return o, (dx, dy, dz), hero, dim + _U32(1)
+
+        o0, d0, hero0, _ = start_path(jnp.zeros((sub, 128), _U32),
+                                      jnp.zeros((sub, 128), _U32))
+        ones3 = (jnp.ones_like(zf),) * 3
+        zeros3 = (zf,) * 3
+        carry = (
+            jnp.zeros((sub, 128), _U32),      # 0 samp
+            jnp.full((sub, 128), 1, _U32),    # 1 dim
+            jnp.ones((sub, 128), jnp.int32),  # 2 alive
+            *o0, *d0,                         # 3..8
+            *ones3, *ones3, *ones3,           # 9..17 beta/ru/rl
+            *zeros3,                          # 18..20 L
+            zi,                               # 21 depth
+            hero0,                            # 22 hero
+            jnp.full((sub, 128), -1, jnp.int32),  # 23 medium
+            *zeros3,                          # 24..26 acc
+            jnp.int32(0),                     # 27 iter
+        )
+
+        def cond(cy):
+            return jnp.any(cy[2] != 0) & (cy[27] < max_iters)
+
+        def body(cy):
+            (samp, dim, alive_i, ox, oy, oz, dx, dy, dz,
+             b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
+             L0, L1, L2, depth, hero, med, a0, a1, a2, it) = cy
+            alive = alive_i != 0
+
+            hit, t_wall, entering = _box_hit(ox, oy, oz, dx, dy, dz,
+                                             bmin, bmax)
+
+            # -- lanes outside the medium: enter the box or escape --------
+            outside = alive & (med != 0)
+            escaped = outside & ~hit
+            if has_env:
+                first = depth == 0
+                ru_avg = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
+                no_mis = escaped & first
+                L0 = jnp.where(no_mis, L0 + b0 * float(envL[0]) / ru_avg,
+                               L0)
+                L1 = jnp.where(no_mis, L1 + b1 * float(envL[1]) / ru_avg,
+                               L1)
+                L2 = jnp.where(no_mis, L2 + b2 * float(envL[2]) / ru_avg,
+                               L2)
+                with_mis = escaped & ~first
+                p_esc = pmf * INV_4PI
+                den = jnp.maximum(avg3((ru0 + rl0 * p_esc,
+                                        ru1 + rl1 * p_esc,
+                                        ru2 + rl2 * p_esc)), 1e-30)
+                L0 = jnp.where(with_mis, L0 + b0 * float(envL[0]) / den,
+                               L0)
+                L1 = jnp.where(with_mis, L1 + b1 * float(envL[1]) / den,
+                               L1)
+                L2 = jnp.where(with_mis, L2 + b2 * float(envL[2]) / den,
+                               L2)
+            alive = alive & ~escaped
+            enter = alive & outside & hit & entering
+            med = jnp.where(enter, 0, med)
+            ox = jnp.where(enter, ox + (t_wall + 1e-4) * dx, ox)
+            oy = jnp.where(enter, oy + (t_wall + 1e-4) * dy, oy)
+            oz = jnp.where(enter, oz + (t_wall + 1e-4) * dz, oz)
+            # a lane outside pointing at the exit face (grazing) dies
+            stuck = alive & outside & hit & ~entering
+            alive = alive & ~stuck
+
+            # -- in-medium lanes: VSP lookup + distance sampling -----------
+            in_med = alive & (med == 0) & ~enter
+            wall = jnp.where(hit, t_wall, _BIG)
+
+            primary = depth == 0
+            vsp = jnp.full_like(zf, -1.0)
+            if guide_primary:
+                vsp = jnp.where(primary, isgb_vsp, vsp)
+            if guide_secondary:
+                lobes_o, valid_o, vsp_cell_o, _ = field_query(ox, oy, oz)
+                v_sec = vsp_directional(lobes_o, vsp_cell_o, dx, dy, dz)
+                vsp = jnp.where(~primary, v_sec, vsp)
+            guide = in_med & (vsp >= 0.0)
+            vsp = jnp.clip(vsp, 0.001, 0.999)
+
+            (rf_b, rf_u, rf_l, r_scat, r_dead, r_t, dim) = resampling_walk(
+                ox, oy, oz, dx, dy, dz, wall, vsp, guide, hero, dim, samp)
+            (df_b, df_u, df_l, d_scat, d_dead, d_t, dim) = delta_walk(
+                ox, oy, oz, dx, dy, dz, wall, in_med & ~guide, hero, dim,
+                samp)
+
+            # merge the two routes
+            b0 = jnp.where(guide, b0 * rf_b[0], jnp.where(in_med,
+                                                          b0 * df_b[0], b0))
+            b1 = jnp.where(guide, b1 * rf_b[1], jnp.where(in_med,
+                                                          b1 * df_b[1], b1))
+            b2 = jnp.where(guide, b2 * rf_b[2], jnp.where(in_med,
+                                                          b2 * df_b[2], b2))
+            ru0 = jnp.where(guide, ru0 * rf_u[0],
+                            jnp.where(in_med, ru0 * df_u[0], ru0))
+            ru1 = jnp.where(guide, ru1 * rf_u[1],
+                            jnp.where(in_med, ru1 * df_u[1], ru1))
+            ru2 = jnp.where(guide, ru2 * rf_u[2],
+                            jnp.where(in_med, ru2 * df_u[2], ru2))
+            rl0 = jnp.where(guide, rl0 * rf_l[0],
+                            jnp.where(in_med, rl0 * df_l[0], rl0))
+            rl1 = jnp.where(guide, rl1 * rf_l[1],
+                            jnp.where(in_med, rl1 * df_l[1], rl1))
+            rl2 = jnp.where(guide, rl2 * rf_l[2],
+                            jnp.where(in_med, rl2 * df_l[2], rl2))
+            # Mosaic cannot select i1 vectors — merge the route flags in i32
+            scat_raw = (jnp.where(guide, r_scat.astype(jnp.int32),
+                                  d_scat.astype(jnp.int32)) != 0) & in_med
+            term = (jnp.where(guide, r_dead.astype(jnp.int32),
+                              d_dead.astype(jnp.int32)) != 0) & in_med
+            t_sc = jnp.where(guide, r_t, d_t)
+            alive = alive & ~term
+
+            depth_exceeded = scat_raw & (depth >= max_depth)
+            alive = alive & ~depth_exceeded
+            scat = scat_raw & ~depth_exceeded & alive
+            depth = jnp.where(scat, depth + 1, depth)
+
+            # pass-through lanes leave the medium (box convex: next
+            # iteration escapes to the env)
+            passed = in_med & ~scat_raw & ~term
+            med = jnp.where(passed, -1, med)
+            ox = jnp.where(passed, ox + (wall + 1e-4) * dx, ox)
+            oy = jnp.where(passed, oy + (wall + 1e-4) * dy, oy)
+            oz = jnp.where(passed, oz + (wall + 1e-4) * dz, oz)
+
+            # -- scatter vertex: guiding distribution ----------------------
+            sx = ox + t_sc * dx
+            sy = oy + t_sc * dy
+            sz = oz + t_sc * dz
+            wox, woy, woz = -dx, -dy, -dz
+            lobes_s, valid_s, _, flux_s = field_query(sx, sy, sz)
+            use_guide = scat & valid_s & vol_guiding
+            prod = product_hg(lobes_s, dx, dy, dz)
+
+            # -- NEE -----------------------------------------------------
+            ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            sel_pt = ((ua < pmf) if has_env else (ua >= -1.0)) \
+                if has_point else (ua < -1.0)
+            plx = sx - float(lp[0])
+            ply = sy - float(lp[1])
+            plz = sz - float(lp[2])
+            dist2 = jnp.maximum(plx * plx + ply * ply + plz * plz, 1e-12)
+            dist = jnp.sqrt(dist2)
+            inv_dist = 1.0 / dist
+            ez = 1.0 - 2.0 * ub
+            er = jnp.sqrt(jnp.maximum(1.0 - ez * ez, 0.0))
+            ephi = (2.0 * np.pi) * uc
+            wix = jnp.where(sel_pt, -plx * inv_dist, er * jnp.cos(ephi))
+            wiy = jnp.where(sel_pt, -ply * inv_dist, er * jnp.sin(ephi))
+            wiz = jnp.where(sel_pt, -plz * inv_dist, ez)
+            cos_wi = _dot(wox, woy, woz, wix, wiy, wiz)
+            f_hg = _hg_value(cos_wi, g_hg)
+            # scatter-strategy pdf at the light direction: the guided mix
+            # (vspg_bounce:828-831)
+            gpdf_l = mixture_pdf(prod, wix, wiy, wiz)
+            spdf_l = jnp.where(use_guide,
+                               (1.0 - pg_nee) * f_hg + pg_nee * gpdf_l,
+                               f_hg)
+            _, t_exit_s, _ = _box_hit(sx, sy, sz, wix, wiy, wiz, bmin,
+                                      bmax)
+            t_med = jnp.where(sel_pt, jnp.minimum(dist, t_exit_s),
+                              t_exit_s)
+            nee_act = scat & (f_hg > 0)
+            (Tr, trl, tru, dim) = shadow_tr(sx, sy, sz, wix, wiy, wiz,
+                                            t_med, hero, dim, samp,
+                                            nee_act)
+            if has_point:
+                okp = nee_act & sel_pt
+                denom = jnp.maximum(
+                    avg3((trl[0] * ru0 * pmf, trl[1] * ru1 * pmf,
+                          trl[2] * ru2 * pmf)), 1e-30)
+                w = f_hg / (dist2 * denom)
+                L0 = jnp.where(okp, L0 + b0 * Tr[0] * float(lI[0]) * w, L0)
+                L1 = jnp.where(okp, L1 + b1 * Tr[1] * float(lI[1]) * w, L1)
+                L2 = jnp.where(okp, L2 + b2 * Tr[2] * float(lI[2]) * w, L2)
+            if has_env:
+                oke = nee_act & ~sel_pt
+                p_l = pmf * INV_4PI
+                denom = jnp.maximum(
+                    avg3((trl[0] * ru0 * p_l + tru[0] * ru0 * spdf_l,
+                          trl[1] * ru1 * p_l + tru[1] * ru1 * spdf_l,
+                          trl[2] * ru2 * p_l + tru[2] * ru2 * spdf_l)),
+                    1e-30)
+                w = f_hg / denom
+                L0 = jnp.where(oke, L0 + b0 * Tr[0] * float(envL[0]) * w,
+                               L0)
+                L1 = jnp.where(oke, L1 + b1 * Tr[1] * float(envL[1]) * w,
+                               L1)
+                L2 = jnp.where(oke, L2 + b2 * Tr[2] * float(envL[2]) * w,
+                               L2)
+
+            # -- guided RR (openpgl GuidedRussianRoulette) ----------------
+            u_rr, u_c, u_g0, u_g1 = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            if guide_rr:
+                num = lum3(b0 * flux_s[0], b1 * flux_s[1], b2 * flux_s[2])
+                survival = jnp.where(
+                    valid_s & (isgb_pem > 0),
+                    jnp.clip(num / jnp.maximum(isgb_pel, 1e-6), 0.1, 1.0),
+                    1.0)
+            else:
+                ru_avg = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
+                survival = jnp.clip(
+                    jnp.maximum(jnp.maximum(b0, b1), b2) / ru_avg, 0.0,
+                    1.0)
+            do_rr = scat & (depth > min_rr_depth) & (survival < 1.0)
+            kill = do_rr & (u_rr >= survival)
+            alive = alive & ~kill
+            inv_srv = 1.0 / jnp.maximum(survival, 1e-3)
+            b0 = jnp.where(do_rr & ~kill, b0 * inv_srv, b0)
+            b1 = jnp.where(do_rr & ~kill, b1 * inv_srv, b1)
+            b2 = jnp.where(do_rr & ~kill, b2 * inv_srv, b2)
+
+            # -- direction sampling: one-sample MIS or RIS ----------------
+            u_p0, u_p1, u_sel, u_pk = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            # base HG sample
+            hwx, hwy, hwz, hpdf = _sample_hg(wox, woy, woz, g_hg, u_p0,
+                                             u_p1)
+            if not ris:
+                # one-sample MIS (guided_volpath._guided_sample 'mis')
+                take_g = use_guide & (u_c < pg)
+                u_lobe = jnp.clip(u_c / max(pg, 1e-6), 0.0, 0.999999)
+                gwx2, gwy2, gwz2, gpdf_g2 = mixture_sample(prod, u_lobe,
+                                                           u_g0, u_g1)
+                wvx = jnp.where(take_g, gwx2, hwx)
+                wvy = jnp.where(take_g, gwy2, hwy)
+                wvz = jnp.where(take_g, gwz2, hwz)
+                base_pdf = jnp.where(
+                    take_g,
+                    _hg_value(_dot(wox, woy, woz, gwx2, gwy2, gwz2), g_hg),
+                    hpdf)
+                guide_pdf = jnp.where(take_g, gpdf_g2,
+                                      mixture_pdf(prod, hwx, hwy, hwz))
+                mix = jnp.where(use_guide,
+                                (1.0 - pg) * base_pdf + pg * guide_pdf,
+                                hpdf)
+                pdf_v = mix
+                mis_pdf = mix
+                # boolean algebra, not where(): Mosaic can't select i1
+                valid_v = ((take_g & (base_pdf > 0))
+                           | (~take_g & (hpdf > 0))) & (pdf_v > 0)
+            else:
+                # RIS over {base, guide} candidates (guiding.h:169-257)
+                gwx, gwy, gwz, gpdf_g = mixture_sample(prod, u_g0, u_pk,
+                                                       u_sel)
+                bpdf_g = _hg_value(_dot(wox, woy, woz, gwx, gwy, gwz),
+                                   g_hg)
+                gpdf_b = mixture_pdf(prod, hwx, hwy, hwz)
+                irp_b = jnp.where(valid_s,
+                                  mixture_pdf(lobes_s, hwx, hwy, hwz),
+                                  INV_4PI)
+                irp_g = jnp.where(valid_s,
+                                  mixture_pdf(lobes_s, gwx, gwy, gwz),
+                                  INV_4PI)
+                mis0 = 0.5 * (hpdf + gpdf_b)
+                mis1 = 0.5 * (bpdf_g + gpdf_g)
+                target0 = hpdf * ((1 - pg) * INV_4PI + pg * irp_b)
+                target1 = bpdf_g * ((1 - pg) * INV_4PI + pg * irp_g)
+                w0 = jnp.where(hpdf > 0,
+                               target0 / jnp.maximum(mis0, 1e-20), 0.0)
+                w1 = jnp.where(bpdf_g > 0,
+                               target1 / jnp.maximum(mis1, 1e-20), 0.0)
+                sum_w = w0 + w1
+                pick1 = u_c * jnp.maximum(sum_w, 1e-20) > w0
+                wvx = jnp.where(pick1, gwx, hwx)
+                wvy = jnp.where(pick1, gwy, hwy)
+                wvz = jnp.where(pick1, gwz, hwz)
+                mis_sel = jnp.where(pick1, mis1, mis0)
+                w_sel = jnp.where(pick1, w1, w0)
+                pdf_ris = w_sel * mis_sel * 2.0 / jnp.maximum(sum_w, 1e-20)
+                ris_valid = use_guide & (sum_w > 0) & (pdf_ris > 0)
+                wvx = jnp.where(use_guide, wvx, hwx)
+                wvy = jnp.where(use_guide, wvy, hwy)
+                wvz = jnp.where(use_guide, wvz, hwz)
+                pdf_v = jnp.where(use_guide, pdf_ris, hpdf)
+                mis_pdf = jnp.where(use_guide, mis_sel, hpdf)
+                valid_v = (use_guide & ris_valid) \
+                    | (~use_guide & (hpdf > 0))
+
+            f_v = _hg_value(_dot(wox, woy, woz, wvx, wvy, wvz), g_hg)
+            alive = alive & ~(scat & ~valid_v)
+            scale_v = f_v / jnp.maximum(pdf_v, 1e-30)
+            b0 = jnp.where(scat, b0 * scale_v, b0)
+            b1 = jnp.where(scat, b1 * scale_v, b1)
+            b2 = jnp.where(scat, b2 * scale_v, b2)
+            inv_mis = 1.0 / jnp.maximum(mis_pdf, 1e-30)
+            rl0 = jnp.where(scat, ru0 * inv_mis, rl0)
+            rl1 = jnp.where(scat, ru1 * inv_mis, rl1)
+            rl2 = jnp.where(scat, ru2 * inv_mis, rl2)
+            ox = jnp.where(scat, sx, ox)
+            oy = jnp.where(scat, sy, oy)
+            oz = jnp.where(scat, sz, oz)
+            dx = jnp.where(scat, wvx, dx)
+            dy = jnp.where(scat, wvy, dy)
+            dz = jnp.where(scat, wvz, dz)
+
+            # -- commit + regenerate dead lanes ----------------------------
+            died = ~alive & (samp < spp)
+            bad = ~(jnp.isfinite(L0) & jnp.isfinite(L1) & jnp.isfinite(L2))
+            L0 = jnp.where(bad, zf, L0)
+            L1 = jnp.where(bad, zf, L1)
+            L2 = jnp.where(bad, zf, L2)
+            a0 = jnp.where(died, a0 + L0, a0)
+            a1 = jnp.where(died, a1 + L1, a1)
+            a2 = jnp.where(died, a2 + L2, a2)
+            has_budget = died & (samp + _U32(1) < spp)
+            samp = jnp.where(died, samp + _U32(1), samp)
+            o_n, d_n, hero_n, _ = start_path(samp, jnp.zeros_like(dim))
+            dim = jnp.where(has_budget, _U32(1), dim)
+            ox = jnp.where(has_budget, o_n[0], ox)
+            oy = jnp.where(has_budget, o_n[1], oy)
+            oz = jnp.where(has_budget, o_n[2], oz)
+            dx = jnp.where(has_budget, d_n[0], dx)
+            dy = jnp.where(has_budget, d_n[1], dy)
+            dz = jnp.where(has_budget, d_n[2], dz)
+            hero = jnp.where(has_budget, hero_n, hero)
+            one = jnp.ones_like(b0)
+            b0 = jnp.where(has_budget, one, b0)
+            b1 = jnp.where(has_budget, one, b1)
+            b2 = jnp.where(has_budget, one, b2)
+            ru0 = jnp.where(has_budget, one, ru0)
+            ru1 = jnp.where(has_budget, one, ru1)
+            ru2 = jnp.where(has_budget, one, ru2)
+            rl0 = jnp.where(has_budget, one, rl0)
+            rl1 = jnp.where(has_budget, one, rl1)
+            rl2 = jnp.where(has_budget, one, rl2)
+            L0 = jnp.where(has_budget, zf, L0)
+            L1 = jnp.where(has_budget, zf, L1)
+            L2 = jnp.where(has_budget, zf, L2)
+            depth = jnp.where(has_budget, 0, depth)
+            med = jnp.where(has_budget, -1, med)
+            alive = alive | has_budget
+
+            return (samp, dim, alive.astype(jnp.int32), ox, oy, oz,
+                    dx, dy, dz, b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
+                    L0, L1, L2, depth, hero, med, a0, a1, a2, it + 1)
+
+        final = jax.lax.while_loop(cond, body, carry)
+        a0, a1, a2 = final[24], final[25], final[26]
+        scale = c["imaging_ratio"] / spp
+        out_ref[0] = a0 * scale
+        out_ref[1] = a1 * scale
+        out_ref[2] = a2 * scale
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+_KERNEL_CACHE = {}
+
+# spp per launch: the VSPG kernel does ~3 inner DDA walks per bounce, so
+# its per-spp wall time exceeds the plain grid kernel's — keep launches
+# short to stay under the relay's TPU watchdog (PERF.md).
+VSPG_SPP_CHUNK = 4
+
+
+def guiding_constants(field, gopt, vopt, trained=None):
+    """Static guiding-constant dict for the kernel cache key."""
+    return dict(
+        fres=int(field.res),
+        K=int(field.n_lobes),
+        fb_min=tuple(float(x) for x in np.asarray(field.b_min)),
+        fb_max=tuple(float(x) for x in np.asarray(field.b_max)),
+        pg=float(gopt.guiding_prob),
+        mode=str(gopt.mode),
+        vsp_mis_ratio=float(vopt.vsp_mis_ratio),
+        guide_rr=bool(vopt.guide_rr),
+        min_rr_depth=int(vopt.min_rr_depth),
+        guide_primary=bool(vopt.guide_vsp and vopt.guide_primary_vsp),
+        guide_secondary=bool(vopt.guide_vsp and vopt.guide_secondary_vsp),
+        volume_guiding=bool(gopt.volume_guiding),
+        trained=bool(int(field.iteration) > 0) if trained is None
+        else bool(trained),
+        max_collisions=256,
+    )
+
+
+def _get_callable(c, gc, spp, sub, interpret):
+    key = (tuple(sorted((k, v) for k, v in c.items())),
+           tuple(sorted((k, v) for k, v in gc.items())), spp, sub,
+           interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+    npix = c["nx"] * c["ny"]
+    n_blocks = npix // (sub * 128)
+    nvox = int(np.prod(c["grid_res"]))
+    nmaj = int(np.prod(c["maj_res"]))
+    FC = int(gc["fres"]) ** 3
+    n_cc = max(FC // 128, 1)
+    P_ROWS = 8 * int(gc["K"]) + 5
+    kernel = _make_vspg_kernel(c, gc, spp, sub)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((nvox // 128, 128), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nmaj // 128, 128), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((P_ROWS * n_cc, 128), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def fn(seed, dens, maj, ftab, itab):
+        out = call(jnp.reshape(seed.astype(jnp.uint32), (1, 1)),
+                   dens, maj, ftab, itab)
+        return jnp.transpose(out, (1, 2, 0)).reshape(c["ny"], c["nx"], 3)
+
+    _KERNEL_CACHE[key] = fn
+    return fn
+
+
+def supports(scene, camera, film, cfg, gopt, vopt, field):
+    """True when the VSPG megakernel can serve this render phase."""
+    c = extract_constants(scene, camera, film, cfg)
+    if c is None or c["kind"] != "grid":
+        return False
+    # density lookups sweep nvox/128 VMEM chunks per query — the same
+    # gather-bound cliff as the grid megakernel (volpath.py dispatch):
+    # win at <=32^3, lose at 64^3
+    if (c["grid_res"][0] * c["grid_res"][1] * c["grid_res"][2]) > 32768:
+        return False
+    if field is not None and getattr(field, "n_extra", 0) != 0:
+        return False
+    FC = int(field.res) ** 3 if field is not None else 0
+    if FC % 128 != 0 and FC > 128:
+        return False
+    npix = c["nx"] * c["ny"]
+    return npix % 128 == 0
+
+
+def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
+                      isgb, seed, interpret=False, sub=None):
+    """Render `spp` frozen-field VSPG samples per pixel via the
+    megakernel. Returns the (ny, nx, 3) mean image."""
+    c = extract_constants(scene, camera, film, cfg)
+    if c is None or c["kind"] != "grid":
+        raise ValueError("scene not supported by the VSPG megakernel")
+    gc = guiding_constants(field, gopt, vopt)
+    crit = vopt.vsp_criterion
+    ftab_np = pack_field_table(field, crit)  # (P, C)
+    P, FC = ftab_np.shape
+    if FC < 128:
+        ftab_np = np.pad(ftab_np, ((0, 0), (0, 128 - FC)))
+        FC = 128
+    if FC % 128:
+        raise ValueError("field res^3 must pad to a multiple of 128")
+    ftab = jnp.asarray(ftab_np.reshape(P * (FC // 128), 128))
+    npix = c["nx"] * c["ny"]
+    itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
+    gm = scene.media.grids[0]
+    dens = jnp.reshape(gm.density, (-1, 128))
+    maj = jnp.reshape(gm.majorant, (-1, 128))
+    if sub is None:
+        sub = 8
+        while npix % (sub * 128) != 0:
+            sub //= 2
+    chunk = int(spp) if interpret else min(int(spp), VSPG_SPP_CHUNK)
+    imgs = []
+    done = 0
+    while done < int(spp):
+        n = min(chunk, int(spp) - done)
+        fn = _get_callable(c, gc, n, sub, bool(interpret))
+        imgs.append(fn(jnp.asarray(seed, jnp.uint32)
+                       + jnp.uint32(done * 65537), dens, maj, ftab,
+                       itab) * n)
+        done += n
+    return sum(imgs) / int(spp)

@@ -285,6 +285,9 @@ def main(argv=None):
             vsp_mis_ratio=ip.get_float("vspmisratio", 0.5),
             vsp_criterion=ip.get_string("vspcriterion", "variance"),
             guide_rr=ip.get_bool("guidedrr", True),
+            # OIDN-analog learned denoiser for the image-space guiding
+            # buffer: "unet" trains per scene (guiding/denoiser.py)
+            denoiser=ip.get_string("isgbdenoiser", "atrous"),
         )
         field0, train = None, True
         if args.load_guiding_cache:

@@ -86,6 +86,7 @@ class VSPGOptions(NamedTuple):
     vsp_criterion: str = "variance"  # "variance" | "contribution"
     guide_rr: bool = True
     min_rr_depth: int = 1
+    denoiser: str = "atrous"  # ISGB denoiser: "atrous" | "unet"
     isgb_update_waves: tuple = (1, 2, 4, 8, 16, 32, 64, 128)
     calculate_tr_buffer: bool = True
 
@@ -1124,7 +1125,7 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
     isgb = gisgb.isgb_add_samples(isgb, local_pid, gv._to3(gs.s.L),
                                   gs.first_albedo,
                                   gs.first_normal, gs.first_vol,
-                                  pixel_id >= 0)
+                                  pixel_id >= 0, half=wave_idx % 2)
     batch = grec.propagate(gs.rec) if train else None
     tr = gs.tr_est
     return film_state, isgb, batch, tr
@@ -1162,7 +1163,8 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
                                          n_lobes=gopt.n_lobes,
                                          n_extra=gopt.adaptive_extra)
     if isgb is None:
-        isgb = ISGB.make(film.resolution, vopt.vsp_criterion)
+        isgb = ISGB.make(film.resolution, vopt.vsp_criterion,
+                         getattr(vopt, 'denoiser', 'atrous'))
 
     film_state = film.init_state()
     # NDS+ feeds the previous waves' primary-transmittance buffer back in

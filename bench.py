@@ -277,13 +277,63 @@ def bench_config1():
     }
 
 
+def bench_config5():
+    """Paper protocol (BASELINE config 5): equal-sample relMSE of full
+    VSPG vs delta-tracking volpath on the bench cloud — the paper's
+    quality claim is variance reduction per sample (README.md:3-9
+    equal-sample/equal-time relMSE). value = relMSE_volpath / relMSE_vspg
+    (>1: VSPG beats the baseline estimator per sample)."""
+    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
+    from vspg_pbrt_v4_tpu.models.integrators import vspg
+
+    res, spp, ref_spp = 64, 32, 1024
+    scene = _vspg_cloud32_scene()
+    camera = _camera(res)
+    film = RGBFilm.make((res, res))
+    cfg = volpath.VolPathConfig(max_depth=32, max_events=128)
+    ref = np.asarray(volpath.render_persistent(
+        scene, camera, film, spp=ref_spp, cfg=cfg, seed=999,
+        lanes_per_pixel=1))
+
+    def relmse(img):
+        return float(np.mean((img - ref) ** 2 / (ref ** 2 + 1e-2)))
+
+    e_vol = np.mean([relmse(np.asarray(volpath.render_persistent(
+        scene, camera, film, spp=spp, cfg=cfg, seed=s,
+        lanes_per_pixel=1))) for s in (1, 2)])
+    gopt = gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
+                              min_train_weight=16.0)
+    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    _, field, isgb = vspg.render_vspg(
+        scene, camera, film, spp=4, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        spp_per_pass=4, use_pallas=False)
+
+    def vspg_img(s):
+        img, _, _ = vspg.render_vspg(
+            scene, camera, film, spp=spp, cfg=cfg, gopt=gopt, vopt=vopt,
+            seed=s, spp_per_pass=spp, field=field, isgb=isgb, train=False)
+        return np.asarray(img)
+
+    e_vspg = np.mean([relmse(vspg_img(s)) for s in (11, 12)])
+    ratio = e_vol / max(e_vspg, 1e-12)
+    return {
+        "metric": "vspg_vs_volpath_equal_spp_relmse_cloud32",
+        "value": round(ratio, 3),
+        "unit": "relMSE ratio (>1: VSPG wins/sample)",
+        "vs_baseline": round(ratio, 3),
+        "relmse_volpath": round(float(e_vol), 5),
+        "relmse_vspg": round(float(e_vspg), 5),
+    }
+
+
 def main():
     # primary first (so a timeout mid-run still leaves a parsable line),
     # then the secondary configs, then the primary line again LAST (the
     # driver records the final line)
     primary = bench_config1()
     print(json.dumps(primary), flush=True)
-    for fn in (bench_config2, bench_config2b, bench_config3, bench_config4):
+    for fn in (bench_config2, bench_config2b, bench_config3, bench_config4,
+               bench_config5):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # a secondary config must not sink the run

@@ -10,11 +10,13 @@ double loop over strategies, each one a fused shadow-ray + BSDF evaluation
 + closed-form MIS weight (the reference's ScopedAssignment pdf patching
 becomes functional array substitution).
 
-Scope (v1): surface transport with finite lights (diffuse-area triangles +
-point lights) and the perspective pinhole camera — the reference likewise
-restricts BDPT to the perspective camera (integrators.cpp:2520). Media and
-infinite lights fall back to ``volpath``; an env light in the scene is
-ignored here with a warning.
+Scope: surface transport with finite lights (diffuse-area triangles,
+point/spot/gonio/projection) plus uniform/image infinite lights (escaped
+camera vertices, env SampleLe subpaths, InfiniteLightDensity MIS —
+integrators.cpp:1994-2006, 2272-2279) and the perspective pinhole camera —
+the reference likewise restricts BDPT to the perspective camera
+(integrators.cpp:2520). Media fall back to ``volpath``; portal env lights
+and distant lights are excluded from the strategies with a warning.
 
 Conventions (identical to the reference):
 - pdf_fwd / pdf_rev are *area-measure* densities (Vertex::ConvertDensity,
@@ -36,18 +38,21 @@ import jax.numpy as jnp
 
 from ...ops.intersect import offset_ray_origin
 from ...utils.math import INV_PI, safe_div
-from ...utils.sampling import sample_cosine_hemisphere, sample_uniform_sphere
-from ...utils.spectrum import average
+from ...utils.sampling import (henyey_greenstein, sample_cosine_hemisphere,
+                               sample_henyey_greenstein,
+                               sample_uniform_sphere)
+from ...utils.spectrum import average, sample_hero_channel
 from ...utils.vecmath import (coordinate_system, cross, dot, face_forward,
                               length, normalize)
 from ..film import pixel_coords
 from ..materials import bsdf_f, bsdf_pdf, bsdf_sample
 from ..samplers import LaneSampler
-from .volpath import Scene, _m
+from .volpath import (Scene, VolPathConfig, _m, sample_medium_interaction,
+                      transmittance_ratio_tracking)
 
 INF = jnp.inf
 
-VT_CAMERA, VT_LIGHT, VT_SURFACE = 0, 1, 2
+VT_CAMERA, VT_LIGHT, VT_SURFACE, VT_MEDIUM = 0, 1, 2, 3
 
 
 class Verts(NamedTuple):
@@ -66,6 +71,9 @@ class Verts(NamedTuple):
     delta: jnp.ndarray  # (R,K) specular-connection flag (Vertex::delta)
     valid: jnp.ndarray  # (R,K)
     delta_light: jnp.ndarray  # (R,K) IsDeltaLight() of an endpoint (k=0)
+    inf: jnp.ndarray  # (R,K) IsInfiniteLight(): escaped-ray / env endpoint
+    med: jnp.ndarray  # (R,K) medium id the path was in arriving here (-1)
+    g: jnp.ndarray  # (R,K) HG asymmetry at a VT_MEDIUM vertex
 
     @staticmethod
     def empty(R, K):
@@ -74,7 +82,8 @@ class Verts(NamedTuple):
         zi = jnp.full((R, K), -1, jnp.int32)
         zb = jnp.zeros((R, K), bool)
         return Verts(z3, z3, z3, z3, z, z, zi, jnp.zeros((R, K, 2)), zi,
-                     jnp.zeros((R, K), jnp.int32), zb, zb, zb)
+                     jnp.zeros((R, K), jnp.int32), zb, zb, zb, zb,
+                     jnp.full((R, K), -1, jnp.int32), z)
 
     def set(self, k, **kw):
         out = self
@@ -122,6 +131,56 @@ def _surface_f(scene, mat_id, uv, p, ns, wo_world, wi_world):
     return bsdf_f(lanes, loc(wo_world), loc(wi_world))
 
 
+def _vertex_f(scene, v, k, wo_world, wi_world):
+    """Vertex::f — BSDF value at a surface vertex, HG phase value at a
+    medium vertex (integrators.cpp:1668-1680; sigma_s already rides in
+    beta). Returns (R,3)."""
+    is_med = v.vtype[:, k] == VT_MEDIUM
+    f_s = _surface_f(scene, jnp.maximum(v.mat_id[:, k], 0), v.uv[:, k],
+                     v.p[:, k], v.ns[:, k], wo_world, wi_world)
+    p_m = henyey_greenstein(dot(wo_world, wi_world), v.g[:, k])
+    return jnp.where(is_med[..., None], p_m[..., None], f_s)
+
+
+def _vertex_pdf_dir(scene, v, k, wo_world, wi_world):
+    """Vertex::PDF directional part (solid angle): BSDF pdf at a surface
+    vertex, HG phase pdf (== value) at a medium vertex."""
+    is_med = v.vtype[:, k] == VT_MEDIUM
+    pdf_s = _surface_pdf_dir(scene, jnp.maximum(v.mat_id[:, k], 0),
+                             v.uv[:, k], v.p[:, k], v.ns[:, k], wo_world,
+                             wi_world)
+    p_m = henyey_greenstein(dot(wo_world, wi_world), v.g[:, k])
+    return jnp.where(is_med, p_m, pdf_s)
+
+
+def _connectible(v, k):
+    """Vertex::IsConnectible for stored interior vertices: non-specular
+    surface vertices and medium vertices (integrators.cpp:1688-1703)."""
+    return v.valid[:, k] & ~v.delta[:, k] \
+        & ((v.vtype[:, k] == VT_SURFACE) | (v.vtype[:, k] == VT_MEDIUM))
+
+
+def _tr_between(scene, cfg, sampler, p0, n0, on_surf0, med0, p1, active):
+    """Spectral transmittance x visibility between two path vertices
+    (ConnectBDPT's integrator.Tr, integrators.cpp:2420,2469): ratio-tracked
+    through interface crossings, single hero-channel estimator. Returns
+    (sampler, Tr (R,3)) — zero when occluded."""
+    dvec = p1 - p0
+    dist = length(dvec)
+    w = dvec * safe_div(1.0, dist, 0.0)[..., None]
+    o = jnp.where(on_surf0[..., None], offset_ray_origin(p0, n0, w), p0)
+    sampler, u_h = sampler.get_1d()
+    hero_idx = sample_hero_channel(u_h)
+    sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
+        scene, cfg, o, w, dist * (1.0 - 1e-3), med0, hero_idx, sampler,
+        active)
+    # single-strategy (shadow-ray) estimator: divide by the ratio-tracking
+    # rescaled pdf r_l — E[T_ray / avg(r_l)] = Tr (volpath _combine_ld's
+    # light-strategy term with r_p = 1)
+    T = T_ray / jnp.maximum(average(tr_l), 1e-30)[..., None]
+    return sampler, jnp.where(active[..., None], T, 0.0)
+
+
 def _area_light_pdf_le_dir(lights, light_id, n_l, w):
     """Emission direction pdf (solid angle) of area light light_id along w
     (DiffuseAreaLight::PDF_Le): cosine-hemisphere, halved if two-sided."""
@@ -145,20 +204,46 @@ def _area_light_pdf_pos(lights, light_id):
     return safe_div(1.0, 0.5 * area2, 0.0)
 
 
+def _env_subpath_supported(lights):
+    """The light-subpath sampler can start at the env light (SampleLe,
+    lights.cpp:1042 UniformInfiniteLight / 1144 ImageInfiniteLight) except
+    for portal env lights (PortalImageInfiniteLight::SampleLe is excluded
+    with a warning in this build)."""
+    return lights.has_env and lights.portal is None
+
+
 def _subpath_light_pmf_table(lights):
     """Selection pmf over the lights the light-subpath sampler can start
-    from: finite emitters minus distant (delta-direction, handled like env —
-    excluded with a warning). Renormalized so PDFLightOrigin evaluations are
-    consistent with _sample_le_detailed (integrators.cpp PdfLightOrigin uses
-    the same sampler's pmf as GenerateLightSubpath)."""
+    from: all emitters minus distant (delta-direction, excluded with a
+    warning) and minus portal env. Renormalized so PDFLightOrigin
+    evaluations are consistent with _sample_le_detailed (integrators.cpp
+    PdfLightOrigin uses the same sampler's pmf as GenerateLightSubpath)."""
     n = lights.n_lights
-    n_emit = n - (1 if lights.has_env else 0)
+    n_emit = n if _env_subpath_supported(lights) else \
+        n - (1 if lights.has_env else 0)
     t = lights.select_pmf_table[:max(n_emit, 1)]
     if lights.n_distant > 0:
         keep = ~((jnp.arange(t.shape[0]) >= lights.base_distant)
                  & (jnp.arange(t.shape[0]) < lights.base_area))
         t = jnp.where(keep, t, 0.0)
     return t / jnp.maximum(jnp.sum(t), 1e-20)
+
+
+def _env_subpath_pmf(lights):
+    """Scalar selection pmf of the env light under the subpath sampler
+    (the last table entry), 0 when the subpath can't start there."""
+    if not _env_subpath_supported(lights):
+        return 0.0
+    t = _subpath_light_pmf_table(lights)
+    return t[lights.n_lights - 1]
+
+
+def _infinite_light_density(lights, wl):
+    """InfiniteLightDensity (integrators.cpp:2272): solid-angle density of
+    producing direction wl (toward the light) = env PDF_Li x the SUBPATH
+    sampler's env selection pmf. This is Vertex::PDFLightOrigin for an
+    infinite endpoint (integrators.cpp:1868-1870)."""
+    return lights.env_pdf_dir(wl) * _env_subpath_pmf(lights)
 
 
 def _light_select_pmf(lights, global_idx):
@@ -230,38 +315,155 @@ def _on_surface(v, k):
 # ---------------------------------------------------------------------------
 
 
+def _advance_to_vertex(scene, cfg, sampler, o, d, beta, medium, alive):
+    """Advance each lane to its next path event, passing through
+    material-less interface crossings and delta-tracking any media along
+    the way (RandomWalk's intersect + SampleT_maj block,
+    integrators.cpp:2028-2130). Returns
+    (sampler, beta, medium, ev_med, p_med, g_med, ev_surf, h*, ev_esc,
+    alive) where h* is the surface-event hit record fields."""
+    R = o.shape[0]
+    z3 = jnp.zeros_like(o)
+    zf = jnp.zeros((R,))
+    zb = jnp.zeros((R,), bool)
+    sampler, u_h = sampler.get_1d()
+    hero_idx = sample_hero_channel(u_h)
+    ones3 = jnp.ones_like(beta)
+    # surface-event carry (p, n, ns, uv, mat_id, light_id, med_in, med_out)
+    zi = jnp.full((R,), -1, jnp.int32)
+    hs = (z3, z3, z3, jnp.zeros((R, 2)), zi, zi, zi, zi)
+
+    def cond(c):
+        return jnp.any(c[-2]) & (c[-1] < cfg.max_shadow_segments)
+
+    def body(c):
+        (sampler, o, d, beta, medium, ev_med, p_med, g_med, ev_surf, hs,
+         ev_esc, alive, moving, it) = c
+        h = scene.geometry.intersect(o, d, jnp.full((R,), INF))
+        seg_end = jnp.where(h.hit, h.t, jnp.full((R,), 3e37))
+        in_med = moving & (medium >= 0)
+        mr = sample_medium_interaction(
+            scene, cfg, o, d, seg_end, medium, hero_idx, sampler, beta,
+            ones3, ones3, jnp.zeros_like(beta), jnp.zeros((R,), jnp.int32),
+            in_med)
+        sampler = mr.sampler
+        beta = _m(in_med, mr.beta, beta)
+        scat = in_med & mr.scattered
+        ev_med = ev_med | scat
+        p_med = _m(scat, o + mr.t_scatter[..., None] * d, p_med)
+        g_med = jnp.where(scat, mr.g_scatter, g_med)
+        dead = in_med & mr.terminated  # absorbed in the medium
+        alive = alive & ~dead
+        moving = moving & ~scat & ~dead
+        # reached the segment end: material surface, interface, or escape
+        surf = moving & h.hit & (h.mat_id >= 0)
+        ev_surf = ev_surf | surf
+        hf = (h.p, h.n, h.ns, h.uv, h.mat_id, h.light_id, h.med_in,
+              h.med_out)
+        hs = tuple(
+            jnp.where(surf[..., None] if a.ndim > 1 else surf, a, b)
+            for a, b in zip(hf, hs))
+        esc = moving & ~h.hit
+        ev_esc = ev_esc | esc
+        # interface: pass through, switching medium by crossing side
+        crossing = moving & h.hit & (h.mat_id < 0)
+        new_med = jnp.where(dot(d, h.n) < 0, h.med_in, h.med_out)
+        medium = jnp.where(crossing, new_med, medium)
+        o = _m(crossing, offset_ray_origin(h.p, h.n, d), o)
+        moving = moving & ~surf & ~esc
+        return (sampler, o, d, beta, medium, ev_med, p_med, g_med, ev_surf,
+                hs, ev_esc, alive, moving, it + 1)
+
+    init = (sampler, o, d, beta, medium, zb, z3, zf, zb, hs, zb, alive,
+            alive, jnp.int32(0))
+    (sampler, _, _, beta, medium, ev_med, p_med, g_med, ev_surf, hs, ev_esc,
+     alive, _, _) = jax.lax.while_loop(cond, body, init)
+    return (sampler, beta, medium, ev_med, p_med, g_med, ev_surf, hs,
+            ev_esc, alive)
+
+
 def _random_walk(scene, sampler, v, k0, K, o, d, beta, pdf_solid, alive,
-                 importance_mode):
+                 importance_mode, capture_escape=False, prev0_inf=None,
+                 medium=None, cfg=None):
     """Extend a subpath from (o, d) writing vertices k0..K-1
-    (integrators.cpp RandomWalk:2010-2180, surface-only). Returns
-    (sampler, verts)."""
+    (integrators.cpp RandomWalk:2010-2178). With capture_escape (camera
+    walks, integrators.cpp:2121-2130) an escaped ray writes an
+    infinite-light endpoint vertex carrying the UNCONVERTED solid-angle
+    pdf_fwd (Vertex::CreateLight(ei, beta, pdf)). prev0_inf marks lanes
+    whose vertex 0 is an infinite light (light subpaths from the env):
+    pdf_rev written back to it stays in solid-angle measure
+    (ConvertDensity, integrators.cpp:1777-1780). With medium (per-lane
+    start medium ids), participating media are delta-tracked between
+    surfaces and real scatters become VT_MEDIUM vertices with HG phase
+    sampling (Vertex::CreateMedium, integrators.cpp:2062-2100).
+    Returns (sampler, verts)."""
+    use_media = medium is not None
+    if cfg is None:
+        cfg = VolPathConfig()
     pdf_fwd_solid = pdf_solid
     prev_p = o
+    wr = float(scene.lights.world_radius)
+    R = o.shape[0]
     for k in range(k0, K):
-        t_far = jnp.full_like(o[..., 0], INF)
-        h = scene.geometry.intersect(o, d, t_far)
-        hit = alive & h.hit & (h.mat_id >= 0)
-        alive = hit  # interface/mat-less surfaces end the walk (v1)
-        ns = face_forward(h.ns, h.n)
-        pdf_fwd_area = convert_density(pdf_fwd_solid, prev_p, h.p, h.n,
-                                       jnp.ones_like(hit))
+        if use_media:
+            (sampler, beta, medium, ev_med, p_med, g_med, hit, hf, ev_esc,
+             alive) = _advance_to_vertex(scene, cfg, sampler, o, d, beta,
+                                         medium, alive)
+            (h_p, h_n, h_ns, h_uv, h_mat, h_light, h_med_in,
+             h_med_out) = hf
+            hit = alive & hit
+            scat = alive & ev_med
+            no_hit = ev_esc
+        else:
+            t_far = jnp.full_like(o[..., 0], INF)
+            h = scene.geometry.intersect(o, d, t_far)
+            hit = alive & h.hit & (h.mat_id >= 0)
+            h_p, h_n, h_ns, h_uv = h.p, h.n, h.ns, h.uv
+            h_mat, h_light = h.mat_id, h.light_id
+            scat = jnp.zeros((R,), bool)
+            no_hit = ~h.hit
+        if capture_escape:
+            esc = alive & no_hit
+            v = v.set(
+                k,
+                p=_m(esc, prev_p + d * (2.0 * wr), v.p[:, k]),
+                ns=_m(esc, d, v.ns[:, k]),  # escape direction (ng stays 0)
+                beta=_m(esc, beta, v.beta[:, k]),
+                pdf_fwd=jnp.where(esc, pdf_fwd_solid, v.pdf_fwd[:, k]),
+                vtype=jnp.where(esc, VT_LIGHT, v.vtype[:, k]),
+                inf=v.inf[:, k] | esc,
+                valid=v.valid[:, k] | esc,
+            )
+        alive = hit | scat
+        ns = face_forward(h_ns, h_n)
+        # vertex spatial density: area measure at surfaces (|cos| d^-2),
+        # plain d^-2 at medium vertices (ConvertDensity)
+        vtx_p = _m(scat, p_med, h_p) if use_media else h_p
+        on_surf_new = hit & ~scat
+        pdf_fwd_area = convert_density(pdf_fwd_solid, prev_p, vtx_p,
+                                       h_n, on_surf_new)
         v = v.set(
             k,
-            p=_m(hit, h.p, v.p[:, k]),
-            ng=_m(hit, h.n, v.ng[:, k]),
-            ns=_m(hit, ns, v.ns[:, k]),
-            beta=_m(hit, beta, v.beta[:, k]),
-            pdf_fwd=jnp.where(hit, pdf_fwd_area, v.pdf_fwd[:, k]),
-            mat_id=jnp.where(hit, h.mat_id, v.mat_id[:, k]),
-            uv=_m(hit, h.uv, v.uv[:, k]),
-            light_id=jnp.where(hit, h.light_id, v.light_id[:, k]),
-            vtype=jnp.where(hit, VT_SURFACE, v.vtype[:, k]),
-            valid=v.valid[:, k] | hit,
+            p=_m(hit | scat, vtx_p, v.p[:, k]),
+            ng=_m(hit & ~scat, h_n, v.ng[:, k]),
+            ns=_m(hit & ~scat, ns, v.ns[:, k]),
+            beta=_m(hit | scat, beta, v.beta[:, k]),
+            pdf_fwd=jnp.where(hit | scat, pdf_fwd_area, v.pdf_fwd[:, k]),
+            mat_id=jnp.where(hit & ~scat, h_mat, v.mat_id[:, k]),
+            uv=_m(hit & ~scat, h_uv, v.uv[:, k]),
+            light_id=jnp.where(hit & ~scat, h_light, v.light_id[:, k]),
+            vtype=jnp.where(scat, VT_MEDIUM,
+                            jnp.where(hit, VT_SURFACE, v.vtype[:, k])),
+            med=(jnp.where(hit | scat, medium, v.med[:, k])
+                 if use_media else v.med[:, k]),
+            g=jnp.where(scat, g_med, v.g[:, k]) if use_media else v.g[:, k],
+            valid=v.valid[:, k] | hit | scat,
         )
         if k == K - 1:
             break
-        lanes = scene.materials.gather_textured(scene.textures, h.mat_id,
-                                                h.uv, h.p)
+        # --- surface BSDF sampling ---
+        lanes = scene.materials.gather_textured(
+            scene.textures, jnp.maximum(h_mat, 0), h_uv, h_p)
         t1, t2 = coordinate_system(ns)
 
         def loc(w):
@@ -274,7 +476,7 @@ def _random_walk(scene, sampler, v, k0, K, o, d, beta, pdf_solid, alive,
         sampler, u_lobe = sampler.get_1d()
         sampler, u2 = sampler.get_2d()
         bs = bsdf_sample(lanes, wo_l, u_lobe, u2)
-        ok = hit & bs.valid & (bs.pdf > 0)
+        ok_s = hit & ~scat & bs.valid & (bs.pdf > 0)
         wi_w = normalize(unloc(bs.wi))
         cos_wi = jnp.abs(dot(wi_w, ns))
         beta_new = beta * bs.f * cos_wi[..., None] \
@@ -286,23 +488,53 @@ def _random_walk(scene, sampler, v, k0, K, o, d, beta, pdf_solid, alive,
         # reverse pdf at the previous vertex; specular lobes are deltas
         pdf_rev_solid = bsdf_pdf(lanes, loc(wi_w), wo_l)
         pdf_rev_solid = jnp.where(bs.is_specular, 0.0, pdf_rev_solid)
+        new_pdf_fwd_solid = jnp.where(bs.is_specular, 0.0, bs.pdf)
+        new_o = offset_ray_origin(h_p, h_n, wi_w)
+        new_d = wi_w
+        is_spec = bs.is_specular
+        ok = ok_s
+        if use_media:
+            # --- HG phase sampling at a medium scatter vertex ---
+            sampler, u2m = sampler.get_2d()
+            wi_m, pdf_m = sample_henyey_greenstein(-d, g_med, u2m)
+            ok_m = scat & (pdf_m > 0)
+            # beta *= p/pdf == 1 for exact HG sampling
+            beta_new = _m(scat, beta, beta_new)
+            pdf_rev_solid = jnp.where(
+                scat, henyey_greenstein(dot(wi_m, -d), g_med),
+                pdf_rev_solid)
+            new_pdf_fwd_solid = jnp.where(scat, pdf_m, new_pdf_fwd_solid)
+            new_o = _m(scat, p_med, new_o)
+            new_d = _m(scat, wi_m, new_d)
+            is_spec = jnp.where(scat, False, is_spec)
+            ok = ok_s | ok_m
+            # surface bounces leave on the med_in/med_out side of h_n
+            # (volpath_bounce's medium switch on transmission)
+            med_new = jnp.where(dot(wi_w, h_n) < 0, h_med_in, h_med_out)
+            medium = jnp.where(ok_s, med_new, medium)
         if k > 0:
             prev_on_surface = _on_surface(v, k - 1)
-            pdf_rev_area = convert_density(pdf_rev_solid, h.p, v.p[:, k - 1],
+            pdf_rev_area = convert_density(pdf_rev_solid, vtx_p,
+                                           v.p[:, k - 1],
                                            v.ng[:, k - 1], prev_on_surface)
+            if k == 1 and prev0_inf is not None:
+                # toward an infinite endpoint the density stays solid-angle
+                pdf_rev_area = jnp.where(prev0_inf, pdf_rev_solid,
+                                         pdf_rev_area)
             v = v.set(k - 1, pdf_rev=jnp.where(ok, pdf_rev_area,
                                                v.pdf_rev[:, k - 1]))
-        v = v.set(k, delta=jnp.where(ok, bs.is_specular, v.delta[:, k]))
-        pdf_fwd_solid = jnp.where(bs.is_specular, 0.0, bs.pdf)
-        prev_p = h.p
-        o = offset_ray_origin(h.p, h.n, wi_w)
-        d = wi_w
+        v = v.set(k, delta=jnp.where(ok, is_spec, v.delta[:, k]))
+        pdf_fwd_solid = new_pdf_fwd_solid
+        prev_p = vtx_p
+        o = new_o
+        d = new_d
         beta = _m(ok, beta_new, beta)
         alive = ok & (jnp.max(beta, -1) > 0)
     return sampler, v
 
 
-def generate_camera_subpath(scene, camera, sampler, pixel_id, K):
+def generate_camera_subpath(scene, camera, sampler, pixel_id, K,
+                            camera_medium=-1, cfg=None, use_media=False):
     """(integrators.cpp GenerateCameraSubpath:1939). Vertex 0 = the pinhole;
     the walk fills 1..K-1."""
     R = pixel_id.shape[0]
@@ -314,32 +546,38 @@ def generate_camera_subpath(scene, camera, sampler, pixel_id, K):
     o, d = camera.generate_rays(p_raster, u_lens)
     cam_p = jnp.broadcast_to(camera.origin_world, o.shape)
     ones = jnp.ones_like(o)
+    med0 = jnp.full(R, camera_medium, jnp.int32)
     v = v.set(0, p=cam_p, beta=ones, pdf_fwd=jnp.ones(R),
               vtype=jnp.full(R, VT_CAMERA, jnp.int32),
-              valid=jnp.ones(R, bool))
+              med=med0, valid=jnp.ones(R, bool))
     pdf_dir = camera.pdf_we_dir(d)
     sampler, v = _random_walk(scene, sampler, v, 1, K, o, d, ones, pdf_dir,
-                              jnp.ones(R, bool), importance_mode=False)
+                              jnp.ones(R, bool), importance_mode=False,
+                              capture_escape=_env_subpath_supported(
+                                  scene.lights),
+                              medium=med0 if use_media else None, cfg=cfg)
     return sampler, v
 
 
 def _sample_le_detailed(lights, sampler):
     """Light subpath origin with separate densities
-    (GenerateLightSubpath:1956-1989). Finite emitters only: point + area;
-    pmf = the selection table restricted to finite lights."""
+    (GenerateLightSubpath:1956-1989): point/spot/gonio/projection/area
+    emitters plus the (non-portal) env light; pmf = the renormalized
+    subpath selection table."""
     sampler, u_sel = sampler.get_1d()
     sampler, u_side = sampler.get_1d()
     sampler, u2a = sampler.get_2d()
     sampler, u2b = sampler.get_2d()
     R = u_sel.shape
     n = lights.n_lights
-    n_emit = n - (1 if lights.has_env else 0)
+    n_emit = n if _env_subpath_supported(lights) else \
+        n - (1 if lights.has_env else 0)
     z3 = jnp.zeros(R + (3,))
     out = dict(p=z3, d=z3, Le=z3, n_l=z3,
                pdf_pos=jnp.zeros(R), pdf_dir=jnp.zeros(R),
                pmf=jnp.zeros(R), light_id=jnp.full(R, -1, jnp.int32),
                is_delta=jnp.zeros(R, bool), on_surface=jnp.zeros(R, bool),
-               valid=jnp.zeros(R, bool))
+               is_env=jnp.zeros(R, bool), valid=jnp.zeros(R, bool))
     if n_emit == 0:
         return sampler, out
     pmf_t = _subpath_light_pmf_table(lights)
@@ -456,15 +694,47 @@ def _sample_le_detailed(lights, sampler):
         out["light_id"] = jnp.where(sel, ai, out["light_id"])
         out["on_surface"] = out["on_surface"] | sel
         out["valid"] = out["valid"] | (sel & (area2 > 0) & (pdf_dir > 0))
+
+    if _env_subpath_supported(lights):
+        # UniformInfiniteLight/ImageInfiniteLight::SampleLe
+        # (lights.cpp:1042-1058, 1144-1166): direction wl toward the light,
+        # ray into the scene from a disk of world_radius tangent to the
+        # world sphere (scene center taken as the origin).
+        sel = idx == n - 1
+        wl, Le_e, pdf_dir_e = lights.sample_env_dir(u2a)
+        d_e = -wl
+        t1, t2 = coordinate_system(d_e)
+        from ...utils.sampling import sample_uniform_disk_concentric
+
+        cd = sample_uniform_disk_concentric(u2b) * lights.world_radius
+        p_e = cd[..., 0:1] * t1 + cd[..., 1:2] * t2 \
+            - d_e * lights.world_radius
+        pdf_pos_e = 1.0 / (jnp.pi * lights.world_radius ** 2)
+        out["p"] = _m(sel, p_e, out["p"])
+        out["d"] = _m(sel, d_e, out["d"])
+        out["Le"] = _m(sel, Le_e, out["Le"])
+        out["pdf_pos"] = jnp.where(sel, pdf_pos_e, out["pdf_pos"])
+        out["pdf_dir"] = jnp.where(sel, pdf_dir_e, out["pdf_dir"])
+        out["pmf"] = jnp.where(sel, pmf, out["pmf"])
+        out["is_env"] = out["is_env"] | sel
+        out["valid"] = out["valid"] | (sel & (pdf_dir_e > 0))
     return sampler, out
 
 
-def generate_light_subpath(scene, sampler, R, K):
-    """(integrators.cpp GenerateLightSubpath:1956)."""
+def generate_light_subpath(scene, sampler, R, K, light_medium=-1, cfg=None,
+                           use_media=False):
+    """(integrators.cpp GenerateLightSubpath:1956). light_medium: the
+    medium id surrounding the scene's emitters (single ambient value, the
+    MediumInterface of each light in the reference)."""
     v = Verts.empty(R, K)
     sampler, le = _sample_le_detailed(scene.lights, sampler)
     ok = le["valid"]
+    env = le["is_env"]
     p_l = le["pmf"] * le["pdf_pos"]
+    # env endpoints: pdf_fwd is the solid-angle InfiniteLightDensity of the
+    # sampled direction (integrators.cpp:2002-2005)
+    pdf_fwd0 = jnp.where(env,
+                         _infinite_light_density(scene.lights, -le["d"]), p_l)
     v = v.set(
         0,
         p=_m(ok, le["p"], v.p[:, 0]),
@@ -472,13 +742,15 @@ def generate_light_subpath(scene, sampler, R, K):
         ns=_m(ok, le["n_l"], v.ns[:, 0]),
         beta=_m(ok, le["Le"] / jnp.maximum(p_l, 1e-30)[..., None],
                 v.beta[:, 0]),
-        pdf_fwd=jnp.where(ok, p_l, v.pdf_fwd[:, 0]),
+        pdf_fwd=jnp.where(ok, pdf_fwd0, v.pdf_fwd[:, 0]),
         light_id=jnp.where(ok, le["light_id"], v.light_id[:, 0]),
         vtype=jnp.full(R, VT_LIGHT, jnp.int32),
         # Vertex::delta stays FALSE for light endpoints (it flags specular
         # CONNECTIONS); the light's delta-ness is IsDeltaLight, used only
         # to exclude the hypothetical s'=0 strategy (integrators.cpp:2254)
         delta_light=jnp.where(ok, le["is_delta"], v.delta_light[:, 0]),
+        inf=env,
+        med=jnp.full(R, light_medium, jnp.int32),
         valid=ok,
     )
     cos0 = jnp.where(le["on_surface"], jnp.abs(dot(le["n_l"], le["d"])), 1.0)
@@ -487,7 +759,20 @@ def generate_light_subpath(scene, sampler, R, K):
     o = jnp.where(le["on_surface"][..., None],
                   offset_ray_origin(le["p"], le["n_l"], le["d"]), le["p"])
     sampler, v = _random_walk(scene, sampler, v, 1, K, o, le["d"], beta,
-                              le["pdf_dir"], ok, importance_mode=True)
+                              le["pdf_dir"], ok, importance_mode=True,
+                              prev0_inf=env,
+                              medium=(jnp.full(R, light_medium, jnp.int32)
+                                      if use_media else None), cfg=cfg)
+    # env subpath: the first hit's spatial density is pdfPos x |cos|
+    # (integrators.cpp:1995-2000) — the direction was the "position" sample
+    if scene.lights.has_env:
+        fix1 = env & v.valid[:, 1]
+        # |cos| only at surface vertices (pbrt guards with IsOnSurface();
+        # a medium vertex has ng = 0 and carries no cosine)
+        pdf1 = le["pdf_pos"] * jnp.where(
+            _on_surface(v, 1), jnp.abs(dot(le["d"], v.ng[:, 1])), 1.0)
+        v = v._replace(pdf_fwd=v.pdf_fwd.at[:, 1].set(
+            jnp.where(fix1, pdf1, v.pdf_fwd[:, 1])))
     return sampler, v
 
 
@@ -559,8 +844,10 @@ def _mis_weight(lv, cv, s, t, patch, pdf_fwd_light0=None,
     return 1.0 / (1.0 + sum_ri)
 
 
-def connect(scene, camera, sampler, lv, cv, s, t):
+def connect(scene, camera, sampler, lv, cv, s, t, cfg=None, use_media=False):
     """One (s,t) strategy for all lanes (ConnectBDPT, integrators.cpp:2387).
+    With use_media, connections are weighted by ratio-tracked transmittance
+    (integrator.Tr) and medium vertices connect through their HG phase.
 
     Returns (sampler, L (R,3), splat_pixel (R,) or None)."""
     R = cv.p.shape[0]
@@ -568,21 +855,45 @@ def connect(scene, camera, sampler, lv, cv, s, t):
     false_r = jnp.zeros(R, bool)
     patch = {}
 
+    def tr_or_visible(sampler, v_from, k_from, p_to, active):
+        """Tr (R,3) between a stored vertex and a point (1s/0s without
+        media)."""
+        if use_media:
+            return _tr_between(scene, cfg, sampler, v_from.p[:, k_from],
+                               v_from.ng[:, k_from],
+                               _on_surface(v_from, k_from),
+                               v_from.med[:, k_from], p_to, active)
+        vis = _visible(scene, v_from.p[:, k_from], v_from.ng[:, k_from],
+                       p_to, active)
+        return sampler, vis[..., None].astype(jnp.float32)
+
     if s == 0:
-        # the camera subpath hit an emitter: interpret it as a full path
+        # the camera subpath hit an emitter (or escaped to the env light):
+        # interpret it as a complete path (integrators.cpp:2398-2402)
         pt_valid = cv.valid[:, t - 1]
         lid = cv.light_id[:, t - 1]
-        emissive = pt_valid & (lid >= 0)
+        is_inf = cv.inf[:, t - 1]
+        d_esc = cv.ns[:, t - 1]  # stored escape direction of an inf vertex
+        emissive = pt_valid & ((lid >= 0) | is_inf)
         wo = normalize(cv.p[:, t - 2] - cv.p[:, t - 1])
         Le = scene.lights.le_area(lid, wo, cv.ng[:, t - 1])
+        if scene.lights.has_env:
+            Le = jnp.where(is_inf[..., None],
+                           scene.lights.le_escaped(d_esc), Le)
         L = jnp.where(emissive[..., None], cv.beta[:, t - 1] * Le, zero3)
         ok = emissive & (average(L) > 0)
         base_idx = scene.lights.base_area + jnp.maximum(lid, 0)
-        # pt.pdfRev = PDFLightOrigin; ptMinus.pdfRev = PDFLight
-        patch[("cam", t - 1)] = jnp.where(
+        # pt.pdfRev = PDFLightOrigin: area pmf/area; env InfiniteLightDensity
+        # in solid-angle measure (integrators.cpp:1862-1882)
+        origin_pdf = jnp.where(
             emissive,
             _light_select_pmf(scene.lights, base_idx)
             * _area_light_pdf_pos(scene.lights, lid), 0.0)
+        if scene.lights.has_env:
+            origin_pdf = jnp.where(
+                is_inf, _infinite_light_density(scene.lights, d_esc),
+                origin_pdf)
+        patch[("cam", t - 1)] = origin_pdf
         patch[("delta", "cam", t - 1)] = false_r
         if t > 1:
             w_pm = cv.p[:, t - 2] - cv.p[:, t - 1]
@@ -592,38 +903,47 @@ def connect(scene, camera, sampler, lv, cv, s, t):
                                              cv.ng[:, t - 1], w_n)
             cos_pm = jnp.where(_on_surface(cv, t - 2),
                                jnp.abs(dot(cv.ng[:, t - 2], w_n)), 1.0)
-            patch[("cam", t - 2)] = pdf_dir * safe_div(1.0, d2, 0.0) * cos_pm
+            pl = pdf_dir * safe_div(1.0, d2, 0.0) * cos_pm
+            if scene.lights.has_env:
+                # ptMinus.pdfRev = PDFLight: planar density 1/(pi r^2) x
+                # |cos| at ptMinus, no 1/d^2 (integrators.cpp:1830-1837)
+                cos_inf = jnp.where(_on_surface(cv, t - 2),
+                                    jnp.abs(dot(cv.ng[:, t - 2], d_esc)), 1.0)
+                wr = float(scene.lights.world_radius)
+                pl = jnp.where(is_inf,
+                               cos_inf / (jnp.pi * wr * wr), pl)
+            patch[("cam", t - 2)] = pl
         w = _mis_weight(lv, cv, s, t, patch)
         return sampler, jnp.where(ok[..., None], L * w[..., None], zero3), None
 
     if t == 1:
         # connect a light-subpath vertex to the camera (splat)
-        qs_ok = lv.valid[:, s - 1] & (lv.vtype[:, s - 1] == VT_SURFACE) \
-            & ~lv.delta[:, s - 1]
+        qs_ok = _connectible(lv, s - 1)
+        on_q = _on_surface(lv, s - 1)
         qp = lv.p[:, s - 1]
         valid_c, pixel_id, wi, dist, we = camera.sample_wi(qp)
         ok = qs_ok & valid_c
         wo_q = normalize(lv.p[:, s - 2] - qp)
-        f_q = _surface_f(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
-                         lv.ns[:, s - 1], wo_q, wi)
-        cos_q = jnp.abs(dot(wi, lv.ns[:, s - 1]))
+        f_q = _vertex_f(scene, lv, s - 1, wo_q, wi)
+        cos_q = jnp.where(on_q, jnp.abs(dot(wi, lv.ns[:, s - 1])), 1.0)
         cam_p = jnp.broadcast_to(camera.origin_world, qp.shape)
-        vis = _visible(scene, qp, lv.ng[:, s - 1], cam_p, ok)
-        L = lv.beta[:, s - 1] * f_q \
+        sampler, Tr = tr_or_visible(sampler, lv, s - 1, cam_p, ok)
+        L = lv.beta[:, s - 1] * f_q * Tr \
             * (cos_q * we / jnp.maximum(dist * dist, 1e-12))[..., None]
-        ok = vis & (average(L) > 0)
+        ok = ok & (average(L) > 0)
         # qs.pdfRev = camera ray density toward qs (area measure)
         patch[("light", s - 1)] = convert_density(
-            camera.pdf_we_dir(-wi), cam_p, qp, lv.ng[:, s - 1],
-            jnp.ones(R, bool))
+            camera.pdf_we_dir(-wi), cam_p, qp, lv.ng[:, s - 1], on_q)
         patch[("delta", "light", s - 1)] = false_r
         if s > 1:
-            # qsMinus.pdfRev = qs BSDF pdf back toward qsMinus given wi in
-            patch[("light", s - 2)] = convert_density(
-                _surface_pdf_dir(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1],
-                                 qp, lv.ns[:, s - 1], wi, wo_q),
-                qp, lv.p[:, s - 2], lv.ng[:, s - 2],
-                _on_surface(lv, s - 2))
+            # qsMinus.pdfRev = qs scatter pdf back toward qsMinus given wi
+            back_solid = _vertex_pdf_dir(scene, lv, s - 1, wi, wo_q)
+            back_conv = convert_density(back_solid, qp, lv.p[:, s - 2],
+                                        lv.ng[:, s - 2],
+                                        _on_surface(lv, s - 2))
+            if s == 2:
+                back_conv = jnp.where(lv.inf[:, 0], back_solid, back_conv)
+            patch[("light", s - 2)] = back_conv
         w = _mis_weight(lv, cv, s, t, patch)
         L = jnp.where(ok[..., None], L * w[..., None], zero3)
         return sampler, L, jnp.where(ok, pixel_id, -1)
@@ -631,28 +951,31 @@ def connect(scene, camera, sampler, lv, cv, s, t):
     if s == 1:
         # resample a light point toward the camera vertex (NEE-style,
         # integrators.cpp:2430-2470)
-        pt_ok = cv.valid[:, t - 1] & (cv.vtype[:, t - 1] == VT_SURFACE) \
-            & ~cv.delta[:, t - 1]
+        pt_ok = _connectible(cv, t - 1)
+        on_p = _on_surface(cv, t - 1)
         pp = cv.p[:, t - 1]
         wo_p = normalize(cv.p[:, t - 2] - pp)
         sampler, u_sel = sampler.get_1d()
         sampler, u2 = sampler.get_2d()
-        ls = scene.lights.sample(offset_ray_origin(pp, cv.ng[:, t - 1], wo_p),
-                                 u_sel, u2)
-        # finite lights only: an env pick (t_shadow = 2*world_radius) is void
+        ref_p = jnp.where(on_p[..., None],
+                          offset_ray_origin(pp, cv.ng[:, t - 1], wo_p), pp)
+        ls = scene.lights.sample(ref_p, u_sel, u2)
+        # finite lights, plus the (non-portal) env light; distant picks
+        # (delta-direction, t_shadow = 2*world_radius) stay void
         finite = ls.t_shadow < 1.9 * scene.lights.world_radius
-        ok = pt_ok & ls.valid & finite
+        is_env = jnp.zeros_like(finite) if not _env_subpath_supported(
+            scene.lights) else ls.light_idx == scene.lights.n_lights - 1
+        ok = pt_ok & ls.valid & (finite | is_env)
         sampled_beta = ls.L / jnp.maximum(ls.pdf_dir * ls.select_pmf,
                                           1e-30)[..., None]
-        f_p = _surface_f(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
-                         cv.ns[:, t - 1], wo_p, ls.wi)
-        cos_p = jnp.abs(dot(ls.wi, cv.ns[:, t - 1]))
+        f_p = _vertex_f(scene, cv, t - 1, wo_p, ls.wi)
+        cos_p = jnp.where(on_p, jnp.abs(dot(ls.wi, cv.ns[:, t - 1])), 1.0)
         dist = ls.t_shadow / (1.0 - 1e-3)
         d2 = jnp.maximum(dist * dist, 1e-12)
         p_light = pp + ls.wi * dist[..., None]
-        vis = _visible(scene, pp, cv.ng[:, t - 1], p_light, ok)
-        L = cv.beta[:, t - 1] * f_p * cos_p[..., None] * sampled_beta
-        ok = vis & (average(L) > 0)
+        sampler, Tr = tr_or_visible(sampler, cv, t - 1, p_light, ok)
+        L = cv.beta[:, t - 1] * f_p * Tr * cos_p[..., None] * sampled_beta
+        ok = ok & (average(L) > 0)
 
         is_area = ls.area_id >= 0
         n_l = ls.n_light
@@ -665,23 +988,34 @@ def connect(scene, camera, sampler, lv, cv, s, t):
         pdf_fwd0 = jnp.where(
             is_area,
             _light_select_pmf(scene.lights, ls.light_idx) * inv_area, 0.0)
-        # sampled.pdfRev = pt BSDF pdf toward the light, area measure there
-        patch[("light", 0)] = convert_density(
-            _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1],
-                             pp, cv.ns[:, t - 1], wo_p, ls.wi),
-            pp, p_light, n_l, is_area)
+        if _env_subpath_supported(scene.lights):
+            # env pick: PDFLightOrigin = InfiniteLightDensity(wi), a
+            # solid-angle density (integrators.cpp:1868-1870)
+            pdf_fwd0 = jnp.where(
+                is_env, _infinite_light_density(scene.lights, ls.wi),
+                pdf_fwd0)
+        # sampled.pdfRev = pt scatter pdf toward the light, area measure
+        # there (solid angle stays unconverted toward an infinite vertex)
+        pdf_bsdf_solid = _vertex_pdf_dir(scene, cv, t - 1, wo_p, ls.wi)
+        patch[("light", 0)] = jnp.where(
+            is_env, pdf_bsdf_solid,
+            convert_density(pdf_bsdf_solid, pp, p_light, n_l, is_area))
         patch[("delta", "light", 0)] = false_r
         # pt.pdfRev = emission direction density toward pt (PDFLight):
-        # per-light-type PDF_Le along the emission direction -wi
-        cos_pt = jnp.abs(dot(cv.ng[:, t - 1], ls.wi))
+        # per-light-type PDF_Le along the emission direction -wi; for env
+        # the planar density 1/(pi r^2) with no 1/d^2
+        # (integrators.cpp:1830-1837); |cos| only at surface vertices
+        cos_pt = jnp.where(on_p, jnp.abs(dot(cv.ng[:, t - 1], ls.wi)), 1.0)
         pdf_le_dir = _light_pdf_le_dir(scene.lights, ls.light_idx, n_l,
                                        -ls.wi)
-        patch[("cam", t - 1)] = pdf_le_dir * safe_div(1.0, d2, 0.0) * cos_pt
+        wr = float(scene.lights.world_radius)
+        pdf_light_pt = pdf_le_dir * safe_div(1.0, d2, 0.0) * cos_pt
+        patch[("cam", t - 1)] = jnp.where(
+            is_env, cos_pt / (jnp.pi * wr * wr), pdf_light_pt)
         patch[("delta", "cam", t - 1)] = false_r
         if t > 1:
             patch[("cam", t - 2)] = convert_density(
-                _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1],
-                                 pp, cv.ns[:, t - 1], ls.wi, wo_p),
+                _vertex_pdf_dir(scene, cv, t - 1, ls.wi, wo_p),
                 pp, cv.p[:, t - 2], cv.ng[:, t - 2],
                 _on_surface(cv, t - 2))
         w = _mis_weight(lv, cv, s, t, patch, pdf_fwd_light0=pdf_fwd0,
@@ -690,10 +1024,10 @@ def connect(scene, camera, sampler, lv, cv, s, t):
         return sampler, L, None
 
     # s >= 2 and t >= 2: general vertex-to-vertex connection
-    qs_ok = lv.valid[:, s - 1] & (lv.vtype[:, s - 1] == VT_SURFACE) \
-        & ~lv.delta[:, s - 1]
-    pt_ok = cv.valid[:, t - 1] & (cv.vtype[:, t - 1] == VT_SURFACE) \
-        & ~cv.delta[:, t - 1]
+    qs_ok = _connectible(lv, s - 1)
+    pt_ok = _connectible(cv, t - 1)
+    on_q = _on_surface(lv, s - 1)
+    on_p = _on_surface(cv, t - 1)
     ok = qs_ok & pt_ok
     qp = lv.p[:, s - 1]
     pp = cv.p[:, t - 1]
@@ -702,36 +1036,37 @@ def connect(scene, camera, sampler, lv, cv, s, t):
     w_qp = d_qp * safe_div(1.0, jnp.sqrt(dist2), 0.0)[..., None]
     wo_q = normalize(lv.p[:, s - 2] - qp)
     wo_p = normalize(cv.p[:, t - 2] - pp)
-    f_q = _surface_f(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
-                     lv.ns[:, s - 1], wo_q, w_qp)
-    f_p = _surface_f(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
-                     cv.ns[:, t - 1], wo_p, -w_qp)
-    g = safe_div(1.0, dist2, 0.0) * jnp.abs(dot(lv.ns[:, s - 1], w_qp)) \
-        * jnp.abs(dot(cv.ns[:, t - 1], w_qp))
-    vis = _visible(scene, qp, lv.ng[:, s - 1], pp, ok)
-    L = lv.beta[:, s - 1] * f_q * f_p * cv.beta[:, t - 1] * g[..., None]
-    ok = vis & (average(L) > 0)
+    f_q = _vertex_f(scene, lv, s - 1, wo_q, w_qp)
+    f_p = _vertex_f(scene, cv, t - 1, wo_p, -w_qp)
+    # G: cosine terms only at surface endpoints (integrators.cpp:2178-2189)
+    g = safe_div(1.0, dist2, 0.0) \
+        * jnp.where(on_q, jnp.abs(dot(lv.ns[:, s - 1], w_qp)), 1.0) \
+        * jnp.where(on_p, jnp.abs(dot(cv.ns[:, t - 1], w_qp)), 1.0)
+    sampler, Tr = tr_or_visible(sampler, lv, s - 1, pp, ok)
+    L = lv.beta[:, s - 1] * f_q * f_p * Tr * cv.beta[:, t - 1] \
+        * g[..., None]
+    ok = ok & (average(L) > 0)
     # MIS patches (integrators.cpp:2224-2244)
     patch[("delta", "light", s - 1)] = false_r
     patch[("delta", "cam", t - 1)] = false_r
     patch[("cam", t - 1)] = convert_density(
-        _surface_pdf_dir(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
-                         lv.ns[:, s - 1], wo_q, w_qp),
-        qp, pp, cv.ng[:, t - 1], jnp.ones_like(ok))
+        _vertex_pdf_dir(scene, lv, s - 1, wo_q, w_qp),
+        qp, pp, cv.ng[:, t - 1], on_p)
     patch[("cam", t - 2)] = convert_density(
-        _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
-                         cv.ns[:, t - 1], -w_qp, wo_p),
+        _vertex_pdf_dir(scene, cv, t - 1, -w_qp, wo_p),
         pp, cv.p[:, t - 2], cv.ng[:, t - 2],
         _on_surface(cv, t - 2))
     patch[("light", s - 1)] = convert_density(
-        _surface_pdf_dir(scene, cv.mat_id[:, t - 1], cv.uv[:, t - 1], pp,
-                         cv.ns[:, t - 1], wo_p, -w_qp),
-        pp, qp, lv.ng[:, s - 1], jnp.ones_like(ok))
-    patch[("light", s - 2)] = convert_density(
-        _surface_pdf_dir(scene, lv.mat_id[:, s - 1], lv.uv[:, s - 1], qp,
-                         lv.ns[:, s - 1], w_qp, wo_q),
-        qp, lv.p[:, s - 2], lv.ng[:, s - 2],
-        _on_surface(lv, s - 2))
+        _vertex_pdf_dir(scene, cv, t - 1, wo_p, -w_qp),
+        pp, qp, lv.ng[:, s - 1], on_q)
+    pdf_back_solid = _vertex_pdf_dir(scene, lv, s - 1, w_qp, wo_q)
+    back_conv = convert_density(pdf_back_solid, qp, lv.p[:, s - 2],
+                                lv.ng[:, s - 2], _on_surface(lv, s - 2))
+    if s == 2:
+        # density toward an infinite light endpoint stays solid angle
+        # (Vertex::ConvertDensity, integrators.cpp:1779-1780)
+        back_conv = jnp.where(lv.inf[:, 0], pdf_back_solid, back_conv)
+    patch[("light", s - 2)] = back_conv
     w = _mis_weight(lv, cv, s, t, patch)
     L = jnp.where(ok[..., None], L * w[..., None], zero3)
     return sampler, L, None
@@ -742,16 +1077,22 @@ def connect(scene, camera, sampler, lv, cv, s, t):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("max_depth", "n_lanes"))
+@partial(jax.jit, static_argnames=("max_depth", "n_lanes", "use_media",
+                                   "camera_medium", "light_medium", "cfg"))
 def _bdpt_wave(scene, camera, film, film_state, seed, wave_idx, max_depth,
-               n_lanes):
+               n_lanes, use_media=False, camera_medium=-1, light_medium=-1,
+               cfg=None):
     R = n_lanes
     pixel_id = jnp.arange(R, dtype=jnp.int32) % film.npix
     sampler = LaneSampler.start(seed, pixel_id.astype(jnp.uint32), wave_idx)
     Kc = max_depth + 2
     Kl = max_depth + 1
-    sampler, cv = generate_camera_subpath(scene, camera, sampler, pixel_id, Kc)
-    sampler, lv = generate_light_subpath(scene, sampler, R, Kl)
+    sampler, cv = generate_camera_subpath(scene, camera, sampler, pixel_id,
+                                          Kc, camera_medium=camera_medium,
+                                          cfg=cfg, use_media=use_media)
+    sampler, lv = generate_light_subpath(scene, sampler, R, Kl,
+                                         light_medium=light_medium, cfg=cfg,
+                                         use_media=use_media)
     L = jnp.zeros((R, 3))
     for t in range(1, Kc + 1):
         for s in range(0, Kl + 1):
@@ -761,7 +1102,8 @@ def _bdpt_wave(scene, camera, film, film_state, seed, wave_idx, max_depth,
             if t == 1 and s < 2:
                 continue  # (1,1) skipped per the reference; (0,1) is n/a
             sampler, Lst, splat_pix = connect(scene, camera, sampler, lv, cv,
-                                              s, t)
+                                              s, t, cfg=cfg,
+                                              use_media=use_media)
             if splat_pix is not None:
                 film_state = film.add_splats(
                     film_state, jnp.maximum(splat_pix, 0),
@@ -772,21 +1114,47 @@ def _bdpt_wave(scene, camera, film, film_state, seed, wave_idx, max_depth,
     return film_state
 
 
-def render(scene: Scene, camera, film, spp=16, max_depth=5, seed=0):
+def scene_has_media(scene):
+    """Host-side check: does any primitive bound a participating medium?"""
+    import numpy as np
+
+    g = scene.geometry
+    for name in g._fields:
+        if name.endswith("_med_in") or name.endswith("_med_out"):
+            a = getattr(g, name)
+            if a is None:
+                continue
+            a = np.asarray(a)
+            if a.size and int(a.max()) >= 0:
+                return True
+    return False
+
+
+def render(scene: Scene, camera, film, spp=16, max_depth=5, seed=0,
+           camera_medium=-1, light_medium=-1, cfg=None):
     """BDPT render: image = (t>=2 strategies averaged per pixel) +
     splats/(npix*spp) (BDPTIntegrator::Render, splatScale=1/spp with the
-    per-pixel We convention)."""
+    per-pixel We convention). Participating media are supported through
+    VT_MEDIUM vertices + ratio-tracked connection transmittance;
+    camera_medium/light_medium set the starting medium ids of the two
+    subpath walks (-1 = vacuum)."""
     import warnings
 
-    if scene.lights.has_env:
-        warnings.warn("bdpt v1 ignores infinite lights; use volpath/path "
-                      "for env-lit scenes", stacklevel=2)
+    if scene.lights.has_env and scene.lights.portal is not None:
+        warnings.warn("bdpt ignores PORTAL env lights (no SampleLe); use "
+                      "volpath/path for portal-lit scenes", stacklevel=2)
     if scene.lights.n_distant > 0:
         warnings.warn("bdpt v1 ignores distant (delta-direction) lights; "
                       "use volpath/path for distant-lit scenes", stacklevel=2)
+    use_media = scene_has_media(scene)
+    if cfg is None:
+        cfg = VolPathConfig(max_depth=max_depth)
     film_state = film.init_state()
     for wave in range(spp):
         film_state = _bdpt_wave(scene, camera, film, film_state,
                                 jnp.uint32(seed), jnp.uint32(wave),
-                                int(max_depth), film.npix)
+                                int(max_depth), film.npix,
+                                use_media=use_media,
+                                camera_medium=int(camera_medium),
+                                light_medium=int(light_medium), cfg=cfg)
     return film.image(film_state, splat_scale=1.0 / (spp * film.npix))

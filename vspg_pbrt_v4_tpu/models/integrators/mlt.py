@@ -91,7 +91,8 @@ def _fresh_X(seed, chain_id, salt, R):
     return X.reshape(R, N_STREAMS, D_STREAM)
 
 
-def _mlt_L(scene, camera, film, X, depth):
+def _mlt_L(scene, camera, film, X, depth, use_media=False,
+           camera_medium=-1, light_medium=-1, cfg=None):
     """One BDPT strategy evaluation from primary samples (MLTIntegrator::L,
     integrators.cpp:2542-2605). Returns (L (R,3), pixel_id (R,))."""
     R = X.shape[0]
@@ -111,9 +112,13 @@ def _mlt_L(scene, camera, film, X, depth):
     px = jnp.minimum((u_pix[:, 0] * nx).astype(jnp.int32), nx - 1)
     py = jnp.minimum((u_pix[:, 1] * ny).astype(jnp.int32), ny - 1)
     pixel_id = py * nx + px
-    smp, cv = _bdpt.generate_camera_subpath(scene, camera, smp, pixel_id, Kc)
+    smp, cv = _bdpt.generate_camera_subpath(
+        scene, camera, smp, pixel_id, Kc, camera_medium=camera_medium,
+        cfg=cfg, use_media=use_media)
     lsmp = ReplaySampler(X).start_stream(STREAM_LIGHT)
-    lsmp, lv = _bdpt.generate_light_subpath(scene, lsmp, R, Kl)
+    lsmp, lv = _bdpt.generate_light_subpath(
+        scene, lsmp, R, Kl, light_medium=light_medium, cfg=cfg,
+        use_media=use_media)
 
     csm = ReplaySampler(X).start_stream(STREAM_CONNECT)
     csm, _ = csm.get_1d()  # consumed by the strategy choice
@@ -123,7 +128,9 @@ def _mlt_L(scene, camera, film, X, depth):
         t = depth + 2 - s
         if t < 1 or (s == 1 and t == 1) or (t == 1 and s < 2):
             continue
-        csm, Lst, splat_pix = _bdpt.connect(scene, camera, csm, lv, cv, s, t)
+        csm, Lst, splat_pix = _bdpt.connect(scene, camera, csm, lv, cv,
+                                            s, t, cfg=cfg,
+                                            use_media=use_media)
         sel = s_choice == s
         if splat_pix is not None:
             # unify units: our t=1 splats are per-pixel We = npix * full-film
@@ -138,14 +145,18 @@ def _luminance(L):
     return jnp.maximum(average(L), 0.0)
 
 
-@partial(jax.jit, static_argnames=("depth", "n_iters", "sigma", "p_large"))
+@partial(jax.jit, static_argnames=("depth", "n_iters", "sigma", "p_large",
+                                   "use_media", "camera_medium",
+                                   "light_medium", "cfg"))
 def _run_chains(scene, camera, film, film_state, X0, seed, depth,
-                n_iters, sigma, p_large):
+                n_iters, sigma, p_large, use_media=False,
+                camera_medium=-1, light_medium=-1, cfg=None):
     """Run all chains of one depth group for n_iters mutations."""
     R = X0.shape[0]
     chain_id = jnp.arange(R, dtype=jnp.uint32)
 
-    L0, pix0 = _mlt_L(scene, camera, film, X0, depth)
+    L0, pix0 = _mlt_L(scene, camera, film, X0, depth, use_media,
+                      camera_medium, light_medium, cfg)
 
     def body(it, carry):
         X, L_cur, pix_cur, fs = carry
@@ -167,7 +178,9 @@ def _run_chains(scene, camera, film, film_state, X0, seed, depth,
         X_small = X_small - jnp.floor(X_small)  # wrap to [0,1)
         X_prop = jnp.where(large[:, None, None], X_fresh, X_small)
 
-        L_prop, pix_prop = _mlt_L(scene, camera, film, X_prop, depth)
+        L_prop, pix_prop = _mlt_L(scene, camera, film, X_prop, depth,
+                                  use_media, camera_medium,
+                                  light_medium, cfg)
         c_cur = _luminance(L_cur)
         c_prop = _luminance(L_prop)
         accept = jnp.where(c_cur > 0, jnp.minimum(1.0, c_prop / jnp.maximum(c_cur, 1e-30)),
@@ -190,31 +203,44 @@ def _run_chains(scene, camera, film, film_state, X0, seed, depth,
     return film_state
 
 
-@partial(jax.jit, static_argnames=("depth", "nb"))
-def _bootstrap_weights(scene, camera, film, seed, depth, nb):
+@partial(jax.jit, static_argnames=("depth", "nb", "use_media",
+                                   "camera_medium", "light_medium",
+                                   "cfg"))
+def _bootstrap_weights(scene, camera, film, seed, depth, nb,
+                       use_media=False, camera_medium=-1,
+                       light_medium=-1, cfg=None):
     chain_id = jnp.arange(nb, dtype=jnp.uint32)
     X = _fresh_X(seed, chain_id, jnp.uint32(depth), nb)
-    L, _ = _mlt_L(scene, camera, film, X, depth)
+    L, _ = _mlt_L(scene, camera, film, X, depth, use_media,
+                  camera_medium, light_medium, cfg)
     return _luminance(L)
 
 
 def render(scene, camera, film, mutations_per_pixel=64, max_depth=5,
            n_chains=4096, n_bootstrap=4096, sigma=0.01,
-           large_step_probability=0.3, seed=0):
+           large_step_probability=0.3, seed=0, camera_medium=-1,
+           light_medium=-1, cfg=None):
     """MLT render (MLTIntegrator::Render). Image = splats * b / mpp with
     per-depth chain groups allocated by bootstrap luminance."""
     import warnings
 
-    if scene.lights.has_env:
-        warnings.warn("mlt v1 ignores infinite lights (BDPT core)",
+    if scene.lights.has_env and scene.lights.portal is not None:
+        warnings.warn("mlt ignores PORTAL env lights (BDPT core)",
                       stacklevel=2)
+    use_media = _bdpt.scene_has_media(scene)
+    if cfg is None:
+        cfg = _bdpt.VolPathConfig(max_depth=max_depth)
+    media_kw = dict(use_media=use_media,
+                    camera_medium=int(camera_medium),
+                    light_medium=int(light_medium), cfg=cfg)
     seed = jnp.uint32(seed)
     # bootstrap each depth
     b_d = []
     boot_w = []
     for d in range(max_depth + 1):
         w = np.asarray(jax.device_get(
-            _bootstrap_weights(scene, camera, film, seed, d, n_bootstrap)))
+            _bootstrap_weights(scene, camera, film, seed, d, n_bootstrap,
+                               **media_kw)))
         boot_w.append(w)
         b_d.append(float(w.mean()))
     b = float(sum(b_d))
@@ -237,7 +263,8 @@ def render(scene, camera, film, mutations_per_pixel=64, max_depth=5,
         X0 = _fresh_X(seed, chain_id, jnp.uint32(d), n_d)
         film_state = _run_chains(scene, camera, film, film_state, X0, seed,
                                  d, int(iters), float(sigma),
-                                 float(large_step_probability))
+                                 float(large_step_probability),
+                                 **media_kw)
     # E[splat/chain-iter] integrates to 1/b of the image: scale back
     n_eff = total_mutations
     return film.image(film_state, splat_scale=b * film.npix / max(n_eff, 1))

@@ -682,6 +682,53 @@ class Lights:
 
         return p, d, alpha, n_l, is_area, valid, alpha_pos
 
+    # -- env directional sampling/pdf without selection pmf ------------------
+    def sample_env_dir(self, u2):
+        """Sample a direction TOWARD the env light (solid angle): returns
+        (wl, Le, pdf_dir). Image env importance-samples the equal-area texel
+        pmf (ImageInfiniteLight::SampleLe dir part, lights.cpp:1144-1153);
+        uniform env is a uniform sphere (lights.cpp:1042-1046). Portal env
+        is not supported here (callers gate on `portal is None`)."""
+        R = u2.shape[:-1]
+        if not self.has_env or self.portal is not None:
+            z = jnp.zeros(R)
+            return jnp.zeros(R + (3,)), jnp.zeros(R + (3,)), z
+        if self.has_env_img:
+            from ..utils.vecmath import equal_area_square_to_sphere
+
+            S = self.env_img.shape[0]
+            u_flat = jnp.clip(u2[..., 0], 0.0, 0.999999)
+            ti = jnp.clip(jnp.searchsorted(self.env_cdf, u_flat,
+                                           side="right"), 0, S * S - 1)
+            iy = ti // S
+            ix = ti % S
+            jx = _frac(u2[..., 1] * 7919.0)
+            jy = _frac(u2[..., 1] * 104729.0)
+            sq = jnp.stack([(ix + jx) / S, (iy + jy) / S], -1)
+            wl = equal_area_square_to_sphere(sq)
+            Le = self.env_img[iy, ix]
+            pdf = jnp.maximum(self.env_pmf[ti] * (S * S) * INV_4PI, 1e-12)
+            return wl, Le, pdf
+        wl = sample_uniform_sphere(u2)
+        Le = jnp.broadcast_to(self.env_L, R + (3,))
+        return wl, Le, jnp.full(R, INV_4PI)
+
+    def env_pdf_dir(self, wl):
+        """Raw solid-angle pdf of `sample_env_dir` along wl (toward the
+        light) — PDF_Li WITHOUT the light-selection pmf (the BDPT
+        InfiniteLightDensity building block, integrators.cpp:2272)."""
+        if not self.has_env or self.portal is not None:
+            return jnp.zeros(wl.shape[:-1])
+        if self.has_env_img:
+            from ..utils.vecmath import equal_area_sphere_to_square
+
+            S = self.env_img.shape[0]
+            sq = equal_area_sphere_to_square(wl)
+            ix = jnp.clip((sq[..., 0] * S).astype(jnp.int32), 0, S - 1)
+            iy = jnp.clip((sq[..., 1] * S).astype(jnp.int32), 0, S - 1)
+            return self.env_pmf[iy * S + ix] * (S * S) * INV_4PI
+        return jnp.full(wl.shape[:-1], INV_4PI)
+
     # -- escaped-ray emission (infinite lights) -----------------------------
     def le_escaped(self, d, o=None):
         """Radiance from infinite lights along escaped direction d: (R,3).

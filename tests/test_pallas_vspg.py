@@ -154,3 +154,33 @@ def test_render_vspg_auto_dispatch():
     assert int(field.iteration) == 1
     assert np.isfinite(img).all()
     assert abs(img.mean() - L0) < 0.06 * L0, img.mean()
+
+
+def test_kernel_sharded_matches_single_device():
+    """render_vspg_pallas_sharded on an 8-CPU mesh must match the
+    single-device kernel BIT-EXACTLY: identical per-pixel sample streams,
+    just sharded over film-row blocks via the SMEM pixel base."""
+    import jax
+
+    from vspg_pbrt_v4_tpu.parallel import mesh as pmesh
+    from vspg_pbrt_v4_tpu.models.guiding.field import GuidingField
+
+    res = 32  # ny=32 shards over 8 devices into 128-pixel blocks
+    scene = _grid_scene(_cloud_density(), [0.1] * 3, [2.0] * 3, g=0.3,
+                        env_L=[0.2] * 3)
+    cam, film = _camera(res), RGBFilm.make((res, res))
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=4, cfg=_CFG, gopt=_GOPT,
+        vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4, use_pallas=False)
+    # sub=1 matches the sharded tile decomposition: loop trip counts (and
+    # so the per-lane dim streams) are tile-population-dependent, so only
+    # identical tiles give identical streams
+    single = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 8, _CFG, _GOPT, vspg.VSPGOptions(), field,
+        isgb, seed=7, interpret=True, sub=1))
+    mesh = pmesh.default_mesh(jax.devices("cpu")[:8])
+    sharded = np.asarray(pmesh.render_vspg_pallas_sharded(
+        scene, cam, film, 8, _CFG, _GOPT, vspg.VSPGOptions(), field,
+        isgb, seed=7, mesh=mesh, interpret=True))
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)

@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_volpath import (_BIG, INV_4PI, _U32, _box_hit, _coord_system,
                              _dot, _hg_value, _normalize, _sample_hg,
-                             _uniform4, extract_constants)
+                             _uniform4, _unpack_hi, _unpack_lo, _unpack_sel,
+                             extract_constants, pack_bf16_pairs)
 
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
@@ -128,8 +129,10 @@ def _make_vspg_kernel(c, gc, spp, sub):
     ext = tuple(bmax[k] - bmin[k] for k in range(3))
     gx, gy, gz = c["grid_res"]
     mx, my, mz = c["maj_res"]
-    n_dens_chunks = (gx * gy * gz) // 128
-    n_maj_chunks = (mx * my * mz) // 128
+    # density/majorant tables arrive bf16-pair-packed (pallas_volpath
+    # .pack_bf16_pairs): chunk counts are over WORDS — half the sweep
+    n_dens_chunks = -(-(gx * gy * gz) // 256)
+    n_maj_chunks = -(-(mx * my * mz) // 256)
     has_point, has_env = c["has_point"], c["has_env"]
     lp = np.asarray(c["point_p"], np.float32)
     lI = np.asarray(c["point_I"], np.float32)
@@ -220,7 +223,8 @@ def _make_vspg_kernel(c, gc, spp, sub):
         block = pl.program_id(0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
         lane_j = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
-        pix_i = block * LB + lane_i * 128 + lane_j
+        pix_base = seed_ref[0, 1].astype(jnp.int32)
+        pix_i = pix_base + block * LB + lane_i * 128 + lane_j
         pix = pix_i.astype(_U32)
         if nx_pow2:
             px_i = (pix_i & (nx - 1)).astype(jnp.float32)
@@ -241,8 +245,10 @@ def _make_vspg_kernel(c, gc, spp, sub):
         # -- grid helpers (as in pallas_volpath._make_grid_kernel) --------
 
         def table_lookup(tab_ref, n_chunks, flat_idx):
-            c_idx = flat_idx >> 7
-            l_idx = flat_idx & 127
+            """Lookup on a bf16-pair-packed table (word chunks)."""
+            word_idx = flat_idx >> 1
+            c_idx = word_idx >> 7
+            l_idx = word_idx & 127
 
             def body(cc, acc):
                 row = tab_ref[cc]
@@ -250,7 +256,8 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
                 return jnp.where(c_idx == cc, gathered, acc)
 
-            return jax.lax.fori_loop(0, n_chunks, body, zf)
+            word = jax.lax.fori_loop(0, n_chunks, body, zf)
+            return _unpack_sel(word, flat_idx & 1)
 
         def density_at(px, py, pz):
             fx = (px - bmin[0]) / ext[0] * gx - 0.5
@@ -274,17 +281,20 @@ def _make_vspg_kernel(c, gc, spp, sub):
                         corner_idx.append((cx * gy + cy) * gz + cz)
                         corner_w.append(wxa * wya * wza)
 
+            corner_word = [ci >> 1 for ci in corner_idx]
+
             def body(cc, accs):
                 row = dens_ref[cc]
                 chunk = jnp.broadcast_to(row[None, :], (sub, 128))
                 new = []
-                for ci, acc in zip(corner_idx, accs):
-                    gathered = jnp.take_along_axis(chunk, ci & 127, axis=1)
-                    new.append(jnp.where((ci >> 7) == cc, gathered, acc))
+                for cw_i, acc in zip(corner_word, accs):
+                    gathered = jnp.take_along_axis(chunk, cw_i & 127, axis=1)
+                    new.append(jnp.where((cw_i >> 7) == cc, gathered, acc))
                 return tuple(new)
 
             vals = jax.lax.fori_loop(0, n_dens_chunks, body, (zf,) * 8)
-            d = sum(v * w for v, w in zip(vals, corner_w))
+            d = sum(_unpack_sel(v, ci & 1) * w
+                    for v, ci, w in zip(vals, corner_idx, corner_w))
             inside = ((px >= bmin[0]) & (px <= bmax[0])
                       & (py >= bmin[1]) & (py <= bmax[1])
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
@@ -333,20 +343,31 @@ def _make_vspg_kernel(c, gc, spp, sub):
             c_idx = cid >> 7
             l_idx = cid & 127
 
+            # rows ride bf16-packed in PAIRS (row 2q lo, row 2q+1 hi):
+            # half the gathers, static-parity unpack after the sweep
+            PW = (P_ROWS + 1) // 2
+
             def body(cc, accs):
                 new = []
-                for p in range(P_ROWS):
-                    row = ftab_ref[p * n_cell_chunks + cc]
+                for q in range(PW):
+                    row = ftab_ref[q * n_cell_chunks + cc]
                     chunk = jnp.broadcast_to(row[None, :], (sub, 128))
                     gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
-                    new.append(jnp.where(c_idx == cc, gathered, accs[p]))
+                    new.append(jnp.where(c_idx == cc, gathered, accs[q]))
                 return tuple(new)
 
-            vals = jax.lax.fori_loop(0, n_cell_chunks, body,
-                                     (zf,) * P_ROWS)
+            words = jax.lax.fori_loop(0, n_cell_chunks, body, (zf,) * PW)
+            vals = []
+            for p in range(P_ROWS):
+                w_q = words[p // 2]
+                vals.append(_unpack_lo(w_q) if p % 2 == 0
+                            else _unpack_hi(w_q))
             lobes = []
             for k in range(K):
                 w_k, mux, muy, muz, kap, dstk, vlv, vls = vals[8 * k:8 * k + 8]
+                # bf16 mu is ~0.4% off unit — renormalize (kappa can be
+                # ~2e3, where exp(kappa*(dot-1)) amplifies any |mu| error)
+                mux, muy, muz = _normalize(mux, muy, muz)
                 lobes.append(dict(w=w_k, mu=(mux, muy, muz), kappa=kap,
                                   dist=dstk, vlv=vlv, vls=vls))
             valid = vals[8 * K] > 0.5
@@ -1279,11 +1300,12 @@ def _get_callable(c, gc, spp, sub, interpret):
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((nvox // 128, 128), lambda b: (0, 0),
+                  pl.BlockSpec((-(-nvox // 256), 128), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((nmaj // 128, 128), lambda b: (0, 0),
+                  pl.BlockSpec((-(-nmaj // 256), 128), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((P_ROWS * n_cc, 128), lambda b: (0, 0),
+                  pl.BlockSpec((((P_ROWS + 1) // 2) * n_cc, 128),
+                               lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM)],
@@ -1293,9 +1315,10 @@ def _get_callable(c, gc, spp, sub, interpret):
     )
 
     @jax.jit
-    def fn(seed, dens, maj, ftab, itab):
-        out = call(jnp.reshape(seed.astype(jnp.uint32), (1, 1)),
-                   dens, maj, ftab, itab)
+    def fn(seed, dens, maj, ftab, itab, base=0):
+        sm = jnp.stack([seed.astype(jnp.uint32),
+                        jnp.asarray(base, jnp.uint32)]).reshape(1, 2)
+        out = call(sm, dens, maj, ftab, itab)
         return jnp.transpose(out, (1, 2, 0)).reshape(c["ny"], c["nx"], 3)
 
     _KERNEL_CACHE[key] = fn
@@ -1321,6 +1344,30 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     return npix % 128 == 0
 
 
+def pack_kernel_inputs(scene, field, crit):
+    """Host-side table packing shared by the single-chip and sharded
+    renderers: returns (dens, maj, ftab) device arrays (bf16-pair-packed;
+    the field table packs row PAIRS unpacked by static parity)."""
+    ftab_np = pack_field_table(field, crit)  # (P, C)
+    P, FC = ftab_np.shape
+    if FC < 128:
+        ftab_np = np.pad(ftab_np, ((0, 0), (0, 128 - FC)))
+        FC = 128
+    if FC % 128:
+        raise ValueError("field res^3 must pad to a multiple of 128")
+    if P % 2:
+        ftab_np = np.pad(ftab_np, ((0, 1), (0, 0)))
+    u = np.ascontiguousarray(ftab_np).view(np.uint32).astype(np.uint64)
+    r = (np.minimum(u + 0x8000, 0xFFFF_FFFF) >> 16).astype(np.uint32)
+    words = (r[0::2, :] & 0xFFFF) | (r[1::2, :] << 16)
+    ftab = jnp.asarray(np.ascontiguousarray(words).view(np.float32)
+                       .reshape(-1, 128))
+    gm = scene.media.grids[0]
+    dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
+    maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
+    return dens, maj, ftab
+
+
 def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
                       isgb, seed, interpret=False, sub=None):
     """Render `spp` frozen-field VSPG samples per pixel via the
@@ -1329,20 +1376,9 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
     if c is None or c["kind"] != "grid":
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
-    crit = vopt.vsp_criterion
-    ftab_np = pack_field_table(field, crit)  # (P, C)
-    P, FC = ftab_np.shape
-    if FC < 128:
-        ftab_np = np.pad(ftab_np, ((0, 0), (0, 128 - FC)))
-        FC = 128
-    if FC % 128:
-        raise ValueError("field res^3 must pad to a multiple of 128")
-    ftab = jnp.asarray(ftab_np.reshape(P * (FC // 128), 128))
+    dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion)
     npix = c["nx"] * c["ny"]
     itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
-    gm = scene.media.grids[0]
-    dens = jnp.reshape(gm.density, (-1, 128))
-    maj = jnp.reshape(gm.majorant, (-1, 128))
     if sub is None:
         sub = 8
         while npix % (sub * 128) != 0:

@@ -212,3 +212,60 @@ def render_vspg_sharded(scene, camera, film, spp, cfg=None, gopt=None,
         if (wave + 1) in vopt.isgb_update_waves:
             isgb = gisgb.isgb_update(isgb)
     return film.image(film_state), field, isgb
+
+
+def render_vspg_pallas_sharded(scene, camera, film, spp, cfg, gopt, vopt,
+                               field, isgb, seed=0, mesh=None,
+                               interpret=False):
+    """Frozen-field VSPG render phase on a device mesh: each device runs
+    the ops/pallas_vspg megakernel on its contiguous block of film rows
+    (the SMEM pixel-base input keeps one compiled program for every
+    shard). Tables (density, majorants, guiding field) are replicated;
+    the per-pixel ISGB rows are sharded with the film. Zero collectives —
+    the multi-chip analog of the reference's tile pool, with the fused
+    kernel as the tile renderer.
+
+    Returns the (ny, nx, 3) mean image."""
+    from ..models.integrators import vspg as vs
+    from ..ops import pallas_volpath as pv
+    from ..ops import pallas_vspg as pk
+
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    c = pv.extract_constants(scene, camera, film, cfg)
+    if c is None or c["kind"] != "grid":
+        raise ValueError("scene not supported by the VSPG megakernel")
+    npix = c["nx"] * c["ny"]
+    npix_l = npix // n_dev
+    if npix % n_dev or c["ny"] % n_dev or npix_l % 128:
+        raise ValueError("film rows must shard into 128-pixel multiples")
+    c_local = dict(c)
+    c_local["ny"] = c["ny"] // n_dev  # shard height; nx decode unchanged
+    gc = pk.guiding_constants(field, gopt, vopt)
+    dens, maj, ftab = pk.pack_kernel_inputs(scene, field,
+                                            vopt.vsp_criterion)
+    itab = pk.pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
+    sub = 8
+    while npix_l % (sub * 128) != 0:
+        sub //= 2
+    chunk = int(spp) if interpret else min(int(spp), pk.VSPG_SPP_CHUNK)
+
+    def shard_fn(itab_s, dens_r, maj_r, ftab_r):
+        base = (jax.lax.axis_index(axis) * npix_l).astype(jnp.uint32)
+        imgs = []
+        done = 0
+        while done < int(spp):
+            n = min(chunk, int(spp) - done)
+            fn = pk._get_callable(c_local, gc, n, sub, bool(interpret))
+            imgs.append(fn(jnp.uint32(seed) + jnp.uint32(done * 65537),
+                           dens_r, maj_r, ftab_r, itab_s, base) * n)
+            done += n
+        return sum(imgs) / int(spp)  # (ny_local, nx, 3)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(), P(), P()),
+        out_specs=P(axis), check_vma=False)
+    return fn(itab, dens, maj, ftab)

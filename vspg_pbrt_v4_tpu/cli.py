@@ -70,9 +70,20 @@ def main(argv=None):
     if args.resolution:
         w, h = args.resolution.lower().split("x")
         res_override = (int(w), int(h))
-    directives = parse_pbrt_file(args.scene)
-    setup = build_render_setup(directives, spp_override=args.spp,
-                               res_override=res_override)
+    from .scene.parser import PbrtError
+
+    try:
+        directives = parse_pbrt_file(args.scene)
+        setup = build_render_setup(directives, spp_override=args.spp,
+                                   res_override=res_override)
+    except PbrtError as e:
+        # util/error.h ErrorExit: '<file>:<line>: error' diagnostic, no
+        # traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if not args.quiet:
         g = setup.scene.geometry
         print(f"[scene] {g.n_tri} tris, {g.n_sph} spheres, "

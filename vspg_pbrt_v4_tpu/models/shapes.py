@@ -102,6 +102,12 @@ class Geometry(NamedTuple):
     crv_med_in: jnp.ndarray = None
     crv_med_out: jnp.ndarray = None
     tri_bvh: object = None  # ops.bvh.BVH over triangles (None = brute force)
+    # per-corner texture coordinates (pbrt trianglemesh "point2 uv",
+    # shapes.h Triangle uv interpolation). Default identity maps the hit
+    # uv to the barycentrics (uv0=(1,0), uv1=(0,1), uv2=(0,0)).
+    tri_uv0: jnp.ndarray = None  # (T,2)
+    tri_uv1: jnp.ndarray = None
+    tri_uv2: jnp.ndarray = None
 
     @staticmethod
     def build(triangles=(), spheres=(), boxes=(), disks=(), cylinders=(),
@@ -243,7 +249,19 @@ class Geometry(NamedTuple):
             stack_i(bp, "med_in"), stack_i(bp, "med_out"),
             *crv,
             tri_bvh,
+            stack(t, "uv0", (1, 0), (2,)),
+            stack(t, "uv1", (0, 1), (2,)),
+            stack(t, "uv2", (0, 0), (2,)),
         )
+
+    def _tri_uv(self, k, b0, b1, b2):
+        """Interpolated per-corner uv at barycentrics (b0,b1,b2); falls
+        back to raw barycentrics when the mesh carries no uv arrays."""
+        if self.tri_uv0 is None or self.tri_uv0.shape[0] == 0:
+            return jnp.stack([b0, b1], -1)
+        return (b0[..., None] * self.tri_uv0[k]
+                + b1[..., None] * self.tri_uv1[k]
+                + b2[..., None] * self.tri_uv2[k])
 
     @property
     def n_tri(self):
@@ -341,7 +359,8 @@ class Geometry(NamedTuple):
             p_k = o + t_k[..., None] * d
             best = upd(
                 best, closer, t_k, p_k, ngk, nsk,
-                jnp.stack([b0k, b1k], -1), self.tri_mat[k], self.tri_light[k],
+                self._tri_uv(k, b0k, b1k, b2k), self.tri_mat[k],
+                self.tri_light[k],
                 self.tri_med_in[k], self.tri_med_out[k], k.astype(jnp.int32),
             )
 
@@ -564,7 +583,8 @@ class Geometry(NamedTuple):
         return HitRecord(
             best.hit | closer, w(t_best, best.t), w(p_k, best.p),
             w(ngk, best.n), w(nsk, best.ns),
-            w(jnp.stack([b0k, b1k], -1), best.uv), w(self.tri_mat[kc], best.mat_id),
+            w(self._tri_uv(kc, b0k, b1k, b2k), best.uv),
+            w(self.tri_mat[kc], best.mat_id),
             w(self.tri_light[kc], best.light_id), w(self.tri_med_in[kc], best.med_in),
             w(self.tri_med_out[kc], best.med_out), w(kc, best.prim_id),
             best.tangent,

@@ -221,3 +221,69 @@ def eval_texture(bank: Textures, tex_id, uv, p=None):
     out = jnp.where((k == MIX)[..., None],
                     (1.0 - amt) * inner_val + amt * inner2_val, out)
     return jnp.where((tex_id >= 0)[..., None], out, jnp.ones_like(out))
+
+
+# ---------------------------------------------------------------------------
+# Per-face textures (PtexTexture analog, textures.h:~700)
+#
+# The reference evaluates Disney Ptex files through the ptex library
+# (per-face texel grids addressed by faceIndex). The TPU-native design
+# bakes the faces into ONE texture atlas at scene-build time and rewrites
+# the mesh's per-corner uv to each face's atlas rect — after that the hot
+# path is a plain bilinear image lookup (single gather chain, no
+# face-indexed dispatch). Rects map face-local uv to texel CENTERS, so
+# bilinear taps never cross into a neighboring face.
+#
+# On-disk container: an .npz with arrays face_0..face_{F-1}, each
+# (h, w, 3) float; real .ptx files must be converted offline (the ptex
+# C++ library is not available here).
+# ---------------------------------------------------------------------------
+
+
+def save_face_textures(path, faces):
+    """Write the face-texture container (one (h,w,3) array per face)."""
+    np.savez(path, **{f"face_{i}": np.asarray(f, np.float32)
+                      for i, f in enumerate(faces)})
+
+
+def load_face_textures(path):
+    data = np.load(path)
+    n = len([k for k in data.files if k.startswith("face_")])
+    return [np.asarray(data[f"face_{i}"], np.float32) for i in range(n)]
+
+
+def build_face_atlas(faces):
+    """Shelf-pack face texel grids into one atlas.
+
+    Returns (atlas (H,W,3) float32, rects) where rects[i] = (u0,v0,u1,v1)
+    maps face i's local uv onto texel centers under the IMAGE-kind
+    sampling convention of _eval_level (x = u*(W-1), y = (1-v)*(H-1))."""
+    faces = [np.atleast_3d(np.asarray(f, np.float32)) for f in faces]
+    area = sum(f.shape[0] * f.shape[1] for f in faces)
+    W = 1
+    while W * W < 2 * area:
+        W *= 2
+    order = sorted(range(len(faces)), key=lambda i: -faces[i].shape[0])
+    pos = [None] * len(faces)
+    x = y = shelf_h = 0
+    for i in order:
+        h, w = faces[i].shape[:2]
+        if x + w > W:
+            x, y = 0, y + shelf_h
+            shelf_h = 0
+        pos[i] = (y, x)
+        x += w
+        shelf_h = max(shelf_h, h)
+    H = y + shelf_h + 1  # +1: keep u/v strictly below 1.0 (wrap-safe)
+    atlas = np.zeros((H, W + 1, 3), np.float32)
+    rects = []
+    for i, f in enumerate(faces):
+        h, w = f.shape[:2]
+        r0, c0 = pos[i]
+        atlas[r0:r0 + h, c0:c0 + w] = f[..., :3]
+        u0 = c0 / (W + 1 - 1)
+        u1 = (c0 + w - 1) / (W + 1 - 1)
+        v0 = 1.0 - (r0 + h - 1) / (H - 1)
+        v1 = 1.0 - r0 / (H - 1)
+        rects.append((u0, v0, u1, v1))
+    return atlas, rects

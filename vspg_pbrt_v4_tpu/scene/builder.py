@@ -105,6 +105,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     textures = []  # texture table rows
     tex_images = []  # loaded image arrays
     named_textures = {}
+    ptex_rects_by_tex = {}  # texture id -> per-face atlas rects
+    face_atlas_rects = {}  # material id -> per-face atlas rects
 
     def warn(msg, loc):
         warnings.warn(f"{loc}: {msg}")
@@ -144,11 +146,27 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             spheres.append(dict(c=c, r=r, mat=mat_id, light=-1,
                                 med_in=st.medium_in, med_out=st.medium_out))
         elif stype == "trianglemesh":
-            P = p.get_floats("P").reshape(-1, 3)
-            idx = p.get_ints("indices").reshape(-1, 3)
+            P = p.get_floats("P")
+            idx = p.get_ints("indices")
+            if P is None or idx is None:
+                from .parser import PbrtError
+
+                raise PbrtError(
+                    "trianglemesh requires \"P\" and \"indices\"", d.loc)
+            P = P.reshape(-1, 3)
+            idx = idx.reshape(-1, 3)
             Pw = xf_pts(P)
             N = p.get_floats("N")
             Nw = xf_nrm(N.reshape(-1, 3)) if N is not None else None
+            UV = p.get_floats("uv")
+            if UV is None:
+                UV = p.get_floats("st")
+            UV = UV.reshape(-1, 2) if UV is not None else None
+            # ptex-style per-face texturing: when the bound material's
+            # texture is a face atlas, each triangle's corners get that
+            # face's atlas rect (face index = mesh triangle order,
+            # faceIndex semantics of pbrt's PtexTexture)
+            atlas_rects = face_atlas_rects.get(mat_id)
             for t_i in range(idx.shape[0]):
                 a, b, c3 = idx[t_i]
                 if has_light:
@@ -160,6 +178,12 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                             med_in=st.medium_in, med_out=st.medium_out)
                 if Nw is not None:
                     trid.update(n0=Nw[a], n1=Nw[b], n2=Nw[c3])
+                if atlas_rects is not None and t_i < len(atlas_rects):
+                    u0, v0, u1, v1 = atlas_rects[t_i]
+                    # face-local barycentric corners -> atlas rect
+                    trid.update(uv0=(u1, v0), uv1=(u0, v1), uv2=(u0, v0))
+                elif UV is not None:
+                    trid.update(uv0=UV[a], uv1=UV[b], uv2=UV[c3])
                 tris.append(trid)
                 light_id = -1
         elif stype == "disk":
@@ -355,11 +379,17 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 mats.append(_make_material(mtype, p, warn, d.loc,
                                            named_textures, named_mats))
                 st.material = len(mats) - 1
+                tref = mats[-1].get("albedo_tex", -1)
+                if tref in ptex_rects_by_tex:
+                    face_atlas_rects[st.material] = ptex_rects_by_tex[tref]
         elif name == "MakeNamedMaterial":
             ptype = p.get_string("type", "diffuse")
             mats.append(_make_material(ptype, p, warn, d.loc, named_textures,
                                        named_mats))
             named_mats[d.args[0]] = len(mats) - 1
+            tref = mats[-1].get("albedo_tex", -1)
+            if tref in ptex_rects_by_tex:
+                face_atlas_rects[len(mats) - 1] = ptex_rects_by_tex[tref]
         elif name == "NamedMaterial":
             st.material = named_mats.get(d.args[0], 0)
 
@@ -679,6 +709,29 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                                     p.get_float("vscale", 1.0)))
             elif tclass == "uv":
                 row = dict(kind=UV_TEX)
+            elif tclass == "ptex":
+                # PtexTexture analog: faces baked into an atlas; the mesh
+                # bound to the material gets per-face atlas uv rects
+                # (models/textures.build_face_atlas)
+                fname = p.get_string("filename")
+                try:
+                    from ..models.textures import (build_face_atlas,
+                                                   load_face_textures)
+
+                    if not fname.endswith(".npz"):
+                        raise ValueError(
+                            "raw .ptx needs the ptex library; convert to "
+                            "the .npz face container offline")
+                    atlas_img, rects = build_face_atlas(
+                        load_face_textures(fname))
+                    tex_images.append(atlas_img)
+                    row = dict(kind=IMAGE, image_id=len(tex_images) - 1,
+                               uvscale=(1.0, 1.0))
+                    ptex_rects_by_tex[len(textures)] = rects
+                except Exception as ex:  # noqa: BLE001
+                    warn(f"ptex '{fname}' failed to load ({ex}); "
+                         "using constant", d.loc)
+                    row = dict(kind=CONSTANT, c0=(0.5, 0.5, 0.5))
             else:
                 warn(f"texture type '{tclass}' unsupported; constant grey",
                      d.loc)

@@ -107,9 +107,12 @@ def parse_pbrt_string(text, filename="<string>", search_path="."):
         if tok in ("Include", "Import"):
             fname = tokens[i + 1][0].strip('"')
             path = os.path.join(search_path, fname)
-            with open(path) as f:
-                out.extend(parse_pbrt_string(
-                    f.read(), fname, os.path.dirname(path) or "."))
+            try:
+                with open(path) as f:
+                    out.extend(parse_pbrt_string(
+                        f.read(), fname, os.path.dirname(path) or "."))
+            except OSError as e:
+                raise PbrtError(f"couldn't open include file: {e}", loc)
             i += 2
             continue
 
@@ -220,3 +223,13 @@ class ParameterDictionary:
 
     def unused(self):
         return [k for k in self.params if k not in self.used]
+
+
+class PbrtError(Exception):
+    """Scene-file error with FileLoc context (util/error.h ErrorExit:
+    '<file>:<line>: error: <msg>'). The CLI catches this and prints the
+    pbrt-style diagnostic instead of a traceback."""
+
+    def __init__(self, msg, loc=None):
+        self.loc = loc
+        super().__init__(f"{loc}: {msg}" if loc else msg)

@@ -1,24 +1,55 @@
 """Image IO + error metrics (analog of ``util/image.h`` IO surface).
 
-EXR: minimal pure-Python OpenEXR 2.0 codec — uncompressed scanline FLOAT
-(and HALF on read) RGB(A) images, enough for film output, guiding-buffer
-caches and reference images (no OpenEXR binding is available in this
-environment). PNG via imageio with sRGB encode.
+EXR: minimal pure-Python OpenEXR 2.0 codec — scanline FLOAT/HALF RGB(A)
+images, NONE or ZIP compression (the reference writes ZIP by default;
+codec scheme per OpenEXR ImfZip: byte reorder + delta predictor + zlib).
+No OpenEXR binding is available in this environment. PNG via imageio
+with sRGB encode.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 _EXR_MAGIC = 20000630
+_ZIP_BLOCK = 16  # scanlines per ZIP chunk
 
 
-def write_exr(path, img, channel_names=("R", "G", "B"), half=False):
-    """Write (ny, nx, C) as an uncompressed scanline EXR (FLOAT, or HALF
-    when half=True — the reference's default film pixel format,
-    util/image.h PixelFormat::Half)."""
+def _zip_predict(raw):
+    """OpenEXR ImfZip compress transform: split even/odd bytes into two
+    halves, then delta-encode."""
+    arr = np.frombuffer(raw, np.uint8)
+    n = arr.size
+    half = (n + 1) // 2
+    tmp = np.empty(n, np.uint8)
+    tmp[:half] = arr[0::2]
+    tmp[half:] = arr[1::2]
+    d = tmp.astype(np.int16)
+    d[1:] = d[1:] - tmp[:-1].astype(np.int16) + 384
+    return d.astype(np.uint8).tobytes()
+
+
+def _zip_unpredict(buf):
+    d = np.frombuffer(buf, np.uint8).astype(np.int64)
+    d[1:] -= 384
+    s = (np.cumsum(d) & 0xFF).astype(np.uint8)
+    n = s.size
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = s[:half]
+    out[1::2] = s[half:]
+    return out.tobytes()
+
+
+def write_exr(path, img, channel_names=("R", "G", "B"), half=False,
+              compression="zip"):
+    """Write (ny, nx, C) as a scanline EXR. HALF when half=True (the
+    reference's default film pixel format, util/image.h
+    PixelFormat::Half); compression "zip" (default, 16-line chunks) or
+    "none"."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
@@ -29,6 +60,7 @@ def write_exr(path, img, channel_names=("R", "G", "B"), half=False):
     names = [channel_names[i] for i in order]
     ptype = 1 if half else 2  # 1=HALF, 2=FLOAT
     psize = 2 if half else 4
+    use_zip = compression == "zip"
 
     def attr(name, typ, data):
         return (name.encode() + b"\0" + typ.encode() + b"\0"
@@ -43,7 +75,8 @@ def write_exr(path, img, channel_names=("R", "G", "B"), half=False):
 
     header = b""
     header += attr("channels", "chlist", chlist)
-    header += attr("compression", "compression", b"\0")  # none
+    header += attr("compression", "compression",
+                   bytes([3 if use_zip else 0]))  # 3=ZIP, 0=NONE
     header += attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, nx - 1, ny - 1))
     header += attr("displayWindow", "box2i", struct.pack("<iiii", 0, 0, nx - 1, ny - 1))
     header += attr("lineOrder", "lineOrder", b"\0")
@@ -52,19 +85,30 @@ def write_exr(path, img, channel_names=("R", "G", "B"), half=False):
     header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     header += b"\0"
 
+    dt = "<f2" if half else "<f4"
+    lines_per = _ZIP_BLOCK if use_zip else 1
+    chunks = []
+    for y0c in range(0, ny, lines_per):
+        block = b"".join(
+            img[y, :, ci].astype(dt).tobytes()
+            for y in range(y0c, min(y0c + lines_per, ny)) for ci in order)
+        if use_zip:
+            comp = zlib.compress(_zip_predict(block))
+            if len(comp) >= len(block):
+                comp = block  # EXR rule: store raw if zip doesn't shrink
+            chunks.append(struct.pack("<ii", y0c, len(comp)) + comp)
+        else:
+            chunks.append(struct.pack("<ii", y0c, len(block)) + block)
+
     with open(path, "wb") as f:
         f.write(struct.pack("<ii", _EXR_MAGIC, 2))
         f.write(header)
-        # scanline offset table
-        offset0 = 8 + len(header) + 8 * ny
-        line_size = 4 + 4 + nx * psize * nc
-        for y in range(ny):
-            f.write(struct.pack("<Q", offset0 + y * line_size))
-        dt = "<f2" if half else "<f4"
-        for y in range(ny):
-            f.write(struct.pack("<ii", y, nx * psize * nc))
-            for ci in order:
-                f.write(img[y, :, ci].astype(dt).tobytes())
+        off = 8 + len(header) + 8 * len(chunks)
+        for ch in chunks:
+            f.write(struct.pack("<Q", off))
+            off += len(ch)
+        for ch in chunks:
+            f.write(ch)
 
 
 def read_exr(path):
@@ -102,27 +146,41 @@ def read_exr(path):
         cpos += 16
         channels.append((cname, ptype))
     comp = attrs["compression"][1][0]
-    assert comp == 0, f"only uncompressed EXR supported (compression={comp})"
+    assert comp in (0, 2, 3), \
+        f"unsupported EXR compression {comp} (NONE/ZIPS/ZIP only)"
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     nx, ny = x1 - x0 + 1, y1 - y0 + 1
 
-    pos += 8 * ny  # skip offset table
+    lines_per = {0: 1, 2: 1, 3: _ZIP_BLOCK}[comp]
+    n_chunks = -(-ny // lines_per)
+    pos += 8 * n_chunks  # skip offset table
     nc = len(channels)
+    line_bytes = sum(nx * (2 if pt == 1 else 4) for _, pt in channels)
     img = np.zeros((ny, nx, nc), np.float32)
-    for yi in range(ny):
-        y, nbytes = struct.unpack_from("<ii", data, pos)
+    for _ in range(n_chunks):
+        yb, nbytes = struct.unpack_from("<ii", data, pos)
         pos += 8
-        for ci, (cname, ptype) in enumerate(channels):
-            if ptype == 2:  # FLOAT
-                vals = np.frombuffer(data, "<f4", nx, pos)
-                pos += nx * 4
-            elif ptype == 1:  # HALF
-                vals = np.frombuffer(data, "<f2", nx, pos).astype(np.float32)
-                pos += nx * 2
-            else:  # UINT
-                vals = np.frombuffer(data, "<u4", nx, pos).astype(np.float32)
-                pos += nx * 4
-            img[y - y0, :, ci] = vals
+        n_lines = min(lines_per, ny - (yb - y0))
+        raw_size = line_bytes * n_lines
+        payload = data[pos:pos + nbytes]
+        pos += nbytes
+        if comp in (2, 3) and nbytes < raw_size:
+            payload = _zip_unpredict(zlib.decompress(payload))
+        bpos = 0
+        for li in range(n_lines):
+            for ci, (cname, ptype) in enumerate(channels):
+                if ptype == 2:  # FLOAT
+                    vals = np.frombuffer(payload, "<f4", nx, bpos)
+                    bpos += nx * 4
+                elif ptype == 1:  # HALF
+                    vals = np.frombuffer(payload, "<f2", nx,
+                                         bpos).astype(np.float32)
+                    bpos += nx * 2
+                else:  # UINT
+                    vals = np.frombuffer(payload, "<u4", nx,
+                                         bpos).astype(np.float32)
+                    bpos += nx * 4
+                img[yb - y0 + li, :, ci] = vals
     return img, [c[0] for c in channels]
 
 

@@ -1177,7 +1177,8 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
     for wave in range(spp // spp_per_pass):
         do_train = train and int(field.iteration) < gopt.train_waves
         if not do_train and use_pallas and _pallas_supported(
-                scene, camera, film, cfg, gopt, vopt, field):
+                scene, camera, film, cfg, gopt, vopt, field,
+                bool(interpret_pallas)):
             break  # remaining spp render through the fused kernel
         spp_done += spp_per_pass
         film_state, isgb, batch, tr = vspg_wave(
@@ -1214,9 +1215,16 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
     return film.image(film_state), field, isgb
 
 
-def _pallas_supported(scene, camera, film, cfg, gopt, vopt, field):
+def _pallas_supported(scene, camera, film, cfg, gopt, vopt, field,
+                      interpret=False):
     if vopt.sampling_method != "resampling":
         return False  # NDS/NDS+ distance routes stay on the XLA path
+    import jax
+
+    # TPU kernels only — CPU runs stay on the XLA path unless the caller
+    # explicitly asked for interpret-mode Pallas (tests)
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return False
     try:
         from ...ops import pallas_vspg as _pk
 

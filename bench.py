@@ -249,6 +249,31 @@ def bench_config4():
         vspg.VSPGOptions(vsp_criterion="variance"))
 
 
+def bench_config6():
+    """Cornell box surface path tracing through the surface megakernel
+    (ops/pallas_surface): the wavefront surface-scene class at full fusion."""
+    res, spp = 256, 64
+    scene = volpath.make_cornell_box_scene()
+    camera = PerspectiveCamera.make(
+        tr.look_at((0, 1.0, 3.2), (0, 1.0, 0), (0, 1, 0)), 45.0, (res, res))
+    film = RGBFilm.make((res, res))
+    cfg = volpath.VolPathConfig(max_depth=8, max_events=24)
+
+    def run(seed, spp_):
+        return volpath.render_persistent(scene, camera, film, spp=spp_,
+                                         cfg=cfg, seed=seed,
+                                         lanes_per_pixel=1)
+
+    best = _time_best(run, (0, 8), [(i + 1, spp) for i in range(2)])
+    mpaths = res * res * spp / best / 1e6
+    return {
+        "metric": "path_cornell_surface_256x256x64spp",
+        "value": round(mpaths, 3),
+        "unit": "Mpaths/sec/chip",
+        "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
+    }
+
+
 def bench_config1():
     """Homogeneous HG fog box, 256x256 @ 64 spp — the primary metric.
     Served by the Pallas persistent-path megakernel (ops/pallas_volpath)."""
@@ -333,7 +358,7 @@ def main():
     primary = bench_config1()
     print(json.dumps(primary), flush=True)
     for fn in (bench_config2, bench_config2b, bench_config3, bench_config4,
-               bench_config5):
+               bench_config5, bench_config6):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # a secondary config must not sink the run

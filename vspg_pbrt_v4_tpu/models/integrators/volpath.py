@@ -960,6 +960,41 @@ def make_fog_box_scene(sigma_a, sigma_s, g=0.0, Le=None, env_L=None,
     return Scene(geom, Materials.build([]), media, lights)
 
 
+def make_cornell_box_scene(Le=12.0):
+    """Classic Cornell box (surface-only demo scene): white floor/ceiling/
+    back, red left, green right, ceiling area light facing down. Camera
+    convention: interior is x,z in [-1,1], y in [0,2]; view from +z."""
+
+    def quad(p00, p10, p11, p01, mat, light=-1):
+        return [dict(p0=p00, p1=p10, p2=p11, mat=mat, light=light),
+                dict(p0=p00, p1=p11, p2=p01, mat=mat, light=light)]
+
+    white, red, green = 0, 1, 2
+    tris = []
+    tris += quad((-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1), white)
+    tris += quad((-1, 2, 1), (1, 2, 1), (1, 2, -1), (-1, 2, -1), white)
+    tris += quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1), white)
+    tris += quad((-1, 0, -1), (-1, 0, 1), (-1, 2, 1), (-1, 2, -1), red)
+    tris += quad((1, 0, 1), (1, 0, -1), (1, 2, -1), (1, 2, 1), green)
+    lq = [(-0.35, 1.99, -0.35), (0.35, 1.99, -0.35),
+          (0.35, 1.99, 0.35), (-0.35, 1.99, 0.35)]
+    lt = [dict(p0=lq[0], p1=lq[1], p2=lq[3], mat=white, light=0),
+          dict(p0=lq[1], p1=lq[2], p2=lq[3], mat=white, light=1)]
+    tris += lt
+    geom = Geometry.build(triangles=tris, use_bvh=False)
+    mats = Materials.build([
+        dict(type=0, albedo=(0.73, 0.73, 0.73)),
+        dict(type=0, albedo=(0.65, 0.05, 0.05)),
+        dict(type=0, albedo=(0.12, 0.45, 0.15)),
+    ])
+    area = [dict(p0=t["p0"], p1=t["p1"], p2=t["p2"], L=(Le,) * 3)
+            for t in lt]
+    lights = Lights.make(area_tris=area)
+    from ..media import Media
+
+    return Scene(geom, mats, Media.make(), lights)
+
+
 # ---------------------------------------------------------------------------
 # Persistent wavefront: ray-pool regeneration
 # ---------------------------------------------------------------------------
@@ -1067,6 +1102,12 @@ def render_persistent(scene: Scene, camera, film, spp=16,
                 and _pv.supports(scene, camera, film, cfg)):
             return _pv.render_homog_pallas(scene, camera, film, int(spp),
                                            cfg, seed)
+        if c is None:
+            from ...ops import pallas_surface as _ps
+
+            if _ps.supports(scene, camera, film, cfg):
+                return _ps.render_surface_pallas(scene, camera, film,
+                                                 int(spp), cfg, seed)
     R = film.npix * max(int(lanes_per_pixel), 1)
     return _render_persistent_jit(scene, camera, film, cfg, int(spp),
                                   jnp.uint32(seed), int(camera_medium), R,

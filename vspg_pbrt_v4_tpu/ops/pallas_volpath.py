@@ -765,7 +765,10 @@ def _make_grid_kernel(c, spp, sub):
 
         def table_lookup(tab_ref, n_chunks, flat_idx):
             """tab[flat_idx] via a word-chunk sweep on the bf16-pair-packed
-            table; flat_idx (sub,128) int32."""
+            table; flat_idx (sub,128) int32. The sweep is bounded to the
+            [min, max] chunk window the lanes actually touch — spatially
+            coherent lanes (camera packets, shadow packets) then pay a
+            fraction of the full-table cost."""
             word_idx = flat_idx >> 1
             c_idx = word_idx >> 7
             l_idx = word_idx & 127
@@ -776,7 +779,9 @@ def _make_grid_kernel(c, spp, sub):
                 gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
                 return jnp.where(c_idx == cc, gathered, acc)
 
-            word = jax.lax.fori_loop(0, n_chunks, body, zf)
+            lo = jnp.min(c_idx)
+            hi = jnp.minimum(jnp.max(c_idx), n_chunks - 1)
+            word = jax.lax.fori_loop(lo, hi + 1, body, zf)
             return _unpack_sel(word, flat_idx & 1)
 
         def density_at(px, py, pz):
@@ -815,7 +820,12 @@ def _make_grid_kernel(c, spp, sub):
                     new.append(jnp.where((cw_i >> 7) == cc, gathered, acc))
                 return tuple(new)
 
-            vals = jax.lax.fori_loop(0, n_dens_chunks, body, (zf,) * 8)
+            # dynamic sweep window: corner 0 is the smallest flat index,
+            # corner 7 the largest, so [min(chunk0), max(chunk7)] covers
+            # every lane's corners; coherent lanes shrink the sweep
+            lo = jnp.min(corner_word[0] >> 7)
+            hi = jnp.minimum(jnp.max(corner_word[7] >> 7), n_dens_chunks - 1)
+            vals = jax.lax.fori_loop(lo, hi + 1, body, (zf,) * 8)
             d = sum(_unpack_sel(v, ci & 1) * w
                     for v, ci, w in zip(vals, corner_idx, corner_w))
             inside = ((px >= bmin[0]) & (px <= bmax[0])

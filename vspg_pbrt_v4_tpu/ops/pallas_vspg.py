@@ -256,7 +256,10 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
                 return jnp.where(c_idx == cc, gathered, acc)
 
-            word = jax.lax.fori_loop(0, n_chunks, body, zf)
+            # dynamic window: sweep only chunks some lane touches
+            lo = jnp.min(c_idx)
+            hi = jnp.minimum(jnp.max(c_idx), n_chunks - 1)
+            word = jax.lax.fori_loop(lo, hi + 1, body, zf)
             return _unpack_sel(word, flat_idx & 1)
 
         def density_at(px, py, pz):
@@ -292,7 +295,11 @@ def _make_vspg_kernel(c, gc, spp, sub):
                     new.append(jnp.where((cw_i >> 7) == cc, gathered, acc))
                 return tuple(new)
 
-            vals = jax.lax.fori_loop(0, n_dens_chunks, body, (zf,) * 8)
+            # dynamic window: corner 0 is the min flat index, corner 7 the
+            # max, so [min(chunk0), max(chunk7)] covers all lanes' corners
+            lo = jnp.min(corner_word[0] >> 7)
+            hi = jnp.minimum(jnp.max(corner_word[7] >> 7), n_dens_chunks - 1)
+            vals = jax.lax.fori_loop(lo, hi + 1, body, (zf,) * 8)
             d = sum(_unpack_sel(v, ci & 1) * w
                     for v, ci, w in zip(vals, corner_idx, corner_w))
             inside = ((px >= bmin[0]) & (px <= bmax[0])
@@ -356,7 +363,9 @@ def _make_vspg_kernel(c, gc, spp, sub):
                     new.append(jnp.where(c_idx == cc, gathered, accs[q]))
                 return tuple(new)
 
-            words = jax.lax.fori_loop(0, n_cell_chunks, body, (zf,) * PW)
+            lo = jnp.min(c_idx)
+            hi = jnp.minimum(jnp.max(c_idx), n_cell_chunks - 1)
+            words = jax.lax.fori_loop(lo, hi + 1, body, (zf,) * PW)
             vals = []
             for p in range(P_ROWS):
                 w_q = words[p // 2]

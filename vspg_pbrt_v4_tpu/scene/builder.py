@@ -68,6 +68,12 @@ class _GState:
 
 
 def build_render_setup(directives, spp_override=None, res_override=None):
+    # async asset loading: start background loads of every referenced file
+    # (PLY, images, volume grids) before the directive walk consumes them
+    # (scene.cpp RunAsync imports; see scene/assets.py)
+    from . import assets
+
+    assets.prefetch(directives)
     st = _GState()
     stack = []
     world = False
@@ -282,10 +288,10 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 warn("bilinear-patch area light not supported for NEE; "
                      "use trianglemesh emitters", d.loc)
         elif stype == "plymesh":
-            from ..native import load_ply
+            from . import assets
 
             fname = p.get_string("filename")
-            mesh = load_ply(fname) if fname else None
+            mesh = assets.get_ply(fname) if fname else None
             if mesh is None:
                 warn(f"plymesh '{fname}' could not be loaded; skipped",
                      d.loc)
@@ -418,9 +424,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 I = p.get_rgb("I", np.asarray([1.0, 1, 1])) * scale
                 fname = p.get_string("filename")
                 try:
-                    from ..utils.image import read_image
+                    from .assets import get_image
 
-                    img = read_image(fname)
+                    img = get_image(fname)
                 except Exception as ex:  # noqa: BLE001
                     warn(f"goniometric image '{fname}' failed ({ex}); "
                          "uniform", d.loc)
@@ -432,9 +438,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 I = p.get_rgb("I", np.asarray([1.0, 1, 1])) * scale
                 fname = p.get_string("filename")
                 try:
-                    from ..utils.image import read_image
+                    from .assets import get_image
 
-                    img = read_image(fname)
+                    img = get_image(fname)
                 except Exception as ex:  # noqa: BLE001
                     warn(f"projection image '{fname}' failed ({ex}); "
                          "uniform", d.loc)
@@ -452,9 +458,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             elif ltype == "infinite":
                 fname = p.get_string("filename")
                 if fname is not None:
-                    from ..utils.image import read_image
+                    from .assets import get_image
 
-                    img = read_image(fname) * scale
+                    img = get_image(fname) * scale
                     if img.shape[0] != img.shape[1]:
                         from ..utils.envmap import latlong_to_equal_area
 
@@ -490,9 +496,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                                         p.get_string("filename", ""))
                 if gridfile.endswith(".nvdb") or mtype == "nanovdb":
                     # raw NanoVDB (media.h:657 NanoVDBMedium; tools/nvdb.py)
-                    from ..tools.nanovdb2grid import load_volume
+                    from .assets import get_volume
 
-                    dens, p0, p1 = load_volume(gridfile)
+                    dens, p0, p1 = get_volume(gridfile)
                     if p0 is None:
                         p0, p1 = np.zeros(3), np.ones(3)
                     dens = dens + p.get_float("densityoffset", 0.0)
@@ -567,7 +573,6 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 named_media[mname] = ("proc", len(proc_media) - 1)
             elif mtype == "earth":
                 from ..models.media import EarthMedium
-                from ..utils.image import read_image
 
                 b0 = xf_pts(p.get_point3("p0", -2 * np.ones(3)))
                 b1 = xf_pts(p.get_point3("p1", 2 * np.ones(3)))
@@ -575,7 +580,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 hm_file = p.get_string("heightmap", "")
                 if hm_file:
                     try:
-                        im = read_image(hm_file)
+                        from .assets import get_image
+
+                        im = get_image(hm_file)
                         hm = im.mean(-1) if im.ndim == 3 else im
                     except Exception as ex:  # noqa: BLE001
                         warn(f"earth heightmap '{hm_file}' failed ({ex}); "
@@ -660,9 +667,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             elif tclass == "imagemap":
                 fname = p.get_string("filename")
                 try:
-                    from ..utils.image import read_image
+                    from .assets import get_image
 
-                    img = read_image(fname)
+                    img = get_image(fname)
                     tex_images.append(img)
                     row = dict(kind=IMAGE, image_id=len(tex_images) - 1,
                                uvscale=(p.get_float("uscale", 1.0),

@@ -173,3 +173,52 @@ def test_grid_megakernel_matches_volpath():
     for sl in (np.s_[:16, :16], np.s_[16:, 16:], np.s_[:16, 16:]):
         a, b = ref[sl].mean(), img[sl].mean()
         assert abs(b - a) / a < 0.06, (sl, a, b)
+
+
+def test_i8_quad_pack_roundtrip():
+    """pack_i8_quads decodes to d_q with 0 <= d_q <= d and
+    d - d_q <= scale/255 everywhere (density rounds down; the decode
+    scale is the bf16-up supervoxel majorant)."""
+    rng = np.random.default_rng(0)
+    n, m = 16, 4
+    d = (rng.random((n, n, n), dtype=np.float32) ** 2) * 5.0
+    # majorant with halo like GridMedium.make
+    from vspg_pbrt_v4_tpu.models.media import GridMedium
+
+    gm = GridMedium.make(d, [0.1] * 3, [1.0] * 3, (-1,) * 3, (1,) * 3,
+                         maj_res=m)
+    maj = np.asarray(gm.majorant)
+    packed = pv.pack_i8_quads(d, maj, (n, n, n), (m, m, m))
+    words = packed.reshape(-1).view(np.uint32)
+    q = np.stack([(words >> (8 * k)) & 255 for k in range(4)],
+                 -1).reshape(-1)[: n * n * n].reshape(n, n, n)
+    mu = maj.view(np.uint32).astype(np.uint64)
+    m_up = ((np.minimum(mu + 0xFFFF, 0xFFFF_FFFF) >> 16) << 16) \
+        .astype(np.uint32).view(np.float32)
+    r = n // m
+    scale = np.repeat(np.repeat(np.repeat(m_up, r, 0), r, 1), r, 2)
+    d_q = q.astype(np.float32) * scale / 255.0
+    assert (d_q <= d + 1e-6).all()
+    assert (d - d_q <= scale / 255.0 + 1e-5).all()
+
+
+def test_grid_megakernel_i8_matches_volpath():
+    """Force the uint8-quad density path on the small test cloud: the
+    quantized-field estimator agrees with the jnp DDA loop within MC
+    noise (the <=0.4%-of-local-max rounding is far below MC tolerance)."""
+    old = pv.I8_THRESHOLD
+    pv.I8_THRESHOLD = 0
+    try:
+        scene, camera, film, cfg = _cloud_setup()
+        c = pv.extract_constants(scene, camera, film, cfg)
+        assert c is not None and c["dens_pack"] == "i8"
+        ref = np.asarray(volpath.render(scene, camera, film, spp=48, seed=3,
+                                        spp_per_pass=8))
+        img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48,
+                                                cfg, seed=7,
+                                                interpret=True))
+        assert np.isfinite(img).all()
+        rel = abs(img.mean() - ref.mean()) / ref.mean()
+        assert rel < 0.03, (img.mean(), ref.mean())
+    finally:
+        pv.I8_THRESHOLD = old

@@ -40,6 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 _U32 = jnp.uint32
 INV_4PI = 1.0 / (4.0 * np.pi)
 _BIG = 3e37
+# density grids above this voxel count use uint8-quad packing (half the
+# gather sweep of bf16 pairs); tests may lower it to force the i8 path
+I8_THRESHOLD = 32768
 
 
 def _pcg4d(a, b, c, d):
@@ -170,6 +173,7 @@ def extract_constants(scene, camera, film, cfg):
             ss_base = tuple(float(x) for x in np.asarray(m.h_sigma_s)[0])
             g_hg = float(np.asarray(m.h_g)[0])
             grid_res = maj_res = None
+            dens_pack = "bf16"
         else:
             gm = m.grids[0]
             sa_base = tuple(float(x) for x in np.asarray(gm.sigma_a))
@@ -177,10 +181,14 @@ def extract_constants(scene, camera, film, cfg):
             g_hg = float(np.asarray(gm.g))
             grid_res = tuple(int(v) for v in gm.res)
             maj_res = tuple(int(v) for v in gm.maj_res)
+            # big grids: supervoxel-scaled uint8 quads halve the gather
+            # sweep (error <= local-max/255, same class as bf16 rounding)
+            dens_pack = "i8" if nvox > I8_THRESHOLD else "bf16"
         c = dict(
             kind=medium_kind,
             grid_res=grid_res,
             maj_res=maj_res,
+            dens_pack=dens_pack,
             sigma_a=sa_base,
             sigma_s=ss_base,
             g_hg=g_hg,
@@ -326,6 +334,53 @@ def pack_bf16_pairs(arr, mode="down"):
     pad = (-words.size) % 128
     words = np.pad(words, (0, pad))
     return words.view(np.float32).reshape(-1, 128)
+
+
+def pack_i8_quads(dens, maj, grid_res, maj_res):
+    """Pack a density grid as per-supervoxel-scaled uint8, FOUR values per
+    f32 word: q = floor(d / m_up(sv) * 255) where m_up is the bf16
+    up-rounded supervoxel majorant (the same value the kernel decodes
+    with, so q*m_up/255 <= d always — density rounds down, majorant up).
+    Returns an (n_word_chunks, 128) f32 bitcast view. Quantization error
+    is <= m_up/255 per supervoxel — like bf16, ~0.4% of the local max —
+    but the sweep is half the bf16-pair cost."""
+    d = np.asarray(dens, np.float32)
+    gx, gy, gz = grid_res
+    mx, my, mz = maj_res
+    # bf16-up-rounded majorant per supervoxel (matches _unpack of the
+    # "up"-packed maj table the kernel reads scales from)
+    m = np.asarray(maj, np.float32).view(np.uint32).astype(np.uint64)
+    m_up = ((np.minimum(m + 0xFFFF, 0xFFFF_FFFF) >> 16) << 16) \
+        .astype(np.uint32).view(np.float32).reshape(mx, my, mz)
+    ix = (np.arange(gx) * mx) // gx
+    iy = (np.arange(gy) * my) // gy
+    iz = (np.arange(gz) * mz) // gz
+    scale = m_up[np.ix_(ix, iy, iz)]
+    q = np.zeros_like(d, np.uint32)
+    nz = scale > 0
+    q[nz] = np.clip(np.floor(d[nz] / scale[nz] * 255.0), 0, 255) \
+        .astype(np.uint32)
+    flat = q.reshape(-1)
+    pad = (-flat.size) % 4
+    flat = np.pad(flat, (0, pad))
+    words = (flat[0::4] | (flat[1::4] << 8) | (flat[2::4] << 16)
+             | (flat[3::4] << 24)).astype(np.uint32)
+    pad = (-words.size) % 128
+    words = np.pad(words, (0, pad))
+    return words.view(np.float32).reshape(-1, 128)
+
+
+def _unpack_i8(word_f32, parity):
+    """Extract byte `parity` (0..3) of the bitcast word as f32 in 0..255.
+    Static shift amounts only (Mosaic vector shifts by vectors are not
+    relied on); the mask also clears sign-extension from >>24."""
+    w = jax.lax.bitcast_convert_type(word_f32, jnp.int32)
+    m = jnp.int32(255)
+    return jnp.where(
+        parity == 0, w & m,
+        jnp.where(parity == 1, (w >> 8) & m,
+                  jnp.where(parity == 2, (w >> 16) & m,
+                            (w >> 24) & m))).astype(jnp.float32)
 
 
 def _unpack_lo(word_f32):
@@ -704,9 +759,14 @@ def _make_grid_kernel(c, spp, sub):
     ext = tuple(bmax[k] - bmin[k] for k in range(3))
     gx, gy, gz = c["grid_res"]
     mx, my, mz = c["maj_res"]
-    # tables arrive bf16-pair-packed: chunk counts are over WORDS
-    n_dens_chunks = -(-(gx * gy * gz) // 256)
+    # density table format: bf16 pairs (2 values/word) or supervoxel-scaled
+    # uint8 quads (4 values/word — half the sweep, used for big grids)
+    i8 = c.get("dens_pack", "bf16") == "i8"
+    n_dens_chunks = -(-(gx * gy * gz) // (512 if i8 else 256))
     n_maj_chunks = -(-(mx * my * mz) // 256)
+    inv_rx = 1.0 / (gx // mx)
+    inv_ry = 1.0 / (gy // my)
+    inv_rz = 1.0 / (gz // mz)
     has_point, has_env = c["has_point"], c["has_env"]
     lp = np.asarray(c["point_p"], np.float32)
     lI = np.asarray(c["point_I"], np.float32)
@@ -804,12 +864,15 @@ def _make_grid_kernel(c, spp, sub):
             # words unpack by parity after the sweep
             corner_idx = []
             corner_w = []
+            corner_cell = []
             for cx, wxa in ((ix0, 1.0 - wx), (ix1, wx)):
                 for cy, wya in ((iy0, 1.0 - wy), (iy1, wy)):
                     for cz, wza in ((iz0, 1.0 - wz), (iz1, wz)):
                         corner_idx.append((cx * gy + cy) * gz + cz)
                         corner_w.append(wxa * wya * wza)
-            corner_word = [ci >> 1 for ci in corner_idx]
+                        corner_cell.append((cx, cy, cz))
+            wshift = 2 if i8 else 1
+            corner_word = [ci >> wshift for ci in corner_idx]
 
             def body(cc, accs):
                 row = dens_ref[cc]
@@ -826,8 +889,46 @@ def _make_grid_kernel(c, spp, sub):
             lo = jnp.min(corner_word[0] >> 7)
             hi = jnp.minimum(jnp.max(corner_word[7] >> 7), n_dens_chunks - 1)
             vals = jax.lax.fori_loop(lo, hi + 1, body, (zf,) * 8)
-            d = sum(_unpack_sel(v, ci & 1) * w
-                    for v, ci, w in zip(vals, corner_idx, corner_w))
+            if i8:
+                # q in 0..255 scaled by the corner supervoxel's bf16-up
+                # majorant (the exact scale pack_i8_quads encoded with)
+                qs = [_unpack_i8(v, ci & 3)
+                      for v, ci in zip(vals, corner_idx)]
+                msv_idx = []
+                for (cx, cy, cz) in corner_cell:
+                    # integer cell//ratio via exact float trick: the +0.5
+                    # keeps the quotient strictly off integer boundaries
+                    sxm = jnp.floor((cx.astype(jnp.float32) + 0.5)
+                                    * inv_rx).astype(jnp.int32)
+                    sym = jnp.floor((cy.astype(jnp.float32) + 0.5)
+                                    * inv_ry).astype(jnp.int32)
+                    szm = jnp.floor((cz.astype(jnp.float32) + 0.5)
+                                    * inv_rz).astype(jnp.int32)
+                    msv_idx.append((sxm * my + sym) * mz + szm)
+                msv_word = [mi >> 1 for mi in msv_idx]
+
+                def mbody(cc, accs):
+                    row = maj_ref[cc]
+                    chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                    new = []
+                    for mw_i, acc in zip(msv_word, accs):
+                        gathered = jnp.take_along_axis(chunk, mw_i & 127,
+                                                       axis=1)
+                        new.append(jnp.where((mw_i >> 7) == cc, gathered,
+                                             acc))
+                    return tuple(new)
+
+                mlo = jnp.min(msv_word[0] >> 7)
+                mhi = jnp.minimum(jnp.max(msv_word[7] >> 7),
+                                  n_maj_chunks - 1)
+                mvals = jax.lax.fori_loop(mlo, mhi + 1, mbody, (zf,) * 8)
+                scales = [_unpack_sel(v, mi & 1)
+                          for v, mi in zip(mvals, msv_idx)]
+                d = sum(q * s * (np.float32(1.0 / 255.0) * w)
+                        for q, s, w in zip(qs, scales, corner_w))
+            else:
+                d = sum(_unpack_sel(v, ci & 1) * w
+                        for v, ci, w in zip(vals, corner_idx, corner_w))
             inside = ((px >= bmin[0]) & (px <= bmax[0])
                       & (py >= bmin[1]) & (py <= bmax[1])
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
@@ -1274,13 +1375,14 @@ def _get_callable(c, spp, interpret):
         kernel = _make_grid_kernel(c, spp, sub)
         nvox = int(np.prod(c["grid_res"]))
         nmaj = int(np.prod(c["maj_res"]))
+        vals_per_word = 4 if c.get("dens_pack", "bf16") == "i8" else 2
         call = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128),
                                            jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec((-(-nvox // 256), 128),
+                      pl.BlockSpec((-(-nvox // (128 * vals_per_word)), 128),
                                    lambda b: (0, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((-(-nmaj // 256), 128),
@@ -1336,7 +1438,13 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
         raise ValueError("npix must be a multiple of 128")
     if c["kind"] == "grid":
         gm = scene.media.grids[0]
-        dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
+        if c["dens_pack"] == "i8":
+            dens = jnp.asarray(pack_i8_quads(
+                np.asarray(gm.density), np.asarray(gm.majorant),
+                c["grid_res"], c["maj_res"]))
+        else:
+            dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density),
+                                               "down"))
         maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
         # chunk spp across kernel launches: the fused DDA kernel's runtime
         # scales with spp and long launches can trip the TPU watchdog

@@ -184,3 +184,29 @@ def test_kernel_sharded_matches_single_device():
         isgb, seed=7, mesh=mesh, interpret=True))
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+
+
+def test_kernel_i8_density_furnace():
+    """Scattering furnace with the uint8-quad density format forced: the
+    quantized field is used consistently in rates AND weights, so the
+    furnace stays exact."""
+    from vspg_pbrt_v4_tpu.ops import pallas_volpath as pv
+
+    old = pv.I8_THRESHOLD
+    pv.I8_THRESHOLD = 0
+    try:
+        L0 = 0.7
+        scene = _grid_scene(_cloud_density(), [0, 0, 0], [2.0] * 3, g=0.3,
+                            env_L=[L0] * 3)
+        cam, film = _camera(), RGBFilm.make((RES, RES))
+        _, field, isgb = vspg.render_vspg(
+            scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT,
+            vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4,
+            use_pallas=False)
+        img = np.asarray(pk.render_vspg_pallas(
+            scene, cam, film, 64, _CFG, _GOPT, vspg.VSPGOptions(), field,
+            isgb, seed=9, interpret=True))
+        assert np.isfinite(img).all()
+        assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
+    finally:
+        pv.I8_THRESHOLD = old

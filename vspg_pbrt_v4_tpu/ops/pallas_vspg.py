@@ -37,8 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_volpath import (_BIG, INV_4PI, _U32, _box_hit, _coord_system,
                              _dot, _hg_value, _normalize, _sample_hg,
-                             _uniform4, _unpack_hi, _unpack_lo, _unpack_sel,
-                             extract_constants, pack_bf16_pairs)
+                             _uniform4, _unpack_hi, _unpack_i8, _unpack_lo,
+                             _unpack_sel, extract_constants, pack_bf16_pairs,
+                             pack_i8_quads)
 
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
@@ -130,9 +131,14 @@ def _make_vspg_kernel(c, gc, spp, sub):
     gx, gy, gz = c["grid_res"]
     mx, my, mz = c["maj_res"]
     # density/majorant tables arrive bf16-pair-packed (pallas_volpath
-    # .pack_bf16_pairs): chunk counts are over WORDS — half the sweep
-    n_dens_chunks = -(-(gx * gy * gz) // 256)
+    # .pack_bf16_pairs): chunk counts are over WORDS — half the sweep.
+    # Big grids use uint8 quads (pack_i8_quads) — a quarter the sweep.
+    i8 = c.get("dens_pack", "bf16") == "i8"
+    n_dens_chunks = -(-(gx * gy * gz) // (512 if i8 else 256))
     n_maj_chunks = -(-(mx * my * mz) // 256)
+    inv_rx = 1.0 / (gx // mx)
+    inv_ry = 1.0 / (gy // my)
+    inv_rz = 1.0 / (gz // mz)
     has_point, has_env = c["has_point"], c["has_env"]
     lp = np.asarray(c["point_p"], np.float32)
     lI = np.asarray(c["point_I"], np.float32)
@@ -278,13 +284,16 @@ def _make_vspg_kernel(c, gc, spp, sub):
             iz1 = jnp.minimum(iz0 + 1, gz - 1)
             corner_idx = []
             corner_w = []
+            corner_cell = []
             for cx, wxa in ((ix0, 1.0 - wx), (ix1, wx)):
                 for cy, wya in ((iy0, 1.0 - wy), (iy1, wy)):
                     for cz, wza in ((iz0, 1.0 - wz), (iz1, wz)):
                         corner_idx.append((cx * gy + cy) * gz + cz)
                         corner_w.append(wxa * wya * wza)
+                        corner_cell.append((cx, cy, cz))
 
-            corner_word = [ci >> 1 for ci in corner_idx]
+            wshift = 2 if i8 else 1
+            corner_word = [ci >> wshift for ci in corner_idx]
 
             def body(cc, accs):
                 row = dens_ref[cc]
@@ -300,8 +309,44 @@ def _make_vspg_kernel(c, gc, spp, sub):
             lo = jnp.min(corner_word[0] >> 7)
             hi = jnp.minimum(jnp.max(corner_word[7] >> 7), n_dens_chunks - 1)
             vals = jax.lax.fori_loop(lo, hi + 1, body, (zf,) * 8)
-            d = sum(_unpack_sel(v, ci & 1) * w
-                    for v, ci, w in zip(vals, corner_idx, corner_w))
+            if i8:
+                # uint8 quads scaled by the corner supervoxel's bf16-up
+                # majorant (pallas_volpath.pack_i8_quads contract)
+                qs = [_unpack_i8(v, ci & 3)
+                      for v, ci in zip(vals, corner_idx)]
+                msv_idx = []
+                for (cx, cy, cz) in corner_cell:
+                    sxm = jnp.floor((cx.astype(jnp.float32) + 0.5)
+                                    * inv_rx).astype(jnp.int32)
+                    sym = jnp.floor((cy.astype(jnp.float32) + 0.5)
+                                    * inv_ry).astype(jnp.int32)
+                    szm = jnp.floor((cz.astype(jnp.float32) + 0.5)
+                                    * inv_rz).astype(jnp.int32)
+                    msv_idx.append((sxm * my + sym) * mz + szm)
+                msv_word = [mi >> 1 for mi in msv_idx]
+
+                def mbody(cc, accs):
+                    row = maj_ref[cc]
+                    chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                    new = []
+                    for mw_i, acc in zip(msv_word, accs):
+                        gathered = jnp.take_along_axis(chunk, mw_i & 127,
+                                                       axis=1)
+                        new.append(jnp.where((mw_i >> 7) == cc, gathered,
+                                             acc))
+                    return tuple(new)
+
+                mlo = jnp.min(msv_word[0] >> 7)
+                mhi = jnp.minimum(jnp.max(msv_word[7] >> 7),
+                                  n_maj_chunks - 1)
+                mvals = jax.lax.fori_loop(mlo, mhi + 1, mbody, (zf,) * 8)
+                scales = [_unpack_sel(v, mi & 1)
+                          for v, mi in zip(mvals, msv_idx)]
+                d = sum(q * s * (np.float32(1.0 / 255.0) * w)
+                        for q, s, w in zip(qs, scales, corner_w))
+            else:
+                d = sum(_unpack_sel(v, ci & 1) * w
+                        for v, ci, w in zip(vals, corner_idx, corner_w))
             inside = ((px >= bmin[0]) & (px <= bmax[0])
                       & (py >= bmin[1]) & (py <= bmax[1])
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
@@ -1309,7 +1354,9 @@ def _get_callable(c, gc, spp, sub, interpret):
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((-(-nvox // 256), 128), lambda b: (0, 0),
+                  pl.BlockSpec((-(-nvox // (128 * (
+                      4 if c.get("dens_pack", "bf16") == "i8" else 2))),
+                      128), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((-(-nmaj // 256), 128), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -1372,7 +1419,16 @@ def pack_kernel_inputs(scene, field, crit):
     ftab = jnp.asarray(np.ascontiguousarray(words).view(np.float32)
                        .reshape(-1, 128))
     gm = scene.media.grids[0]
-    dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
+    from . import pallas_volpath as _pv
+
+    nvox = int(np.prod(gm.res))
+    if nvox > _pv.I8_THRESHOLD:  # same predicate as extract_constants
+        dens = jnp.asarray(pack_i8_quads(
+            np.asarray(gm.density), np.asarray(gm.majorant),
+            tuple(int(v) for v in gm.res),
+            tuple(int(v) for v in gm.maj_res)))
+    else:
+        dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
     maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
     return dens, maj, ftab
 

@@ -7,11 +7,9 @@ bounds), consumable via ``GridMedium.make`` or the scene-side
 Supported inputs:
 - .npy / .npz dense density arrays (nx,ny,nz) [+ optional bmin/bmax keys]
 - .vdb via pyopenvdb when available (not shipped in this container)
-- .nvdb: NOT parsed here. The NanoVDB binary layout is versioned and the
-  container has neither the headers (the reference's src/ext/openvdb
-  submodule is empty) nor sample files to validate against, so a
-  hand-written parser could not be tested; convert offline with
-  `nanovdb_convert -d` or openvdb tools to .npy first. (Documented gap.)
+- .nvdb via the pure-numpy NanoVDB reader (tools/nvdb.read_nvdb,
+  uncompressed float grids; round-trip tested against tools/nvdb
+  .write_nvdb). World bounds come from the grid's world bbox.
 
 Usage:
     python -m vspg_pbrt_v4_tpu.tools.nanovdb2grid in.npy out.npz \

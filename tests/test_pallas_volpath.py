@@ -202,6 +202,75 @@ def test_i8_quad_pack_roundtrip():
     assert (d - d_q <= scale / 255.0 + 1e-5).all()
 
 
+def test_grid_megakernel_stoch_trilerp_furnace():
+    """Force stochastic one-corner density filtering: the scattering
+    furnace must stay exact — E[corner] is the trilerp value and every
+    walk factor is linear in the looked-up density, so the product
+    expectation factorizes into the exact-trilerp estimator."""
+    old = pv.STOCH_TRILERP_MAX_EXACT
+    pv.STOCH_TRILERP_MAX_EXACT = 0
+    pv._KERNEL_CACHE.clear()
+    try:
+        scene, camera, film, cfg = _cloud_setup(
+            sa=(0.0, 0.0, 0.0), ss=(2.0, 2.0, 2.0), g=0.0,
+            env=(0.6, 0.6, 0.6), point=None)
+        img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48,
+                                                cfg, seed=1,
+                                                interpret=True))
+        assert np.isfinite(img).all()
+        assert abs(img.mean() - 0.6) / 0.6 < 0.02, img.mean()
+    finally:
+        pv.STOCH_TRILERP_MAX_EXACT = old
+        pv._KERNEL_CACHE.clear()
+
+
+def test_grid_megakernel_stoch_matches_volpath():
+    """Stochastic filtering vs the exact-trilerp jnp loop on the lit
+    cloud: means agree within MC noise (slightly wider tolerance — the
+    corner sampling adds filtering variance)."""
+    old = pv.STOCH_TRILERP_MAX_EXACT
+    pv.STOCH_TRILERP_MAX_EXACT = 0
+    pv._KERNEL_CACHE.clear()
+    try:
+        scene, camera, film, cfg = _cloud_setup()
+        ref = np.asarray(volpath.render(scene, camera, film, spp=48,
+                                        seed=3, spp_per_pass=8))
+        img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48,
+                                                cfg, seed=7,
+                                                interpret=True))
+        assert np.isfinite(img).all()
+        rel = abs(img.mean() - ref.mean()) / ref.mean()
+        assert rel < 0.04, (img.mean(), ref.mean())
+    finally:
+        pv.STOCH_TRILERP_MAX_EXACT = old
+        pv._KERNEL_CACHE.clear()
+
+
+def test_grid_megakernel_i8_stoch_furnace():
+    """uint8-quad density AND stochastic one-corner filtering together
+    (the production combination for 32^3+ grids): furnace stays exact —
+    the quantized corner value is used consistently in rates and
+    weights, and its supervoxel scale still bounds it."""
+    old_i8, old_st = pv.I8_THRESHOLD, pv.STOCH_TRILERP_MAX_EXACT
+    pv.I8_THRESHOLD = 0
+    pv.STOCH_TRILERP_MAX_EXACT = 0
+    pv._KERNEL_CACHE.clear()
+    try:
+        scene, camera, film, cfg = _cloud_setup(
+            sa=(0.0, 0.0, 0.0), ss=(2.0, 2.0, 2.0), g=0.0,
+            env=(0.6, 0.6, 0.6), point=None)
+        c = pv.extract_constants(scene, camera, film, cfg)
+        assert c is not None and c["dens_pack"] == "i8"
+        img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48,
+                                                cfg, seed=2,
+                                                interpret=True))
+        assert np.isfinite(img).all()
+        assert abs(img.mean() - 0.6) / 0.6 < 0.02, img.mean()
+    finally:
+        pv.I8_THRESHOLD, pv.STOCH_TRILERP_MAX_EXACT = old_i8, old_st
+        pv._KERNEL_CACHE.clear()
+
+
 def test_grid_megakernel_i8_matches_volpath():
     """Force the uint8-quad density path on the small test cloud: the
     quantized-field estimator agrees with the jnp DDA loop within MC

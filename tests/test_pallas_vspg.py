@@ -210,3 +210,50 @@ def test_kernel_i8_density_furnace():
         assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
     finally:
         pv.I8_THRESHOLD = old
+
+
+def test_kernel_tiled_lane_mapping_furnace():
+    """res 32 film: the kernel runs the tiled 32x32 lane mapping (ISGB
+    rows pre-permuted, output un-permuted) — the furnace and the
+    pixel-estimate plumbing must survive the permutation exactly."""
+    L0 = 0.7
+    scene = _grid_scene(_cloud_density(), [0, 0, 0], [2.0] * 3, g=0.3,
+                        env_L=[L0] * 3)
+    res = 32
+    cam, film = _camera(res), RGBFilm.make((res, res))
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT,
+        vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4, use_pallas=False)
+    img = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 48, _CFG, _GOPT, vspg.VSPGOptions(), field,
+        isgb, seed=9, interpret=True))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
+
+
+def test_kernel_stoch_trilerp_furnace_trained():
+    """Stochastic one-corner density filtering through ALL the guided
+    routes (resampling walk, delta walk, ratio-tracked shadows) with a
+    trained field: the furnace must stay exact — each walk factor is
+    linear in the looked-up density, so expectations factorize into the
+    exact-trilerp estimator."""
+    old = pk.STOCH_TRILERP_MAX_EXACT
+    pk.STOCH_TRILERP_MAX_EXACT = 0
+    pk._KERNEL_CACHE.clear()
+    try:
+        L0 = 0.7
+        scene = _grid_scene(_cloud_density(), [0, 0, 0], [2.0] * 3, g=0.3,
+                            env_L=[L0] * 3)
+        cam, film = _camera(), RGBFilm.make((RES, RES))
+        _, field, isgb = vspg.render_vspg(
+            scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT,
+            vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4,
+            use_pallas=False)
+        img = np.asarray(pk.render_vspg_pallas(
+            scene, cam, film, 64, _CFG, _GOPT, vspg.VSPGOptions(), field,
+            isgb, seed=9, interpret=True))
+        assert np.isfinite(img).all()
+        assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
+    finally:
+        pk.STOCH_TRILERP_MAX_EXACT = old
+        pk._KERNEL_CACHE.clear()

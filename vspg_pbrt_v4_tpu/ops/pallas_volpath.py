@@ -41,8 +41,10 @@ _U32 = jnp.uint32
 INV_4PI = 1.0 / (4.0 * np.pi)
 _BIG = 3e37
 # density grids above this voxel count use uint8-quad packing (half the
-# gather sweep of bf16 pairs); tests may lower it to force the i8 path
-I8_THRESHOLD = 32768
+# gather sweep of bf16 pairs; quantization <= local-max/255, furnace-
+# tested); tests may lower it to force the i8 path. 16^3 and below keep
+# bf16 — their sweep is already trivial
+I8_THRESHOLD = 4096
 
 
 def _pcg4d(a, b, c, d):
@@ -398,6 +400,98 @@ def _unpack_sel(word_f32, parity):
                      _unpack_hi(word_f32))
 
 
+# exact-trilerp cutoff: density tables at or below this voxel count keep the
+# 8-corner trilerp (their gather sweep is cheap); bigger tables sample ONE
+# corner stochastically per lookup — see make_stoch_density_fn
+STOCH_TRILERP_MAX_EXACT = 4096
+
+
+def make_stoch_density_fn(dens_ref, maj_ref, *, sub, grid_res, maj_res,
+                          bmin, bmax, ext, i8, n_dens_chunks, n_maj_chunks,
+                          inv_r):
+    """Build density_at_1(px, py, pz, u_a, u_b): stochastic trilinear
+    density — ONE corner sampled with its trilerp weight, so
+    E[density_at_1] equals the exact 8-corner trilerp (stochastic texture
+    filtering). Unbiased inside the delta-tracking / ratio-tracking walks:
+    every estimator factor is LINEAR in the looked-up density and each
+    lookup happens at a distinct point with fresh uniforms, so the
+    expectation of the product factorizes into the exact-trilerp product
+    (media_sampleTMaj.h:49-117 semantics preserved in expectation). The
+    supervoxel majorant still bounds every corner (GridMedium.make pools
+    with a 1-voxel halo), so null coefficients stay non-negative.
+
+    Cost: one corner gather per sweep chunk instead of 8 — the 32^3+
+    tables are sweep-bound (PERF.md), so this is ~6-8x on the walk's
+    dominant term. u_a drives the x Bernoulli and, conditionally remapped,
+    the z Bernoulli (exactly uniform given the x pick in real arithmetic);
+    u_b drives y."""
+    gx, gy, gz = grid_res
+    mx, my, mz = maj_res
+    inv_rx, inv_ry, inv_rz = inv_r
+    zf = jnp.zeros((sub, 128), jnp.float32)
+
+    def density_at_1(px, py, pz, u_a, u_b):
+        fx = (px - bmin[0]) / ext[0] * gx - 0.5
+        fy = (py - bmin[1]) / ext[1] * gy - 0.5
+        fz = (pz - bmin[2]) / ext[2] * gz - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        z0 = jnp.floor(fz)
+        wx, wy, wz = fx - x0, fy - y0, fz - z0
+        sx = u_a < wx
+        uz = jnp.where(sx, u_a / jnp.maximum(wx, 1e-12),
+                       (u_a - wx) / jnp.maximum(1.0 - wx, 1e-12))
+        ix = jnp.clip(x0.astype(jnp.int32) + jnp.where(sx, 1, 0), 0, gx - 1)
+        iy = jnp.clip(y0.astype(jnp.int32) + jnp.where(u_b < wy, 1, 0),
+                      0, gy - 1)
+        iz = jnp.clip(z0.astype(jnp.int32) + jnp.where(uz < wz, 1, 0),
+                      0, gz - 1)
+        flat = (ix * gy + iy) * gz + iz
+        word_idx = flat >> (2 if i8 else 1)
+        c_idx = word_idx >> 7
+        l_idx = word_idx & 127
+
+        def body(cc, acc):
+            row = dens_ref[cc]
+            chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+            gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
+            return jnp.where(c_idx == cc, gathered, acc)
+
+        lo = jnp.min(c_idx)
+        hi = jnp.minimum(jnp.max(c_idx), n_dens_chunks - 1)
+        word = jax.lax.fori_loop(lo, hi + 1, body, zf)
+        if i8:
+            q = _unpack_i8(word, flat & 3)
+            sxm = jnp.floor((ix.astype(jnp.float32) + 0.5)
+                            * inv_rx).astype(jnp.int32)
+            sym = jnp.floor((iy.astype(jnp.float32) + 0.5)
+                            * inv_ry).astype(jnp.int32)
+            szm = jnp.floor((iz.astype(jnp.float32) + 0.5)
+                            * inv_rz).astype(jnp.int32)
+            msv = (sxm * my + sym) * mz + szm
+            mw = msv >> 1
+            mc = mw >> 7
+
+            def mbody(cc, acc):
+                row = maj_ref[cc]
+                chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                gathered = jnp.take_along_axis(chunk, mw & 127, axis=1)
+                return jnp.where(mc == cc, gathered, acc)
+
+            mlo = jnp.min(mc)
+            mhi = jnp.minimum(jnp.max(mc), n_maj_chunks - 1)
+            mword = jax.lax.fori_loop(mlo, mhi + 1, mbody, zf)
+            d = q * _unpack_sel(mword, msv & 1) * np.float32(1.0 / 255.0)
+        else:
+            d = _unpack_sel(word, flat & 1)
+        inside = ((px >= bmin[0]) & (px <= bmax[0])
+                  & (py >= bmin[1]) & (py <= bmax[1])
+                  & (pz >= bmin[2]) & (pz <= bmax[2]))
+        return jnp.where(inside, d, 0.0)
+
+    return density_at_1
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -738,7 +832,7 @@ def _make_kernel(c, spp, sub):
 # ---------------------------------------------------------------------------
 
 
-def _make_grid_kernel(c, spp, sub):
+def _make_grid_kernel(c, spp, sub, tiled=False):
     """Megakernel for the single-GridMedium scene class: the DDA majorant
     iteration and delta-tracking collisions (media.h:140-218 +
     media_sampleTMaj.h:40-117, the jnp loop in
@@ -746,6 +840,14 @@ def _make_grid_kernel(c, spp, sub):
     majorant grids are VMEM tables; per-lane scalar lookups use chunked
     (sub,128) lane-gathers (Mosaic supports only idx<128 gathers, so a
     fori_loop sweeps the table chunks).
+
+    tiled: map each block's sub*128 lanes to a square TILE_W x (LB/TILE_W)
+    pixel tile instead of a raster strip — the gather sweeps bound their
+    fori window to the [min, max] chunk the block's lanes touch, and a
+    square tile's camera frustum cuts a far smaller voxel-index span than
+    a full-width strip (the host un-permutes the output). Requires
+    nx % TILE_W == 0, ny % (LB/TILE_W) == 0 and pixel base 0
+    (single-chip launches).
 
     Each outer iteration processes ONE medium event per lane (segment
     tail, tentative collision, or surface/escape) — the memoryless
@@ -767,6 +869,8 @@ def _make_grid_kernel(c, spp, sub):
     inv_rx = 1.0 / (gx // mx)
     inv_ry = 1.0 / (gy // my)
     inv_rz = 1.0 / (gz // mz)
+    # big tables: one stochastically-picked corner per density lookup
+    stoch = gx * gy * gz > STOCH_TRILERP_MAX_EXACT
     has_point, has_env = c["has_point"], c["has_env"]
     lp = np.asarray(c["point_p"], np.float32)
     lI = np.asarray(c["point_I"], np.float32)
@@ -782,6 +886,8 @@ def _make_grid_kernel(c, spp, sub):
     nx_pow2 = (nx & (nx - 1)) == 0
     nx_shift = int(np.log2(nx)) if nx_pow2 else 0
     LB = sub * 128
+    TX = TILE_W
+    TY = LB // TX
 
     def chan(vec3, h):
         return jnp.where(h == 0, float(vec3[0]),
@@ -810,15 +916,30 @@ def _make_grid_kernel(c, spp, sub):
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
         lane_j = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
         pix_base = seed_ref[0, 1].astype(jnp.int32)
-        pix_i = pix_base + block * LB + lane_i * 128 + lane_j
-        pix = pix_i.astype(_U32)
-        if nx_pow2:
-            px_i = (pix_i & (nx - 1)).astype(jnp.float32)
-            py_i = (pix_i >> nx_shift).astype(jnp.float32)
+        if tiled:
+            # square-tile lane mapping (pixel base 0 by contract);
+            # TX is a power of two so the vector ops are shifts/masks
+            tpr = nx // TX
+            tx_shift = int(np.log2(TX))
+            lane_l = lane_i * 128 + lane_j
+            tox = (block % tpr) * TX
+            toy = (block // tpr) * TY
+            pxi = tox + (lane_l & (TX - 1))
+            pyi = toy + (lane_l >> tx_shift)
+            pix_i = pyi * nx + pxi
+            pix = pix_i.astype(_U32)
+            px_i = pxi.astype(jnp.float32)
+            py_i = pyi.astype(jnp.float32)
         else:
-            pf = pix_i.astype(jnp.float32)
-            py_i = jnp.floor(pf * (1.0 / nx) + 1e-6)
-            px_i = pf - py_i * nx
+            pix_i = pix_base + block * LB + lane_i * 128 + lane_j
+            pix = pix_i.astype(_U32)
+            if nx_pow2:
+                px_i = (pix_i & (nx - 1)).astype(jnp.float32)
+                py_i = (pix_i >> nx_shift).astype(jnp.float32)
+            else:
+                pf = pix_i.astype(jnp.float32)
+                py_i = jnp.floor(pf * (1.0 / nx) + 1e-6)
+                px_i = pf - py_i * nx
         seed_a = jnp.full((sub, 128), seed_ref[0, 0], _U32)
         zf = jnp.zeros((sub, 128), jnp.float32)
         zi = jnp.zeros((sub, 128), jnp.int32)
@@ -934,6 +1055,12 @@ def _make_grid_kernel(c, spp, sub):
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
             return jnp.where(inside, d, 0.0)
 
+        density_at_1 = make_stoch_density_fn(
+            dens_ref, maj_ref, sub=sub, grid_res=(gx, gy, gz),
+            maj_res=(mx, my, mz), bmin=bmin, bmax=bmax, ext=ext, i8=i8,
+            n_dens_chunks=n_dens_chunks, n_maj_chunks=n_maj_chunks,
+            inv_r=(inv_rx, inv_ry, inv_rz)) if stoch else None
+
         def maj_dens_at(px, py, pz):
             """Supervoxel majorant density at p (nearest cell)."""
             ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
@@ -992,7 +1119,7 @@ def _make_grid_kernel(c, spp, sub):
                 maj_h = m_d * st_h
                 t_seg = seg_exit(cx, cy, cz, wx, wy, wz)
                 t_seg = jnp.minimum(t_seg, t_end - t_cur)
-                u0, u1, _, _ = _uniform4(seed_a, pix, samp, dim)
+                u0, u1, u2s, u3s = _uniform4(seed_a, pix, samp, dim)
                 dim = dim + _U32(1)
                 dt = jnp.where(maj_h > 0,
                                -jnp.log1p(-u0) / jnp.maximum(maj_h, 1e-30),
@@ -1016,9 +1143,14 @@ def _make_grid_kernel(c, spp, sub):
                 ru1 = jnp.where(tail, ru1 * sc[1], ru1)
                 ru2 = jnp.where(tail, ru2 * sc[2], ru2)
                 # collision: null-scatter ratio tracking update
-                dcol = density_at(px + (t_cur + dt) * wx,
-                                  py + (t_cur + dt) * wy,
-                                  pz + (t_cur + dt) * wz)
+                if stoch:
+                    dcol = density_at_1(px + (t_cur + dt) * wx,
+                                        py + (t_cur + dt) * wy,
+                                        pz + (t_cur + dt) * wz, u2s, u3s)
+                else:
+                    dcol = density_at(px + (t_cur + dt) * wx,
+                                      py + (t_cur + dt) * wy,
+                                      pz + (t_cur + dt) * wz)
                 sn = tuple(jnp.maximum(m_d * float(st[k])
                                        - dcol * float(st[k]), 0.0)
                            for k in range(3))
@@ -1132,11 +1264,17 @@ def _make_grid_kernel(c, spp, sub):
             oy = jnp.where(adv, oy + (step + 1e-6) * dy, oy)
             oz = jnp.where(adv, oz + (step + 1e-6) * dz, oz)
 
-            # collision point + local coefficients
+            # collision point + local coefficients (un0/un1 feed NEE and
+            # phase sampling below; un2/un3 the stochastic corner pick)
+            un0, un1, un2, un3 = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
             sx = ox + dt_coll * dx
             sy = oy + dt_coll * dy
             sz = oz + dt_coll * dz
-            dloc = density_at(sx, sy, sz)
+            if stoch:
+                dloc = density_at_1(sx, sy, sz, un2, un3)
+            else:
+                dloc = density_at(sx, sy, sz)
             sa_h = dloc * chan(sa, hero)
             ss_h = dloc * chan(ss, hero)
             maj_safe = jnp.maximum(maj_h, 1e-30)
@@ -1199,8 +1337,6 @@ def _make_grid_kernel(c, spp, sub):
             # is chosen first (the two branches are mutually exclusive)
             wox, woy, woz = -dx, -dy, -dz
             u_sel = uc
-            un0, un1, _, _ = _uniform4(seed_a, pix, samp, dim)
-            dim = dim + _U32(1)
             sel_pt = ((u_sel < pmf) if has_env else (u_sel >= -1.0)) \
                 if has_point else (u_sel < -1.0)
             # point-light candidate
@@ -1358,6 +1494,27 @@ _KERNEL_CACHE = {}
 # 0.88-0.90 Mpaths/s vs 0.045 for the relay-dispatched XLA loop.
 GRID_SPP_CHUNK = 16
 
+# tiled lane mapping (grid kernels): each 1024-lane block renders a
+# TILE_W x (1024/TILE_W) pixel tile instead of a raster strip, so the
+# dynamic gather-sweep windows see a compact camera footprint
+TILE_W = 32
+
+
+def tile_permutation(nx, ny, sub):
+    """slot -> pixel-id map of the tiled lane layout, and its inverse
+    (pixel-id -> slot), as int32 numpy arrays of length nx*ny."""
+    npix = nx * ny
+    LB = sub * 128
+    s = np.arange(npix, dtype=np.int64)
+    b, l = s // LB, s % LB
+    tpr = nx // TILE_W
+    ty = LB // TILE_W
+    pid = (((b // tpr) * ty + (l // TILE_W)) * nx
+           + (b % tpr) * TILE_W + (l % TILE_W)).astype(np.int32)
+    inv = np.empty(npix, np.int32)
+    inv[pid] = np.arange(npix, dtype=np.int32)
+    return pid, inv
+
 
 def _get_callable(c, spp, interpret):
     """Memoized jitted megakernel render fn for (constants, spp)."""
@@ -1370,9 +1527,19 @@ def _get_callable(c, spp, interpret):
     sub = 64
     while npix % (sub * 128) != 0:
         sub //= 2
+    # grid kernels: tiled 32x32 blocks (sub=8) when the film divides into
+    # tiles — the sweep windows track the tile frustum, not a full-width
+    # strip. tiled is a pure function of c, so the cache key is unchanged.
+    tiled = False
+    if is_grid:
+        ty = 8 * 128 // TILE_W
+        tiled = (c["nx"] % TILE_W == 0 and c["ny"] % ty == 0
+                 and npix % (8 * 128) == 0)
+        if tiled:
+            sub = 8
     n_blocks = npix // (sub * 128)
     if is_grid:
-        kernel = _make_grid_kernel(c, spp, sub)
+        kernel = _make_grid_kernel(c, spp, sub, tiled)
         nvox = int(np.prod(c["grid_res"]))
         nmaj = int(np.prod(c["maj_res"]))
         vals_per_word = 4 if c.get("dens_pack", "bf16") == "i8" else 2
@@ -1393,13 +1560,19 @@ def _get_callable(c, spp, interpret):
             interpret=interpret,
         )
 
+        inv_perm = (jnp.asarray(tile_permutation(c["nx"], c["ny"], sub)[1])
+                    if tiled else None)
+
         @jax.jit
         def fn(seed, dens, maj, base=0):
+            # tiled layout requires base == 0 (single-chip launches)
             sm = jnp.stack([seed.astype(jnp.uint32),
                             jnp.asarray(base, jnp.uint32)]).reshape(1, 2)
             out = call(sm, dens, maj)
-            return jnp.transpose(out, (1, 2, 0)).reshape(c["ny"], c["nx"],
-                                                         3)
+            flat = jnp.transpose(out, (1, 2, 0)).reshape(npix, 3)
+            if tiled:
+                flat = flat[inv_perm]
+            return flat.reshape(c["ny"], c["nx"], 3)
     else:
         kernel = _make_kernel(c, spp, sub)
         call = pl.pallas_call(

@@ -35,11 +35,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_volpath import (_BIG, INV_4PI, _U32, _box_hit, _coord_system,
-                             _dot, _hg_value, _normalize, _sample_hg,
-                             _uniform4, _unpack_hi, _unpack_i8, _unpack_lo,
-                             _unpack_sel, extract_constants, pack_bf16_pairs,
-                             pack_i8_quads)
+from .pallas_volpath import (_BIG, INV_4PI, STOCH_TRILERP_MAX_EXACT, _U32,
+                             _box_hit, _coord_system, _dot, _hg_value,
+                             _normalize, _sample_hg, _uniform4, _unpack_hi,
+                             _unpack_i8, _unpack_lo, _unpack_sel,
+                             extract_constants, make_stoch_density_fn,
+                             pack_bf16_pairs, pack_i8_quads)
 
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
@@ -116,7 +117,7 @@ def pack_isgb_table(isgb, npix):
 # ---------------------------------------------------------------------------
 
 
-def _make_vspg_kernel(c, gc, spp, sub):
+def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
     """Build the render-phase kernel. `c` = grid scene constants
     (pallas_volpath.extract_constants, kind == 'grid'), `gc` = guiding
     constants dict: fres, K, fb_min, fb_max, pg, mode, vsp_mis_ratio,
@@ -139,6 +140,8 @@ def _make_vspg_kernel(c, gc, spp, sub):
     inv_rx = 1.0 / (gx // mx)
     inv_ry = 1.0 / (gy // my)
     inv_rz = 1.0 / (gz // mz)
+    # big tables: one stochastically-picked corner per density lookup
+    stoch = gx * gy * gz > STOCH_TRILERP_MAX_EXACT
     has_point, has_env = c["has_point"], c["has_env"]
     lp = np.asarray(c["point_p"], np.float32)
     lI = np.asarray(c["point_I"], np.float32)
@@ -230,15 +233,32 @@ def _make_vspg_kernel(c, gc, spp, sub):
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
         lane_j = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
         pix_base = seed_ref[0, 1].astype(jnp.int32)
-        pix_i = pix_base + block * LB + lane_i * 128 + lane_j
-        pix = pix_i.astype(_U32)
-        if nx_pow2:
-            px_i = (pix_i & (nx - 1)).astype(jnp.float32)
-            py_i = (pix_i >> nx_shift).astype(jnp.float32)
+        if tiled:
+            # square-tile lane mapping (pallas_volpath.tile_permutation
+            # layout; pixel base 0 by contract — single-chip launches;
+            # host pre-permutes the ISGB rows and un-permutes the output)
+            from .pallas_volpath import TILE_W as _TW
+
+            tpr = nx // _TW
+            ty = LB // _TW
+            tx_shift = int(np.log2(_TW))
+            lane_l = lane_i * 128 + lane_j
+            pxi = (block % tpr) * _TW + (lane_l & (_TW - 1))
+            pyi = (block // tpr) * ty + (lane_l >> tx_shift)
+            pix_i = pyi * nx + pxi
+            pix = pix_i.astype(_U32)
+            px_i = pxi.astype(jnp.float32)
+            py_i = pyi.astype(jnp.float32)
         else:
-            pf = pix_i.astype(jnp.float32)
-            py_i = jnp.floor(pf * (1.0 / nx) + 1e-6)
-            px_i = pf - py_i * nx
+            pix_i = pix_base + block * LB + lane_i * 128 + lane_j
+            pix = pix_i.astype(_U32)
+            if nx_pow2:
+                px_i = (pix_i & (nx - 1)).astype(jnp.float32)
+                py_i = (pix_i >> nx_shift).astype(jnp.float32)
+            else:
+                pf = pix_i.astype(jnp.float32)
+                py_i = jnp.floor(pf * (1.0 / nx) + 1e-6)
+                px_i = pf - py_i * nx
         seed_a = jnp.full((sub, 128), seed_ref[0, 0], _U32)
         zf = jnp.zeros((sub, 128), jnp.float32)
         zi = jnp.zeros((sub, 128), jnp.int32)
@@ -351,6 +371,12 @@ def _make_vspg_kernel(c, gc, spp, sub):
                       & (py >= bmin[1]) & (py <= bmax[1])
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
             return jnp.where(inside, d, 0.0)
+
+        density_at_1 = make_stoch_density_fn(
+            dens_ref, maj_ref, sub=sub, grid_res=(gx, gy, gz),
+            maj_res=(mx, my, mz), bmin=bmin, bmax=bmax, ext=ext, i8=i8,
+            n_dens_chunks=n_dens_chunks, n_maj_chunks=n_maj_chunks,
+            inv_r=(inv_rx, inv_ry, inv_rz)) if stoch else None
 
         def maj_dens_at(px, py, pz):
             ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
@@ -561,7 +587,7 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 maj_h = m_d * st_h
                 t_seg = seg_exit(cx, cy, cz, wx, wy, wz)
                 t_seg = jnp.minimum(t_seg, t_end - t_cur)
-                u0, u1, _, _ = _uniform4(seed_a, pix, samp, dim)
+                u0, u1, u2s, u3s = _uniform4(seed_a, pix, samp, dim)
                 dim = dim + _U32(1)
                 dt = jnp.where(maj_h > 0,
                                -jnp.log1p(-u0) / jnp.maximum(maj_h, 1e-30),
@@ -582,9 +608,14 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 ru0 = jnp.where(tail, ru0 * sc[0], ru0)
                 ru1 = jnp.where(tail, ru1 * sc[1], ru1)
                 ru2 = jnp.where(tail, ru2 * sc[2], ru2)
-                dcol = density_at(px + (t_cur + dt) * wx,
-                                  py + (t_cur + dt) * wy,
-                                  pz + (t_cur + dt) * wz)
+                if stoch:
+                    dcol = density_at_1(px + (t_cur + dt) * wx,
+                                        py + (t_cur + dt) * wy,
+                                        pz + (t_cur + dt) * wz, u2s, u3s)
+                else:
+                    dcol = density_at(px + (t_cur + dt) * wx,
+                                      py + (t_cur + dt) * wy,
+                                      pz + (t_cur + dt) * wz)
                 sn = tuple(jnp.maximum(m_d * float(st[k])
                                        - dcol * float(st[k]), 0.0)
                            for k in range(3))
@@ -646,7 +677,7 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 maj_h = m_d * st_h
                 t_seg = jnp.minimum(
                     seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
-                ua, ub, _, _ = _uniform4(seed_a, pix, samp, dim)
+                ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
                 dim = dim + _U32(1)
                 dt = jnp.where(maj_h > 0,
                                -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
@@ -670,8 +701,12 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 l2 = jnp.where(tail, l2 * sc[2], l2)
                 # collision: real (scatter, absorption-free) vs null
                 t_c = t_cur + dt
-                dloc = density_at(ox + t_c * dx, oy + t_c * dy,
-                                  oz + t_c * dz)
+                if stoch:
+                    dloc = density_at_1(ox + t_c * dx, oy + t_c * dy,
+                                        oz + t_c * dz, uc, ud)
+                else:
+                    dloc = density_at(ox + t_c * dx, oy + t_c * dy,
+                                      oz + t_c * dz)
                 st_loc_h = dloc * st_h
                 p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
                 is_real = coll & (ub < p_real)
@@ -789,7 +824,7 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 maj_h = m_d * st_h
                 t_seg = jnp.minimum(
                     seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
-                ua, ub, _, _ = _uniform4(seed_a, pix, samp, dim)
+                ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
                 dim = dim + _U32(1)
                 dt = jnp.where(maj_h > 0,
                                -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
@@ -804,8 +839,12 @@ def _make_vspg_kernel(c, gc, spp, sub):
                 T2 = jnp.where(live, T2 * Tm[2], T2)
                 # tentative collision: reservoir candidate + null update
                 t_c = t_cur + dt
-                dloc = density_at(ox + t_c * dx, oy + t_c * dy,
-                                  oz + t_c * dz)
+                if stoch:
+                    dloc = density_at_1(ox + t_c * dx, oy + t_c * dy,
+                                        oz + t_c * dz, uc, ud)
+                else:
+                    dloc = density_at(ox + t_c * dx, oy + t_c * dy,
+                                      oz + t_c * dz)
                 st_loc_h = dloc * st_h
                 tr_h = jnp.where(hero == 0, tr0,
                                  jnp.where(hero == 1, tr1, tr2))
@@ -1334,10 +1373,10 @@ def guiding_constants(field, gopt, vopt, trained=None):
     )
 
 
-def _get_callable(c, gc, spp, sub, interpret):
+def _get_callable(c, gc, spp, sub, interpret, tiled=False):
     key = (tuple(sorted((k, v) for k, v in c.items())),
            tuple(sorted((k, v) for k, v in gc.items())), spp, sub,
-           interpret)
+           interpret, tiled)
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1348,7 +1387,7 @@ def _get_callable(c, gc, spp, sub, interpret):
     FC = int(gc["fres"]) ** 3
     n_cc = max(FC // 128, 1)
     P_ROWS = 8 * int(gc["K"]) + 5
-    kernel = _make_vspg_kernel(c, gc, spp, sub)
+    kernel = _make_vspg_kernel(c, gc, spp, sub, tiled)
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -1370,12 +1409,27 @@ def _get_callable(c, gc, spp, sub, interpret):
         interpret=interpret,
     )
 
+    if tiled:
+        from .pallas_volpath import tile_permutation
+
+        pid_np, inv_np = tile_permutation(c["nx"], c["ny"], sub)
+        pid_perm, inv_perm = jnp.asarray(pid_np), jnp.asarray(inv_np)
+
     @jax.jit
     def fn(seed, dens, maj, ftab, itab, base=0):
+        # tiled layout requires base == 0 (single-chip launches)
         sm = jnp.stack([seed.astype(jnp.uint32),
                         jnp.asarray(base, jnp.uint32)]).reshape(1, 2)
+        if tiled:
+            # ISGB rows ride per-block BlockSpec slices: permute them to
+            # the tiled slot order so lane (i, j) still reads its pixel
+            itab = itab.reshape(3, npix)[:, pid_perm] \
+                .reshape(3, npix // 128, 128)
         out = call(sm, dens, maj, ftab, itab)
-        return jnp.transpose(out, (1, 2, 0)).reshape(c["ny"], c["nx"], 3)
+        flat = jnp.transpose(out, (1, 2, 0)).reshape(npix, 3)
+        if tiled:
+            flat = flat[inv_perm]
+        return flat.reshape(c["ny"], c["nx"], 3)
 
     _KERNEL_CACHE[key] = fn
     return fn
@@ -1449,11 +1503,17 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
         while npix % (sub * 128) != 0:
             sub //= 2
     chunk = int(spp) if interpret else min(int(spp), VSPG_SPP_CHUNK)
+    # tiled lane mapping when the film divides into 32x(LB/32) tiles
+    # (single-chip only: the sharded phase keeps the raster layout)
+    from .pallas_volpath import TILE_W as _TW
+
+    tiled = (c["nx"] % _TW == 0 and c["ny"] % max(sub * 128 // _TW, 1) == 0
+             and sub * 128 >= _TW)
     imgs = []
     done = 0
     while done < int(spp):
         n = min(chunk, int(spp) - done)
-        fn = _get_callable(c, gc, n, sub, bool(interpret))
+        fn = _get_callable(c, gc, n, sub, bool(interpret), tiled)
         imgs.append(fn(jnp.asarray(seed, jnp.uint32)
                        + jnp.uint32(done * 65537), dens, maj, ftab,
                        itab) * n)

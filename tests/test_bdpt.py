@@ -19,6 +19,10 @@ from vspg_pbrt_v4_tpu.models.materials import CONDUCTOR, DIFFUSE, Materials
 from vspg_pbrt_v4_tpu.models.media import HomogeneousMedia
 from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.utils import transform as tr
+import pytest
+
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
 
 
 def _quad(p0, p1, p2, p3, mat=-1, light=-1):

@@ -17,6 +17,10 @@ from vspg_pbrt_v4_tpu.models.materials import SUBSURFACE, Materials
 from vspg_pbrt_v4_tpu.models.media import HomogeneousMedia
 from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.utils import transform as tr
+import pytest
+
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
 
 
 def test_sr_area_pdf_normalized():

@@ -19,6 +19,9 @@ from vspg_pbrt_v4_tpu.models.materials import DIFFUSE, Materials
 from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.utils import transform as tr
 
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
+
 
 def _camera(res=24):
     c2w = tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0))

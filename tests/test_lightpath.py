@@ -17,6 +17,10 @@ from vspg_pbrt_v4_tpu.models.materials import Materials
 from vspg_pbrt_v4_tpu.models.media import Media
 from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.utils import transform as tr
+import pytest
+
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
 
 
 def _box_scene(light="area"):

@@ -11,6 +11,10 @@ import numpy as np
 from test_bdpt import _box_scene, _camera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
 from vspg_pbrt_v4_tpu.models.integrators import mlt, volpath
+import pytest
+
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
 
 
 def test_mlt_matches_path_area_light():

@@ -16,6 +16,9 @@ from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.ops import pallas_surface as ps
 from vspg_pbrt_v4_tpu.utils import transform as tr
 
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
+
 
 def _quad(p00, p10, p11, p01, mat, light=-1):
     """Two triangles for the quad p00-p10-p11-p01 (consistent winding)."""

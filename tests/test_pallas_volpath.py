@@ -14,6 +14,9 @@ from vspg_pbrt_v4_tpu.models.integrators import volpath
 from vspg_pbrt_v4_tpu.ops import pallas_volpath as pv
 from vspg_pbrt_v4_tpu.utils import transform as tr
 
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
+
 
 def _setup(res=64, sigma_a=(0.05, 0.05, 0.05), sigma_s=(0.5, 0.6, 0.7),
            g=0.3, env=(0.1, 0.12, 0.15), point=((0.0, 0.8, 0.0),

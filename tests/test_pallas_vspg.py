@@ -22,6 +22,9 @@ from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.ops import pallas_vspg as pk
 from vspg_pbrt_v4_tpu.utils import transform as tr
 
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
+
 RES = 16  # npix = 256 (kernel wants npix % 128 == 0)
 
 

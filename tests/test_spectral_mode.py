@@ -15,6 +15,10 @@ from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
 from vspg_pbrt_v4_tpu.models.integrators import volpath
 from vspg_pbrt_v4_tpu.utils import transform as tr
+import pytest
+
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
 
 CFG = volpath.VolPathConfig(spectral=True)
 

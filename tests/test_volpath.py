@@ -16,6 +16,9 @@ from vspg_pbrt_v4_tpu.models.lights import Lights
 from vspg_pbrt_v4_tpu.models.media import HomogeneousMedia
 from vspg_pbrt_v4_tpu.utils import transform as tr
 
+# heavy statistical renders: full-suite tier (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow
+
 
 def _fog_box_scene(sigma_a, sigma_s, g=0.0, env_L=None, point=None):
     pt = None if point is None else (point[0], point[1])

@@ -29,6 +29,15 @@ import time
 import jax
 import numpy as np
 
+# persist compiled executables across bench processes where the backend
+# supports it — Pallas compiles through the relay cost minutes each
+try:
+    os.makedirs("/root/.jax_bench_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
 from vspg_pbrt_v4_tpu.models.integrators import volpath

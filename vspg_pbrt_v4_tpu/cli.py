@@ -49,6 +49,9 @@ def main(argv=None):
                          "to the image (GuidedGBufferFilm, film.h:413)")
     ap.add_argument("--pixelstats", action="store_true",
                     help="write per-pixel stats heatmaps next to the image")
+    ap.add_argument("--volMajScale", type=float, default=None,
+                    help="global volume majorant scale override "
+                         "(options.h:58 volumeMajorantScale)")
     ap.add_argument("--debugstart", default=None, metavar="X,Y,S",
                     help="deterministically replay one pixel sample and "
                          "print its radiance (cpu/integrators.cpp:77-95)")
@@ -89,6 +92,22 @@ def main(argv=None):
         print(f"[scene] {g.n_tri} tris, {g.n_sph} spheres, "
               f"{setup.scene.lights.n_lights} lights, integrator "
               f"{setup.integrator}, {setup.spp} spp", file=sys.stderr)
+
+    if args.volMajScale is not None:
+        # global majorant override (cmd/pbrt.cpp:208 --volMajScale):
+        # scales every grid medium's majorant table and every procedural
+        # medium's majorant_scale — sampling pdfs adapt, estimators stay
+        # unbiased (a majorant is any upper bound)
+        s = float(args.volMajScale)
+        media = setup.scene.media
+        grids = tuple(gm.replace(majorant=gm.majorant * s)
+                      for gm in media.grids)
+        procs = tuple(
+            pm.replace(majorant_scale=pm.majorant_scale * s)
+            if hasattr(pm, "majorant_scale") else pm  # CloudMedium: exact
+            for pm in media.procedurals)
+        setup = setup._replace(scene=setup.scene._replace(
+            media=media.replace(grids=grids, procedurals=procs)))
 
     if args.pixelstats:
         from .models.integrators import extras

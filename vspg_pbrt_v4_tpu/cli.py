@@ -49,6 +49,11 @@ def main(argv=None):
                          "to the image (GuidedGBufferFilm, film.h:413)")
     ap.add_argument("--pixelstats", action="store_true",
                     help="write per-pixel stats heatmaps next to the image")
+    ap.add_argument("--log-level", default="warning",
+                    choices=["verbose", "warning", "error", "fatal"],
+                    help="diagnostic level (util/log.h --log-level)")
+    ap.add_argument("--log-file", default=None,
+                    help="mirror log lines to a file")
     ap.add_argument("--volMajScale", type=float, default=None,
                     help="global volume majorant scale override "
                          "(options.h:58 volumeMajorantScale)")
@@ -56,6 +61,12 @@ def main(argv=None):
                     help="deterministically replay one pixel sample and "
                          "print its radiance (cpu/integrators.cpp:77-95)")
     args = ap.parse_args(argv)
+
+    from .utils import log
+
+    log.set_level(args.log_level)
+    if args.log_file:
+        log.set_file(args.log_file)
 
     if args.cpu:
         import jax
@@ -190,7 +201,17 @@ def main(argv=None):
             setup.spp if args.time is None else 0,
             quiet=args.quiet or args.time is not None)
 
+        # CHECK context: a failure mid-render names the wave to replay
+        # (CheckCallbackScope pattern, cpu/integrators.cpp:99-104)
+        wave_state = {"wave": 0, "spp": 0}
+        log.register_check_callback(
+            lambda: f"rendering wave {wave_state['wave']} "
+                    f"({wave_state['spp']} spp done) — replay with "
+                    f"--debugstart x,y,s")
+
         def cb(wave, spp_done, image_fn, _state=None):
+            wave_state["wave"], wave_state["spp"] = wave, spp_done
+            log.verbose("wave %d done (%d spp)", wave, spp_done)
             reporter.count = 0
             reporter.update(spp_done)
             if tev is not None and tev.connected:

@@ -1490,9 +1490,11 @@ _KERNEL_CACHE = {}
 
 # spp per grid-kernel launch on real TPU (long launches trip the relay's
 # TPU watchdog; chunking also bounds per-launch wall time for progressive
-# display). Tuned on the axon chip: ~0.3s per 16-spp launch at 128^2,
-# 0.88-0.90 Mpaths/s vs 0.045 for the relay-dispatched XLA loop.
-GRID_SPP_CHUNK = 16
+# display). Measured ~0.3s per 16-spp launch at 128^2 with most of it
+# fixed dispatch overhead — 64 spp/launch amortizes it and stays far
+# under the ~60s watchdog. Big grids walk slower per spp: smaller chunk.
+GRID_SPP_CHUNK = 64
+GRID_SPP_CHUNK_BIG = 8  # density grids above 32768 voxels
 
 # tiled lane mapping (grid kernels): each 1024-lane block renders a
 # TILE_W x (1024/TILE_W) pixel tile instead of a raster strip, so the
@@ -1621,7 +1623,9 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
         maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
         # chunk spp across kernel launches: the fused DDA kernel's runtime
         # scales with spp and long launches can trip the TPU watchdog
-        chunk = int(spp) if interpret else min(int(spp), GRID_SPP_CHUNK)
+        nvox = int(np.prod(c["grid_res"]))
+        per_launch = GRID_SPP_CHUNK if nvox <= 32768 else GRID_SPP_CHUNK_BIG
+        chunk = int(spp) if interpret else min(int(spp), per_launch)
         imgs = []
         done = 0
         while done < int(spp):

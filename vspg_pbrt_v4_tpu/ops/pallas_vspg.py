@@ -1346,10 +1346,11 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
 
 _KERNEL_CACHE = {}
 
-# spp per launch: the VSPG kernel does ~3 inner DDA walks per bounce, so
-# its per-spp wall time exceeds the plain grid kernel's — keep launches
-# short to stay under the relay's TPU watchdog (PERF.md).
-VSPG_SPP_CHUNK = 4
+# spp per launch: per-launch relay dispatch overhead (~0.3-0.6s) dwarfed
+# the 4-spp compute at 128^2 — the analytic work profile of the bench
+# cloud (PERF.md round-2 addendum 3) puts one 32-spp launch well under a
+# second of kernel time, far below the ~60s TPU watchdog.
+VSPG_SPP_CHUNK = 32
 
 
 def guiding_constants(field, gopt, vopt, trained=None):

@@ -15,8 +15,11 @@ point/spot/gonio/projection) plus uniform/image infinite lights (escaped
 camera vertices, env SampleLe subpaths, InfiniteLightDensity MIS —
 integrators.cpp:1994-2006, 2272-2279) and the perspective pinhole camera —
 the reference likewise restricts BDPT to the perspective camera
-(integrators.cpp:2520). Media fall back to ``volpath``; portal env lights
-and distant lights are excluded from the strategies with a warning.
+(integrators.cpp:2520). Distant (delta-direction) lights ride the
+infinite-endpoint machinery — disk-origin SampleLe subpaths, planar
+PDFLight density, env-only PDFLightOrigin (Vertex::IsInfiniteLight
+includes LightType::DeltaDirection, integrators.cpp:1714-1718). Portal
+env lights are excluded from the strategies with a warning.
 
 Conventions (identical to the reference):
 - pdf_fwd / pdf_rev are *area-measure* densities (Vertex::ConvertDensity,
@@ -214,18 +217,18 @@ def _env_subpath_supported(lights):
 
 def _subpath_light_pmf_table(lights):
     """Selection pmf over the lights the light-subpath sampler can start
-    from: all emitters minus distant (delta-direction, excluded with a
-    warning) and minus portal env. Renormalized so PDFLightOrigin
-    evaluations are consistent with _sample_le_detailed (integrators.cpp
-    PdfLightOrigin uses the same sampler's pmf as GenerateLightSubpath)."""
+    from: all emitters minus portal env (no SampleLe). Renormalized so
+    PDFLightOrigin evaluations are consistent with _sample_le_detailed
+    (integrators.cpp PdfLightOrigin uses the same sampler's pmf as
+    GenerateLightSubpath). Distant lights are included: their subpaths
+    start on a world-radius disk (DistantLight::SampleLe) and their
+    endpoint vertices use the infinite-light MIS semantics —
+    Vertex::IsInfiniteLight covers LightType::DeltaDirection
+    (integrators.cpp:1714-1718)."""
     n = lights.n_lights
     n_emit = n if _env_subpath_supported(lights) else \
         n - (1 if lights.has_env else 0)
     t = lights.select_pmf_table[:max(n_emit, 1)]
-    if lights.n_distant > 0:
-        keep = ~((jnp.arange(t.shape[0]) >= lights.base_distant)
-                 & (jnp.arange(t.shape[0]) < lights.base_area))
-        t = jnp.where(keep, t, 0.0)
     return t / jnp.maximum(jnp.sum(t), 1e-20)
 
 
@@ -248,7 +251,7 @@ def _infinite_light_density(lights, wl):
 
 def _light_select_pmf(lights, global_idx):
     """Subpath-sampler origin pmf of the light at global_idx (0 for lights
-    the subpath sampler never starts from: env, distant)."""
+    the subpath sampler never starts from: portal env)."""
     t = _subpath_light_pmf_table(lights)
     gi = jnp.clip(global_idx, 0, t.shape[0] - 1)
     in_range = (global_idx >= 0) & (global_idx < t.shape[0])
@@ -577,7 +580,8 @@ def _sample_le_detailed(lights, sampler):
                pdf_pos=jnp.zeros(R), pdf_dir=jnp.zeros(R),
                pmf=jnp.zeros(R), light_id=jnp.full(R, -1, jnp.int32),
                is_delta=jnp.zeros(R, bool), on_surface=jnp.zeros(R, bool),
-               is_env=jnp.zeros(R, bool), valid=jnp.zeros(R, bool))
+               is_env=jnp.zeros(R, bool), is_dist=jnp.zeros(R, bool),
+               valid=jnp.zeros(R, bool))
     if n_emit == 0:
         return sampler, out
     pmf_t = _subpath_light_pmf_table(lights)
@@ -662,6 +666,30 @@ def _sample_le_detailed(lights, sampler):
         out["is_delta"] = out["is_delta"] | sel
         out["valid"] = out["valid"] | (sel & (pdf_dir > 0))
 
+    if lights.n_distant > 0:
+        # DistantLight::SampleLe (lights.cpp): fixed travel direction,
+        # origin on a world-radius disk tangent to the world sphere;
+        # pdf_pos = 1/(pi r^2), pdf_dir delta (= 1 for the sampled ray)
+        di = jnp.clip(idx - lights.base_distant, 0, lights.n_distant - 1)
+        sel = (idx >= lights.base_distant) & (idx < lights.base_area)
+        d_dst = normalize(lights.distant_dir[di])
+        t1d, t2d = coordinate_system(d_dst)
+        from ...utils.sampling import sample_uniform_disk_concentric
+
+        cdd = sample_uniform_disk_concentric(u2a) * lights.world_radius
+        p_dst = cdd[..., 0:1] * t1d + cdd[..., 1:2] * t2d \
+            - d_dst * lights.world_radius
+        pdf_pos_d = 1.0 / (jnp.pi * lights.world_radius ** 2)
+        out["p"] = _m(sel, p_dst, out["p"])
+        out["d"] = _m(sel, d_dst, out["d"])
+        out["Le"] = _m(sel, lights.distant_L[di], out["Le"])
+        out["pdf_pos"] = jnp.where(sel, pdf_pos_d, out["pdf_pos"])
+        out["pdf_dir"] = jnp.where(sel, 1.0, out["pdf_dir"])
+        out["pmf"] = jnp.where(sel, pmf, out["pmf"])
+        out["is_delta"] = out["is_delta"] | sel  # DeltaDirection
+        out["is_dist"] = out["is_dist"] | sel
+        out["valid"] = out["valid"] | sel
+
     if lights.n_area > 0:
         base = lights.base_area
         ai = jnp.clip(idx - base, 0, lights.n_area - 1)
@@ -729,10 +757,13 @@ def generate_light_subpath(scene, sampler, R, K, light_medium=-1, cfg=None,
     v = Verts.empty(R, K)
     sampler, le = _sample_le_detailed(scene.lights, sampler)
     ok = le["valid"]
-    env = le["is_env"]
+    # infinite endpoints = env AND distant (Vertex::IsInfiniteLight covers
+    # LightType::DeltaDirection, integrators.cpp:1714-1718)
+    env = le["is_env"] | le["is_dist"]
     p_l = le["pmf"] * le["pdf_pos"]
-    # env endpoints: pdf_fwd is the solid-angle InfiniteLightDensity of the
-    # sampled direction (integrators.cpp:2002-2005)
+    # infinite endpoints: pdf_fwd is the solid-angle InfiniteLightDensity
+    # of the sampled direction (integrators.cpp:2002-2005) — 0 for a
+    # distant light with no env (delta direction; remap0 treats it as 1)
     pdf_fwd0 = jnp.where(env,
                          _infinite_light_density(scene.lights, -le["d"]), p_l)
     v = v.set(
@@ -763,9 +794,10 @@ def generate_light_subpath(scene, sampler, R, K, light_medium=-1, cfg=None,
                               prev0_inf=env,
                               medium=(jnp.full(R, light_medium, jnp.int32)
                                       if use_media else None), cfg=cfg)
-    # env subpath: the first hit's spatial density is pdfPos x |cos|
-    # (integrators.cpp:1995-2000) — the direction was the "position" sample
-    if scene.lights.has_env:
+    # env/distant subpath: the first hit's spatial density is pdfPos x
+    # |cos| (integrators.cpp:1995-2000) — the direction was the
+    # "position" sample
+    if scene.lights.has_env or scene.lights.n_distant > 0:
         fix1 = env & v.valid[:, 1]
         # |cos| only at surface vertices (pbrt guards with IsOnSurface();
         # a medium vertex has ng = 0 and carries no cosine)
@@ -960,12 +992,19 @@ def connect(scene, camera, sampler, lv, cv, s, t, cfg=None, use_media=False):
         ref_p = jnp.where(on_p[..., None],
                           offset_ray_origin(pp, cv.ng[:, t - 1], wo_p), pp)
         ls = scene.lights.sample(ref_p, u_sel, u2)
-        # finite lights, plus the (non-portal) env light; distant picks
-        # (delta-direction, t_shadow = 2*world_radius) stay void
+        # finite lights, the (non-portal) env light, and distant lights;
+        # env + distant picks share the infinite-vertex MIS semantics
+        # (Vertex::IsInfiniteLight includes DeltaDirection)
         finite = ls.t_shadow < 1.9 * scene.lights.world_radius
         is_env = jnp.zeros_like(finite) if not _env_subpath_supported(
             scene.lights) else ls.light_idx == scene.lights.n_lights - 1
-        ok = pt_ok & ls.valid & (finite | is_env)
+        if scene.lights.n_distant > 0:
+            is_dist = ((ls.light_idx >= scene.lights.base_distant)
+                       & (ls.light_idx < scene.lights.base_area))
+        else:
+            is_dist = jnp.zeros_like(finite)
+        is_inf_pick = is_env | is_dist
+        ok = pt_ok & ls.valid & (finite | is_inf_pick)
         sampled_beta = ls.L / jnp.maximum(ls.pdf_dir * ls.select_pmf,
                                           1e-30)[..., None]
         f_p = _vertex_f(scene, cv, t - 1, wo_p, ls.wi)
@@ -988,17 +1027,19 @@ def connect(scene, camera, sampler, lv, cv, s, t, cfg=None, use_media=False):
         pdf_fwd0 = jnp.where(
             is_area,
             _light_select_pmf(scene.lights, ls.light_idx) * inv_area, 0.0)
-        if _env_subpath_supported(scene.lights):
-            # env pick: PDFLightOrigin = InfiniteLightDensity(wi), a
-            # solid-angle density (integrators.cpp:1868-1870)
+        if _env_subpath_supported(scene.lights) \
+                or scene.lights.n_distant > 0:
+            # env/distant pick: PDFLightOrigin = InfiniteLightDensity(wi),
+            # a solid-angle density (integrators.cpp:1868-1870; 0 for a
+            # distant light with no env — remap0 treats it as 1)
             pdf_fwd0 = jnp.where(
-                is_env, _infinite_light_density(scene.lights, ls.wi),
+                is_inf_pick, _infinite_light_density(scene.lights, ls.wi),
                 pdf_fwd0)
         # sampled.pdfRev = pt scatter pdf toward the light, area measure
         # there (solid angle stays unconverted toward an infinite vertex)
         pdf_bsdf_solid = _vertex_pdf_dir(scene, cv, t - 1, wo_p, ls.wi)
         patch[("light", 0)] = jnp.where(
-            is_env, pdf_bsdf_solid,
+            is_inf_pick, pdf_bsdf_solid,
             convert_density(pdf_bsdf_solid, pp, p_light, n_l, is_area))
         patch[("delta", "light", 0)] = false_r
         # pt.pdfRev = emission direction density toward pt (PDFLight):
@@ -1011,7 +1052,7 @@ def connect(scene, camera, sampler, lv, cv, s, t, cfg=None, use_media=False):
         wr = float(scene.lights.world_radius)
         pdf_light_pt = pdf_le_dir * safe_div(1.0, d2, 0.0) * cos_pt
         patch[("cam", t - 1)] = jnp.where(
-            is_env, cos_pt / (jnp.pi * wr * wr), pdf_light_pt)
+            is_inf_pick, cos_pt / (jnp.pi * wr * wr), pdf_light_pt)
         patch[("delta", "cam", t - 1)] = false_r
         if t > 1:
             patch[("cam", t - 2)] = convert_density(
@@ -1143,9 +1184,6 @@ def render(scene: Scene, camera, film, spp=16, max_depth=5, seed=0,
     if scene.lights.has_env and scene.lights.portal is not None:
         warnings.warn("bdpt ignores PORTAL env lights (no SampleLe); use "
                       "volpath/path for portal-lit scenes", stacklevel=2)
-    if scene.lights.n_distant > 0:
-        warnings.warn("bdpt v1 ignores distant (delta-direction) lights; "
-                      "use volpath/path for distant-lit scenes", stacklevel=2)
     use_media = scene_has_media(scene)
     if cfg is None:
         cfg = VolPathConfig(max_depth=max_depth)

@@ -234,9 +234,10 @@ def eval_texture(bank: Textures, tex_id, uv, p=None):
 # face-indexed dispatch). Rects map face-local uv to texel CENTERS, so
 # bilinear taps never cross into a neighboring face.
 #
-# On-disk container: an .npz with arrays face_0..face_{F-1}, each
-# (h, w, 3) float; real .ptx files must be converted offline (the ptex
-# C++ library is not available here).
+# On-disk containers: raw .ptx files (pure-numpy Ptex parser in
+# tools/ptex.py — constant/zipped/diffzipped/tiled encodings, all four
+# data types) or an .npz with arrays face_0..face_{F-1}, each (h, w, 3)
+# float.
 # ---------------------------------------------------------------------------
 
 
@@ -247,6 +248,12 @@ def save_face_textures(path, faces):
 
 
 def load_face_textures(path):
+    """Load per-face texel grids from a raw .ptx (tools/ptex.py pure-numpy
+    Ptex parser) or the .npz face container."""
+    if str(path).endswith(".ptx"):
+        from ..tools.ptex import read_ptx
+
+        return read_ptx(path).faces
     data = np.load(path)
     n = len([k for k in data.files if k.startswith("face_")])
     return [np.asarray(data[f"face_{i}"], np.float32) for i in range(n)]

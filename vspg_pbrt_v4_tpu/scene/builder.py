@@ -725,10 +725,6 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                     from ..models.textures import (build_face_atlas,
                                                    load_face_textures)
 
-                    if not fname.endswith(".npz"):
-                        raise ValueError(
-                            "raw .ptx needs the ptex library; convert to "
-                            "the .npz face container offline")
                     atlas_img, rects = build_face_atlas(
                         load_face_textures(fname))
                     tex_images.append(atlas_img)

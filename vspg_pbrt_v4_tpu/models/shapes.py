@@ -36,6 +36,78 @@ class HitRecord(NamedTuple):
     tangent: jnp.ndarray = None  # (R,3) curve/fiber tangent (hair frames)
 
 
+class Instances(NamedTuple):
+    """Instanced triangle geometry stored ONCE in object space + a two-level
+    BVH (ops/bvh.py TwoLevelBVH) — the TransformedPrimitive analog
+    (cpu/primitive.h:83). Instead of flattening every ObjectInstance into
+    world-space duplicates (memory x n_instances), each object's mesh is
+    kept once and instances carry only a transform."""
+
+    tl: object  # ops.bvh.TwoLevelBVH
+    p0: jnp.ndarray  # (K,3) object-space triangle vertices
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    n0: jnp.ndarray  # (K,3) object-space shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (K,2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat: jnp.ndarray  # (K,) int32
+    med_in: jnp.ndarray  # (K,) int32
+    med_out: jnp.ndarray  # (K,) int32
+
+    @staticmethod
+    def build(objects, instances):
+        """objects: list of triangle-dict lists (same keys as
+        Geometry.build triangles, coordinates in OBJECT space);
+        instances: list of {obj: int, o2w: (4,4) array-like}."""
+        from ..ops.bvh import build_two_level
+
+        p0s, p1s, p2s, n0s, n1s, n2s = [], [], [], [], [], []
+        uv0s, uv1s, uv2s, mats, mis, mos = [], [], [], [], [], []
+        obj_lo, obj_hi, obj_base = [], [], []
+        for tris in objects:
+            obj_base.append(len(p0s))
+            a0 = np.asarray([t["p0"] for t in tris], np.float32)
+            a1 = np.asarray([t["p1"] for t in tris], np.float32)
+            a2 = np.asarray([t["p2"] for t in tris], np.float32)
+            ng = np.cross(a1 - a0, a2 - a0)
+            ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            for i, t in enumerate(tris):
+                p0s.append(a0[i])
+                p1s.append(a1[i])
+                p2s.append(a2[i])
+                n0s.append(np.asarray(t.get("n0", ng[i]), np.float32))
+                n1s.append(np.asarray(t.get("n1", ng[i]), np.float32))
+                n2s.append(np.asarray(t.get("n2", ng[i]), np.float32))
+                uv0s.append(np.asarray(t.get("uv0", (1, 0)), np.float32))
+                uv1s.append(np.asarray(t.get("uv1", (0, 1)), np.float32))
+                uv2s.append(np.asarray(t.get("uv2", (0, 0)), np.float32))
+                mats.append(int(t.get("mat", -1)))
+                mis.append(int(t.get("med_in", -1)))
+                mos.append(int(t.get("med_out", -1)))
+            obj_lo.append(np.minimum(np.minimum(a0, a1), a2) - 1e-5)
+            obj_hi.append(np.maximum(np.maximum(a0, a1), a2) + 1e-5)
+        tl = build_two_level(
+            obj_lo, obj_hi, obj_base,
+            [int(it["obj"]) for it in instances],
+            [np.asarray(it["o2w"], np.float64) for it in instances])
+        asf = lambda x: jnp.asarray(np.asarray(x, np.float32))  # noqa: E731
+        asi = lambda x: jnp.asarray(x, jnp.int32)  # noqa: E731
+        return Instances(
+            tl, asf(p0s), asf(p1s), asf(p2s), asf(n0s), asf(n1s), asf(n2s),
+            asf(uv0s), asf(uv1s), asf(uv2s), asi(mats), asi(mis), asi(mos))
+
+    @property
+    def n_tri(self):
+        return self.p0.shape[0]
+
+    @property
+    def n_inst(self):
+        return self.tl.blas_root.shape[0]
+
+
 class Geometry(NamedTuple):
     # triangles
     tri_p0: jnp.ndarray  # (T,3)
@@ -108,10 +180,13 @@ class Geometry(NamedTuple):
     tri_uv0: jnp.ndarray = None  # (T,2)
     tri_uv1: jnp.ndarray = None
     tri_uv2: jnp.ndarray = None
+    # instanced triangle meshes: object-space BLASes + TLAS over instances
+    # (cpu/primitive.h:83 TransformedPrimitive analog; None = no instances)
+    inst: object = None
 
     @staticmethod
     def build(triangles=(), spheres=(), boxes=(), disks=(), cylinders=(),
-              patches=(), curves=(), use_bvh="auto"):
+              patches=(), curves=(), use_bvh="auto", instanced=None):
         """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
         spheres: {c,r,...}; boxes: {bmin,bmax,...};
         disks: {c,n,r,[ri],...}; cylinders: {c,a,r,h,...};
@@ -136,17 +211,26 @@ class Geometry(NamedTuple):
         tri_p0 = stack(t, "p0", (0, 0, 0), (3,))
         tri_p1 = stack(t, "p1", (0, 0, 0), (3,))
         tri_p2 = stack(t, "p2", (0, 0, 0), (3,))
-        if t and "n0" in t[0]:
-            tri_n0 = stack(t, "n0", (0, 0, 1), (3,))
-            tri_n1 = stack(t, "n1", (0, 0, 1), (3,))
-            tri_n2 = stack(t, "n2", (0, 0, 1), (3,))
+        # shading normals: explicit per-triangle "n0/n1/n2" where present,
+        # geometric normal otherwise (meshes with and without vertex
+        # normals can be mixed in one build)
+        ng = np.cross(
+            np.asarray(tri_p1) - np.asarray(tri_p0),
+            np.asarray(tri_p2) - np.asarray(tri_p0),
+        )
+        norm = np.linalg.norm(ng, axis=-1, keepdims=True)
+        ng = (ng / np.maximum(norm, 1e-20)).astype(np.float32)
+        if t and any("n0" in it for it in t):
+            tri_n0 = jnp.asarray(np.stack([
+                np.asarray(it.get("n0", ng[i]), np.float32)
+                for i, it in enumerate(t)]))
+            tri_n1 = jnp.asarray(np.stack([
+                np.asarray(it.get("n1", ng[i]), np.float32)
+                for i, it in enumerate(t)]))
+            tri_n2 = jnp.asarray(np.stack([
+                np.asarray(it.get("n2", ng[i]), np.float32)
+                for i, it in enumerate(t)]))
         else:
-            ng = np.cross(
-                np.asarray(tri_p1) - np.asarray(tri_p0),
-                np.asarray(tri_p2) - np.asarray(tri_p0),
-            )
-            norm = np.linalg.norm(ng, axis=-1, keepdims=True)
-            ng = ng / np.maximum(norm, 1e-20)
             tri_n0 = tri_n1 = tri_n2 = jnp.asarray(ng, jnp.float32)
         s = list(spheres)
         b = list(boxes)
@@ -252,6 +336,8 @@ class Geometry(NamedTuple):
             stack(t, "uv0", (1, 0), (2,)),
             stack(t, "uv1", (0, 1), (2,)),
             stack(t, "uv2", (0, 0), (2,)),
+            (Instances.build(instanced["objects"], instanced["instances"])
+             if instanced and instanced.get("instances") else None),
         )
 
     def _tri_uv(self, k, b0, b1, b2):
@@ -539,7 +625,75 @@ class Geometry(NamedTuple):
                 (self.n_tri + self.n_sph + k).astype(jnp.int32),
             )
 
+        if self.inst is not None:
+            best = self._intersect_instances(o, d, best)
+
         return best
+
+    def _intersect_instances(self, o, d, best):
+        """Closest hit against instanced meshes through the two-level BVH
+        (ops/bvh.py two_level_traverse). Triangles are tested in object
+        space with the instance's unnormalized ray, so t is directly
+        comparable with world-space hits."""
+        from ..ops.bvh import two_level_traverse
+
+        ins = self.inst
+        R = o.shape[0]
+
+        def leaf_fn(pid, inst, m, co, cd, t_best, payload):
+            k_b, i_b, b0_b, b1_b = payload
+            hit, t, b0, b1, _ = ray_triangle(
+                co, cd, t_best, ins.p0[pid], ins.p1[pid], ins.p2[pid])
+            closer = m & hit
+            t_best = jnp.where(closer, t, t_best)
+            k_b = jnp.where(closer, pid, k_b)
+            i_b = jnp.where(closer, inst, i_b)
+            b0_b = jnp.where(closer, b0, b0_b)
+            b1_b = jnp.where(closer, b1, b1_b)
+            return t_best, (k_b, i_b, b0_b, b1_b)
+
+        payload0 = (jnp.full((R,), -1, jnp.int32),
+                    jnp.full((R,), -1, jnp.int32),
+                    jnp.zeros(R), jnp.zeros(R))
+        t_best, (k, ii, b0k, b1k) = two_level_traverse(
+            ins.tl, o, d, best.t, leaf_fn, payload0)
+        closer = k >= 0
+        kc = jnp.maximum(k, 0)
+        ic = jnp.maximum(ii, 0)
+        e1 = ins.p1[kc] - ins.p0[kc]
+        e2 = ins.p2[kc] - ins.p0[kc]
+        ng_o = jnp.cross(e1, e2)
+        b2k = 1.0 - b0k - b1k
+        ns_o = (b0k[..., None] * ins.n0[kc] + b1k[..., None] * ins.n1[kc]
+                + b2k[..., None] * ins.n2[kc])
+        # normals transform by the inverse transpose of object-to-world,
+        # i.e. by the transpose of the stored world-to-object linear part
+        lin = ins.tl.w2o[ic][..., :3]  # (R,3,3)
+        ngk = normalize(jnp.einsum("rij,ri->rj", lin, ng_o))
+        nsk = normalize(jnp.einsum("rij,ri->rj", lin, ns_o))
+        uvk = (b0k[..., None] * ins.uv0[kc] + b1k[..., None] * ins.uv1[kc]
+               + b2k[..., None] * ins.uv2[kc])
+        p_k = o + t_best[..., None] * d
+        base = (self.n_tri + self.n_sph + self.n_box + self.n_dsk
+                + self.n_cyl + self.n_blp + self.n_crv)
+
+        def w(new, old):
+            mm = closer
+            if new.ndim > mm.ndim:
+                mm = mm[..., None]
+            return jnp.where(mm, new, old)
+
+        return HitRecord(
+            best.hit | closer, w(t_best, best.t), w(p_k, best.p),
+            w(ngk, best.n), w(nsk, best.ns), w(uvk, best.uv),
+            w(ins.mat[kc], best.mat_id),
+            # area lights are not supported inside instances (pbrt rejects
+            # them too: scene.cpp ObjectInstance error)
+            jnp.where(closer, -1, best.light_id),
+            w(ins.med_in[kc], best.med_in), w(ins.med_out[kc], best.med_out),
+            w((base + kc).astype(jnp.int32), best.prim_id),
+            best.tangent,
+        )
 
     def _intersect_tris_bvh(self, o, d, best):
         """Closest triangle hit through the BVH (ops/bvh.py traversal)."""
@@ -680,4 +834,18 @@ class Geometry(NamedTuple):
             okc = ((d2 <= r_w * r_w) & (t_c > 1e-4)
                    & (t_c < t_max[..., None]))
             occluded |= jnp.any(okc & (self.crv_mat >= 0), axis=-1)
+        if self.inst is not None:
+            from ..ops.bvh import two_level_traverse
+
+            ins = self.inst
+
+            def leaf_fn(pid, inst, m, co, cd, t_best, occ):
+                hit, _, _, _, _ = ray_triangle(
+                    co, cd, t_best, ins.p0[pid], ins.p1[pid], ins.p2[pid])
+                occ_new = occ | (m & hit & (ins.mat[pid] >= 0))
+                return jnp.where(occ_new, 0.0, t_best), occ_new
+
+            _, occ = two_level_traverse(
+                ins.tl, o, d, t_max, leaf_fn, jnp.zeros(o.shape[:-1], bool))
+            occluded |= occ
         return occluded

@@ -197,6 +197,192 @@ def bvh_traverse(bvh: BVH, o, d, t_max, leaf_fn, payload0, max_leaf=4):
 
 
 # ---------------------------------------------------------------------------
+# Two-level (TLAS/BLAS) instanced BVH — the TransformedPrimitive analog
+# (cpu/primitive.h:83): geometry is stored ONCE in object space with one
+# BLAS per object; instances carry a world-to-object transform and a BLAS
+# root. A TLAS over instance world bounds dispatches rays into per-instance
+# BLAS traversal by pushing (blas_root, instance_id) stack entries; rays are
+# re-derived in the current instance's object space each iteration (the ray
+# direction is NOT renormalized, so the t parameterization is shared between
+# world and object space — pbrt's TransformedPrimitive::Intersect trick).
+# ---------------------------------------------------------------------------
+
+
+class TwoLevelBVH(NamedTuple):
+    """TLAS nodes [0, tlas_n) followed by all BLAS nodes, one shared
+    flattened layout (BVH-node fields). ``ids`` is the shared permuted
+    id array: TLAS leaves index instance ids, BLAS leaves triangle ids
+    (global into the caller's instanced-primitive arrays)."""
+
+    bmin: jnp.ndarray  # (N,3)
+    bmax: jnp.ndarray  # (N,3)
+    right: jnp.ndarray  # (N,)
+    start: jnp.ndarray  # (N,)
+    count: jnp.ndarray  # (N,) prim count (0 = interior)
+    ids: jnp.ndarray  # (P,)
+    tlas_n: jnp.ndarray  # () int32: first BLAS node index
+    blas_root: jnp.ndarray  # (I,) global root node per instance
+    w2o: jnp.ndarray  # (I,3,4) world-to-object (rows of the 3x4 affine)
+
+
+def build_two_level(obj_bmin_list, obj_bmax_list, obj_tri_base,
+                    inst_obj, inst_o2w, max_leaf=4):
+    """Host-side build. obj_bmin_list/obj_bmax_list: per-object arrays of
+    object-space triangle bounds; obj_tri_base[j] = offset of object j's
+    triangles in the global instanced-triangle arrays; inst_obj[i] = object
+    index of instance i; inst_o2w[i] = 4x4 object-to-world."""
+    n_obj = len(obj_bmin_list)
+    blas = [build_bvh(obj_bmin_list[j], obj_bmax_list[j], max_leaf=max_leaf)
+            for j in range(n_obj)]
+
+    inst_obj = np.asarray(inst_obj, np.int32)
+    n_inst = inst_obj.shape[0]
+    # instance world bounds: transform the object bbox corners
+    iw_lo = np.zeros((n_inst, 3), np.float32)
+    iw_hi = np.zeros((n_inst, 3), np.float32)
+    w2o = np.zeros((n_inst, 3, 4), np.float32)
+    for i in range(n_inst):
+        j = int(inst_obj[i])
+        m = np.asarray(inst_o2w[i], np.float64).reshape(4, 4)
+        lo = np.asarray(blas[j].bmin[0])
+        hi = np.asarray(blas[j].bmax[0])
+        cs = np.array([[x, y, z] for x in (lo[0], hi[0])
+                       for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+        cw = cs @ m[:3, :3].T + m[:3, 3]
+        iw_lo[i] = cw.min(0) - 1e-5
+        iw_hi[i] = cw.max(0) + 1e-5
+        w2o[i] = np.linalg.inv(m)[:3, :4]
+    tlas = build_bvh(iw_lo, iw_hi, max_leaf=max_leaf)
+
+    # concatenate: TLAS nodes first, then each object's BLAS with fixups
+    tlas_n = int(tlas.n_nodes)
+    node_off = [0] * n_obj
+    id_off = [0] * n_obj
+    bmins = [np.asarray(tlas.bmin)]
+    bmaxs = [np.asarray(tlas.bmax)]
+    rights = [np.asarray(tlas.right)]
+    starts = [np.asarray(tlas.start)]
+    counts = [np.asarray(tlas.count)]
+    ids = [np.asarray(tlas.prim_ids)]  # instance ids
+    cur_node = tlas_n
+    cur_id = int(np.asarray(tlas.prim_ids).shape[0])
+    for j in range(n_obj):
+        b = blas[j]
+        node_off[j] = cur_node
+        id_off[j] = cur_id
+        bmins.append(np.asarray(b.bmin))
+        bmaxs.append(np.asarray(b.bmax))
+        rights.append(np.asarray(b.right) + cur_node)
+        starts.append(np.asarray(b.start) + cur_id)
+        counts.append(np.asarray(b.count))
+        ids.append(np.asarray(b.prim_ids) + int(obj_tri_base[j]))
+        cur_node += int(b.n_nodes)
+        cur_id += int(np.asarray(b.prim_ids).shape[0])
+    blas_root = np.asarray([node_off[int(inst_obj[i])]
+                            for i in range(n_inst)], np.int32)
+    return TwoLevelBVH(
+        jnp.asarray(np.concatenate(bmins)), jnp.asarray(np.concatenate(bmaxs)),
+        jnp.asarray(np.concatenate(rights), jnp.int32),
+        jnp.asarray(np.concatenate(starts), jnp.int32),
+        jnp.asarray(np.concatenate(counts), jnp.int32),
+        jnp.asarray(np.concatenate(ids), jnp.int32),
+        jnp.asarray(tlas_n, jnp.int32),
+        jnp.asarray(blas_root, jnp.int32),
+        jnp.asarray(w2o),
+    )
+
+
+def two_level_traverse(tl: TwoLevelBVH, o, d, t_max, leaf_fn, payload0,
+                       max_leaf=4):
+    """Instanced closest-hit traversal. ``leaf_fn(pid, inst, m, co, cd,
+    t_best, payload) -> (t_best, payload)`` receives the OBJECT-SPACE ray
+    (co, cd — cd unnormalized so t matches world t) of the owning instance.
+    """
+    R = o.shape[0]
+    lanes = jnp.arange(R)
+
+    stack_n = jnp.zeros((R, MAX_STACK), jnp.int32)
+    stack_i = jnp.full((R, MAX_STACK), -1, jnp.int32)
+    sp = jnp.zeros((R,), jnp.int32)
+    node = jnp.zeros((R,), jnp.int32)
+    inst = jnp.full((R,), -1, jnp.int32)
+    active = jnp.ones((R,), bool) & (t_max > 0)
+    t_best = t_max
+
+    def cur_ray(inst):
+        m = tl.w2o[jnp.maximum(inst, 0)]  # (R,3,4)
+        in_i = (inst >= 0)[:, None]
+        co = jnp.where(
+            in_i, jnp.einsum("rij,rj->ri", m[..., :3], o) + m[..., 3], o)
+        cd = jnp.where(in_i, jnp.einsum("rij,rj->ri", m[..., :3], d), d)
+        return co, cd
+
+    def slab(bmin, bmax, co, inv_d, t_far):
+        t_lo = (bmin - co) * inv_d
+        t_hi = (bmax - co) * inv_d
+        t_near = jnp.nanmax(jnp.minimum(t_lo, t_hi), -1)
+        t_f = jnp.nanmin(jnp.maximum(t_lo, t_hi), -1) * 1.0000007
+        return (t_near <= t_f) & (t_f > 0) & (t_near < t_far)
+
+    def cond(c):
+        return jnp.any(c[6])
+
+    def body(c):
+        stack_n, stack_i, sp, node, inst, t_best, active, payload = c
+        co, cd = cur_ray(inst)
+        inv_d = 1.0 / cd
+        bmin = tl.bmin[node]
+        bmax = tl.bmax[node]
+        cnt = tl.count[node]
+        hit_box = slab(bmin, bmax, co, inv_d, t_best) & active
+        is_leaf = cnt > 0
+        is_blas = node >= tl.tlas_n
+
+        start = tl.start[node]
+        # BLAS leaf: test triangles in object space
+        for j in range(max_leaf):
+            pid = tl.ids[jnp.clip(start + j, 0, tl.ids.shape[0] - 1)]
+            m = hit_box & is_leaf & is_blas & (j < cnt)
+            t_best, payload = leaf_fn(pid, inst, m, co, cd, t_best, payload)
+        # TLAS leaf: push each instance's BLAS root (tagged with the id)
+        for j in range(max_leaf):
+            iid = tl.ids[jnp.clip(start + j, 0, tl.ids.shape[0] - 1)]
+            m = hit_box & is_leaf & ~is_blas & (j < cnt) & (sp < MAX_STACK)
+            sl = jnp.minimum(sp, MAX_STACK - 1)
+            stack_n = stack_n.at[lanes, sl].set(
+                jnp.where(m, tl.blas_root[iid], stack_n[lanes, sl]))
+            stack_i = stack_i.at[lanes, sl].set(
+                jnp.where(m, iid, stack_i[lanes, sl]))
+            sp = jnp.where(m, sp + 1, sp)
+
+        # interior & hit: push right sibling (same space as current node),
+        # descend to left (node+1)
+        push = hit_box & ~is_leaf & (sp < MAX_STACK)
+        sl = jnp.minimum(sp, MAX_STACK - 1)
+        stack_n = stack_n.at[lanes, sl].set(
+            jnp.where(push, tl.right[node], stack_n[lanes, sl]))
+        stack_i = stack_i.at[lanes, sl].set(
+            jnp.where(push, inst, stack_i[lanes, sl]))
+        sp = jnp.where(push, sp + 1, sp)
+        node = jnp.where(push, node + 1, node)
+
+        # otherwise pop (leaf processed or box missed)
+        need_pop = active & ~push
+        can_pop = need_pop & (sp > 0)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        sl = jnp.minimum(sp, MAX_STACK - 1)
+        node = jnp.where(can_pop, stack_n[lanes, sl], node)
+        inst = jnp.where(can_pop, stack_i[lanes, sl], inst)
+        active = active & ~(need_pop & ~can_pop)
+        return stack_n, stack_i, sp, node, inst, t_best, active, payload
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (stack_n, stack_i, sp, node, inst, t_best, active, payload0))
+    return out[5], out[7]
+
+
+# ---------------------------------------------------------------------------
 # HLBVH build (aggregates.cpp buildHLBVH: Morton-code radix sort + LBVH
 # treelets + SAH over treelet roots). Host-side numpy variant: sort
 # primitives by 30-bit Morton codes of their centroids, then build the

@@ -99,8 +99,11 @@ def extract_constants(scene, camera, film, cfg):
         g = scene.geometry
         n_tri = int(g.tri_p0.shape[0])
         n_other = (int(g.sph_c.shape[0]) + int(g.dsk_c.shape[0])
-                   + int(g.cyl_c.shape[0]) + int(g.blp_p00.shape[0]))
+                   + int(g.cyl_c.shape[0]) + int(g.blp_p00.shape[0])
+                   + (int(g.crv_p0.shape[0]) if g.crv_p0 is not None else 0))
         n_box = int(g.box_min.shape[0])
+        if getattr(g, "inst", None) is not None:
+            return None  # instanced meshes take the two-level XLA path
         if n_tri or n_other or n_box != 1:
             return None
         if int(np.asarray(g.box_mat)[0]) >= 0:

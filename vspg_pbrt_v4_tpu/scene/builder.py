@@ -120,6 +120,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     object_defs = {}
     defining_object = [None]
     named_coord_systems = {}
+    inst_objects = []  # per-object object-space triangle lists
+    inst_list = []  # instance records {obj, o2w}
 
     def handle_shape(d, p, st):
         def xf_pts(pts):
@@ -640,12 +642,37 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 warn(f"unknown object '{d.args[0]}'", d.loc)
             else:
                 inv0 = od["ctm0"].inverse()
-                for d_shape, p_shape, snap in od["items"]:
-                    inst = snap.copy()
-                    # instance-to-world = CTM_at_instance o inverse(def CTM)
-                    # o CTM_at_shape (flattened: geometry is duplicated)
-                    inst.ctm = st.ctm @ inv0 @ snap.ctm
-                    handle_shape(d_shape, p_shape, inst)
+                # triangle-mesh-only objects use the two-level TLAS/BLAS
+                # path (geometry stored once in object space; instance =
+                # transform record — cpu/primitive.h:83 TransformedPrimitive).
+                # Other shape types (and emissive objects, which pbrt also
+                # rejects inside instances) fall back to flattening.
+                tri_types = ("trianglemesh", "plymesh", "loopsubdiv")
+                instanceable = bool(od["items"]) and all(
+                    ds.args[0] in tri_types and sn.area_light is None
+                    for ds, _, sn in od["items"])
+                if instanceable:
+                    if "inst_idx" not in od:
+                        # first use: extract the object-space triangles by
+                        # running the shape handler with ctm = inv0 o snap
+                        saved = len(tris)
+                        for d_shape, p_shape, snap in od["items"]:
+                            obj_st = snap.copy()
+                            obj_st.ctm = inv0 @ snap.ctm
+                            handle_shape(d_shape, p_shape, obj_st)
+                        od["inst_idx"] = len(inst_objects)
+                        inst_objects.append(tris[saved:])
+                        del tris[saved:]
+                    inst_list.append(dict(
+                        obj=od["inst_idx"],
+                        o2w=np.asarray(st.ctm.m, np.float64)))
+                else:
+                    for d_shape, p_shape, snap in od["items"]:
+                        inst = snap.copy()
+                        # instance-to-world = CTM_at_instance o
+                        # inverse(def CTM) o CTM_at_shape
+                        inst.ctm = st.ctm @ inv0 @ snap.ctm
+                        handle_shape(d_shape, p_shape, inst)
         elif name == "Shape":
             if defining_object[0] is not None:
                 object_defs[defining_object[0]]["items"].append(
@@ -764,14 +791,17 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             return n_h + (mid - 10_000)
         return mid
 
-    for lst in (tris, spheres, boxes, disks):
+    for lst in (tris, spheres, boxes, disks, *inst_objects):
         for it in lst:
             it["med_in"] = remap(it["med_in"])
             it["med_out"] = remap(it["med_out"])
 
     geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes,
                               disks=disks, cylinders=cylinders,
-                              patches=patches, curves=curves)
+                              patches=patches, curves=curves,
+                              instanced=(dict(objects=inst_objects,
+                                              instances=inst_list)
+                                         if inst_list else None))
     materials = Materials.build(mats)
     tex_bank = Textures.build(textures, tex_images) if textures else None
     media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media),
@@ -782,6 +812,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         for it in lst:
             for k in keys:
                 pts.append(np.asarray(it[k], np.float32))
+    for it in inst_list:
+        pts.append(np.asarray(it["o2w"], np.float32)[:3, 3])
     world_r = 2.0 * float(np.abs(np.asarray(pts)).max()) if pts else 100.0
     lsampler = "uniform"
     if "lightsampler" in integrator_params:

@@ -360,6 +360,48 @@ def bench_config5():
     }
 
 
+def bench_config5b():
+    """BASELINE config 5's literal protocol: equal-TIME wave loop at 1080p
+    (cpu/integrators.cpp:113-231 --time budget semantics). Renders fogbox
+    waves through the megakernel until a 12 s budget expires; reports
+    achieved throughput (and spp within budget)."""
+    nx, ny = 1920, 1088  # 1080p rounded to a 128-divisible pixel count
+    budget = 12.0
+    scene = volpath.make_fog_box_scene(
+        [0.05, 0.05, 0.05], [0.5, 0.6, 0.7], g=0.3,
+        env_L=[0.1, 0.12, 0.15], point=((0.0, 0.8, 0.0), (5.0, 5.0, 5.0)))
+    camera = PerspectiveCamera.make(
+        tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)), 35.0, (nx, ny))
+    film = RGBFilm.make((nx, ny))
+    cfg = volpath.VolPathConfig(max_depth=32, max_events=128)
+    wave_spp = 16
+
+    def run(seed):
+        return volpath.render_persistent(scene, camera, film, spp=wave_spp,
+                                         cfg=cfg, seed=seed,
+                                         lanes_per_pixel=1)
+
+    jax.device_get(run(0))  # compile + warm
+    t0 = time.perf_counter()
+    spp_done, waves, acc = 0, 0, None
+    while time.perf_counter() - t0 < budget:
+        img = jax.device_get(run(waves + 1))
+        acc = img if acc is None else acc + img
+        spp_done += wave_spp
+        waves += 1
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(acc)).all()
+    mpaths = nx * ny * spp_done / dt / 1e6
+    return {
+        "metric": "volpath_fogbox_1080p_equal_time",
+        "value": round(mpaths, 3),
+        "unit": "Mpaths/sec/chip",
+        "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
+        "spp_in_budget": spp_done,
+        "budget_s": budget,
+    }
+
+
 def main():
     # primary first (so a timeout mid-run still leaves a parsable line),
     # then the secondary configs, then the primary line again LAST (the
@@ -367,7 +409,7 @@ def main():
     primary = bench_config1()
     print(json.dumps(primary), flush=True)
     for fn in (bench_config2, bench_config2b, bench_config3, bench_config4,
-               bench_config5, bench_config6):
+               bench_config5, bench_config5b, bench_config6):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # a secondary config must not sink the run

@@ -160,6 +160,7 @@ static inline float ratioTrackTr(Rng &rng, V3 o, V3 d, float tEnd) {
       te = ((d.z >= 0 ? vz1 : vz0) - o.z) * inv; if (te < tSeg) tSeg = te;
     }
     float majH = g_maj[(ci * MJ + cj) * MJ + ck] * st;
+    if (tSeg <= t) { t += 1e-5f; continue; }  // stale voxel: float-rounded p still on the previous face puts tSeg behind t; nudge forward
     if (majH <= 0) { t = tSeg + 1e-5f; continue; }
     while (true) {
       t += -std::log1p(-rng.uf()) / majH;
@@ -198,6 +199,7 @@ static inline bool deltaTrack(Rng &rng, V3 o, V3 d, float tEnd, int hero,
       te = ((d.z >= 0 ? vz1 : vz0) - o.z) * inv; if (te < tSeg) tSeg = te;
     }
     float majH = g_maj[(ci * MJ + cj) * MJ + ck] * (C_SA[hero] + C_SS[hero]);
+    if (tSeg <= t) { t += 1e-5f; continue; }  // stale voxel: float-rounded p still on the previous face puts tSeg behind t; nudge forward
     if (majH <= 0) { t = tSeg + 1e-5f; continue; }
     while (true) {
       t += -std::log1p(-rng.uf()) / majH;

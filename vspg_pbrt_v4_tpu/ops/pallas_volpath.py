@@ -46,6 +46,15 @@ _BIG = 3e37
 # bf16 — their sweep is already trivial
 I8_THRESHOLD = 4096
 
+# tiled lane mapping (grid kernels): each 1024-lane block renders a
+# TILE_W x (1024/TILE_W) pixel tile instead of a raster strip, so the
+# dynamic gather-sweep windows see a compact camera footprint. Big grids
+# (>32768 voxels) prefer NARROWER tiles: the sweep window scales with the
+# tile's x-footprint in voxels (chunk index ~ ix * gy*gz/512), so an
+# 8-wide tile cuts the dominant window term ~4x vs 32-wide.
+TILE_W = 32
+TILE_W_BIG = 8
+
 
 def _pcg4d(a, b, c, d):
     """pcg4d (utils/rng.py) with numpy-scalar constants — Pallas kernels
@@ -835,7 +844,7 @@ def _make_kernel(c, spp, sub):
 # ---------------------------------------------------------------------------
 
 
-def _make_grid_kernel(c, spp, sub, tiled=False):
+def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
     """Megakernel for the single-GridMedium scene class: the DDA majorant
     iteration and delta-tracking collisions (media.h:140-218 +
     media_sampleTMaj.h:40-117, the jnp loop in
@@ -889,7 +898,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False):
     nx_pow2 = (nx & (nx - 1)) == 0
     nx_shift = int(np.log2(nx)) if nx_pow2 else 0
     LB = sub * 128
-    TX = TILE_W
+    TX = tile_w
     TY = LB // TX
 
     def chan(vec3, h):
@@ -1499,23 +1508,28 @@ _KERNEL_CACHE = {}
 GRID_SPP_CHUNK = 64
 GRID_SPP_CHUNK_BIG = 8  # density grids above 32768 voxels
 
-# tiled lane mapping (grid kernels): each 1024-lane block renders a
-# TILE_W x (1024/TILE_W) pixel tile instead of a raster strip, so the
-# dynamic gather-sweep windows see a compact camera footprint
-TILE_W = 32
+def pick_tile_w(nx, ny, nvox):
+    """Choose the tile width for a grid kernel launch: narrowest
+    power-of-two tile that divides the film (big grids), else TILE_W."""
+    prefs = ((TILE_W_BIG, 16, TILE_W) if nvox > 32768 else (TILE_W,))
+    for tw in prefs:
+        ty = 8 * 128 // tw
+        if nx % tw == 0 and ny % ty == 0:
+            return tw
+    return TILE_W
 
 
-def tile_permutation(nx, ny, sub):
+def tile_permutation(nx, ny, sub, tile_w=TILE_W):
     """slot -> pixel-id map of the tiled lane layout, and its inverse
     (pixel-id -> slot), as int32 numpy arrays of length nx*ny."""
     npix = nx * ny
     LB = sub * 128
     s = np.arange(npix, dtype=np.int64)
     b, l = s // LB, s % LB
-    tpr = nx // TILE_W
-    ty = LB // TILE_W
-    pid = (((b // tpr) * ty + (l // TILE_W)) * nx
-           + (b % tpr) * TILE_W + (l % TILE_W)).astype(np.int32)
+    tpr = nx // tile_w
+    ty = LB // tile_w
+    pid = (((b // tpr) * ty + (l // tile_w)) * nx
+           + (b % tpr) * tile_w + (l % tile_w)).astype(np.int32)
     inv = np.empty(npix, np.int32)
     inv[pid] = np.arange(npix, dtype=np.int32)
     return pid, inv
@@ -1532,19 +1546,21 @@ def _get_callable(c, spp, interpret):
     sub = 64
     while npix % (sub * 128) != 0:
         sub //= 2
-    # grid kernels: tiled 32x32 blocks (sub=8) when the film divides into
-    # tiles — the sweep windows track the tile frustum, not a full-width
-    # strip. tiled is a pure function of c, so the cache key is unchanged.
+    # grid kernels: tiled blocks (sub=8) when the film divides into tiles
+    # — the sweep windows track the tile frustum, not a full-width strip.
+    # tiled/tile_w are pure functions of c, so the cache key is unchanged.
     tiled = False
+    tile_w = TILE_W
     if is_grid:
-        ty = 8 * 128 // TILE_W
-        tiled = (c["nx"] % TILE_W == 0 and c["ny"] % ty == 0
+        tile_w = pick_tile_w(c["nx"], c["ny"], int(np.prod(c["grid_res"])))
+        ty = 8 * 128 // tile_w
+        tiled = (c["nx"] % tile_w == 0 and c["ny"] % ty == 0
                  and npix % (8 * 128) == 0)
         if tiled:
             sub = 8
     n_blocks = npix // (sub * 128)
     if is_grid:
-        kernel = _make_grid_kernel(c, spp, sub, tiled)
+        kernel = _make_grid_kernel(c, spp, sub, tiled, tile_w)
         nvox = int(np.prod(c["grid_res"]))
         nmaj = int(np.prod(c["maj_res"]))
         vals_per_word = 4 if c.get("dens_pack", "bf16") == "i8" else 2
@@ -1565,7 +1581,8 @@ def _get_callable(c, spp, interpret):
             interpret=interpret,
         )
 
-        inv_perm = (jnp.asarray(tile_permutation(c["nx"], c["ny"], sub)[1])
+        inv_perm = (jnp.asarray(tile_permutation(c["nx"], c["ny"], sub,
+                                                 tile_w)[1])
                     if tiled else None)
 
         @jax.jit

@@ -381,16 +381,18 @@ def bench_config5b():
                                          cfg=cfg, seed=seed,
                                          lanes_per_pixel=1)
 
-    jax.device_get(run(0))  # compile + warm
+    jax.device_get(run(0)[0, 0])  # compile + warm
     t0 = time.perf_counter()
     spp_done, waves, acc = 0, 0, None
     while time.perf_counter() - t0 < budget:
-        img = jax.device_get(run(waves + 1))
-        acc = img if acc is None else acc + img
+        img = run(waves + 1)
+        acc = img if acc is None else acc + img  # on-device accumulation
+        jax.device_get(acc[0, 0])  # sync the wave (relay fetch is ~MB/s;
+        #                            the full film is fetched once at the end)
         spp_done += wave_spp
         waves += 1
     dt = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(acc)).all()
+    assert np.isfinite(jax.device_get(acc)).all()
     mpaths = nx * ny * spp_done / dt / 1e6
     return {
         "metric": "volpath_fogbox_1080p_equal_time",

@@ -186,13 +186,20 @@ class Geometry(NamedTuple):
 
     @staticmethod
     def build(triangles=(), spheres=(), boxes=(), disks=(), cylinders=(),
-              patches=(), curves=(), use_bvh="auto", instanced=None):
+              patches=(), curves=(), use_bvh="auto", instanced=None,
+              tri_meshes=()):
         """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
         spheres: {c,r,...}; boxes: {bmin,bmax,...};
         disks: {c,n,r,[ri],...}; cylinders: {c,a,r,h,...};
         patches: {p00,p10,p01,p11,...};
         curves: {cp (4,3) cubic Bezier control points, width0, width1,
-        [n_segs=8], ...} — flattened to ribbon segments."""
+        [n_segs=8], ...} — flattened to ribbon segments.
+
+        tri_meshes: the VECTORIZED triangle path for big meshes — a list
+        of array bundles {p0,p1,p2 (T,3) [, n0,n1,n2 (T,3)]
+        [, uv0,uv1,uv2 (T,2)], mat, med_in, med_out (scalars or (T,))},
+        concatenated after `triangles` with no per-primitive Python loop
+        (a 1M-triangle PLY builds in array time, not interpreter time)."""
 
         def stack(items, key, default, shape):
             if not items:
@@ -232,6 +239,71 @@ class Geometry(NamedTuple):
                 for i, it in enumerate(t)]))
         else:
             tri_n0 = tri_n1 = tri_n2 = jnp.asarray(ng, jnp.float32)
+        tri_mat = stack_i(t, "mat")
+        tri_light = stack_i(t, "light")
+        tri_mi = stack_i(t, "med_in")
+        tri_mo = stack_i(t, "med_out")
+        tri_uv0 = stack(t, "uv0", (1, 0), (2,))
+        tri_uv1 = stack(t, "uv1", (0, 1), (2,))
+        tri_uv2 = stack(t, "uv2", (0, 0), (2,))
+        if tri_meshes:
+            # vectorized mesh bundles: pure array concatenation
+            def fli(key, bund, T):
+                v = np.asarray(bund.get(key, -1))
+                return (np.full((T,), int(v), np.int32) if v.ndim == 0
+                        else v.astype(np.int32))
+
+            P0 = [np.asarray(tri_p0)]
+            P1 = [np.asarray(tri_p1)]
+            P2 = [np.asarray(tri_p2)]
+            N0 = [np.asarray(tri_n0)]
+            N1 = [np.asarray(tri_n1)]
+            N2 = [np.asarray(tri_n2)]
+            U0 = [np.asarray(tri_uv0)]
+            U1 = [np.asarray(tri_uv1)]
+            U2 = [np.asarray(tri_uv2)]
+            MA = [np.asarray(tri_mat)]
+            LI = [np.asarray(tri_light)]
+            MI = [np.asarray(tri_mi)]
+            MO = [np.asarray(tri_mo)]
+            for b in tri_meshes:
+                bp0 = np.asarray(b["p0"], np.float32)
+                bp1 = np.asarray(b["p1"], np.float32)
+                bp2 = np.asarray(b["p2"], np.float32)
+                T = bp0.shape[0]
+                bng = np.cross(bp1 - bp0, bp2 - bp0)
+                bng /= np.maximum(
+                    np.linalg.norm(bng, axis=-1, keepdims=True), 1e-20)
+                P0.append(bp0)
+                P1.append(bp1)
+                P2.append(bp2)
+                N0.append(np.asarray(b.get("n0", bng), np.float32))
+                N1.append(np.asarray(b.get("n1", bng), np.float32))
+                N2.append(np.asarray(b.get("n2", bng), np.float32))
+                U0.append(np.asarray(b.get(
+                    "uv0", np.tile(np.float32([1, 0]), (T, 1))), np.float32))
+                U1.append(np.asarray(b.get(
+                    "uv1", np.tile(np.float32([0, 1]), (T, 1))), np.float32))
+                U2.append(np.asarray(b.get(
+                    "uv2", np.tile(np.float32([0, 0]), (T, 1))), np.float32))
+                MA.append(fli("mat", b, T))
+                LI.append(fli("light", b, T))
+                MI.append(fli("med_in", b, T))
+                MO.append(fli("med_out", b, T))
+            cat = np.concatenate
+            tri_p0 = jnp.asarray(cat(P0))
+            tri_p1 = jnp.asarray(cat(P1))
+            tri_p2 = jnp.asarray(cat(P2))
+            tri_n0 = jnp.asarray(cat(N0))
+            tri_n1 = jnp.asarray(cat(N1))
+            tri_n2 = jnp.asarray(cat(N2))
+            tri_uv0 = jnp.asarray(cat(U0))
+            tri_uv1 = jnp.asarray(cat(U1))
+            tri_uv2 = jnp.asarray(cat(U2))
+            tri_mat = jnp.asarray(cat(MA), jnp.int32)
+            tri_light = jnp.asarray(cat(LI), jnp.int32)
+            tri_mi = jnp.asarray(cat(MI), jnp.int32)
+            tri_mo = jnp.asarray(cat(MO), jnp.int32)
         s = list(spheres)
         b = list(boxes)
         dk = list(disks)
@@ -298,8 +370,7 @@ class Geometry(NamedTuple):
                 tri_bvh = build_bvh(lo, hi)
         return Geometry(
             tri_p0, tri_p1, tri_p2, tri_n0, tri_n1, tri_n2,
-            stack_i(t, "mat"), stack_i(t, "light"),
-            stack_i(t, "med_in"), stack_i(t, "med_out"),
+            tri_mat, tri_light, tri_mi, tri_mo,
             stack(s, "c", (0, 0, 0), (3,)),
             (jnp.asarray([float(it["r"]) for it in s], jnp.float32)
              if s else jnp.zeros((0,), jnp.float32)),
@@ -333,9 +404,7 @@ class Geometry(NamedTuple):
             stack_i(bp, "med_in"), stack_i(bp, "med_out"),
             *crv,
             tri_bvh,
-            stack(t, "uv0", (1, 0), (2,)),
-            stack(t, "uv1", (0, 1), (2,)),
-            stack(t, "uv2", (0, 0), (2,)),
+            tri_uv0, tri_uv1, tri_uv2,
             (Instances.build(instanced["objects"], instanced["instances"])
              if instanced and instanced.get("instances") else None),
         )

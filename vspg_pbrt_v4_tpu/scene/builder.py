@@ -79,6 +79,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     world = False
 
     tris = []
+    tri_meshes = []  # vectorized whole-mesh array bundles (big meshes)
     spheres = []
     boxes = []
     curves = []
@@ -175,6 +176,20 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             # face's atlas rect (face index = mesh triangle order,
             # faceIndex semantics of pbrt's PtexTexture)
             atlas_rects = face_atlas_rects.get(mat_id)
+            if not has_light and atlas_rects is None:
+                # vectorized path: whole mesh as one array bundle (no
+                # per-triangle Python objects — production-size meshes)
+                bund = dict(p0=Pw[idx[:, 0]], p1=Pw[idx[:, 1]],
+                            p2=Pw[idx[:, 2]], mat=mat_id,
+                            med_in=st.medium_in, med_out=st.medium_out)
+                if Nw is not None:
+                    bund.update(n0=Nw[idx[:, 0]], n1=Nw[idx[:, 1]],
+                                n2=Nw[idx[:, 2]])
+                if UV is not None:
+                    bund.update(uv0=UV[idx[:, 0]], uv1=UV[idx[:, 1]],
+                                uv2=UV[idx[:, 2]])
+                tri_meshes.append(bund)
+                return
             for t_i in range(idx.shape[0]):
                 a, b, c3 = idx[t_i]
                 if has_light:
@@ -233,6 +248,13 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             Pl, Fl, Nl = subdivide(P, idx, levels=levels)
             Pw = xf_pts(Pl)
             Nw = xf_nrm(Nl)
+            if not has_light:
+                tri_meshes.append(dict(
+                    p0=Pw[Fl[:, 0]], p1=Pw[Fl[:, 1]], p2=Pw[Fl[:, 2]],
+                    n0=Nw[Fl[:, 0]], n1=Nw[Fl[:, 1]], n2=Nw[Fl[:, 2]],
+                    mat=mat_id, med_in=st.medium_in,
+                    med_out=st.medium_out))
+                return
             for t_i in range(Fl.shape[0]):
                 a, b2, c3 = Fl[t_i]
                 if has_light:
@@ -302,6 +324,19 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 idx = mesh["indices"]
                 Pw = xf_pts(P)
                 Nw = xf_nrm(mesh["N"]) if "N" in mesh else None
+                UVm = mesh.get("uv")
+                if not has_light:
+                    bund = dict(p0=Pw[idx[:, 0]], p1=Pw[idx[:, 1]],
+                                p2=Pw[idx[:, 2]], mat=mat_id,
+                                med_in=st.medium_in, med_out=st.medium_out)
+                    if Nw is not None:
+                        bund.update(n0=Nw[idx[:, 0]], n1=Nw[idx[:, 1]],
+                                    n2=Nw[idx[:, 2]])
+                    if UVm is not None:
+                        bund.update(uv0=UVm[idx[:, 0]], uv1=UVm[idx[:, 1]],
+                                    uv2=UVm[idx[:, 2]])
+                    tri_meshes.append(bund)
+                    return
                 for t_i in range(idx.shape[0]):
                     a, b, c3 = idx[t_i]
                     if has_light:
@@ -656,13 +691,35 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                         # first use: extract the object-space triangles by
                         # running the shape handler with ctm = inv0 o snap
                         saved = len(tris)
+                        saved_m = len(tri_meshes)
                         for d_shape, p_shape, snap in od["items"]:
                             obj_st = snap.copy()
                             obj_st.ctm = inv0 @ snap.ctm
                             handle_shape(d_shape, p_shape, obj_st)
-                        od["inst_idx"] = len(inst_objects)
-                        inst_objects.append(tris[saved:])
+                        obj_tris = tris[saved:]
                         del tris[saved:]
+                        # meshes captured through the vectorized path:
+                        # expand into the per-tri form Instances.build takes
+                        for b in tri_meshes[saved_m:]:
+                            T = np.asarray(b["p0"]).shape[0]
+                            for i in range(T):
+                                trid = dict(
+                                    p0=b["p0"][i], p1=b["p1"][i],
+                                    p2=b["p2"][i], mat=b["mat"],
+                                    med_in=b["med_in"],
+                                    med_out=b["med_out"])
+                                if "n0" in b:
+                                    trid.update(n0=b["n0"][i],
+                                                n1=b["n1"][i],
+                                                n2=b["n2"][i])
+                                if "uv0" in b:
+                                    trid.update(uv0=b["uv0"][i],
+                                                uv1=b["uv1"][i],
+                                                uv2=b["uv2"][i])
+                                obj_tris.append(trid)
+                        del tri_meshes[saved_m:]
+                        od["inst_idx"] = len(inst_objects)
+                        inst_objects.append(obj_tris)
                     inst_list.append(dict(
                         obj=od["inst_idx"],
                         o2w=np.asarray(st.ctm.m, np.float64)))
@@ -795,10 +852,14 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         for it in lst:
             it["med_in"] = remap(it["med_in"])
             it["med_out"] = remap(it["med_out"])
+    for b in tri_meshes:
+        b["med_in"] = remap(b["med_in"])
+        b["med_out"] = remap(b["med_out"])
 
     geometry = Geometry.build(triangles=tris, spheres=spheres, boxes=boxes,
                               disks=disks, cylinders=cylinders,
                               patches=patches, curves=curves,
+                              tri_meshes=tri_meshes,
                               instanced=(dict(objects=inst_objects,
                                               instances=inst_list)
                                          if inst_list else None))
@@ -814,6 +875,10 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 pts.append(np.asarray(it[k], np.float32))
     for it in inst_list:
         pts.append(np.asarray(it["o2w"], np.float32)[:3, 3])
+    for b in tri_meshes:
+        if np.asarray(b["p0"]).shape[0]:
+            for k in ("p0", "p1", "p2"):
+                pts.append(np.abs(np.asarray(b[k], np.float32)).max(0))
     world_r = 2.0 * float(np.abs(np.asarray(pts)).max()) if pts else 100.0
     lsampler = "uniform"
     if "lightsampler" in integrator_params:

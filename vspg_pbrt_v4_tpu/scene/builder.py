@@ -88,6 +88,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     patches = []
     mats = [dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))]  # default material
     named_mats = {}
+    measured_bank = []  # loaded measured-BRDF tables (MERL .binary)
     area_tris = []
     point_lights = []
     spot_lights = []
@@ -420,7 +421,8 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                 st.material = -1  # medium interface / no BSDF
             else:
                 mats.append(_make_material(mtype, p, warn, d.loc,
-                                           named_textures, named_mats))
+                                           named_textures, named_mats,
+                                           measured_bank))
                 st.material = len(mats) - 1
                 tref = mats[-1].get("albedo_tex", -1)
                 if tref in ptex_rects_by_tex:
@@ -428,7 +430,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         elif name == "MakeNamedMaterial":
             ptype = p.get_string("type", "diffuse")
             mats.append(_make_material(ptype, p, warn, d.loc, named_textures,
-                                       named_mats))
+                                       named_mats, measured_bank))
             named_mats[d.args[0]] = len(mats) - 1
             tref = mats[-1].get("albedo_tex", -1)
             if tref in ptex_rects_by_tex:
@@ -863,7 +865,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                               instanced=(dict(objects=inst_objects,
                                               instances=inst_list)
                                          if inst_list else None))
-    materials = Materials.build(mats)
+    materials = Materials.build(
+        mats, measured_tables=(np.stack(measured_bank)
+                               if measured_bank else None))
     tex_bank = Textures.build(textures, tex_images) if textures else None
     media = Media.make(homogeneous=homog_media or None, grids=tuple(grid_media),
                        procedurals=tuple(proc_media))
@@ -981,7 +985,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
 
 
 def _make_material(mtype, p: ParameterDictionary, warn, loc,
-                   named_textures=None, named_mats=None):
+                   named_textures=None, named_mats=None, measured_bank=None):
     named_textures = named_textures or {}
 
     def tex_of(pname):
@@ -1078,5 +1082,23 @@ def _make_material(mtype, p: ParameterDictionary, warn, loc,
                         mix_amount=p.get_float("amount", 0.5))
         warn("mix material needs two named materials; using diffuse", loc)
         return dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))
+    if mtype == "measured":
+        # materials.h Measured:909 — tabulated BRDF from "string filename"
+        # (MERL .binary layout; materials.cpp MeasuredMaterial)
+        fn = p.get_string("filename", None)
+        if fn is None or measured_bank is None:
+            warn('measured material needs "string filename"; using diffuse',
+                 loc)
+            return dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))
+        from ..models.materials import MEASURED, load_merl_brdf
+
+        try:
+            tbl = load_merl_brdf(str(fn))
+        except Exception as e:
+            warn(f"measured BRDF '{fn}' failed to load ({e}); using diffuse",
+                 loc)
+            return dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))
+        measured_bank.append(tbl)
+        return dict(type=MEASURED, meas_id=len(measured_bank) - 1)
     warn(f"material '{mtype}' unsupported; using diffuse", loc)
     return dict(type=DIFFUSE, albedo=(0.5, 0.5, 0.5))

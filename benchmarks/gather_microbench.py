@@ -6,16 +6,20 @@ bound by per-lane random table lookups (PERF.md "the 64^3 wall"): Mosaic's
 only vector gather is jnp.take_along_axis on a (S,128) operand with lane
 indices < 128, so a lookup from a (C,128)-word VMEM table costs a fori_loop
 "chunk sweep" over up to C chunks. This measures that sweep against an
-MXU-based alternative:
+MXU-based alternative with NO lane reshapes/transposes (both crash Mosaic):
 
-  one-hot matmul gather:  rows = onehot(c_idx) (L,C) @ table (C,128) on the
-  MXU, then pick the column either with a second one-hot reduction or with
-  the supported per-row take_along_axis. Cost is C*L*128 MACs regardless of
-  index spread — no chunk loop, no dynamic window.
+  matmul_sub: per sublane s (static unroll), build onehot OH (C,128) via a
+  sublane-iota == c_idx[s] broadcast compare, G = T_t (128,C) @ OH (C,128)
+  on the MXU so column l of G is lane l's table row, then pick the row
+  element with a second (128,128) onehot multiply + sublane reduction.
+  Cost is 8*128*C*128 MACs per event per 1024-lane block, independent of
+  index spread — no chunk loop, no dynamic window, no per-chunk
+  take_along_axis (measured ~215 cycles/chunk, the real sweep cost).
 
-Run:  python benchmarks/gather_microbench.py [sweep|matmul|matmul_ta] [C...]
-Prints one line per (variant, C): microseconds per lookup event per block
-of 1024 lanes, and the implied lookup rate.
+Timing is slope-based: t(E_hi) - t(E_lo) over the event-count difference,
+cancelling the ~tens-of-ms relay launch floor.
+
+Run:  python benchmarks/gather_microbench.py [variants...] [C...]
 """
 
 import functools
@@ -29,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUB = 8  # sublanes per block: lanes = SUB*128 = 1024
-EVENTS = 64  # dependent lookup events per lane per kernel
+E_LO, E_HI = 512, 8192
 
 
 def _mix(x):
@@ -38,7 +42,7 @@ def _mix(x):
     return x ^ (x >> 11)
 
 
-def _kernel(table_ref, seed_ref, out_ref, *, variant, C):
+def _kernel(table_ref, tt_ref, seed_ref, out_ref, *, variant, C, events):
     lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
     idx0 = _mix(lanes * 131 + subl * 7919 + seed_ref[0])
@@ -56,20 +60,20 @@ def _kernel(table_ref, seed_ref, out_ref, *, variant, C):
         hi = jnp.max(c_idx)
         return jax.lax.fori_loop(lo, hi + 1, body, zf)
 
-    def lookup_matmul(c_idx, l_idx, use_ta):
-        cflat = c_idx.reshape(SUB * 128, 1)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-        oh = (cflat == iota_c).astype(jnp.bfloat16)  # (L, C)
-        rows = jnp.dot(oh, table_ref[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)  # (L, 128)
-        lflat = l_idx.reshape(SUB * 128, 1)
-        if use_ta:
-            v = jnp.take_along_axis(rows, lflat, axis=1)  # (L, 1)
-        else:
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            ohl = (lflat == iota_l).astype(jnp.float32)
-            v = jnp.sum(rows * ohl, axis=1, keepdims=True)
-        return v.reshape(SUB, 128)
+    iota_c_col = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
+    iota_s_col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    def lookup_matmul_sub(c_idx, l_idx):
+        cols = []
+        for s in range(SUB):
+            c_s = c_idx[s:s + 1, :]  # (1,128)
+            oh = (iota_c_col == c_s).astype(jnp.bfloat16)  # (C,128)
+            # G[j,l] = table[c_idx[s,l], j]
+            g = jnp.dot(tt_ref[:], oh,
+                        preferred_element_type=jnp.float32)  # (128,128)
+            ohl = (iota_s_col == l_idx[s:s + 1, :]).astype(jnp.float32)
+            cols.append(jnp.sum(g * ohl, axis=0, keepdims=True))  # (1,128)
+        return jnp.concatenate(cols, axis=0)  # (SUB,128)
 
     def step(i, carry):
         idx, acc = carry
@@ -78,55 +82,66 @@ def _kernel(table_ref, seed_ref, out_ref, *, variant, C):
         l_idx = word & 127
         if variant == "sweep":
             v = lookup_sweep(c_idx, l_idx)
-        elif variant == "matmul":
-            v = lookup_matmul(c_idx, l_idx, use_ta=False)
         else:
-            v = lookup_matmul(c_idx, l_idx, use_ta=True)
+            v = lookup_matmul_sub(c_idx, l_idx)
         # next index depends on the gathered value: no hoisting
         idx = _mix(idx + v.astype(jnp.int32) + i)
         return idx, acc + v
 
-    _, acc = jax.lax.fori_loop(0, EVENTS, step, (idx0,
-                                                 jnp.zeros((SUB, 128),
-                                                           jnp.float32)))
+    _, acc = jax.lax.fori_loop(0, events, step,
+                               (idx0, jnp.zeros((SUB, 128), jnp.float32)))
     out_ref[:] = acc
 
 
-def run(variant, C, reps=3):
-    table = np.abs(np.random.default_rng(0).normal(
-        size=(C, 128))).astype(np.float32)
-    kern = functools.partial(_kernel, variant=variant, C=C)
-    fn = pl.pallas_call(
+def make_fn(variant, C, events, interpret=False):
+    kern = functools.partial(_kernel, variant=variant, C=C, events=events)
+    return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((SUB, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )
-    jfn = jax.jit(fn)
-    t = np.asarray(table)
-    out = jax.device_get(jfn(t, np.asarray([1], np.int32)))  # compile+warm
-    assert np.isfinite(out).all()
-    best = np.inf
-    for r in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(jfn(t, np.asarray([r + 2], np.int32))[0, 0])
-        best = min(best, time.perf_counter() - t0)
-    us_per_event = best / EVENTS * 1e6
-    rate = SUB * 128 * EVENTS / best / 1e6
-    print(f"{variant:10s} C={C:5d} ({C*128:7d} f32)  "
-          f"{us_per_event:9.2f} us/event/block  "
-          f"{rate:9.2f} Mlookups/s", flush=True)
+
+
+def _tables(C):
+    t = np.abs(np.random.default_rng(0).normal(
+        size=(C, 128))).astype(np.float32)
+    t = t.astype(jnp.bfloat16).astype(np.float32)  # bf16-exact values
+    return t, np.ascontiguousarray(t.T).astype(jnp.bfloat16)
+
+
+def run(variant, C, reps=5):
+    table, tt = _tables(C)
+
+    def timed(events):
+        jfn = jax.jit(make_fn(variant, C, events))
+        out = jax.device_get(jfn(table, tt, np.asarray([1], np.int32)))
+        assert np.isfinite(out).all()
+        best = np.inf
+        for r in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(jfn(table, tt, np.asarray([r + 2], np.int32))[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    slope = (timed(E_HI) - timed(E_LO)) / (E_HI - E_LO)
+    us = slope * 1e6
+    rate = SUB * 128 / max(slope, 1e-12) / 1e6
+    print(f"{variant:12s} C={C:5d} ({C*128:7d} f32)  "
+          f"{us:9.2f} us/event/block  {rate:9.2f} Mlookups/s", flush=True)
 
 
 if __name__ == "__main__":
     variants = [v for v in sys.argv[1:] if not v.isdigit()] or [
-        "sweep", "matmul", "matmul_ta"]
+        "sweep", "matmul_sub"]
     sizes = [int(s) for s in sys.argv[1:] if s.isdigit()] or [32, 256, 2048]
     for v in variants:
         for C in sizes:
             try:
                 run(v, C)
             except Exception as e:
-                print(f"{v:10s} C={C:5d}  FAILED: {str(e)[:160]}",
+                print(f"{v:12s} C={C:5d}  FAILED: {str(e)[:200]}",
                       flush=True)

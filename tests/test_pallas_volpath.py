@@ -294,3 +294,53 @@ def test_grid_megakernel_i8_matches_volpath():
         assert rel < 0.03, (img.mean(), ref.mean())
     finally:
         pv.I8_THRESHOLD = old
+
+
+def test_grid_megakernel_mxu_stoch_furnace():
+    """Force the MXU one-hot gather (production path for 4096+ voxel
+    grids) together with stochastic one-corner filtering: the furnace
+    must stay exact — the matmul gather returns the identical bf16
+    truncated density the sweep path decodes, used consistently in rates
+    and weights."""
+    old_mx, old_st = pv.MXU_MIN_VOX, pv.STOCH_TRILERP_MAX_EXACT
+    pv.MXU_MIN_VOX = 0
+    pv.STOCH_TRILERP_MAX_EXACT = 0
+    pv._KERNEL_CACHE.clear()
+    try:
+        scene, camera, film, cfg = _cloud_setup(
+            sa=(0.0, 0.0, 0.0), ss=(2.0, 2.0, 2.0), g=0.0,
+            env=(0.6, 0.6, 0.6), point=None)
+        c = pv.extract_constants(scene, camera, film, cfg)
+        assert c is not None and c["dens_pack"] == "mxu"
+        img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48,
+                                                cfg, seed=2,
+                                                interpret=True))
+        assert np.isfinite(img).all()
+        assert abs(img.mean() - 0.6) / 0.6 < 0.02, img.mean()
+    finally:
+        pv.MXU_MIN_VOX, pv.STOCH_TRILERP_MAX_EXACT = old_mx, old_st
+        pv._KERNEL_CACHE.clear()
+
+
+def test_grid_megakernel_mxu_matches_volpath():
+    """MXU-gather path on the lit test cloud vs the jnp DDA loop: means
+    agree within MC noise."""
+    old_mx, old_st = pv.MXU_MIN_VOX, pv.STOCH_TRILERP_MAX_EXACT
+    pv.MXU_MIN_VOX = 0
+    pv.STOCH_TRILERP_MAX_EXACT = 0
+    pv._KERNEL_CACHE.clear()
+    try:
+        scene, camera, film, cfg = _cloud_setup()
+        c = pv.extract_constants(scene, camera, film, cfg)
+        assert c is not None and c["dens_pack"] == "mxu"
+        ref = np.asarray(volpath.render(scene, camera, film, spp=48,
+                                        seed=3, spp_per_pass=8))
+        img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48,
+                                                cfg, seed=7,
+                                                interpret=True))
+        assert np.isfinite(img).all()
+        rel = abs(img.mean() - ref.mean()) / ref.mean()
+        assert rel < 0.04, (img.mean(), ref.mean())
+    finally:
+        pv.MXU_MIN_VOX, pv.STOCH_TRILERP_MAX_EXACT = old_mx, old_st
+        pv._KERNEL_CACHE.clear()

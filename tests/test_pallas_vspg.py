@@ -260,3 +260,36 @@ def test_kernel_stoch_trilerp_furnace_trained():
     finally:
         pk.STOCH_TRILERP_MAX_EXACT = old
         pk._KERNEL_CACHE.clear()
+
+
+def test_kernel_mxu_gather_furnace_trained():
+    """Force the MXU one-hot density gather (production path for 4096+
+    voxel grids) through all the guided routes with a trained field: the
+    furnace must stay exact — the matmul gather returns the identical
+    bf16-truncated density the sweep decodes."""
+    from vspg_pbrt_v4_tpu.ops import pallas_volpath as _pv
+
+    old_mx, old_st = _pv.MXU_MIN_VOX, pk.STOCH_TRILERP_MAX_EXACT
+    _pv.MXU_MIN_VOX = 0
+    pk.STOCH_TRILERP_MAX_EXACT = 0
+    pk._KERNEL_CACHE.clear()
+    try:
+        L0 = 0.7
+        scene = _grid_scene(_cloud_density(), [0, 0, 0], [2.0] * 3, g=0.3,
+                            env_L=[L0] * 3)
+        cam, film = _camera(), RGBFilm.make((RES, RES))
+        c = _pv.extract_constants(scene, cam, film, _CFG)
+        assert c is not None and c["dens_pack"] == "mxu"
+        _, field, isgb = vspg.render_vspg(
+            scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT,
+            vopt=vspg.VSPGOptions(), seed=3, spp_per_pass=4,
+            use_pallas=False)
+        img = np.asarray(pk.render_vspg_pallas(
+            scene, cam, film, 64, _CFG, _GOPT, vspg.VSPGOptions(), field,
+            isgb, seed=9, interpret=True))
+        assert np.isfinite(img).all()
+        assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
+    finally:
+        _pv.MXU_MIN_VOX = old_mx
+        pk.STOCH_TRILERP_MAX_EXACT = old_st
+        pk._KERNEL_CACHE.clear()

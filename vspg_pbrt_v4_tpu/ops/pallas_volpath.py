@@ -46,6 +46,27 @@ _BIG = 3e37
 # bf16 — their sweep is already trivial
 I8_THRESHOLD = 4096
 
+# MXU one-hot gather window: grids above MXU_MIN_VOX voxels gather
+# densities via one-hot MXU matmuls over a transposed bf16 table
+# (73-100x over the chunk sweep — PERF.md addendum 5); the table
+# (128, nvox/128) must stay well inside VMEM (~16 MB) next to the
+# one-hot scratch and path state, hence MXU_MAX_VOX
+MXU_MIN_VOX = 4096
+MXU_MAX_VOX = 2 * 1024 * 1024
+
+
+def dens_pack_for(nvox):
+    """Density-table format ladder shared by extract_constants and
+    pallas_vspg.pack_kernel_inputs (reads the module globals at call time
+    so tests can force a path by lowering a threshold)."""
+    if nvox > MXU_MAX_VOX:
+        return "i8"
+    if nvox > MXU_MIN_VOX:
+        return "mxu"
+    if nvox > I8_THRESHOLD:
+        return "i8"
+    return "bf16"
+
 # tiled lane mapping (grid kernels): each 1024-lane block renders a
 # TILE_W x (1024/TILE_W) pixel tile instead of a raster strip, so the
 # dynamic gather-sweep windows see a compact camera footprint. Big grids
@@ -195,9 +216,10 @@ def extract_constants(scene, camera, film, cfg):
             g_hg = float(np.asarray(gm.g))
             grid_res = tuple(int(v) for v in gm.res)
             maj_res = tuple(int(v) for v in gm.maj_res)
-            # big grids: supervoxel-scaled uint8 quads halve the gather
-            # sweep (error <= local-max/255, same class as bf16 rounding)
-            dens_pack = "i8" if nvox > I8_THRESHOLD else "bf16"
+            # big grids: MXU one-hot gather over a transposed bf16 table
+            # (73-100x over the chunk sweep, PERF.md addendum 5); beyond
+            # the VMEM bound fall back to supervoxel-scaled uint8 quads
+            dens_pack = dens_pack_for(nvox)
         c = dict(
             kind=medium_kind,
             grid_res=grid_res,
@@ -350,6 +372,55 @@ def pack_bf16_pairs(arr, mode="down"):
     return words.view(np.float32).reshape(-1, 128)
 
 
+def pack_bf16_transposed(arr, mode="down"):
+    """Flatten arr into a TRANSPOSED (128, C) bfloat16 table for the MXU
+    one-hot gather (benchmarks/gather_microbench.py; PERF.md round-2
+    addendum 5 — measured 73-100x over the chunk sweep at 32^3/64^3):
+    element [l, c] = bf16(arr.flat[c*128 + l]). mode "down" truncates
+    toward zero (densities), "up" rounds away from zero (majorants) —
+    preserving the density <= majorant ordering the null-collision
+    algebra requires. C is padded to a multiple of 8 so the in-kernel
+    one-hot (C, 128) operand is sublane-tile aligned."""
+    flat = np.asarray(arr, np.float32).reshape(-1)
+    u = flat.view(np.uint32).astype(np.uint64)
+    if mode == "up":
+        r = (np.minimum(u + 0xFFFF, 0xFFFF_FFFF) >> 16).astype(np.uint16)
+    else:
+        r = (u >> 16).astype(np.uint16)
+    C = -(-r.size // 128)
+    C = -(-C // 8) * 8
+    r = np.pad(r, (0, C * 128 - r.size))
+    return np.ascontiguousarray(r.reshape(C, 128).T).view(jnp.bfloat16)
+
+
+def make_mxu_lookup(tt_ref, sub, C):
+    """Per-lane random table gather as one-hot MXU matmuls. tt_ref is the
+    (128, C) bf16 transposed table from pack_bf16_transposed. Per sublane
+    s: one-hot OH (C,128) via sublane-iota == c_idx[s] broadcast compare
+    (no lane reshapes/transposes — those fail to lower in Mosaic),
+    G = tt (128,C) @ OH (C,128) so column l of G is lane l's table row,
+    then a second (128,128) one-hot multiply + sublane reduction picks the
+    row element. Cost is sub*128*C*128 MACs per call per block,
+    independent of index spread: no chunk loop, no dynamic windows.
+    Returns lookup(flat_idx (sub,128) int32) -> (sub,128) f32."""
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    def lookup(flat_idx):
+        c_idx = flat_idx >> 7
+        l_idx = flat_idx & 127
+        tt = tt_ref[:]
+        cols = []
+        for s in range(sub):
+            oh = (iota_c == c_idx[s:s + 1, :]).astype(jnp.bfloat16)
+            g = jnp.dot(tt, oh, preferred_element_type=jnp.float32)
+            ohl = (iota_s == l_idx[s:s + 1, :]).astype(jnp.float32)
+            cols.append(jnp.sum(g * ohl, axis=0, keepdims=True))
+        return jnp.concatenate(cols, axis=0)
+
+    return lookup
+
+
 def pack_i8_quads(dens, maj, grid_res, maj_res):
     """Pack a density grid as per-supervoxel-scaled uint8, FOUR values per
     f32 word: q = floor(d / m_up(sv) * 255) where m_up is the bf16
@@ -420,7 +491,7 @@ STOCH_TRILERP_MAX_EXACT = 4096
 
 def make_stoch_density_fn(dens_ref, maj_ref, *, sub, grid_res, maj_res,
                           bmin, bmax, ext, i8, n_dens_chunks, n_maj_chunks,
-                          inv_r):
+                          inv_r, mxu_lookup=None):
     """Build density_at_1(px, py, pz, u_a, u_b): stochastic trilinear
     density — ONE corner sampled with its trilerp weight, so
     E[density_at_1] equals the exact 8-corner trilerp (stochastic texture
@@ -459,6 +530,14 @@ def make_stoch_density_fn(dens_ref, maj_ref, *, sub, grid_res, maj_res,
         iz = jnp.clip(z0.astype(jnp.int32) + jnp.where(uz < wz, 1, 0),
                       0, gz - 1)
         flat = (ix * gy + iy) * gz + iz
+        if mxu_lookup is not None:
+            # MXU one-hot gather: the table stores raw bf16 densities at
+            # flat voxel index — no packing, no scale decode
+            d = mxu_lookup(flat)
+            inside = ((px >= bmin[0]) & (px <= bmax[0])
+                      & (py >= bmin[1]) & (py <= bmax[1])
+                      & (pz >= bmin[2]) & (pz <= bmax[2]))
+            return jnp.where(inside, d, 0.0)
         word_idx = flat >> (2 if i8 else 1)
         c_idx = word_idx >> 7
         l_idx = word_idx & 127
@@ -873,9 +952,13 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
     ext = tuple(bmax[k] - bmin[k] for k in range(3))
     gx, gy, gz = c["grid_res"]
     mx, my, mz = c["maj_res"]
-    # density table format: bf16 pairs (2 values/word) or supervoxel-scaled
-    # uint8 quads (4 values/word — half the sweep, used for big grids)
+    # density table format: bf16 pairs (2 values/word), supervoxel-scaled
+    # uint8 quads (4 values/word), or a transposed bf16 table gathered by
+    # one-hot MXU matmuls (big grids — no chunk sweep at all)
     i8 = c.get("dens_pack", "bf16") == "i8"
+    mxu = c.get("dens_pack", "bf16") == "mxu"
+    _cm = -(-(gx * gy * gz) // 128)
+    C_mxu = -(-_cm // 8) * 8  # pad to sublane tile (pack_bf16_transposed)
     n_dens_chunks = -(-(gx * gy * gz) // (512 if i8 else 256))
     n_maj_chunks = -(-(mx * my * mz) // 256)
     inv_rx = 1.0 / (gx // mx)
@@ -1071,7 +1154,9 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             dens_ref, maj_ref, sub=sub, grid_res=(gx, gy, gz),
             maj_res=(mx, my, mz), bmin=bmin, bmax=bmax, ext=ext, i8=i8,
             n_dens_chunks=n_dens_chunks, n_maj_chunks=n_maj_chunks,
-            inv_r=(inv_rx, inv_ry, inv_rz)) if stoch else None
+            inv_r=(inv_rx, inv_ry, inv_rz),
+            mxu_lookup=(make_mxu_lookup(dens_ref, sub, C_mxu)
+                        if mxu else None)) if stoch else None
 
         def maj_dens_at(px, py, pz):
             """Supervoxel majorant density at p (nearest cell)."""
@@ -1563,16 +1648,23 @@ def _get_callable(c, spp, interpret):
         kernel = _make_grid_kernel(c, spp, sub, tiled, tile_w)
         nvox = int(np.prod(c["grid_res"]))
         nmaj = int(np.prod(c["maj_res"]))
-        vals_per_word = 4 if c.get("dens_pack", "bf16") == "i8" else 2
+        if c.get("dens_pack", "bf16") == "mxu":
+            _cm = -(-nvox // 128)
+            dens_spec = pl.BlockSpec((128, -(-_cm // 8) * 8),
+                                     lambda b: (0, 0),
+                                     memory_space=pltpu.VMEM)
+        else:
+            vals_per_word = 4 if c.get("dens_pack", "bf16") == "i8" else 2
+            dens_spec = pl.BlockSpec(
+                (-(-nvox // (128 * vals_per_word)), 128),
+                lambda b: (0, 0), memory_space=pltpu.VMEM)
         call = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128),
                                            jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec((-(-nvox // (128 * vals_per_word)), 128),
-                                   lambda b: (0, 0),
-                                   memory_space=pltpu.VMEM),
+                      dens_spec,
                       pl.BlockSpec((-(-nmaj // 256), 128),
                                    lambda b: (0, 0),
                                    memory_space=pltpu.VMEM)],
@@ -1633,7 +1725,10 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
         raise ValueError("npix must be a multiple of 128")
     if c["kind"] == "grid":
         gm = scene.media.grids[0]
-        if c["dens_pack"] == "i8":
+        if c["dens_pack"] == "mxu":
+            dens = jnp.asarray(pack_bf16_transposed(np.asarray(gm.density),
+                                                    "down"))
+        elif c["dens_pack"] == "i8":
             dens = jnp.asarray(pack_i8_quads(
                 np.asarray(gm.density), np.asarray(gm.majorant),
                 c["grid_res"], c["maj_res"]))

@@ -39,8 +39,9 @@ from .pallas_volpath import (_BIG, INV_4PI, STOCH_TRILERP_MAX_EXACT, _U32,
                              _box_hit, _coord_system, _dot, _hg_value,
                              _normalize, _sample_hg, _uniform4, _unpack_hi,
                              _unpack_i8, _unpack_lo, _unpack_sel,
-                             extract_constants, make_stoch_density_fn,
-                             pack_bf16_pairs, pack_i8_quads)
+                             extract_constants, make_mxu_lookup,
+                             make_stoch_density_fn, pack_bf16_pairs,
+                             pack_bf16_transposed, pack_i8_quads)
 
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
@@ -135,6 +136,9 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
     # .pack_bf16_pairs): chunk counts are over WORDS — half the sweep.
     # Big grids use uint8 quads (pack_i8_quads) — a quarter the sweep.
     i8 = c.get("dens_pack", "bf16") == "i8"
+    mxu = c.get("dens_pack", "bf16") == "mxu"
+    _cm = -(-(gx * gy * gz) // 128)
+    C_mxu = -(-_cm // 8) * 8
     n_dens_chunks = -(-(gx * gy * gz) // (512 if i8 else 256))
     n_maj_chunks = -(-(mx * my * mz) // 256)
     inv_rx = 1.0 / (gx // mx)
@@ -376,7 +380,9 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             dens_ref, maj_ref, sub=sub, grid_res=(gx, gy, gz),
             maj_res=(mx, my, mz), bmin=bmin, bmax=bmax, ext=ext, i8=i8,
             n_dens_chunks=n_dens_chunks, n_maj_chunks=n_maj_chunks,
-            inv_r=(inv_rx, inv_ry, inv_rz)) if stoch else None
+            inv_r=(inv_rx, inv_ry, inv_rz),
+            mxu_lookup=(make_mxu_lookup(dens_ref, sub, C_mxu)
+                        if mxu else None)) if stoch else None
 
         def maj_dens_at(px, py, pz):
             ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
@@ -1394,10 +1400,14 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False):
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((-(-nvox // (128 * (
-                      4 if c.get("dens_pack", "bf16") == "i8" else 2))),
-                      128), lambda b: (0, 0),
-                               memory_space=pltpu.VMEM),
+                  (pl.BlockSpec((128, -(-(-(-nvox // 128)) // 8) * 8),
+                                lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   if c.get("dens_pack", "bf16") == "mxu" else
+                   pl.BlockSpec((-(-nvox // (128 * (
+                       4 if c.get("dens_pack", "bf16") == "i8" else 2))),
+                       128), lambda b: (0, 0),
+                                 memory_space=pltpu.VMEM)),
                   pl.BlockSpec((-(-nmaj // 256), 128), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((((P_ROWS + 1) // 2) * n_cc, 128),
@@ -1477,11 +1487,15 @@ def pack_kernel_inputs(scene, field, crit):
     from . import pallas_volpath as _pv
 
     nvox = int(np.prod(gm.res))
-    if nvox > _pv.I8_THRESHOLD:  # same predicate as extract_constants
+    pack = _pv.dens_pack_for(nvox)  # same ladder as extract_constants
+    if pack == "i8":
         dens = jnp.asarray(pack_i8_quads(
             np.asarray(gm.density), np.asarray(gm.majorant),
             tuple(int(v) for v in gm.res),
             tuple(int(v) for v in gm.maj_res)))
+    elif pack == "mxu":
+        dens = jnp.asarray(pack_bf16_transposed(np.asarray(gm.density),
+                                                "down"))
     else:
         dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
     maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))

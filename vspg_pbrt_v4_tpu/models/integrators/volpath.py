@@ -1092,12 +1092,13 @@ def render_persistent(scene: Scene, camera, film, spp=16,
         from ...ops import pallas_volpath as _pv
 
         c = _pv.extract_constants(scene, camera, film, cfg)
-        # grid scenes: the fused kernel's chunked VMEM gathers win for
-        # small density grids (68x measured at 16^3) but lose to the XLA
-        # DDA loop at 64^3 (PERF.md "gather-bound") — dispatch by size
+        # grid scenes: small grids sweep VMEM chunks (68x measured at
+        # 16^3); 4096..2M-voxel grids gather via one-hot MXU matmuls
+        # (7x over the XLA DDA loop measured at 64^3 — PERF.md addendum
+        # 5). Only beyond the MXU VMEM bound does the XLA path win.
         grid_ok = (c is not None and c["kind"] == "grid"
                    and (c["grid_res"][0] * c["grid_res"][1]
-                        * c["grid_res"][2]) <= 32768)
+                        * c["grid_res"][2]) <= _pv.MXU_MAX_VOX)
         if (c is not None and (c["kind"] == "homog" or grid_ok)
                 and _pv.supports(scene, camera, film, cfg)):
             return _pv.render_homog_pallas(scene, camera, film, int(spp),

@@ -959,13 +959,18 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
     mxu = c.get("dens_pack", "bf16") == "mxu"
     _cm = -(-(gx * gy * gz) // 128)
     C_mxu = -(-_cm // 8) * 8  # pad to sublane tile (pack_bf16_transposed)
+    _cmj = -(-(mx * my * mz) // 128)
+    C_maj_mxu = -(-_cmj // 8) * 8
     n_dens_chunks = -(-(gx * gy * gz) // (512 if i8 else 256))
     n_maj_chunks = -(-(mx * my * mz) // 256)
     inv_rx = 1.0 / (gx // mx)
     inv_ry = 1.0 / (gy // my)
     inv_rz = 1.0 / (gz // mz)
     # big tables: one stochastically-picked corner per density lookup
-    stoch = gx * gy * gz > STOCH_TRILERP_MAX_EXACT
+    # mxu implies stoch: the transposed table only serves the
+    # one-corner lookup path (the exact 8-corner reader expects
+    # packed words)
+    stoch = (gx * gy * gz > STOCH_TRILERP_MAX_EXACT) or mxu
     has_point, has_env = c["has_point"], c["has_env"]
     lp = np.asarray(c["point_p"], np.float32)
     lI = np.asarray(c["point_I"], np.float32)
@@ -1158,6 +1163,9 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             mxu_lookup=(make_mxu_lookup(dens_ref, sub, C_mxu)
                         if mxu else None)) if stoch else None
 
+        maj_mxu_lookup = (make_mxu_lookup(maj_ref, sub, C_maj_mxu)
+                          if mxu else None)
+
         def maj_dens_at(px, py, pz):
             """Supervoxel majorant density at p (nearest cell)."""
             ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
@@ -1166,8 +1174,12 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
                           0, my - 1)
             iz = jnp.clip(((pz - bmin[2]) / ext[2] * mz).astype(jnp.int32),
                           0, mz - 1)
-            return table_lookup(maj_ref, n_maj_chunks,
-                                (ix * my + iy) * mz + iz)
+            flat = (ix * my + iy) * mz + iz
+            if mxu:
+                # MXU gather: majorants ride the same transposed-bf16
+                # layout as the density table (rounded UP at pack time)
+                return maj_mxu_lookup(flat)
+            return table_lookup(maj_ref, n_maj_chunks, flat)
 
         def seg_exit(px, py, pz, dx, dy, dz):
             """Distance to the current majorant supervoxel's exit plane
@@ -1591,7 +1603,10 @@ _KERNEL_CACHE = {}
 # fixed dispatch overhead — 64 spp/launch amortizes it and stays far
 # under the ~60s watchdog. Big grids walk slower per spp: smaller chunk.
 GRID_SPP_CHUNK = 64
-GRID_SPP_CHUNK_BIG = 8  # density grids above 32768 voxels
+# big grids (MXU gather): measured ~0.7s per 8-spp launch at 64^3/128^2
+# — 32 spp/launch stays far under the ~60s kernel watchdog and
+# amortizes the ~0.3-0.6s relay dispatch floor
+GRID_SPP_CHUNK_BIG = 32
 
 def pick_tile_w(nx, ny, nvox):
     """Choose the tile width for a grid kernel launch: narrowest
@@ -1658,6 +1673,15 @@ def _get_callable(c, spp, interpret):
             dens_spec = pl.BlockSpec(
                 (-(-nvox // (128 * vals_per_word)), 128),
                 lambda b: (0, 0), memory_space=pltpu.VMEM)
+        if c.get("dens_pack", "bf16") == "mxu":
+            _cj = -(-nmaj // 128)
+            maj_spec = pl.BlockSpec((128, -(-_cj // 8) * 8),
+                                    lambda b: (0, 0),
+                                    memory_space=pltpu.VMEM)
+        else:
+            maj_spec = pl.BlockSpec((-(-nmaj // 256), 128),
+                                    lambda b: (0, 0),
+                                    memory_space=pltpu.VMEM)
         call = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -1665,9 +1689,7 @@ def _get_callable(c, spp, interpret):
                                            jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       dens_spec,
-                      pl.BlockSpec((-(-nmaj // 256), 128),
-                                   lambda b: (0, 0),
-                                   memory_space=pltpu.VMEM)],
+                      maj_spec],
             out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
@@ -1735,7 +1757,12 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
         else:
             dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density),
                                                "down"))
-        maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
+        if c["dens_pack"] == "mxu":
+            maj = jnp.asarray(pack_bf16_transposed(np.asarray(gm.majorant),
+                                                   "up"))
+        else:
+            maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant),
+                                              "up"))
         # chunk spp across kernel launches: the fused DDA kernel's runtime
         # scales with spp and long launches can trip the TPU watchdog
         nvox = int(np.prod(c["grid_res"]))

@@ -45,6 +45,14 @@ from .pallas_volpath import (_BIG, INV_4PI, STOCH_TRILERP_MAX_EXACT, _U32,
 
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
+
+# Field-cell parameter fetch strategy: one one-hot MXU matmul per sublane
+# fetches ALL P_ROWS parameters of each lane's cell at once (every row
+# shares the cell index, so G = Ftab (P,FC) @ onehot (FC,128) yields the
+# whole parameter column per lane) — replaces the PW-rows x n_chunks
+# take_along_axis sweep. Same bf16 parameter precision as the packed-pair
+# table (mu still renormalized after fetch).
+FIELD_MXU = True
 _LUM = (0.2126, 0.7152, 0.0722)
 
 
@@ -139,13 +147,18 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
     mxu = c.get("dens_pack", "bf16") == "mxu"
     _cm = -(-(gx * gy * gz) // 128)
     C_mxu = -(-_cm // 8) * 8
+    _cmj = -(-(mx * my * mz) // 128)
+    C_maj_mxu = -(-_cmj // 8) * 8
     n_dens_chunks = -(-(gx * gy * gz) // (512 if i8 else 256))
     n_maj_chunks = -(-(mx * my * mz) // 256)
     inv_rx = 1.0 / (gx // mx)
     inv_ry = 1.0 / (gy // my)
     inv_rz = 1.0 / (gz // mz)
     # big tables: one stochastically-picked corner per density lookup
-    stoch = gx * gy * gz > STOCH_TRILERP_MAX_EXACT
+    # mxu implies stoch: the transposed table only serves the
+    # one-corner lookup path (the exact 8-corner reader expects
+    # packed words)
+    stoch = (gx * gy * gz > STOCH_TRILERP_MAX_EXACT) or mxu
     has_point, has_env = c["has_point"], c["has_env"]
     lp = np.asarray(c["point_p"], np.float32)
     lI = np.asarray(c["point_I"], np.float32)
@@ -169,6 +182,9 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
     FC = fres ** 3
     n_cell_chunks = max(FC // 128, 1)
     P_ROWS = 8 * K + 5
+    fmxu = bool(gc.get("field_mxu", False))
+    FCp = max(-(-FC // 128), 1) * 128
+    P_pad = -(-P_ROWS // 8) * 8
     fb0 = tuple(float(v) for v in gc["fb_min"])
     fb1 = tuple(float(v) for v in gc["fb_max"])
     fext = tuple(fb1[k] - fb0[k] for k in range(3))
@@ -384,6 +400,9 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             mxu_lookup=(make_mxu_lookup(dens_ref, sub, C_mxu)
                         if mxu else None)) if stoch else None
 
+        maj_mxu_lookup = (make_mxu_lookup(maj_ref, sub, C_maj_mxu)
+                          if mxu else None)
+
         def maj_dens_at(px, py, pz):
             ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
                           0, mx - 1)
@@ -391,8 +410,10 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                           0, my - 1)
             iz = jnp.clip(((pz - bmin[2]) / ext[2] * mz).astype(jnp.int32),
                           0, mz - 1)
-            return table_lookup(maj_ref, n_maj_chunks,
-                                (ix * my + iy) * mz + iz)
+            flat = (ix * my + iy) * mz + iz
+            if mxu:
+                return maj_mxu_lookup(flat)
+            return table_lookup(maj_ref, n_maj_chunks, flat)
 
         def seg_exit(px, py, pz, dx, dy, dz):
             t_seg = jnp.full_like(px, _BIG)
@@ -424,30 +445,47 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             iy = gfy.astype(jnp.int32)
             iz = gfz.astype(jnp.int32)
             cid = (ix * fres + iy) * fres + iz
-            c_idx = cid >> 7
-            l_idx = cid & 127
+            if fmxu:
+                # one MXU matmul per sublane fetches the whole parameter
+                # column of each lane's cell: G[p, l] = ftab[p, cid[s, l]]
+                iota_f = jax.lax.broadcasted_iota(jnp.int32, (FCp, 128), 0)
+                ft = ftab_ref[:]
+                gs = []
+                for s in range(sub):
+                    oh = (iota_f == cid[s:s + 1, :]).astype(jnp.bfloat16)
+                    gs.append(jnp.dot(ft, oh,
+                                      preferred_element_type=jnp.float32))
+                vals = [jnp.concatenate([gs[s][p:p + 1, :]
+                                         for s in range(sub)], axis=0)
+                        for p in range(P_ROWS)]
+            else:
+                c_idx = cid >> 7
+                l_idx = cid & 127
 
-            # rows ride bf16-packed in PAIRS (row 2q lo, row 2q+1 hi):
-            # half the gathers, static-parity unpack after the sweep
-            PW = (P_ROWS + 1) // 2
+                # rows ride bf16-packed in PAIRS (row 2q lo, row 2q+1
+                # hi): half the gathers, static-parity unpack after the
+                # sweep
+                PW = (P_ROWS + 1) // 2
 
-            def body(cc, accs):
-                new = []
-                for q in range(PW):
-                    row = ftab_ref[q * n_cell_chunks + cc]
-                    chunk = jnp.broadcast_to(row[None, :], (sub, 128))
-                    gathered = jnp.take_along_axis(chunk, l_idx, axis=1)
-                    new.append(jnp.where(c_idx == cc, gathered, accs[q]))
-                return tuple(new)
+                def body(cc, accs):
+                    new = []
+                    for q in range(PW):
+                        row = ftab_ref[q * n_cell_chunks + cc]
+                        chunk = jnp.broadcast_to(row[None, :], (sub, 128))
+                        gathered = jnp.take_along_axis(chunk, l_idx,
+                                                       axis=1)
+                        new.append(jnp.where(c_idx == cc, gathered,
+                                             accs[q]))
+                    return tuple(new)
 
-            lo = jnp.min(c_idx)
-            hi = jnp.minimum(jnp.max(c_idx), n_cell_chunks - 1)
-            words = jax.lax.fori_loop(lo, hi + 1, body, (zf,) * PW)
-            vals = []
-            for p in range(P_ROWS):
-                w_q = words[p // 2]
-                vals.append(_unpack_lo(w_q) if p % 2 == 0
-                            else _unpack_hi(w_q))
+                lo = jnp.min(c_idx)
+                hi = jnp.minimum(jnp.max(c_idx), n_cell_chunks - 1)
+                words = jax.lax.fori_loop(lo, hi + 1, body, (zf,) * PW)
+                vals = []
+                for p in range(P_ROWS):
+                    w_q = words[p // 2]
+                    vals.append(_unpack_lo(w_q) if p % 2 == 0
+                                else _unpack_hi(w_q))
             lobes = []
             for k in range(K):
                 w_k, mux, muy, muz, kap, dstk, vlv, vls = vals[8 * k:8 * k + 8]
@@ -1377,6 +1415,9 @@ def guiding_constants(field, gopt, vopt, trained=None):
         trained=bool(int(field.iteration) > 0) if trained is None
         else bool(trained),
         max_collisions=256,
+        # module flag snapshot: rides in gc so the kernel cache key and
+        # the builder see a consistent value (tests flip FIELD_MXU)
+        field_mxu=bool(FIELD_MXU),
     )
 
 
@@ -1408,11 +1449,19 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False):
                        4 if c.get("dens_pack", "bf16") == "i8" else 2))),
                        128), lambda b: (0, 0),
                                  memory_space=pltpu.VMEM)),
-                  pl.BlockSpec((-(-nmaj // 256), 128), lambda b: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((((P_ROWS + 1) // 2) * n_cc, 128),
-                               lambda b: (0, 0),
-                               memory_space=pltpu.VMEM),
+                  (pl.BlockSpec((128, -(-(-(-nmaj // 128)) // 8) * 8),
+                                lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   if c.get("dens_pack", "bf16") == "mxu" else
+                   pl.BlockSpec((-(-nmaj // 256), 128), lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)),
+                  (pl.BlockSpec((-(-P_ROWS // 8) * 8, max(n_cc, 1) * 128),
+                                lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   if gc.get("field_mxu", False) else
+                   pl.BlockSpec((((P_ROWS + 1) // 2) * n_cc, 128),
+                                lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)),
                   pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
@@ -1451,10 +1500,13 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     c = extract_constants(scene, camera, film, cfg)
     if c is None or c["kind"] != "grid":
         return False
-    # density lookups sweep nvox/128 VMEM chunks per query — the same
-    # gather-bound cliff as the grid megakernel (volpath.py dispatch):
-    # win at <=32^3, lose at 64^3
-    if (c["grid_res"][0] * c["grid_res"][1] * c["grid_res"][2]) > 32768:
+    # density lookups: chunk sweep for small grids, one-hot MXU gather
+    # up to MXU_MAX_VOX (PERF.md addendum 5); beyond that the XLA wave
+    # still serves the scene
+    from . import pallas_volpath as _pv
+
+    if (c["grid_res"][0] * c["grid_res"][1]
+            * c["grid_res"][2]) > _pv.MXU_MAX_VOX:
         return False
     if field is not None and getattr(field, "n_extra", 0) != 0:
         return False
@@ -1476,13 +1528,21 @@ def pack_kernel_inputs(scene, field, crit):
         FC = 128
     if FC % 128:
         raise ValueError("field res^3 must pad to a multiple of 128")
-    if P % 2:
-        ftab_np = np.pad(ftab_np, ((0, 1), (0, 0)))
-    u = np.ascontiguousarray(ftab_np).view(np.uint32).astype(np.uint64)
-    r = (np.minimum(u + 0x8000, 0xFFFF_FFFF) >> 16).astype(np.uint32)
-    words = (r[0::2, :] & 0xFFFF) | (r[1::2, :] << 16)
-    ftab = jnp.asarray(np.ascontiguousarray(words).view(np.float32)
-                       .reshape(-1, 128))
+    if FIELD_MXU:
+        # transposed-free MXU layout: (P_pad, FC) bf16, matmul operand
+        P_pad = -(-P // 8) * 8
+        fp = np.pad(ftab_np, ((0, P_pad - P), (0, 0))).astype(np.float32)
+        u = np.ascontiguousarray(fp).view(np.uint32).astype(np.uint64)
+        r = (np.minimum(u + 0x8000, 0xFFFF_FFFF) >> 16).astype(np.uint16)
+        ftab = jnp.asarray(r.view(jnp.bfloat16))
+    else:
+        if P % 2:
+            ftab_np = np.pad(ftab_np, ((0, 1), (0, 0)))
+        u = np.ascontiguousarray(ftab_np).view(np.uint32).astype(np.uint64)
+        r = (np.minimum(u + 0x8000, 0xFFFF_FFFF) >> 16).astype(np.uint32)
+        words = (r[0::2, :] & 0xFFFF) | (r[1::2, :] << 16)
+        ftab = jnp.asarray(np.ascontiguousarray(words).view(np.float32)
+                           .reshape(-1, 128))
     gm = scene.media.grids[0]
     from . import pallas_volpath as _pv
 
@@ -1498,7 +1558,11 @@ def pack_kernel_inputs(scene, field, crit):
                                                 "down"))
     else:
         dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
-    maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
+    if pack == "mxu":
+        maj = jnp.asarray(pack_bf16_transposed(np.asarray(gm.majorant),
+                                               "up"))
+    else:
+        maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
     return dens, maj, ftab
 
 

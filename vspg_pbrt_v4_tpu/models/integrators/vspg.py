@@ -49,6 +49,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.intersect import offset_ray_origin
 from ...utils.math import INV_4PI
@@ -749,7 +750,7 @@ def _heterogeneous_resampling(scene, cfg, vopt, o, d, seg_end, medium_id,
 # ---------------------------------------------------------------------------
 
 
-_LUM_W = jnp.asarray([0.2126, 0.7152, 0.0722])
+_LUM_W = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
 
 
 def guided_rr_survival(beta, adjoint, pixel_estimate, min_survival=0.1):

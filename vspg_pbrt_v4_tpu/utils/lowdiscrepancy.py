@@ -13,9 +13,12 @@ via the Laine-Karras style hash (util/lowdiscrepancy.h FastOwenScrambler)
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
-_INV_2_32 = jnp.float32(2.3283064365386963e-10)
+# numpy scalar on purpose: jnp.float32(...) at module level would commit
+# a device op at import time (breaks the CPU-pinned multichip dryrun).
+_INV_2_32 = np.float32(2.3283064365386963e-10)
 
 
 def reverse_bits32(v):
@@ -328,7 +331,7 @@ def encode_morton2(x, y):
 import itertools as _it
 import numpy as _np
 
-_PERM4 = jnp.asarray(list(_it.permutations(range(4))), jnp.int32)  # (24,4)
+_PERM4 = _np.asarray(list(_it.permutations(range(4))), _np.int32)  # (24,4)
 
 
 def zsobol_shuffled_index(morton, n_base4_digits, seed):

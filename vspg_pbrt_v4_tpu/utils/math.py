@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # -- constants (f32) ---------------------------------------------------------
 
@@ -22,7 +23,9 @@ PI_OVER_2 = PI / 2.0
 PI_OVER_4 = PI / 4.0
 SQRT2 = 1.41421356237309504880
 
-FLOAT_ONE_MINUS_EPSILON = float(jnp.float32(1) - jnp.finfo(jnp.float32).eps / 2)
+# numpy on purpose: jnp.float32(1) at module level would commit a device op
+# at import time (breaks the CPU-pinned multichip dryrun).
+FLOAT_ONE_MINUS_EPSILON = float(np.float32(1) - np.finfo(np.float32).eps / 2)
 INFINITY = float("inf")
 MACHINE_EPSILON = float(jnp.finfo(jnp.float32).eps) * 0.5
 

@@ -16,10 +16,13 @@ return float32 in [0, 1).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
 # float in [0,1): use top 24 bits to stay exact in f32 and strictly < 1.
-_INV_2_24 = jnp.float32(1.0 / (1 << 24))
+# numpy scalar on purpose: jnp.float32(...) at module level would commit a
+# device op at import time, breaking the driver's CPU-pinned multichip dryrun.
+_INV_2_24 = np.float32(1.0 / (1 << 24))
 
 
 def _pcg4d(a, b, c, d):

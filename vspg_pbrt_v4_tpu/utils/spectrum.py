@@ -141,10 +141,12 @@ _SMITS = {
     "blue": (1.0000, 1.0000, 0.8916, 0.3323, 0.0000, 0.0000, 0.0003,
              0.0369, 0.0483, 0.0496),
 }
-_SMITS_ARR = jnp.asarray(
+# numpy on purpose: module-level jnp.asarray would initialise a JAX backend
+# at import time, which breaks the driver's CPU-pinned multichip dryrun.
+_SMITS_ARR = np.asarray(
     [_SMITS[k] for k in
      ("white", "cyan", "magenta", "yellow", "red", "green", "blue")],
-    jnp.float32)  # (7, 10)
+    np.float32)  # (7, 10)
 
 
 def _smits_eval(weights, lam):
@@ -213,9 +215,9 @@ def spectrum_to_xyz(values, lam, pdf):
     return jnp.stack([X, Y, Z], -1) / CIE_Y_INTEGRAL
 
 
-_XYZ2RGB = jnp.asarray([[3.2406, -1.5372, -0.4986],
-                        [-0.9689, 1.8758, 0.0415],
-                        [0.0557, -0.2040, 1.0570]], jnp.float32)
+_XYZ2RGB = np.asarray([[3.2406, -1.5372, -0.4986],
+                       [-0.9689, 1.8758, 0.0415],
+                       [0.0557, -0.2040, 1.0570]], np.float32)
 
 
 def xyz_to_rgb(xyz):
@@ -229,7 +231,7 @@ def spectral_to_sensor_rgb(values, lam, pdf):
     rgb_to_spectrum) round-trip gray values exactly (the role of
     PixelSensor white balancing, film.h:36)."""
     rgb = xyz_to_rgb(spectrum_to_xyz(values, lam, pdf))
-    return rgb / _RGB_OF_FLAT
+    return rgb / _rgb_of_flat()
 
 
 def _compute_rgb_of_flat():
@@ -244,7 +246,16 @@ def _compute_rgb_of_flat():
     return np.asarray(xyz @ np.asarray(_XYZ2RGB).T, np.float32)
 
 
-_RGB_OF_FLAT = jnp.asarray(_compute_rgb_of_flat())
+_RGB_OF_FLAT_CACHE = None
+
+
+def _rgb_of_flat():
+    """Lazy: computing this runs jnp ops, which must not happen at import
+    time (the driver pins jax_platforms *after* importing the package)."""
+    global _RGB_OF_FLAT_CACHE
+    if _RGB_OF_FLAT_CACHE is None:
+        _RGB_OF_FLAT_CACHE = _compute_rgb_of_flat()
+    return _RGB_OF_FLAT_CACHE
 
 
 def terminate_secondary(pdf):

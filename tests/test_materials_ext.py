@@ -64,6 +64,56 @@ def test_coated_conductor_sample_pdf_consistent():
     assert np.all(a <= 1.01), a
 
 
+def test_cooktorrance_sample_pdf_consistent():
+    """Fork's CookTorranceMaterial (materials.h:555, bxdfs.cpp:78-183):
+    Fresnel-weighted glossy+diffuse reflection — BSDF-sampled rho must
+    match the uniform-sphere estimate, and stay under 1."""
+    a, b = _rho_two_ways(M.COOK_TORRANCE, albedo=(0.8, 0.5, 0.3),
+                         roughness=0.2, eta=1.5, seed=5)
+    assert np.all(np.abs(a - b) < 0.02 + 0.05 * b), (a, b)
+    assert np.all(a <= 1.01), a
+
+
+def test_cooktorrance_reciprocity_and_grazing():
+    n = 1000
+    rng = np.random.default_rng(11)
+    lanes = _lanes(M.COOK_TORRANCE, n, albedo=(0.7, 0.5, 0.3),
+                   roughness=0.1, eta=1.5)
+    wo = np.array(sample_uniform_sphere(jnp.asarray(
+        rng.random((n, 2), np.float32))))
+    wi = np.array(sample_uniform_sphere(jnp.asarray(
+        rng.random((n, 2), np.float32))))
+    wo[:, 2] = np.abs(wo[:, 2]) + 0.05
+    wi[:, 2] = np.abs(wi[:, 2]) + 0.05
+    wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    f_ab = np.asarray(M.bsdf_f(lanes, jnp.asarray(wo), jnp.asarray(wi)))
+    f_ba = np.asarray(M.bsdf_f(lanes, jnp.asarray(wi), jnp.asarray(wo)))
+    assert np.allclose(f_ab, f_ba, rtol=1e-4, atol=1e-6)
+    assert np.isfinite(f_ab).all()
+
+
+def test_cooktorrance_parser():
+    """Material "cooktorrance" parses through the .pbrt builder."""
+    from vspg_pbrt_v4_tpu.scene.builder import build_render_setup
+    from vspg_pbrt_v4_tpu.scene.parser import parse_pbrt_string
+
+    txt = """
+    Camera "perspective" "float fov" [40]
+    Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+    WorldBegin
+    Material "cooktorrance" "rgb reflectance" [0.6 0.4 0.2]
+        "float roughness" [0.2] "float eta" [1.4]
+    Shape "sphere" "float radius" [1]
+    LightSource "infinite" "rgb L" [0.5 0.5 0.5]
+    """
+    setup = build_render_setup(parse_pbrt_string(txt))
+    mats = setup.scene.materials
+    assert int(mats.mat_type[0]) == M.COOK_TORRANCE
+    assert abs(float(mats.eta[0]) - 1.4) < 1e-6
+    assert abs(float(mats.roughness[0]) - 0.2) < 1e-6
+
+
 def test_coated_reciprocity():
     n = 1000
     rng = np.random.default_rng(7)

@@ -756,13 +756,17 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     d_new = _m(bs_ok, wi_world, d_new)
     prev_p = _m(bs_ok, hp, prev_p)
 
-    # ---- Russian roulette (surface bounces; integrators.cpp:1301-1312) ----
+    # ---- Russian roulette (integrators.cpp:1301-1312) ---------------------
+    # The reference runs RR at the END of every bounce iteration — volume
+    # scatters included — which is what bounds the deep multiple-scattering
+    # tails in dense media (without it the densest paths run to max_depth
+    # and one slow lane serializes its whole wavefront/block).
     dead_beta = shade & (jnp.max(beta, -1) == 0)
     alive = alive & ~dead_beta
     rr_beta = beta * eta_scale[..., None] / jnp.maximum(average(r_u), 1e-30)[..., None]
     rr_max = jnp.max(rr_beta, -1)
     sampler, u_rr = sampler.get_1d()
-    do_rr = shade & (rr_max < 1.0) & (depth >= cfg.rr_start_depth)
+    do_rr = (shade | scat) & (rr_max < 1.0) & (depth >= cfg.rr_start_depth)
     q = jnp.maximum(0.0, 1.0 - rr_max)
     rr_kill = do_rr & (u_rr < q)
     alive = alive & ~rr_kill
@@ -1093,9 +1097,10 @@ def render_persistent(scene: Scene, camera, film, spp=16,
 
         c = _pv.extract_constants(scene, camera, film, cfg)
         # grid scenes: small grids sweep VMEM chunks (68x measured at
-        # 16^3); 4096..2M-voxel grids gather via one-hot MXU matmuls
-        # (7x over the XLA DDA loop measured at 64^3 — PERF.md addendum
-        # 5). Only beyond the MXU VMEM bound does the XLA path win.
+        # 16^3); 4096..MXU_MAX_VOX-voxel grids gather via one-hot MXU
+        # matmuls (7x over the XLA DDA loop measured at 64^3 — PERF.md
+        # addenda 5-6). Only beyond the MXU VMEM bound does the XLA
+        # path win.
         grid_ok = (c is not None and c["kind"] == "grid"
                    and (c["grid_res"][0] * c["grid_res"][1]
                         * c["grid_res"][2]) <= _pv.MXU_MAX_VOX)

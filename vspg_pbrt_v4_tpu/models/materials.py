@@ -69,6 +69,10 @@ SUBSURFACE = 9  # separable BSSRDF (bssrdf.h:135; models/bssrdf.py)
           # field reuse: albedo=A, albedo2=diffusion mfp d, eta=IOR;
           # handled by the integrator's probe relocation (cfg.sss)
 MEASURED = 10  # tabulated measured BRDF (materials.h Measured:909 role).
+# fork addition (materials.h CookTorrance:555, bxdfs.h:181): a rough
+# dielectric-coated diffuse — Fresnel-weighted sum of a Trowbridge-Reitz
+# glossy reflection lobe and a Lambertian base tinted by `reflectance`
+COOK_TORRANCE = 11
           # The reference reads RGL .bsdf tensors (Dupuy-Jakob adaptive
           # parameterization); here: a Rusinkiewicz (theta_h, theta_d,
           # phi_d) table bank with trilinear lookup + cosine sampling,
@@ -394,6 +398,22 @@ def bsdf_f(lanes: BSDFLanes, wo, wi):
     f = jnp.where((is_cd & same & wm_lok)[..., None], coat + diff_base, f)
     f = jnp.where((is_cc & same & wm_lok)[..., None], coat + cond_base, f)
 
+    # CookTorrance (fork, bxdfs.cpp:127-150): glossy dielectric reflection
+    # + (1-F)-weighted Lambertian base, reflection only
+    is_ct = lanes.mat_type == COOK_TORRANCE
+    a_ct = jnp.maximum(lanes.roughness, 1e-3)
+    wm_ct = wi + wo
+    wm_ctok = jnp.sum(wm_ct * wm_ct, -1) > 1e-18
+    wm_ct = normalize(wm_ct)
+    wm_ct = jnp.where(cos_theta(wm_ct)[..., None] < 0, -wm_ct, wm_ct)
+    F_ct = fresnel_dielectric(dot(wo, wm_ct), lanes.eta)
+    spec_ct = (tr_d(wm_ct, a_ct) * tr_g(wo, wi, a_ct) * F_ct
+               * safe_div(1.0, jnp.abs(4.0 * cos_theta(wo) * cos_theta(wi)),
+                          0.0))
+    f_ct = (spec_ct[..., None] * jnp.ones_like(lanes.albedo)
+            + lanes.albedo * (INV_PI * (1.0 - F_ct))[..., None])
+    f = jnp.where((is_ct & same & wm_ctok)[..., None], f_ct, f)
+
     # hair fibers (frame x = tangent; see hair_f below)
     is_hair = lanes.mat_type == HAIR
     f = jnp.where(is_hair[..., None], hair_f(lanes, wo, wi), f)
@@ -471,6 +491,18 @@ def bsdf_pdf(lanes: BSDFLanes, wo, wi):
     pdf_cc = p_c * pdf_coat + (1 - p_c) * pdf_base_c
     pdf = jnp.where(is_cd & same, pdf_cd, pdf)
     pdf = jnp.where(is_cc & same, pdf_cc, pdf)
+
+    # CookTorrance (bxdfs.cpp:151-183): Fresnel-at-normal lobe mixture of
+    # VNDF glossy reflection and cosine-hemisphere diffuse
+    is_ct = lanes.mat_type == COOK_TORRANCE
+    a_ct = jnp.maximum(lanes.roughness, 1e-3)
+    wm_ct = normalize(wi + wo)
+    wm_ct = jnp.where(cos_theta(wm_ct)[..., None] < 0, -wm_ct, wm_ct)
+    pr_ct = fresnel_dielectric(abs_cos_theta(wo), lanes.eta)
+    pdf_ct = (pr_ct * safe_div(tr_pdf(wo, wm_ct, a_ct),
+                               4.0 * jnp.abs(dot(wo, wm_ct)), 0.0)
+              + (1.0 - pr_ct) * cosine_hemisphere_pdf(abs_cos_theta(wi)))
+    pdf = jnp.where(is_ct & same, pdf_ct, pdf)
 
     is_hair = lanes.mat_type == HAIR
     pdf = jnp.where(is_hair, hair_pdf(lanes, wo, wi), pdf)
@@ -669,6 +701,27 @@ def bsdf_sample(lanes: BSDFLanes, wo, u_lobe, u2) -> BSDFSample:
         f = jnp.where(is_meas[..., None], f_me, f)
         pdf = jnp.where(is_meas, pdf_me, pdf)
         valid = valid | (is_meas & (pdf_me > 0))
+
+    # ---- CookTorrance (bxdfs.cpp:78-126): Fresnel lobe choice between
+    # VNDF glossy reflection and cosine-hemisphere diffuse; f/pdf are the
+    # full two-lobe mixture (one-sample MIS, like the reference) ----
+    is_ct = lanes.mat_type == COOK_TORRANCE
+    a_ct = jnp.maximum(lanes.roughness, 1e-3)
+    pr_ct = fresnel_dielectric(abs_cos_theta(wo), lanes.eta)
+    pick_gl = u_lobe < pr_ct
+    wm_ct = tr_sample_wm(wo_up, a_ct, u2)
+    wm_ct = jnp.where(flip[..., None], -wm_ct, wm_ct)
+    wi_gl = -wo + 2.0 * dot(wo, wm_ct)[..., None] * wm_ct
+    wi_df = sample_cosine_hemisphere(u2)
+    wi_df = jnp.where(flip[..., None],
+                      wi_df * jnp.asarray([1.0, 1.0, -1.0]), wi_df)
+    wi_ct = jnp.where(pick_gl[..., None], wi_gl, wi_df)
+    f_ct = bsdf_f(lanes, wo, wi_ct)
+    pdf_ct = bsdf_pdf(lanes, wo, wi_ct)
+    wi = jnp.where(is_ct[..., None], wi_ct, wi)
+    f = jnp.where(is_ct[..., None], f_ct, f)
+    pdf = jnp.where(is_ct, pdf_ct, pdf)
+    valid = valid | (is_ct & same_hemisphere(wo, wi_ct) & (pdf_ct > 0))
 
     # ---- hair ----
     is_hair = lanes.mat_type == HAIR

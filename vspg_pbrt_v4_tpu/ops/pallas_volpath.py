@@ -48,11 +48,22 @@ I8_THRESHOLD = 4096
 
 # MXU one-hot gather window: grids above MXU_MIN_VOX voxels gather
 # densities via one-hot MXU matmuls over a transposed bf16 table
-# (73-100x over the chunk sweep — PERF.md addendum 5); the table
-# (128, nvox/128) must stay well inside VMEM (~16 MB) next to the
-# one-hot scratch and path state, hence MXU_MAX_VOX
+# (73-100x over the chunk sweep — PERF.md addendum 5). Working set per
+# event ~= transposed table (2 B/vox) + one-hot operand (2 B/vox) +
+# compare iota (4 B/vox) = 8 B/vox, which must fit VMEM (~16 MB) next to
+# ~200 KB of path state — hence an explicit budget, AND a hardware-
+# validated ceiling: only raise MXU_VALIDATED_VOX after an on-chip run at
+# the new size (a boundary-size grid that compiles in interpret mode can
+# still fail Mosaic allocation on chip).
 MXU_MIN_VOX = 4096
-MXU_MAX_VOX = 2 * 1024 * 1024
+_MXU_VMEM_BUDGET = 10 * 1024 * 1024
+MXU_VALIDATED_VOX = 262144  # 64^3, measured on chip (PERF.md addendum 6)
+MXU_MAX_VOX = min(_MXU_VMEM_BUDGET // 8, MXU_VALIDATED_VOX)
+
+# perf diagnostic (OFF by default): the grid kernel writes its while-loop
+# iteration count into the blue channel instead of radiance, so the true
+# events-per-block number is measurable on chip instead of modeled
+PROBE_ITERS = False
 
 
 def dens_pack_for(nvox):
@@ -75,6 +86,15 @@ def dens_pack_for(nvox):
 # 8-wide tile cuts the dominant window term ~4x vs 32-wide.
 TILE_W = 32
 TILE_W_BIG = 8
+
+# mixed work distribution (MXU-gather grid kernels): each lane renders
+# MIX_PPL slots — (pixel region q, spp/MIX_PPL sample chunk) — with the
+# ppl pixels spread across vertically-separated, alternately x-mirrored
+# image strips. Utilization fix: with lane == pixel, the heaviest pixel's
+# full spp serializes its whole block (measured: every 64^3 bench block
+# ran to the max_iters cap while edge lanes idled); mixing bounds a
+# lane's total work by spp x mean-of-ppl-pixels instead of spp x heavy.
+MIX_PPL = 4
 
 
 def _pcg4d(a, b, c, d):
@@ -923,7 +943,8 @@ def _make_kernel(c, spp, sub):
 # ---------------------------------------------------------------------------
 
 
-def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
+def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
+                      mixed=False):
     """Megakernel for the single-GridMedium scene class: the DDA majorant
     iteration and delta-tracking collisions (media.h:140-218 +
     media_sampleTMaj.h:40-117, the jnp loop in
@@ -981,13 +1002,25 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
     cw = np.asarray(c["cw"], np.float32)
     nx = c["nx"]
     max_depth = c["max_depth"]
-    max_iters = spp * c["max_events"] * 4  # events include null collisions
-    MAX_SHADOW = 192
+    # events include null collisions AND shadow-walk steps (the unified
+    # state machine spends one outer iteration per shadow step; a shadow
+    # crossing costs about as much as a camera crossing, so the budget is
+    # ~3x the path-event count, with slack — the loop exits early once
+    # every lane has committed every sample, so this is a safety cap, not
+    # a cost)
+    max_iters = spp * c["max_events"] * 12
     nx_pow2 = (nx & (nx - 1)) == 0
     nx_shift = int(np.log2(nx)) if nx_pow2 else 0
     LB = sub * 128
     TX = tile_w
     TY = LB // TX
+    ppl = MIX_PPL if mixed else 1
+    sppq = spp // ppl  # samples per (lane, slot)
+    npix_k = c["nx"] * c["ny"]
+    if mixed:
+        assert spp % ppl == 0 and (npix_k & (npix_k - 1)) == 0 and nx_pow2
+        assert not tiled and not PROBE_ITERS
+    mix_off = npix_k // ppl
 
     def chan(vec3, h):
         return jnp.where(h == 0, float(vec3[0]),
@@ -1043,6 +1076,23 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
         seed_a = jnp.full((sub, 128), seed_ref[0, 0], _U32)
         zf = jnp.zeros((sub, 128), jnp.float32)
         zi = jnp.zeros((sub, 128), jnp.int32)
+        lane_g = block * LB + lane_i * 128 + lane_j  # raster lane id
+
+        def mix_pix(q):
+            # slot q of lane g -> pixel: vertical strip offset q*mix_off,
+            # x mirrored on odd q (vector q, power-of-two npix/nx)
+            base = (lane_g + q * mix_off) & (npix_k - 1)
+            y = base >> nx_shift
+            x = base & (nx - 1)
+            xm = jnp.where((q & 1) == 1, nx - 1 - x, x)
+            return ((y << nx_shift) | xm).astype(_U32)
+
+        def slot_of(sampv):
+            # current slot index = samp // sppq as a compare chain
+            q = zi
+            for t in range(1, ppl):
+                q = q + (sampv >= _U32(t * sppq)).astype(jnp.int32)
+            return q
 
         def table_lookup(tab_ref, n_chunks, flat_idx):
             """tab[flat_idx] via a word-chunk sweep on the bf16-pair-packed
@@ -1201,114 +1251,24 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
                 t_seg = jnp.minimum(t_seg, t_axis)
             return jnp.maximum(t_seg, 1e-5)
 
-        def shadow_tr(px, py, pz, wx, wy, wz, t_end, hero, dim, samp,
-                      active):
-            """Ratio-tracked spectral transmittance along a shadow ray
-            (volpath.transmittance_ratio_tracking's collision loop), with
-            the transmittance RR. Only `active` lanes iterate. Returns
-            (T (3,), r_l (3,), r_u (3,), dim)."""
-            st_h = chan(st, hero)
-            T = [jnp.ones_like(zf) for _ in range(3)]
-            rl = [jnp.ones_like(zf) for _ in range(3)]
-            ru = [jnp.ones_like(zf) for _ in range(3)]
-            t_cur = zf
-            live = (active & (t_end > 0)).astype(jnp.int32)
-
-            def cond(carry):
-                return jnp.any(carry[10] != 0) & (carry[12] < MAX_SHADOW)
-
-            def body(carry):
-                (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur, live_i,
-                 dim, it) = carry
-                live = live_i != 0
-                cx = px + t_cur * wx
-                cy = py + t_cur * wy
-                cz = pz + t_cur * wz
-                m_d = maj_dens_at(cx, cy, cz)
-                maj_h = m_d * st_h
-                t_seg = seg_exit(cx, cy, cz, wx, wy, wz)
-                t_seg = jnp.minimum(t_seg, t_end - t_cur)
-                u0, u1, u2s, u3s = _uniform4(seed_a, pix, samp, dim)
-                dim = dim + _U32(1)
-                dt = jnp.where(maj_h > 0,
-                               -jnp.log1p(-u0) / jnp.maximum(maj_h, 1e-30),
-                               _BIG)
-                coll = live & (dt < t_seg)
-                step = jnp.where(coll, dt, t_seg)
-                # spectral interval transmittance vs per-channel majorant
-                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
-                           for k in range(3))
-                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
-                # tail: per-segment telescoping rescale
-                tail = live & ~coll
-                sc = tuple(Tm[k] / Tm_h for k in range(3))
-                T0 = jnp.where(tail, T0 * sc[0], T0)
-                T1 = jnp.where(tail, T1 * sc[1], T1)
-                T2 = jnp.where(tail, T2 * sc[2], T2)
-                rl0 = jnp.where(tail, rl0 * sc[0], rl0)
-                rl1 = jnp.where(tail, rl1 * sc[1], rl1)
-                rl2 = jnp.where(tail, rl2 * sc[2], rl2)
-                ru0 = jnp.where(tail, ru0 * sc[0], ru0)
-                ru1 = jnp.where(tail, ru1 * sc[1], ru1)
-                ru2 = jnp.where(tail, ru2 * sc[2], ru2)
-                # collision: null-scatter ratio tracking update
-                if stoch:
-                    dcol = density_at_1(px + (t_cur + dt) * wx,
-                                        py + (t_cur + dt) * wy,
-                                        pz + (t_cur + dt) * wz, u2s, u3s)
-                else:
-                    dcol = density_at(px + (t_cur + dt) * wx,
-                                      py + (t_cur + dt) * wy,
-                                      pz + (t_cur + dt) * wz)
-                sn = tuple(jnp.maximum(m_d * float(st[k])
-                                       - dcol * float(st[k]), 0.0)
-                           for k in range(3))
-                sn_h = chan(st, hero) * jnp.maximum(m_d - dcol, 0.0)
-                pdf = jnp.maximum(Tm_h * maj_h, 1e-30)
-                T0 = jnp.where(coll, T0 * Tm[0] * sn[0] / pdf, T0)
-                T1 = jnp.where(coll, T1 * Tm[1] * sn[1] / pdf, T1)
-                T2 = jnp.where(coll, T2 * Tm[2] * sn[2] / pdf, T2)
-                rl0 = jnp.where(coll, rl0 * Tm[0] * m_d * float(st[0]) / pdf,
-                                rl0)
-                rl1 = jnp.where(coll, rl1 * Tm[1] * m_d * float(st[1]) / pdf,
-                                rl1)
-                rl2 = jnp.where(coll, rl2 * Tm[2] * m_d * float(st[2]) / pdf,
-                                rl2)
-                ru0 = jnp.where(coll, ru0 * Tm[0] * sn[0] / pdf, ru0)
-                ru1 = jnp.where(coll, ru1 * Tm[1] * sn[1] / pdf, ru1)
-                ru2 = jnp.where(coll, ru2 * Tm[2] * sn[2] / pdf, ru2)
-                # transmittance russian roulette (integrators.cpp:1404)
-                denom_rr = jnp.maximum(
-                    avg3((rl0 + ru0, rl1 + ru1, rl2 + ru2)), 1e-30)
-                trm = jnp.maximum(jnp.maximum(T0, T1), T2) / denom_rr
-                low = coll & (trm < 0.05)
-                killed = low & (u1 < 0.75)
-                T0 = jnp.where(killed, zf, jnp.where(low, T0 / 0.25, T0))
-                T1 = jnp.where(killed, zf, jnp.where(low, T1 / 0.25, T1))
-                T2 = jnp.where(killed, zf, jnp.where(low, T2 / 0.25, T2))
-                dead = jnp.maximum(jnp.maximum(T0, T1), T2) == 0
-                t_cur = jnp.where(live, t_cur + step + 1e-6, t_cur)
-                live = live & ~dead & (t_cur < t_end)
-                return (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur,
-                        live.astype(jnp.int32), dim, it + 1)
-
-            init = (T[0], T[1], T[2], rl[0], rl[1], rl[2], ru[0], ru[1],
-                    ru[2], t_cur, live, dim, jnp.int32(0))
-            out = jax.lax.while_loop(cond, body, init)
-            return ((out[0], out[1], out[2]), (out[3], out[4], out[5]),
-                    (out[6], out[7], out[8]), out[11])
-
-        def start_path(samp, dim):
-            u0, u1, u2, _ = _uniform4(seed_a, pix, samp, dim)
-            px = px_i + 0.5 + (u0 - 0.5)
-            py = py_i + 0.5 + (u1 - 0.5)
+        def start_path(pix_cur, samp, dim):
+            u0, u1, u2, _ = _uniform4(seed_a, pix_cur, samp, dim)
+            if mixed:
+                pc = pix_cur.astype(jnp.int32)
+                pxf = (pc & (nx - 1)).astype(jnp.float32)
+                pyf = (pc >> nx_shift).astype(jnp.float32)
+            else:
+                pxf, pyf = px_i, py_i
+            px = pxf + 0.5 + (u0 - 0.5)
+            py = pyf + 0.5 + (u1 - 0.5)
             dx, dy, dz = camera_ray(px, py)
             hero = jnp.minimum(jnp.floor(u2 * 3.0).astype(jnp.int32), 2)
             o = (jnp.full_like(zf, cam_o[0]), jnp.full_like(zf, cam_o[1]),
                  jnp.full_like(zf, cam_o[2]))
             return o, (dx, dy, dz), hero, dim + _U32(1)
 
-        o0, d0, hero0, _ = start_path(jnp.zeros((sub, 128), _U32),
+        pix0 = mix_pix(zi) if mixed else pix
+        o0, d0, hero0, _ = start_path(pix0, jnp.zeros((sub, 128), _U32),
                                       jnp.zeros((sub, 128), _U32))
         ones3 = (jnp.ones_like(zf),) * 3
         zeros3 = (zf,) * 3
@@ -1324,7 +1284,15 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             jnp.full((sub, 128), -1, jnp.int32),  # 23 medium
             *zeros3,                          # 24..26 acc
             jnp.int32(0),                     # 27 iter
-        )
+            zi,                               # 28 mode (0 path, 1 sh-pt, 2 sh-env)
+            *ones3, *ones3, *ones3,           # 29..37 shadow T / trl / tru
+            *zeros3,                          # 38..40 shadow dir
+            zf, zf,                           # 41 sh_t, 42 sh_end
+            zf, jnp.ones_like(zf),            # 43 sh_fhg, 44 sh_dist2
+            zi,                               # 45 rr_pend
+            pix0,                             # 46 current pixel id (u32)
+        ) + (zeros3 * (ppl - 1)) \
+          + ((lane_i * 0,) if PROBE_ITERS else ())  # extra accs; busy probe
 
         def cond(cy):
             return jnp.any(cy[2] != 0) & (cy[27] < max_iters)
@@ -1332,30 +1300,171 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
         def body(cy):
             (samp, dim, alive_i, ox, oy, oz, dx, dy, dz,
              b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
-             L0, L1, L2, depth, hero, med, a0, a1, a2, it) = cy
+             L0, L1, L2, depth, hero, med, a0, a1, a2, it, mode,
+             sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2,
+             shx, shy, shz, sh_t, sh_end, sh_fhg, sh_d2, rr_pend) = \
+                cy[:46]
+            pix_c = cy[46]
+            acc_x = list(cy[47:47 + 3 * (ppl - 1)])
+            busy = cy[47 + 3 * (ppl - 1)] if PROBE_ITERS else None
             alive = alive_i != 0
+            is_sh = alive & (mode != 0)
             st_h = chan(st, hero)
+
+            # Russian roulette, deferred from the previous volume scatter
+            # so the pending NEE fold used the pre-RR beta (reference
+            # order: integrators.cpp:1301-1312 runs RR after SampleLd +
+            # phase sampling, before the next distance sample). Without
+            # volume RR the densest paths run to max_depth and ONE slow
+            # lane serializes its whole block (measured: every block hit
+            # the max_iters cap on the 64^3 bench cloud).
+            ur0, _, _, _ = _uniform4(seed_a, pix_c, samp, dim)
+            dim = dim + _U32(1)
+            do_rr_lane = alive & ~is_sh & (rr_pend != 0)
+            rr_beta = jnp.maximum(jnp.maximum(b0, b1), b2) \
+                / jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
+            do_rr = do_rr_lane & (rr_beta < 1.0) & (depth > 1)
+            q_rr = jnp.maximum(0.0, 1.0 - rr_beta)
+            rr_kill = do_rr & (ur0 < q_rr)
+            alive = alive & ~rr_kill
+            inv1q = 1.0 / jnp.maximum(1.0 - q_rr, 1e-6)
+            rr_scale = do_rr & ~rr_kill
+            b0 = jnp.where(rr_scale, b0 * inv1q, b0)
+            b1 = jnp.where(rr_scale, b1 * inv1q, b1)
+            b2 = jnp.where(rr_scale, b2 * inv1q, b2)
+            rr_pend = jnp.where(do_rr_lane, 0, rr_pend)
+
+            # medium state from POSITION, not just interface flags: a
+            # grazing entry (o = wall + 1e-4 along d) can land PAST the
+            # exit wall — outside the box with med==0. Such a lane would
+            # walk "in medium" forever (edge-clamped majorants keep
+            # colliding, escape requires ~in_med), pinning its whole
+            # block at the max_iters cap — measured: runtime scaled
+            # exactly linearly with max_events on the 64^3 bench until
+            # this guard. Same guard as pallas_vspg.py's stuck-lane kill.
+            outside_box = ((ox < bmin[0]) | (ox > bmax[0])
+                           | (oy < bmin[1]) | (oy > bmax[1])
+                           | (oz < bmin[2]) | (oz > bmax[2]))
+            med = jnp.where((med == 0) & outside_box & ~is_sh, -1, med)
 
             hit, t_wall, entering = _box_hit(ox, oy, oz, dx, dy, dz,
                                              bmin, bmax)
-            in_med = alive & (med == 0)
+            in_med = alive & ~is_sh & (med == 0)
             wall_rem = jnp.where(hit, t_wall, _BIG)
 
-            # -- one DDA event -------------------------------------------
-            m_d = maj_dens_at(ox, oy, oz)
+            # -- ONE unified majorant-walk event per lane ------------------
+            # Path lanes step their camera/phase ray; shadow lanes step
+            # their ratio-tracked shadow ray. Both share the SAME majorant
+            # lookup + density lookup, so the per-iteration MXU/sweep cost
+            # is one event for every lane — no lane ever stalls on another
+            # lane's shadow walk (the round-2 kernel ran the whole shadow
+            # walk as a nested while_loop: one scattering lane serialized
+            # its entire block; PERF.md round-2 addendum 6).
+            epx = jnp.where(is_sh, ox + sh_t * shx, ox)
+            epy = jnp.where(is_sh, oy + sh_t * shy, oy)
+            epz = jnp.where(is_sh, oz + sh_t * shz, oz)
+            wdx = jnp.where(is_sh, shx, dx)
+            wdy = jnp.where(is_sh, shy, dy)
+            wdz = jnp.where(is_sh, shz, dz)
+            m_d = maj_dens_at(epx, epy, epz)
             maj_h = m_d * st_h
-            t_seg = jnp.minimum(seg_exit(ox, oy, oz, dx, dy, dz), wall_rem)
-            ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
+            t_lim = jnp.where(is_sh, sh_end - sh_t, wall_rem)
+            t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
+                                t_lim)
+            ua, ub, uc, ud = _uniform4(seed_a, pix_c, samp, dim)
             dim = dim + _U32(1)
             dt_coll = jnp.where(maj_h > 0,
                                 -jnp.log1p(-ua)
                                 / jnp.maximum(maj_h, 1e-30), _BIG)
-            coll = in_med & (dt_coll < t_seg)
-            step = jnp.where(coll, dt_coll, t_seg)
+            walk = in_med | is_sh
+            coll = walk & (dt_coll < t_seg)
+            p_coll = in_med & coll
+            s_coll = is_sh & coll
+            step = jnp.maximum(jnp.where(coll, dt_coll, t_seg), 0.0)
             Tm = tuple(jnp.exp(-m_d * float(st[k]) * step) for k in range(3))
             Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
             sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
 
+            # collision point + local density (shared by both modes;
+            # un2/un3 drive the stochastic corner pick)
+            un0, un1, un2, un3 = _uniform4(seed_a, pix_c, samp, dim)
+            dim = dim + _U32(1)
+            sx = epx + dt_coll * wdx
+            sy = epy + dt_coll * wdy
+            sz = epz + dt_coll * wdz
+            if stoch:
+                dloc = density_at_1(sx, sy, sz, un2, un3)
+            else:
+                dloc = density_at(sx, sy, sz)
+            # shared null-collision coefficients
+            sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
+                       for k in range(3))
+            sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
+            pdf_n = Tm_h * jnp.maximum(maj_h, 1e-30)
+
+            # ===== shadow lanes: one ratio-tracking step ==================
+            s_tail = is_sh & ~coll
+            sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
+            sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
+            sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
+            sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
+            sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
+            sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
+            su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
+            su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
+            su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
+            inv_spdf = 1.0 / pdf_n
+            sT0 = jnp.where(s_coll, sT0 * Tm[0] * sn[0] * inv_spdf, sT0)
+            sT1 = jnp.where(s_coll, sT1 * Tm[1] * sn[1] * inv_spdf, sT1)
+            sT2 = jnp.where(s_coll, sT2 * Tm[2] * sn[2] * inv_spdf, sT2)
+            sl0 = jnp.where(s_coll,
+                            sl0 * Tm[0] * m_d * float(st[0]) * inv_spdf, sl0)
+            sl1 = jnp.where(s_coll,
+                            sl1 * Tm[1] * m_d * float(st[1]) * inv_spdf, sl1)
+            sl2 = jnp.where(s_coll,
+                            sl2 * Tm[2] * m_d * float(st[2]) * inv_spdf, sl2)
+            su0 = jnp.where(s_coll, su0 * Tm[0] * sn[0] * inv_spdf, su0)
+            su1 = jnp.where(s_coll, su1 * Tm[1] * sn[1] * inv_spdf, su1)
+            su2 = jnp.where(s_coll, su2 * Tm[2] * sn[2] * inv_spdf, su2)
+            # transmittance russian roulette (integrators.cpp:1404)
+            denom_rr = jnp.maximum(
+                avg3((sl0 + su0, sl1 + su1, sl2 + su2)), 1e-30)
+            trm = jnp.maximum(jnp.maximum(sT0, sT1), sT2) / denom_rr
+            low = s_coll & (trm < 0.05)
+            killed = low & (ub < 0.75)
+            sT0 = jnp.where(killed, zf, jnp.where(low, sT0 / 0.25, sT0))
+            sT1 = jnp.where(killed, zf, jnp.where(low, sT1 / 0.25, sT1))
+            sT2 = jnp.where(killed, zf, jnp.where(low, sT2 / 0.25, sT2))
+            sh_t_new = sh_t + step + 1e-6
+            sh_t = jnp.where(is_sh, sh_t_new, sh_t)
+            s_dead = is_sh & (
+                (jnp.maximum(jnp.maximum(sT0, sT1), sT2) == 0)
+                | (sh_t_new >= sh_end))
+            # fold the finished shadow walk's contribution into L
+            if has_point:
+                okp = s_dead & (mode == 1)
+                denom = jnp.maximum(
+                    avg3((sl0 * ru0 * pmf, sl1 * ru1 * pmf,
+                          sl2 * ru2 * pmf)), 1e-30)
+                w = sh_fhg / (sh_d2 * denom)
+                L0 = jnp.where(okp, L0 + b0 * sT0 * float(lI[0]) * w, L0)
+                L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w, L1)
+                L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
+            if has_env:
+                oke = s_dead & (mode == 2)
+                p_l = pmf * INV_4PI
+                denom = jnp.maximum(
+                    avg3((sl0 * ru0 * p_l + su0 * ru0 * sh_fhg,
+                          sl1 * ru1 * p_l + su1 * ru1 * sh_fhg,
+                          sl2 * ru2 * p_l + su2 * ru2 * sh_fhg)),
+                    1e-30)
+                w = sh_fhg / denom
+                L0 = jnp.where(oke, L0 + b0 * sT0 * float(envL[0]) * w, L0)
+                L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w, L1)
+                L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w, L2)
+            mode = jnp.where(s_dead, 0, mode)
+
+            # ===== path lanes: one delta-tracking event ===================
             # segment tail: telescoping rescale + advance
             at_wall = in_med & ~coll & (t_seg >= wall_rem - 1e-6)
             tail = in_med & ~coll
@@ -1373,25 +1482,14 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             oy = jnp.where(adv, oy + (step + 1e-6) * dy, oy)
             oz = jnp.where(adv, oz + (step + 1e-6) * dz, oz)
 
-            # collision point + local coefficients (un0/un1 feed NEE and
-            # phase sampling below; un2/un3 the stochastic corner pick)
-            un0, un1, un2, un3 = _uniform4(seed_a, pix, samp, dim)
-            dim = dim + _U32(1)
-            sx = ox + dt_coll * dx
-            sy = oy + dt_coll * dy
-            sz = oz + dt_coll * dz
-            if stoch:
-                dloc = density_at_1(sx, sy, sz, un2, un3)
-            else:
-                dloc = density_at(sx, sy, sz)
             sa_h = dloc * chan(sa, hero)
             ss_h = dloc * chan(ss, hero)
             maj_safe = jnp.maximum(maj_h, 1e-30)
             p_absorb = sa_h / maj_safe
             p_scatter = ss_h / maj_safe
-            is_absorb = coll & (ub < p_absorb)
-            is_scatter = coll & ~is_absorb & (ub < p_absorb + p_scatter)
-            is_null = coll & ~is_absorb & ~is_scatter
+            is_absorb = p_coll & (ub < p_absorb)
+            is_scatter = p_coll & ~is_absorb & (ub < p_absorb + p_scatter)
+            is_null = p_coll & ~is_absorb & ~is_scatter
             depth_exceeded = is_scatter & (depth >= max_depth)
             terminated = is_absorb | depth_exceeded
             scat = is_scatter & ~depth_exceeded
@@ -1410,12 +1508,8 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             ru2 = jnp.where(scat, ru2 * sc_s[2], ru2)
 
             # null-scatter weights (integrators.cpp:1102-1110)
-            sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
-                       for k in range(3))
-            sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
-            pdf_n = Tm_h * sn_h
-            zero_pdf = is_null & (pdf_n <= 0)
-            inv_pdf_n = 1.0 / jnp.maximum(pdf_n, 1e-30)
+            zero_pdf = is_null & (Tm_h * sn_h <= 0)
+            inv_pdf_n = 1.0 / jnp.maximum(Tm_h * sn_h, 1e-30)
             b0 = jnp.where(is_null, b0 * Tm[0] * sn[0] * inv_pdf_n, b0)
             b1 = jnp.where(is_null, b1 * Tm[1] * sn[1] * inv_pdf_n, b1)
             b2 = jnp.where(is_null, b2 * Tm[2] * sn[2] * inv_pdf_n, b2)
@@ -1441,9 +1535,9 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             oy = jnp.where(nadv, sy, oy)
             oz = jnp.where(nadv, sz, oz)
 
-            # -- NEE + phase sampling at real scatters --------------------
-            # ONE shadow walk per iteration: the selected light's direction
-            # is chosen first (the two branches are mutually exclusive)
+            # -- real scatter: launch the shadow walk + sample the phase ---
+            # the selected light's direction is chosen here; the walk steps
+            # in subsequent iterations while other lanes keep pathing
             wox, woy, woz = -dx, -dy, -dz
             u_sel = uc
             sel_pt = ((u_sel < pmf) if has_env else (u_sel >= -1.0)) \
@@ -1467,33 +1561,28 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             _, t_exit_s, _ = _box_hit(sx, sy, sz, wix, wiy, wiz, bmin, bmax)
             t_med = jnp.where(sel_pt, jnp.minimum(dist, t_exit_s), t_exit_s)
             nee_act = scat & (f_hg > 0)
-            (Tr, trl, tru, dim) = shadow_tr(sx, sy, sz, wix, wiy, wiz,
-                                            t_med, hero, dim, samp, nee_act)
-            if has_point:
-                okp = nee_act & sel_pt
-                denom = jnp.maximum(
-                    avg3((trl[0] * ru0 * pmf, trl[1] * ru1 * pmf,
-                          trl[2] * ru2 * pmf)), 1e-30)
-                w = f_hg / (dist2 * denom)
-                L0 = jnp.where(okp, L0 + b0 * Tr[0] * float(lI[0]) * w, L0)
-                L1 = jnp.where(okp, L1 + b1 * Tr[1] * float(lI[1]) * w, L1)
-                L2 = jnp.where(okp, L2 + b2 * Tr[2] * float(lI[2]) * w, L2)
-            if has_env:
-                oke = nee_act & ~sel_pt
-                p_l = pmf * INV_4PI
-                denom = jnp.maximum(
-                    avg3((trl[0] * ru0 * p_l + tru[0] * ru0 * f_hg,
-                          trl[1] * ru1 * p_l + tru[1] * ru1 * f_hg,
-                          trl[2] * ru2 * p_l + tru[2] * ru2 * f_hg)),
-                    1e-30)
-                w = f_hg / denom
-                L0 = jnp.where(oke, L0 + b0 * Tr[0] * float(envL[0]) * w, L0)
-                L1 = jnp.where(oke, L1 + b1 * Tr[1] * float(envL[1]) * w, L1)
-                L2 = jnp.where(oke, L2 + b2 * Tr[2] * float(envL[2]) * w, L2)
+            one = jnp.ones_like(b0)
+            mode = jnp.where(nee_act, jnp.where(sel_pt, 1, 2), mode)
+            shx = jnp.where(nee_act, wix, shx)
+            shy = jnp.where(nee_act, wiy, shy)
+            shz = jnp.where(nee_act, wiz, shz)
+            sh_t = jnp.where(nee_act, zf, sh_t)
+            sh_end = jnp.where(nee_act, t_med, sh_end)
+            sh_fhg = jnp.where(nee_act, f_hg, sh_fhg)
+            sh_d2 = jnp.where(nee_act, dist2, sh_d2)
+            sT0 = jnp.where(nee_act, one, sT0)
+            sT1 = jnp.where(nee_act, one, sT1)
+            sT2 = jnp.where(nee_act, one, sT2)
+            sl0 = jnp.where(nee_act, one, sl0)
+            sl1 = jnp.where(nee_act, one, sl1)
+            sl2 = jnp.where(nee_act, one, sl2)
+            su0 = jnp.where(nee_act, one, su0)
+            su1 = jnp.where(nee_act, one, su1)
+            su2 = jnp.where(nee_act, one, su2)
 
             pwx, pwy, pwz, ppdf = _sample_hg(
                 wox, woy, woz, g_hg, un1,
-                _uniform4(seed_a, pix, samp, dim)[0])
+                _uniform4(seed_a, pix_c, samp, dim)[0])
             dim = dim + _U32(1)
             bad_phase = scat & (ppdf <= 0)
             alive = alive & ~bad_phase
@@ -1507,10 +1596,12 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             dx = jnp.where(scat, pwx, dx)
             dy = jnp.where(scat, pwy, dy)
             dz = jnp.where(scat, pwz, dz)
+            # RR due at this lane's next path event (after the NEE fold)
+            rr_pend = jnp.where(scat, 1, rr_pend)
 
             # -- escape / interface for non-medium + wall-reached lanes ---
-            flew = (alive & ~scat & ~coll & ~in_med) | at_wall
-            escaped = alive & ~in_med & ~scat & ~coll & ~hit
+            flew = (alive & ~is_sh & ~scat & ~coll & ~in_med) | at_wall
+            escaped = alive & ~is_sh & ~in_med & ~scat & ~coll & ~hit
             if has_env:
                 first = depth == 0
                 ru_avg = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
@@ -1539,17 +1630,36 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             oz = jnp.where(iface, oz + (t_wall + 1e-4) * dz, oz)
 
             # -- commit + regenerate --------------------------------------
+            # a lane mid-shadow-walk is still mid-path: it cannot die here
+            # (every death condition above is gated on path events)
             died = ~alive & (samp < spp)
             bad = ~(jnp.isfinite(L0) & jnp.isfinite(L1) & jnp.isfinite(L2))
             L0 = jnp.where(bad, zf, L0)
             L1 = jnp.where(bad, zf, L1)
             L2 = jnp.where(bad, zf, L2)
-            a0 = jnp.where(died, a0 + L0, a0)
-            a1 = jnp.where(died, a1 + L1, a1)
-            a2 = jnp.where(died, a2 + L2, a2)
+            if mixed:
+                q_cur = slot_of(samp)
+                accs = [a0, a1, a2] + acc_x
+                Ls = (L0, L1, L2)
+                for qq in range(ppl):
+                    selq = died & (q_cur == qq)
+                    for k in range(3):
+                        accs[qq * 3 + k] = jnp.where(
+                            selq, accs[qq * 3 + k] + Ls[k],
+                            accs[qq * 3 + k])
+                a0, a1, a2 = accs[0], accs[1], accs[2]
+                acc_x = accs[3:]
+            else:
+                a0 = jnp.where(died, a0 + L0, a0)
+                a1 = jnp.where(died, a1 + L1, a1)
+                a2 = jnp.where(died, a2 + L2, a2)
             has_budget = died & (samp + _U32(1) < spp)
             samp = jnp.where(died, samp + _U32(1), samp)
-            o_n, d_n, hero_n, _ = start_path(samp, jnp.zeros_like(dim))
+            if mixed:
+                pix_new = mix_pix(slot_of(samp))
+                pix_c = jnp.where(has_budget, pix_new, pix_c)
+            o_n, d_n, hero_n, _ = start_path(pix_c, samp,
+                                             jnp.zeros_like(dim))
             dim = jnp.where(has_budget, _U32(1), dim)
             ox = jnp.where(has_budget, o_n[0], ox)
             oy = jnp.where(has_budget, o_n[1], oy)
@@ -1558,7 +1668,6 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             dy = jnp.where(has_budget, d_n[1], dy)
             dz = jnp.where(has_budget, d_n[2], dz)
             hero = jnp.where(has_budget, hero_n, hero)
-            one = jnp.ones_like(b0)
             b0 = jnp.where(has_budget, one, b0)
             b1 = jnp.where(has_budget, one, b1)
             b2 = jnp.where(has_budget, one, b2)
@@ -1573,18 +1682,57 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W):
             L2 = jnp.where(has_budget, zf, L2)
             depth = jnp.where(has_budget, 0, depth)
             med = jnp.where(has_budget, -1, med)
+            mode = jnp.where(has_budget, 0, mode)
+            rr_pend = jnp.where(has_budget, 0, rr_pend)
             alive = alive | has_budget
 
             return (samp, dim, alive.astype(jnp.int32), ox, oy, oz,
                     dx, dy, dz, b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
-                    L0, L1, L2, depth, hero, med, a0, a1, a2, it + 1)
+                    L0, L1, L2, depth, hero, med, a0, a1, a2, it + 1, mode,
+                    sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2,
+                    shx, shy, shz, sh_t, sh_end, sh_fhg, sh_d2, rr_pend,
+                    pix_c) + tuple(acc_x) \
+                + ((jnp.where(alive_i != 0, busy + 1, busy),)
+                   if PROBE_ITERS else ())
 
         final = jax.lax.while_loop(cond, body, carry)
         a0, a1, a2 = final[24], final[25], final[26]
+        # max_iters safety-cap exit: commit the partial L of any lane
+        # still in flight (its NEE/escape adds so far) instead of
+        # dropping its whole sample
+        inflight = (final[2] != 0) & (final[0] < spp)
+        Lf0, Lf1, Lf2 = final[18], final[19], final[20]
+        okf = inflight & jnp.isfinite(Lf0) & jnp.isfinite(Lf1) \
+            & jnp.isfinite(Lf2)
         scale = c["imaging_ratio"] / spp
-        out_ref[0] = a0 * scale
-        out_ref[1] = a1 * scale
-        out_ref[2] = a2 * scale
+        if mixed:
+            accs = [a0, a1, a2] + list(final[47:47 + 3 * (ppl - 1)])
+            qf = zi
+            for t in range(1, ppl):
+                qf = qf + (final[0] >= _U32(t * sppq)).astype(jnp.int32)
+            Lfs = (Lf0, Lf1, Lf2)
+            for qq in range(ppl):
+                selq = okf & (qf == qq)
+                for k in range(3):
+                    accs[qq * 3 + k] = accs[qq * 3 + k] + jnp.where(
+                        selq, Lfs[k], 0.0)
+            for qq in range(ppl):
+                for k in range(3):
+                    out_ref[qq * 3 + k] = accs[qq * 3 + k] * scale
+        else:
+            a0 = a0 + jnp.where(okf, Lf0, 0.0)
+            a1 = a1 + jnp.where(okf, Lf1, 0.0)
+            a2 = a2 + jnp.where(okf, Lf2, 0.0)
+            out_ref[0] = a0 * scale
+            out_ref[1] = a1 * scale
+            if PROBE_ITERS:
+                # perf diagnostic: blue = block iteration count, green =
+                # per-lane busy iterations (utilization = green/blue)
+                out_ref[1] = final[47].astype(jnp.float32)
+                out_ref[2] = jnp.full((sub, 128), 1.0, jnp.float32) \
+                    * final[27].astype(jnp.float32)
+            else:
+                out_ref[2] = a2 * scale
 
     return kernel
 
@@ -1646,21 +1794,36 @@ def _get_callable(c, spp, interpret):
     sub = 64
     while npix % (sub * 128) != 0:
         sub //= 2
-    # grid kernels: tiled blocks (sub=8) when the film divides into tiles
-    # — the sweep windows track the tile frustum, not a full-width strip.
-    # tiled/tile_w are pure functions of c, so the cache key is unchanged.
+    # grid kernels, two lane layouts:
+    # - MXU-gather grids ("mxu" pack): gather cost is window-independent,
+    #   so use the MIXED slot layout (raster lanes, MIX_PPL pixel-strip/
+    #   spp-chunk slots per lane) — the utilization fix.
+    # - sweep-mode grids: tiled blocks (sub=8), so the sweep windows
+    #   track the tile frustum, not a full-width strip.
+    # tiled/tile_w/mixed are pure functions of (c, spp): cache key safe.
     tiled = False
+    mixed = False
     tile_w = TILE_W
     if is_grid:
-        tile_w = pick_tile_w(c["nx"], c["ny"], int(np.prod(c["grid_res"])))
-        ty = 8 * 128 // tile_w
-        tiled = (c["nx"] % tile_w == 0 and c["ny"] % ty == 0
-                 and npix % (8 * 128) == 0)
-        if tiled:
+        mixed = (c.get("dens_pack", "bf16") == "mxu"
+                 and (npix & (npix - 1)) == 0
+                 and (c["nx"] & (c["nx"] - 1)) == 0
+                 and npix % (8 * 128) == 0
+                 and spp % MIX_PPL == 0 and spp >= MIX_PPL
+                 and not PROBE_ITERS)
+        if mixed:
             sub = 8
+        else:
+            tile_w = pick_tile_w(c["nx"], c["ny"],
+                                 int(np.prod(c["grid_res"])))
+            ty = 8 * 128 // tile_w
+            tiled = (c["nx"] % tile_w == 0 and c["ny"] % ty == 0
+                     and npix % (8 * 128) == 0)
+            if tiled:
+                sub = 8
     n_blocks = npix // (sub * 128)
     if is_grid:
-        kernel = _make_grid_kernel(c, spp, sub, tiled, tile_w)
+        kernel = _make_grid_kernel(c, spp, sub, tiled, tile_w, mixed)
         nvox = int(np.prod(c["grid_res"]))
         nmaj = int(np.prod(c["maj_res"]))
         if c.get("dens_pack", "bf16") == "mxu":
@@ -1682,15 +1845,16 @@ def _get_callable(c, spp, interpret):
             maj_spec = pl.BlockSpec((-(-nmaj // 256), 128),
                                     lambda b: (0, 0),
                                     memory_space=pltpu.VMEM)
+        n_out = 3 * (MIX_PPL if mixed else 1)
         call = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128),
+            out_shape=jax.ShapeDtypeStruct((n_out, npix // 128, 128),
                                            jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       dens_spec,
                       maj_spec],
-            out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
+            out_specs=pl.BlockSpec((n_out, sub, 128), lambda b: (0, b, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )
@@ -1698,13 +1862,35 @@ def _get_callable(c, spp, interpret):
         inv_perm = (jnp.asarray(tile_permutation(c["nx"], c["ny"], sub,
                                                  tile_w)[1])
                     if tiled else None)
+        if mixed:
+            # pixel -> serving-lane inverse maps, one per slot (the
+            # in-kernel mix_pix formula mirrored in numpy)
+            g = np.arange(npix, dtype=np.int64)
+            nxs = int(np.log2(c["nx"]))
+            inv_q = []
+            for q in range(MIX_PPL):
+                base_q = (g + q * (npix // MIX_PPL)) & (npix - 1)
+                y = base_q >> nxs
+                x = base_q & (c["nx"] - 1)
+                xm = (c["nx"] - 1 - x) if (q % 2 == 1) else x
+                p_q = (y << nxs) | xm
+                inv = np.empty(npix, np.int32)
+                inv[p_q] = np.arange(npix, dtype=np.int32)
+                inv_q.append(jnp.asarray(inv))
 
         @jax.jit
         def fn(seed, dens, maj, base=0):
-            # tiled layout requires base == 0 (single-chip launches)
+            # tiled/mixed layouts require base == 0 (single-chip launches)
             sm = jnp.stack([seed.astype(jnp.uint32),
                             jnp.asarray(base, jnp.uint32)]).reshape(1, 2)
             out = call(sm, dens, maj)
+            if mixed:
+                acc = 0
+                for q in range(MIX_PPL):
+                    fq = jnp.transpose(out[q * 3:(q + 1) * 3],
+                                       (1, 2, 0)).reshape(npix, 3)
+                    acc = acc + fq[inv_q[q]]
+                return acc.reshape(c["ny"], c["nx"], 3)
             flat = jnp.transpose(out, (1, 2, 0)).reshape(npix, 3)
             if tiled:
                 flat = flat[inv_perm]

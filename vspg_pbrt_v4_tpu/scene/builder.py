@@ -1030,6 +1030,21 @@ def _make_material(mtype, p: ParameterDictionary, warn, loc,
                     roughness2=p.get_float("interface.roughness",
                                            p.get_float("roughness", 0.0)),
                     eta=p.get_float("interface.eta", 1.5))
+    if mtype == "cooktorrance":
+        # fork addition (materials.h:555, CookTorranceMaterial::Create at
+        # materials.cpp:303): reflectance default 0.5, eta default 1.5,
+        # roughness default 0 (clamped to 0.001 in the bxdf)
+        from ..models.materials import COOK_TORRANCE
+
+        t = tex_of("reflectance")
+        rough = p.get_float("roughness", 0.0)
+        rough = max(p.get_float("uroughness", rough),
+                    p.get_float("vroughness", rough))
+        return dict(type=COOK_TORRANCE,
+                    albedo=tuple(p.get_rgb("reflectance",
+                                           np.asarray([0.5] * 3))),
+                    roughness=rough, eta=p.get_float("eta", 1.5),
+                    albedo_tex=t)
     if mtype == "subsurface":
         # materials.h SubsurfaceMaterial -> SUBSURFACE rows: mfp from
         # sigma_a/sigma_s if given (d ~ 1/sigma_t'), else mfp directly

@@ -119,8 +119,13 @@ def _time_best(fn, warm_args, args_list):
 
 
 def bench_config2():
-    """Heterogeneous cloud, delta-tracking volpath, guiding off."""
-    res, spp = 128, 16
+    """Heterogeneous cloud, delta-tracking volpath, guiding off.
+
+    256^2 @ 32 spp: the fused grid megakernel sustains its on-chip rate
+    only once the launch outweighs the ~0.08 s relay dispatch floor —
+    the smaller round-1 shape (128^2 @ 16) measured the relay latency,
+    not the chip (PERF.md round 3)."""
+    res, spp = 256, 32
     scene = _cloud_scene()
     camera = _camera(res)
     film = RGBFilm.make((res, res))
@@ -135,7 +140,7 @@ def bench_config2():
     best = _time_best(run, (0, 4), [(i + 1, spp) for i in range(2)])
     mpaths = res * res * spp / best / 1e6
     return {
-        "metric": "volpath_cloud64_128x128x16spp",
+        "metric": "volpath_cloud64_256x256x32spp",
         "value": round(mpaths, 3),
         "unit": "Mpaths/sec/chip",
         "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
@@ -211,7 +216,7 @@ def _vspg_cloud32_scene():
     return volpath.Scene(geom, Materials.build([]), media, lights)
 
 
-def _vspg_frozen_bench(metric, gopt, vopt, res=128, spp=32, train_spp=4):
+def _vspg_frozen_bench(metric, gopt, vopt, res=128, spp=128, train_spp=4):
     """Shared configs-3/4 harness: train the field+ISGB once (untimed
     startup, the paper's train-then-render protocol,
     guidedvolpathvspgintegrator.cpp:117-131), then time the frozen-field
@@ -249,7 +254,7 @@ def bench_config3():
     from vspg_pbrt_v4_tpu.models.integrators import vspg
 
     return _vspg_frozen_bench(
-        "vspg_resampling_cloud32_128x128x32spp_frozen",
+        "vspg_resampling_cloud32_128x128x128spp_frozen",
         gvp.GuidingOptions(field_res=8, record_depth=6,
                            min_train_weight=16.0),
         vspg.VSPGOptions(vsp_criterion="contribution"))
@@ -262,7 +267,7 @@ def bench_config4():
     from vspg_pbrt_v4_tpu.models.integrators import vspg
 
     return _vspg_frozen_bench(
-        "vspg_full_cloud32_128x128x32spp_frozen",
+        "vspg_full_cloud32_128x128x128spp_frozen",
         gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
                            min_train_weight=16.0),
         vspg.VSPGOptions(vsp_criterion="variance"))

@@ -109,9 +109,12 @@ def test_cooktorrance_parser():
     """
     setup = build_render_setup(parse_pbrt_string(txt))
     mats = setup.scene.materials
-    assert int(mats.mat_type[0]) == M.COOK_TORRANCE
-    assert abs(float(mats.eta[0]) - 1.4) < 1e-6
-    assert abs(float(mats.roughness[0]) - 0.2) < 1e-6
+    types = np.asarray(mats.mat_type)
+    (idx,) = np.nonzero(types == M.COOK_TORRANCE)
+    assert idx.size == 1, types  # the builder prepends a default slot
+    i = int(idx[0])
+    assert abs(float(mats.eta[i]) - 1.4) < 1e-6
+    assert abs(float(mats.roughness[i]) - 0.2) < 1e-6
 
 
 def test_coated_reciprocity():

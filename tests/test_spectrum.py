@@ -73,3 +73,40 @@ def test_terminate_secondary():
     t = np.asarray(sp.terminate_secondary(pdf))
     assert np.allclose(t[:, 0], 0.25 / 4)
     assert (t[:, 1:] == 0).all()
+
+
+def test_sigmoid_polynomial_uplift_beats_smits():
+    """The fitted sigmoid-polynomial table (tools/rgb2spec.py — the
+    reference's rgb2spec_opt.cpp spectral upsampling) round-trips
+    saturated albedos with lower error than the Smits fallback."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.utils import spectrum as sp
+
+    tab = sp._sigmoid_table()
+    assert tab is not None, "rgb2spec table missing — run tools/rgb2spec"
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(np.concatenate([
+        rng.random((64, 3)).astype(np.float32),
+        np.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0],
+                    [0.9, 0.05, 0.02], [0.5, 0.5, 0.5], [0, 0, 0],
+                    [1, 1, 1]], np.float32)]))
+    lam = jnp.linspace(sp.LAMBDA_MIN, sp.LAMBDA_MAX,
+                       95)[None, :].repeat(rgb.shape[0], 0)
+    pdf = jnp.full_like(lam, 1.0 / (sp.LAMBDA_MAX - sp.LAMBDA_MIN))
+    back = sp.spectral_to_sensor_rgb(
+        sp.rgb_to_spectrum_sigmoid(rgb, lam, tab), lam, pdf)
+    err_sig = float(jnp.abs(back - rgb).max())
+    old = sp._SIGMOID_TABLE_CACHE
+    sp._SIGMOID_TABLE_CACHE = None
+    try:
+        back2 = sp.spectral_to_sensor_rgb(
+            sp.rgb_to_spectrum(rgb, lam), lam, pdf)
+    finally:
+        sp._SIGMOID_TABLE_CACHE = old
+    err_smits = float(jnp.abs(back2 - rgb).max())
+    assert err_sig < 0.02, err_sig
+    assert err_sig < 0.5 * err_smits, (err_sig, err_smits)
+    # reflectance stays physical
+    vals = sp.rgb_to_spectrum_sigmoid(rgb, lam, tab)
+    assert float(vals.min()) >= 0.0 and float(vals.max()) <= 1.0 + 1e-4

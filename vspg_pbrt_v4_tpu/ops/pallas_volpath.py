@@ -58,7 +58,8 @@ I8_THRESHOLD = 4096
 MXU_MIN_VOX = 4096
 _MXU_VMEM_BUDGET = 10 * 1024 * 1024
 MXU_VALIDATED_VOX = 262144  # 64^3, measured on chip (PERF.md addendum 6)
-MXU_MAX_VOX = min(_MXU_VMEM_BUDGET // 8, MXU_VALIDATED_VOX)
+# int8 working set: table (1 B/vox) + one-hot (1 B/vox) + iota (4 B/vox)
+MXU_MAX_VOX = min(_MXU_VMEM_BUDGET // 6, MXU_VALIDATED_VOX)
 
 # perf diagnostic (OFF by default): the grid kernel writes its while-loop
 # iteration count into the blue channel instead of radiance, so the true
@@ -413,6 +414,62 @@ def pack_bf16_transposed(arr, mode="down"):
     return np.ascontiguousarray(r.reshape(C, 128).T).view(jnp.bfloat16)
 
 
+def pack_i8_transposed(dens, maj, grid_res, maj_res):
+    """Transposed (128, C) int8 density table for the MXU one-hot gather:
+    element [l, c] = q(dens.flat[c*128 + l]) with q = floor(d / m_up(sv)
+    * 127) in 0..127, where m_up is the voxel's supervoxel majorant
+    rounded UP to bf16 (exactly the value the kernel's bf16 "up"-packed
+    majorant table decodes to, so q*m_up/127 <= d always — density rounds
+    down, majorant up; quantization error <= m_up/127, ~0.8% of the local
+    max). int8 x int8 one-hot matmuls run 15x faster than bf16 on chip
+    (PERF.md round 3): the one-hot build and MXU ingest both halve, and
+    the i1->i8 cast is native where i1->bf16 relayouts."""
+    d = np.asarray(dens, np.float32)
+    gx, gy, gz = grid_res
+    mx, my, mz = maj_res
+    m = np.asarray(maj, np.float32).view(np.uint32).astype(np.uint64)
+    m_up = ((np.minimum(m + 0xFFFF, 0xFFFF_FFFF) >> 16) << 16) \
+        .astype(np.uint32).view(np.float32).reshape(mx, my, mz)
+    ix = (np.arange(gx) * mx) // gx
+    iy = (np.arange(gy) * my) // gy
+    iz = (np.arange(gz) * mz) // gz
+    scale = m_up[np.ix_(ix, iy, iz)]
+    q = np.zeros_like(d, np.int32)
+    nz = scale > 0
+    q[nz] = np.clip(np.floor(d[nz] / scale[nz] * 127.0), 0,
+                    127).astype(np.int32)
+    flat = q.reshape(-1).astype(np.int8)
+    C = -(-flat.size // 128)
+    C = -(-C // 8) * 8
+    flat = np.pad(flat, (0, C * 128 - flat.size))
+    return np.ascontiguousarray(flat.reshape(C, 128).T)
+
+
+def make_mxu_lookup_i8(tt_ref, sub, C):
+    """Per-lane random gather from a (128, C) int8 transposed table
+    (pack_i8_transposed) via int8 one-hot MXU matmuls — same shape as
+    make_mxu_lookup but ~15x faster (measured on chip at C=2048).
+    Returns lookup(flat_idx) -> (sub,128) f32 of the RAW 0..127 quants;
+    the caller multiplies by the supervoxel scale / 127."""
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    def lookup(flat_idx):
+        c_idx = flat_idx >> 7
+        l_idx = flat_idx & 127
+        tt = tt_ref[:]
+        cols = []
+        for s in range(sub):
+            oh = (iota_c == c_idx[s:s + 1, :]).astype(jnp.int8)
+            g = jnp.dot(tt, oh, preferred_element_type=jnp.int32)
+            ohl = (iota_s == l_idx[s:s + 1, :]).astype(jnp.float32)
+            cols.append(jnp.sum(g.astype(jnp.float32) * ohl, axis=0,
+                                keepdims=True))
+        return jnp.concatenate(cols, axis=0)
+
+    return lookup
+
+
 def make_mxu_lookup(tt_ref, sub, C):
     """Per-lane random table gather as one-hot MXU matmuls. tt_ref is the
     (128, C) bf16 transposed table from pack_bf16_transposed. Per sublane
@@ -511,7 +568,7 @@ STOCH_TRILERP_MAX_EXACT = 4096
 
 def make_stoch_density_fn(dens_ref, maj_ref, *, sub, grid_res, maj_res,
                           bmin, bmax, ext, i8, n_dens_chunks, n_maj_chunks,
-                          inv_r, mxu_lookup=None):
+                          inv_r, mxu_lookup=None, maj_mxu_lookup=None):
     """Build density_at_1(px, py, pz, u_a, u_b): stochastic trilinear
     density — ONE corner sampled with its trilerp weight, so
     E[density_at_1] equals the exact 8-corner trilerp (stochastic texture
@@ -551,9 +608,18 @@ def make_stoch_density_fn(dens_ref, maj_ref, *, sub, grid_res, maj_res,
                       0, gz - 1)
         flat = (ix * gy + iy) * gz + iz
         if mxu_lookup is not None:
-            # MXU one-hot gather: the table stores raw bf16 densities at
-            # flat voxel index — no packing, no scale decode
-            d = mxu_lookup(flat)
+            # int8 MXU one-hot gather (pack_i8_transposed): q in 0..127
+            # scaled by the corner voxel's bf16-up supervoxel majorant —
+            # one cheap extra matmul on the small transposed maj table
+            q = mxu_lookup(flat)
+            sxm = jnp.floor((ix.astype(jnp.float32) + 0.5)
+                            * inv_rx).astype(jnp.int32)
+            sym = jnp.floor((iy.astype(jnp.float32) + 0.5)
+                            * inv_ry).astype(jnp.int32)
+            szm = jnp.floor((iz.astype(jnp.float32) + 0.5)
+                            * inv_rz).astype(jnp.int32)
+            msv = (sxm * my + sym) * mz + szm
+            d = q * maj_mxu_lookup(msv) * np.float32(1.0 / 127.0)
             inside = ((px >= bmin[0]) & (px <= bmax[0])
                       & (py >= bmin[1]) & (py <= bmax[1])
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
@@ -1205,16 +1271,17 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
             return jnp.where(inside, d, 0.0)
 
+        maj_mxu_lookup = (make_mxu_lookup(maj_ref, sub, C_maj_mxu)
+                          if mxu else None)
+
         density_at_1 = make_stoch_density_fn(
             dens_ref, maj_ref, sub=sub, grid_res=(gx, gy, gz),
             maj_res=(mx, my, mz), bmin=bmin, bmax=bmax, ext=ext, i8=i8,
             n_dens_chunks=n_dens_chunks, n_maj_chunks=n_maj_chunks,
             inv_r=(inv_rx, inv_ry, inv_rz),
-            mxu_lookup=(make_mxu_lookup(dens_ref, sub, C_mxu)
-                        if mxu else None)) if stoch else None
-
-        maj_mxu_lookup = (make_mxu_lookup(maj_ref, sub, C_maj_mxu)
-                          if mxu else None)
+            mxu_lookup=(make_mxu_lookup_i8(dens_ref, sub, C_mxu)
+                        if mxu else None),
+            maj_mxu_lookup=maj_mxu_lookup) if stoch else None
 
         def maj_dens_at(px, py, pz):
             """Supervoxel majorant density at p (nearest cell)."""
@@ -1751,10 +1818,11 @@ _KERNEL_CACHE = {}
 # fixed dispatch overhead — 64 spp/launch amortizes it and stays far
 # under the ~60s watchdog. Big grids walk slower per spp: smaller chunk.
 GRID_SPP_CHUNK = 64
-# big grids (MXU gather): measured ~0.7s per 8-spp launch at 64^3/128^2
-# — 32 spp/launch stays far under the ~60s kernel watchdog and
-# amortizes the ~0.3-0.6s relay dispatch floor
-GRID_SPP_CHUNK_BIG = 32
+# big grids (MXU gather): after the stuck-lane fix + i8 gather, a 64-spp
+# 128^2 launch runs ~0.2s on chip — the ~0.08s relay dispatch floor now
+# DOMINATES small launches, so chunk as much spp per launch as the
+# watchdog comfortably allows
+GRID_SPP_CHUNK_BIG = 128
 
 def pick_tile_w(nx, ny, nvox):
     """Choose the tile width for a grid kernel launch: narrowest
@@ -1934,8 +2002,9 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
     if c["kind"] == "grid":
         gm = scene.media.grids[0]
         if c["dens_pack"] == "mxu":
-            dens = jnp.asarray(pack_bf16_transposed(np.asarray(gm.density),
-                                                    "down"))
+            dens = jnp.asarray(pack_i8_transposed(
+                np.asarray(gm.density), np.asarray(gm.majorant),
+                c["grid_res"], c["maj_res"]))
         elif c["dens_pack"] == "i8":
             dens = jnp.asarray(pack_i8_quads(
                 np.asarray(gm.density), np.asarray(gm.majorant),

@@ -40,8 +40,9 @@ from .pallas_volpath import (_BIG, INV_4PI, STOCH_TRILERP_MAX_EXACT, _U32,
                              _normalize, _sample_hg, _uniform4, _unpack_hi,
                              _unpack_i8, _unpack_lo, _unpack_sel,
                              extract_constants, make_mxu_lookup,
-                             make_stoch_density_fn, pack_bf16_pairs,
-                             pack_bf16_transposed, pack_i8_quads)
+                             make_mxu_lookup_i8, make_stoch_density_fn,
+                             pack_bf16_pairs, pack_bf16_transposed,
+                             pack_i8_quads, pack_i8_transposed)
 
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
@@ -392,16 +393,17 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                       & (pz >= bmin[2]) & (pz <= bmax[2]))
             return jnp.where(inside, d, 0.0)
 
+        maj_mxu_lookup = (make_mxu_lookup(maj_ref, sub, C_maj_mxu)
+                          if mxu else None)
+
         density_at_1 = make_stoch_density_fn(
             dens_ref, maj_ref, sub=sub, grid_res=(gx, gy, gz),
             maj_res=(mx, my, mz), bmin=bmin, bmax=bmax, ext=ext, i8=i8,
             n_dens_chunks=n_dens_chunks, n_maj_chunks=n_maj_chunks,
             inv_r=(inv_rx, inv_ry, inv_rz),
-            mxu_lookup=(make_mxu_lookup(dens_ref, sub, C_mxu)
-                        if mxu else None)) if stoch else None
-
-        maj_mxu_lookup = (make_mxu_lookup(maj_ref, sub, C_maj_mxu)
-                          if mxu else None)
+            mxu_lookup=(make_mxu_lookup_i8(dens_ref, sub, C_mxu)
+                        if mxu else None),
+            maj_mxu_lookup=maj_mxu_lookup) if stoch else None
 
         def maj_dens_at(px, py, pz):
             ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
@@ -1061,6 +1063,17 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
              L0, L1, L2, depth, hero, med, a0, a1, a2, it) = cy
             alive = alive_i != 0
 
+            # medium state from POSITION: a grazing entry (wall + 1e-4
+            # along d) can land PAST the exit wall — outside the box with
+            # med==0 — and such a lane walks "in medium" forever on
+            # edge-clamped majorants, pinning its block at max_iters
+            # (the same stuck-lane class measured in pallas_volpath,
+            # round 3; the flag-based `stuck` kill below misses it)
+            oob = ((ox < bmin[0]) | (ox > bmax[0])
+                   | (oy < bmin[1]) | (oy > bmax[1])
+                   | (oz < bmin[2]) | (oz > bmax[2]))
+            med = jnp.where((med == 0) & oob, -1, med)
+
             hit, t_wall, entering = _box_hit(ox, oy, oz, dx, dy, dz,
                                              bmin, bmax)
 
@@ -1394,7 +1407,7 @@ _KERNEL_CACHE = {}
 # the 4-spp compute at 128^2 — the analytic work profile of the bench
 # cloud (PERF.md round-2 addendum 3) puts one 32-spp launch well under a
 # second of kernel time, far below the ~60s TPU watchdog.
-VSPG_SPP_CHUNK = 32
+VSPG_SPP_CHUNK = 128
 
 
 def guiding_constants(field, gopt, vopt, trained=None):
@@ -1554,8 +1567,10 @@ def pack_kernel_inputs(scene, field, crit):
             tuple(int(v) for v in gm.res),
             tuple(int(v) for v in gm.maj_res)))
     elif pack == "mxu":
-        dens = jnp.asarray(pack_bf16_transposed(np.asarray(gm.density),
-                                                "down"))
+        dens = jnp.asarray(pack_i8_transposed(
+            np.asarray(gm.density), np.asarray(gm.majorant),
+            tuple(int(v) for v in gm.res),
+            tuple(int(v) for v in gm.maj_res)))
     else:
         dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
     if pack == "mxu":

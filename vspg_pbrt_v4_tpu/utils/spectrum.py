@@ -161,10 +161,64 @@ def _smits_eval(weights, lam):
     return jnp.sum(weights[..., None, :] * basis, axis=-1)
 
 
+_SIGMOID_TABLE_CACHE = "unloaded"
+
+
+def _sigmoid_table():
+    """Lazy-load the fitted sigmoid-polynomial coefficient table
+    (tools/rgb2spec.py — the reference's RGBToSpectrumTable analog,
+    cmd/rgb2spec_opt.cpp + util/spectrum.cpp). None if not generated."""
+    global _SIGMOID_TABLE_CACHE
+    if isinstance(_SIGMOID_TABLE_CACHE, str):
+        try:
+            from ..tools.rgb2spec import load_table
+
+            _SIGMOID_TABLE_CACHE = load_table()
+        except Exception:
+            _SIGMOID_TABLE_CACHE = None
+    return _SIGMOID_TABLE_CACHE
+
+
+def rgb_to_spectrum_sigmoid(rgb, lam, table):
+    """Sigmoid-polynomial reflectance uplift (util/color.h
+    RGBSigmoidPolynomial + util/spectrum.cpp RGBAlbedoSpectrum): trilinear
+    coefficient fetch from the fitted table, then
+    s(c0 t^2 + c1 t + c2) at t = (lam-360)/470."""
+    res = table.shape[1]
+    tab = jnp.asarray(table)  # (3, res, res, res, 3)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.argmax(rgb, axis=-1)
+    m = jnp.max(rgb, axis=-1)
+    c1 = jnp.take_along_axis(rgb, ((maxc + 1) % 3)[..., None], -1)[..., 0]
+    c2v = jnp.take_along_axis(rgb, ((maxc + 2) % 3)[..., None], -1)[..., 0]
+    safe_m = jnp.maximum(m, 1e-8)
+    zf = jnp.clip(m, 0.0, 1.0) * (res - 1)
+    xf = jnp.clip(c1 / safe_m, 0.0, 1.0) * (res - 1)
+    yf = jnp.clip(c2v / safe_m, 0.0, 1.0) * (res - 1)
+    z0 = jnp.clip(jnp.floor(zf).astype(jnp.int32), 0, res - 2)
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, res - 2)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, res - 2)
+    wz, wx, wy = zf - z0, xf - x0, yf - y0
+    coef = 0.0
+    for dz, wz_ in ((0, 1.0 - wz), (1, wz)):
+        for dx_, wx_ in ((0, 1.0 - wx), (1, wx)):
+            for dy_, wy_ in ((0, 1.0 - wy), (1, wy)):
+                c = tab[maxc, z0 + dz, x0 + dx_, y0 + dy_]  # (...,3)
+                coef = coef + (wz_ * wx_ * wy_)[..., None] * c
+    t = (lam - LAMBDA_MIN) / (LAMBDA_MAX - LAMBDA_MIN)  # (...,N)
+    p = (coef[..., 0:1] * t * t + coef[..., 1:2] * t + coef[..., 2:3])
+    s = 0.5 + p / (2.0 * jnp.sqrt(1.0 + p * p))
+    return jnp.where(m[..., None] > 0, s, 0.0)
+
+
 def rgb_to_spectrum(rgb, lam):
     """Evaluate a smooth reflectance spectrum matching `rgb` at wavelengths
-    lam (...,N) — Smits' decomposition into white + cyan/magenta/yellow +
-    r/g/b basis functions (RGBAlbedoSpectrum stand-in)."""
+    lam (...,N): the fitted sigmoid-polynomial table when generated
+    (tools/rgb2spec.py, the reference's spectral upsampling), else Smits'
+    white + cyan/magenta/yellow + r/g/b basis decomposition."""
+    table = _sigmoid_table()
+    if table is not None:
+        return rgb_to_spectrum_sigmoid(rgb, lam, table)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     lo = jnp.minimum(jnp.minimum(r, g), b)
     hi = jnp.maximum(jnp.maximum(r, g), b)
@@ -234,14 +288,37 @@ def spectral_to_sensor_rgb(values, lam, pdf):
     return rgb / _rgb_of_flat()
 
 
+def _np_g(x, alpha, mu, s1, s2):
+    # numpy mirror of colorspace._g: this runs lazily on FIRST USE, which
+    # can be inside a jit trace — jnp there would produce tracers that
+    # np.trapezoid cannot consume (and import-time jnp is banned: the
+    # CPU-pinned multichip dryrun)
+    s = np.where(x < mu, s1, s2)
+    return alpha * np.exp(-0.5 * ((x - mu) / s) ** 2)
+
+
+def _np_cie_x(lam):
+    return (_np_g(lam, 1.056, 599.8, 37.9, 31.0)
+            + _np_g(lam, 0.362, 442.0, 16.0, 26.7)
+            + _np_g(lam, -0.065, 501.1, 20.4, 26.2))
+
+
+def _np_cie_y(lam):
+    return (_np_g(lam, 0.821, 568.8, 46.9, 40.5)
+            + _np_g(lam, 0.286, 530.9, 16.3, 31.1))
+
+
+def _np_cie_z(lam):
+    return (_np_g(lam, 1.217, 437.0, 11.8, 36.0)
+            + _np_g(lam, 0.681, 459.0, 26.0, 13.8))
+
+
 def _compute_rgb_of_flat():
     """sensor RGB of a flat unit spectrum (dense quadrature, host-side)."""
-    from .colorspace import cie_x, cie_y, cie_z
-
     lam = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1e-3, 1.0, dtype=np.float64)
-    X = float(np.trapezoid(np.asarray(cie_x(jnp.asarray(lam))), lam))
-    Y = float(np.trapezoid(np.asarray(cie_y(jnp.asarray(lam))), lam))
-    Z = float(np.trapezoid(np.asarray(cie_z(jnp.asarray(lam))), lam))
+    X = float(np.trapezoid(_np_cie_x(lam), lam))
+    Y = float(np.trapezoid(_np_cie_y(lam), lam))
+    Z = float(np.trapezoid(_np_cie_z(lam), lam))
     xyz = np.asarray([X, Y, Z]) / CIE_Y_INTEGRAL
     return np.asarray(xyz @ np.asarray(_XYZ2RGB).T, np.float32)
 

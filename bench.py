@@ -375,6 +375,206 @@ def bench_config5():
     }
 
 
+def _pyro_cloud_scene():
+    """Sim-quality backlit cloud — the paper's hard regime: 64^3
+    pyroclastic density (fbm-displaced sphere), single-scattering albedo
+    ~0.995, strongly forward phase (g=0.85), a bright point light BEHIND
+    the cloud and a dim env. The density round-trips through a real
+    NanoVDB file (tools/nvdb.py write + read), exercising the ingest
+    pipeline the reference uses for its cloud scenes (media.cpp:574)."""
+    import tempfile
+
+    from vspg_pbrt_v4_tpu.models.lights import Lights
+    from vspg_pbrt_v4_tpu.models.materials import Materials
+    from vspg_pbrt_v4_tpu.models.media import GridMedium, Media
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+    from vspg_pbrt_v4_tpu.tools.nvdb import read_nvdb, write_nvdb
+
+    n = 64
+    rng = np.random.default_rng(7)
+    fbm = np.zeros((n, n, n), np.float32)
+    for gsz, amp in ((4, 1.0), (8, 0.5), (16, 0.25), (32, 0.125)):
+        gr = rng.standard_normal((gsz,) * 3).astype(np.float32)
+        idx = np.linspace(0, gsz - 1, n)
+        i0 = np.floor(idx).astype(int)
+        w = (idx - i0).astype(np.float32)
+        i1 = np.minimum(i0 + 1, gsz - 1)
+        gx = gr[i0] * (1 - w)[:, None, None] + gr[i1] * w[:, None, None]
+        gxy = (gx[:, i0] * (1 - w)[None, :, None]
+               + gx[:, i1] * w[None, :, None])
+        fbm += amp * (gxy[:, :, i0] * (1 - w)[None, None, :]
+                      + gxy[:, :, i1] * w[None, None, :])
+    x = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    r = np.sqrt(X * X + Y * Y + Z * Z)
+    dens = np.clip((0.72 - r) * 3.0 + 0.9 * fbm, 0.0, 1.2) * 8.0
+    path = tempfile.mktemp(suffix=".nvdb")
+    write_nvdb(path, dens.astype(np.float32))
+    dens2, _, _, _ = read_nvdb(path)
+    dens2 = np.asarray(dens2, np.float32)[:n, :n, :n]
+    assert np.allclose(dens2, dens, atol=1e-6)
+    gm = GridMedium.make(dens2, [0.004] * 3, [0.8] * 3, (-1, -1, -1),
+                         (1, 1, 1), g=0.85, maj_res=16)
+    lights = Lights.make(point_p=[(0.0, 0.4, 2.6)], point_I=[(60.0,) * 3],
+                         env_L=[0.03, 0.035, 0.04], world_radius=100.0)
+    geom = Geometry.build(
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    return volpath.Scene(geom, Materials.build([]), Media.make(grids=(gm,)),
+                         lights)
+
+
+def bench_config5t():
+    """Equal-TIME relMSE, VSPG vs delta-tracking volpath, on the backlit
+    pyroclastic cloud — the paper's headline protocol (README.md:3-9;
+    per-wave --time budget semantics, cpu/integrators.cpp:227-257).
+    Both competitors run their fastest path (the fused megakernels); the
+    VSPG field+ISGB are trained once untimed (the reference's cached-
+    guiding workflow: loadGuidingCache disables training,
+    guidedvolpathvspgintegrator.cpp:117-131).
+    value = relMSE_volpath / relMSE_vspg at equal wall-clock (>1: VSPG
+    reaches lower error in the same time)."""
+    from vspg_pbrt_v4_tpu.models.film import relmse as relmse_fn
+    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
+    from vspg_pbrt_v4_tpu.models.integrators import vspg
+
+    res, budget = 128, 6.0
+    scene = _pyro_cloud_scene()
+    camera = _camera(res)
+    film = RGBFilm.make((res, res))
+    cfg = volpath.VolPathConfig(max_depth=64, max_events=256,
+                                max_collisions=4096)
+    ref = np.asarray(jax.device_get(volpath.render_persistent(
+        scene, camera, film, spp=2048, cfg=cfg, seed=999,
+        lanes_per_pixel=1)))
+
+    def timed_accum(run_wave, wave_spp):
+        jax.device_get(run_wave(0)[0, 0])  # compile + warm (untimed)
+        t0 = time.perf_counter()
+        acc, n_done, w = None, 0, 1
+        while time.perf_counter() - t0 < budget:
+            img = run_wave(w)
+            acc = img if acc is None else acc + img
+            jax.device_get(acc[0, 0])
+            n_done += wave_spp
+            w += 1
+        return np.asarray(jax.device_get(acc)) / w, n_done
+
+    wave = 64
+    vol_img, vol_spp = timed_accum(
+        lambda s: volpath.render_persistent(scene, camera, film, spp=wave,
+                                            cfg=cfg, seed=s,
+                                            lanes_per_pixel=1), wave)
+    e_vol = float(relmse_fn(vol_img, ref))
+
+    gopt = gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
+                              min_train_weight=16.0)
+    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    _, field, isgb = vspg.render_vspg(
+        scene, camera, film, spp=4, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        spp_per_pass=4, use_pallas=False)
+
+    def vspg_wave(s):
+        img, _, _ = vspg.render_vspg(
+            scene, camera, film, spp=wave, cfg=cfg, gopt=gopt, vopt=vopt,
+            seed=s + 100, spp_per_pass=wave, field=field, isgb=isgb,
+            train=False)
+        return img
+
+    vspg_img, vspg_spp = timed_accum(vspg_wave, wave)
+    e_vspg = float(relmse_fn(vspg_img, ref))
+    ratio = e_vol / max(e_vspg, 1e-12)
+    return {
+        "metric": "vspg_vs_volpath_equal_time_relmse_pyro64",
+        "value": round(ratio, 3),
+        "unit": "relMSE ratio at equal time (>1: VSPG wins)",
+        "vs_baseline": round(ratio, 3),
+        "relmse_volpath": round(e_vol, 5),
+        "relmse_vspg": round(e_vspg, 5),
+        "spp_volpath": vol_spp,
+        "spp_vspg": vspg_spp,
+        "budget_s": budget,
+    }
+
+
+def _machine_tris():
+    """Transparent-machines proxy: a cluster of glass boxes with metal and
+    diffuse parts (48 tris), the teaser scene class
+    (images/teaser-transparent-machines.png stand-in)."""
+    def cube(c, h, mat):
+        cx, cy, cz = c
+        v = {}
+        for i in range(8):
+            v[i] = (cx + (h if i & 1 else -h), cy + (h if i & 2 else -h),
+                    cz + (h if i & 4 else -h))
+        faces = [(0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5), (0, 4, 5),
+                 (0, 5, 1), (2, 3, 7), (2, 7, 6), (0, 2, 6), (0, 6, 4),
+                 (1, 5, 7), (1, 7, 3)]
+        return [dict(p0=v[a], p1=v[b], p2=v[cc], mat=mat, light=-1,
+                     med_in=-1, med_out=0) for (a, b, cc) in faces]
+
+    return (cube((0.05, -0.25, 0.0), 0.33, 1)      # glass body
+            + cube((-0.42, 0.18, 0.15), 0.17, 2)   # metal part
+            + cube((0.42, 0.3, -0.2), 0.15, 0)     # diffuse part
+            + cube((0.0, 0.45, 0.3), 0.12, 1))     # glass part
+
+
+def bench_config5m():
+    """BASELINE config 5 proxy: transparent machines inside the pyro
+    cloud at 1080p, equal-time wave loop (--time budget semantics,
+    cpu/integrators.cpp:113-231) through the fused teaser megakernel —
+    the full wavefront generality (surfaces x media x NEE) in one
+    kernel."""
+    from vspg_pbrt_v4_tpu.models import materials as M
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+
+    nx, ny = 1920, 1088
+    budget = 12.0
+    base = _pyro_cloud_scene()
+    mats = M.Materials.build([
+        dict(type=M.DIFFUSE, albedo=(0.65, 0.3, 0.2)),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.75, 0.5), roughness=0.0),
+    ])
+    geom = Geometry.build(
+        triangles=_machine_tris(),
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    scene = volpath.Scene(geom, mats, base.media, base.lights)
+    camera = PerspectiveCamera.make(
+        tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)), 35.0, (nx, ny))
+    film = RGBFilm.make((nx, ny))
+    cfg = volpath.VolPathConfig(max_depth=24, max_events=128)
+    wave_spp = 8
+
+    def run(seed):
+        return volpath.render_persistent(scene, camera, film, spp=wave_spp,
+                                         cfg=cfg, seed=seed,
+                                         lanes_per_pixel=1)
+
+    jax.device_get(run(0)[0, 0])  # compile + warm
+    t0 = time.perf_counter()
+    spp_done, waves, acc = 0, 0, None
+    while time.perf_counter() - t0 < budget:
+        img = run(waves + 1)
+        acc = img if acc is None else acc + img
+        jax.device_get(acc[0, 0])
+        spp_done += wave_spp
+        waves += 1
+    dt = time.perf_counter() - t0
+    assert np.isfinite(jax.device_get(acc)).all()
+    mpaths = nx * ny * spp_done / dt / 1e6
+    return {
+        "metric": "teaser_machines_pyro64_1080p_equal_time",
+        "value": round(mpaths, 3),
+        "unit": "Mpaths/sec/chip",
+        "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
+        "spp_in_budget": spp_done,
+        "budget_s": budget,
+        "n_tri": 48,
+    }
+
+
 def bench_config5b():
     """BASELINE config 5's literal protocol: equal-TIME wave loop at 1080p
     (cpu/integrators.cpp:113-231 --time budget semantics). Renders fogbox
@@ -426,7 +626,8 @@ def main():
     primary = bench_config1()
     print(json.dumps(primary), flush=True)
     for fn in (bench_config2, bench_config2b, bench_config3, bench_config4,
-               bench_config5, bench_config5b, bench_config6):
+               bench_config5, bench_config5t, bench_config5m,
+               bench_config5b, bench_config6):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # a secondary config must not sink the run

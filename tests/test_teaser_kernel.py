@@ -1,0 +1,103 @@
+"""Teaser-class fused megakernel: triangles (diffuse / smooth dielectric /
+smooth conductor) inside a heterogeneous grid medium, traced end-to-end in
+ONE Pallas kernel (ops/pallas_volpath grid kernel + SMEM triangle sweep).
+
+The reference serves this scene class through its wavefront queue stages
+(wavefront/integrator.cpp:374-432 IntersectClosest -> SampleMediumInteraction
+-> EvaluateMaterialsAndBSDFs -> TraceShadowRays); here the same generality
+is a per-lane state machine. Validation: cross-estimator agreement with the
+general jnp wavefront path (the fake-backend idiom, SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import vspg_pbrt_v4_tpu.ops.pallas_volpath as pv
+from vspg_pbrt_v4_tpu.models import materials as M
+from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
+from vspg_pbrt_v4_tpu.models.film import RGBFilm
+from vspg_pbrt_v4_tpu.models.integrators import volpath
+from vspg_pbrt_v4_tpu.models.lights import Lights
+from vspg_pbrt_v4_tpu.models.media import GridMedium, Media
+from vspg_pbrt_v4_tpu.models.shapes import Geometry
+from vspg_pbrt_v4_tpu.utils import transform as tr
+
+pytestmark = pytest.mark.slow
+
+
+def cube_tris(c, h, mat, med_in=-1, med_out=0):
+    cx, cy, cz = c
+    v = {}
+    for i in range(8):
+        v[i] = (cx + (h if i & 1 else -h), cy + (h if i & 2 else -h),
+                cz + (h if i & 4 else -h))
+    faces = [(0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5), (0, 4, 5),
+             (0, 5, 1), (2, 3, 7), (2, 7, 6), (0, 2, 6), (0, 6, 4),
+             (1, 5, 7), (1, 7, 3)]
+    return [dict(p0=v[a], p1=v[b], p2=v[cc], mat=mat, light=-1,
+                 med_in=med_in, med_out=med_out) for (a, b, cc) in faces]
+
+
+def _teaser_scene(n=16):
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    dens = np.clip(1.0 - np.sqrt(X**2 + Y**2 + Z**2), 0,
+                   1).astype(np.float32) * 2.0
+    gm = GridMedium.make(dens, [0.05] * 3, [1.0] * 3, (-1, -1, -1),
+                         (1, 1, 1), g=0.3, maj_res=8)
+    tris = (cube_tris((0.25, -0.1, 0.0), 0.28, mat=1)
+            + cube_tris((-0.45, 0.1, 0.2), 0.2, mat=0)
+            + cube_tris((0.0, 0.55, -0.3), 0.15, mat=2))
+    mats = M.Materials.build([
+        dict(type=M.DIFFUSE, albedo=(0.7, 0.4, 0.2)),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.7, 0.4), roughness=0.0),
+    ])
+    geom = Geometry.build(
+        triangles=tris,
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    lights = Lights.make(point_p=[(0.0, 1.8, 0.0)], point_I=[(6.0,) * 3],
+                         env_L=[0.3, 0.35, 0.4], world_radius=100.0)
+    scene = volpath.Scene(geom, mats, Media.make(grids=(gm,)), lights)
+    camera = PerspectiveCamera.make(
+        tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)), 30.0, (32, 32))
+    film = RGBFilm.make((32, 32))
+    cfg = volpath.VolPathConfig(max_depth=12, max_events=64)
+    return scene, camera, film, cfg
+
+
+def test_teaser_supported():
+    scene, camera, film, cfg = _teaser_scene()
+    c = pv.extract_constants(scene, camera, film, cfg)
+    assert c is not None and c["kind"] == "grid" and c["n_tri"] == 36
+
+
+def test_teaser_kernel_matches_volpath():
+    """Glass + metal + diffuse cubes in the test cloud: the fused kernel's
+    mean agrees with the general jnp wavefront estimator within MC noise
+    + quantization (bf16 density; measured per-lobe gaps <= 0.5%)."""
+    scene, camera, film, cfg = _teaser_scene()
+    ref = np.asarray(volpath.render(scene, camera, film, spp=32, seed=3,
+                                    spp_per_pass=8, cfg=cfg))
+    img = np.asarray(pv.render_homog_pallas(scene, camera, film, 32, cfg,
+                                            seed=7, interpret=True))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / max(float(ref.mean()), 1e-9)
+    assert rel < 0.03, (img.mean(), ref.mean())
+    # per-pixel structure agrees too (loose: 32 spp is noisy)
+    denom = np.maximum(ref.mean(), 1e-3)
+    assert np.mean(np.abs(img.mean(-1) - ref.mean(-1))) / denom < 0.15
+
+
+def test_teaser_rejects_rough_surface_mats():
+    """Rough conductor pushes the scene out of the fused class (falls back
+    to the general path)."""
+    scene, camera, film, cfg = _teaser_scene()
+    mats = M.Materials.build([
+        dict(type=M.DIFFUSE, albedo=(0.7, 0.4, 0.2)),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.7, 0.4), roughness=0.2),
+    ])
+    scene = scene._replace(materials=mats)
+    assert pv.extract_constants(scene, camera, film, cfg) is None

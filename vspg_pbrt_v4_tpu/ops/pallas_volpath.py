@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _U32 = jnp.uint32
 INV_4PI = 1.0 / (4.0 * np.pi)
+INV_PI = 1.0 / np.pi
 _BIG = 3e37
 # density grids above this voxel count use uint8-quad packing (half the
 # gather sweep of bf16 pairs; quantization <= local-max/255, furnace-
@@ -96,6 +97,11 @@ TILE_W_BIG = 8
 # ran to the max_iters cap while edge lanes idled); mixing bounds a
 # lane's total work by spp x mean-of-ppl-pixels instead of spp x heavy.
 MIX_PPL = 4
+
+# teaser-class scene extension: up to this many flat triangles (SMEM
+# Moller-Trumbore sweep, pallas_surface.py idiom) fused into the grid
+# kernel; glass/metal/diffuse surfaces inside the cloud
+MAX_TRIS_GRID = 64
 
 
 def _pcg4d(a, b, c, d):
@@ -155,8 +161,42 @@ def extract_constants(scene, camera, film, cfg):
         n_box = int(g.box_min.shape[0])
         if getattr(g, "inst", None) is not None:
             return None  # instanced meshes take the two-level XLA path
-        if n_tri or n_other or n_box != 1:
+        if n_other or n_box != 1:
             return None
+        if n_tri > MAX_TRIS_GRID:
+            return None
+        if n_tri:
+            # teaser-class extension: flat-shaded triangles with
+            # diffuse / smooth-dielectric / smooth-conductor materials
+            # inside the grid medium (wavefront/integrator.cpp:374-432
+            # generality, restricted to the scene class the fused kernel
+            # serves); media transitions via per-tri med_in/med_out
+            if (np.asarray(g.tri_light) >= 0).any():
+                return None
+            n0 = np.asarray(g.tri_n0)
+            if (not np.allclose(n0, np.asarray(g.tri_n1))
+                    or not np.allclose(n0, np.asarray(g.tri_n2))):
+                return None
+            t_mi = np.asarray(g.tri_med_in)
+            t_mo = np.asarray(g.tri_med_out)
+            if not (np.isin(t_mi, (-1, 0)).all()
+                    and np.isin(t_mo, (-1, 0)).all()):
+                return None
+            mat_ids = np.asarray(g.tri_mat)
+            if (mat_ids < 0).any():
+                return None
+            mats = scene.materials
+            mt = np.asarray(mats.mat_type)
+            rough = np.asarray(mats.roughness)
+            at = np.asarray(mats.albedo_tex)
+            for mid in np.unique(mat_ids):
+                kind = int(mt[mid])
+                if kind not in (0, 1, 2):  # DIFFUSE/CONDUCTOR/DIELECTRIC
+                    return None
+                if kind in (1, 2) and float(rough[mid]) >= 1e-3:
+                    return None  # smooth (delta) lobes only
+                if int(at[mid]) >= 0:
+                    return None
         if int(np.asarray(g.box_mat)[0]) >= 0:
             return None
         med_in = int(np.asarray(g.box_med_in)[0])
@@ -224,6 +264,8 @@ def extract_constants(scene, camera, film, cfg):
         has_point = int(li.n_point) == 1
         if not (has_env or has_point):
             return None
+        if n_tri and medium_kind != "grid":
+            return None  # fused surfaces only in the grid kernel
         if medium_kind == "homog":
             sa_base = tuple(float(x) for x in np.asarray(m.h_sigma_a)[0])
             ss_base = tuple(float(x) for x in np.asarray(m.h_sigma_s)[0])
@@ -269,7 +311,16 @@ def extract_constants(scene, camera, film, cfg):
             imaging_ratio=float(film.imaging_ratio),
             max_depth=int(cfg.max_depth),
             max_events=int(cfg.max_events),
+            n_tri=n_tri,
         )
+        if n_tri:
+            mats = scene.materials
+            c["mat_kind"] = tuple(int(v) for v in np.asarray(mats.mat_type))
+            c["mat_albedo"] = tuple(
+                tuple(float(x) for x in row)
+                for row in np.asarray(mats.albedo, np.float32))
+            c["mat_eta"] = tuple(float(v)
+                                 for v in np.asarray(mats.eta, np.float32))
         return c
     except Exception:
         return None
@@ -443,6 +494,27 @@ def pack_i8_transposed(dens, maj, grid_res, maj_res):
     C = -(-C // 8) * 8
     flat = np.pad(flat, (0, C * 128 - flat.size))
     return np.ascontiguousarray(flat.reshape(C, 128).T)
+
+
+def pack_tri_table(scene):
+    """(T, 16) f32 SMEM triangle table for the fused grid kernel:
+    p0(3) e1(3) e2(3) ng(3) mat med_in med_out pad (pallas_surface.py
+    row idiom + per-tri medium interface ids)."""
+    g = scene.geometry
+    p0 = np.asarray(g.tri_p0, np.float32)
+    n_tri = p0.shape[0]
+    e1 = np.asarray(g.tri_p1, np.float32) - p0
+    e2 = np.asarray(g.tri_p2, np.float32) - p0
+    ng = np.asarray(g.tri_n0, np.float32)
+    tab = np.zeros((n_tri, 16), np.float32)
+    tab[:, 0:3] = p0
+    tab[:, 3:6] = e1
+    tab[:, 6:9] = e2
+    tab[:, 9:12] = ng
+    tab[:, 12] = np.asarray(g.tri_mat, np.float32)
+    tab[:, 13] = np.asarray(g.tri_med_in, np.float32)
+    tab[:, 14] = np.asarray(g.tri_med_out, np.float32)
+    return tab
 
 
 def make_mxu_lookup_i8(tt_ref, sub, C):
@@ -1082,6 +1154,12 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
     TY = LB // TX
     ppl = MIX_PPL if mixed else 1
     sppq = spp // ppl  # samples per (lane, slot)
+    n_tri = int(c.get("n_tri", 0))
+    if n_tri:
+        mat_kind = tuple(c["mat_kind"])
+        mat_alb = np.asarray(c["mat_albedo"], np.float32).reshape(-1, 3)
+        mat_eta = tuple(float(v) for v in c["mat_eta"])
+        n_mat = len(mat_kind)
     npix_k = c["nx"] * c["ny"]
     if mixed:
         assert spp % ppl == 0 and (npix_k & (npix_k - 1)) == 0 and nx_pow2
@@ -1110,7 +1188,11 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
 
     cam_o = (float(cw[0, 3]), float(cw[1, 3]), float(cw[2, 3]))
 
-    def kernel(seed_ref, dens_ref, maj_ref, out_ref):
+    def kernel(seed_ref, dens_ref, maj_ref, *rest):
+        if n_tri:
+            tris_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         block = pl.program_id(0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
         lane_j = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
@@ -1292,11 +1374,60 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             iz = jnp.clip(((pz - bmin[2]) / ext[2] * mz).astype(jnp.int32),
                           0, mz - 1)
             flat = (ix * my + iy) * mz + iz
+            inside = ((px >= bmin[0]) & (px <= bmax[0])
+                      & (py >= bmin[1]) & (py <= bmax[1])
+                      & (pz >= bmin[2]) & (pz <= bmax[2]))
             if mxu:
                 # MXU gather: majorants ride the same transposed-bf16
                 # layout as the density table (rounded UP at pack time)
-                return maj_mxu_lookup(flat)
-            return table_lookup(maj_ref, n_maj_chunks, flat)
+                m_v = maj_mxu_lookup(flat)
+            else:
+                m_v = table_lookup(maj_ref, n_maj_chunks, flat)
+            # zero outside the box: edge-clamped cells must not produce
+            # phantom collisions for walks that graze or exit the grid
+            return jnp.where(inside, m_v, 0.0)
+
+        def closest_hit(qox, qoy, qoz, qdx, qdy, qdz):
+            """Moller-Trumbore SMEM sweep (pallas_surface.py idiom):
+            returns (t, ngx, ngy, ngz, mat, med_in, med_out); t=_BIG,
+            mat=-1 on miss."""
+
+            def tri(ti, carry):
+                (t_b, nxb, nyb, nzb, mb, mib, mob) = carry
+                p0x, p0y, p0z = tris_ref[ti, 0], tris_ref[ti, 1], \
+                    tris_ref[ti, 2]
+                e1x, e1y, e1z = tris_ref[ti, 3], tris_ref[ti, 4], \
+                    tris_ref[ti, 5]
+                e2x, e2y, e2z = tris_ref[ti, 6], tris_ref[ti, 7], \
+                    tris_ref[ti, 8]
+                pvx = qdy * e2z - qdz * e2y
+                pvy = qdz * e2x - qdx * e2z
+                pvz = qdx * e2y - qdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = qox - p0x, qoy - p0y, qoz - p0z
+                b1 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                b2 = (qdx * qvx + qdy * qvy + qdz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ((jnp.abs(det) > 1e-12) & (b1 >= 0.0) & (b2 >= 0.0)
+                      & (b1 + b2 <= 1.0) & (tt > 1e-4) & (tt < t_b))
+                t_b = jnp.where(ok, tt, t_b)
+                nxb = jnp.where(ok, tris_ref[ti, 9], nxb)
+                nyb = jnp.where(ok, tris_ref[ti, 10], nyb)
+                nzb = jnp.where(ok, tris_ref[ti, 11], nzb)
+                mb = jnp.where(ok, tris_ref[ti, 12].astype(jnp.int32), mb)
+                mib = jnp.where(ok, tris_ref[ti, 13].astype(jnp.int32), mib)
+                mob = jnp.where(ok, tris_ref[ti, 14].astype(jnp.int32), mob)
+                return (t_b, nxb, nyb, nzb, mb, mib, mob)
+
+            init = (jnp.full((sub, 128), _BIG, jnp.float32), zf, zf, zf,
+                    jnp.full((sub, 128), -1, jnp.int32),
+                    jnp.full((sub, 128), -1, jnp.int32),
+                    jnp.full((sub, 128), -1, jnp.int32))
+            return jax.lax.fori_loop(0, n_tri, tri, init)
 
         def seg_exit(px, py, pz, dx, dy, dz):
             """Distance to the current majorant supervoxel's exit plane
@@ -1355,11 +1486,20 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             *ones3, *ones3, *ones3,           # 29..37 shadow T / trl / tru
             *zeros3,                          # 38..40 shadow dir
             zf, zf,                           # 41 sh_t, 42 sh_end
-            zf, jnp.ones_like(zf),            # 43 sh_fhg, 44 sh_dist2
+            zf, jnp.ones_like(zf),            # 43 sh_pdf, 44 sh_dist2
             zi,                               # 45 rr_pend
             pix0,                             # 46 current pixel id (u32)
         ) + (zeros3 * (ppl - 1)) \
-          + ((lane_i * 0,) if PROBE_ITERS else ())  # extra accs; busy probe
+          + ((jnp.full((sub, 128), _BIG, jnp.float32),  # t_surf
+              zf, zf, zf,                               # hit normal
+              jnp.full((sub, 128), -1, jnp.int32),      # hit mat
+              jnp.full((sub, 128), -1, jnp.int32),      # hit med_in
+              jnp.full((sub, 128), -1, jnp.int32),      # hit med_out
+              jnp.ones((sub, 128), jnp.int32),          # needs_isect
+              zi,                                       # sh_need_occ
+              zi,                                       # spec_last
+              *zeros3) if n_tri else ()) \
+          + ((lane_i * 0,) if PROBE_ITERS else ())  # sh_f; busy probe
 
         def cond(cy):
             return jnp.any(cy[2] != 0) & (cy[27] < max_iters)
@@ -1369,11 +1509,17 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
              b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
              L0, L1, L2, depth, hero, med, a0, a1, a2, it, mode,
              sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2,
-             shx, shy, shz, sh_t, sh_end, sh_fhg, sh_d2, rr_pend) = \
+             shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2, rr_pend) = \
                 cy[:46]
             pix_c = cy[46]
-            acc_x = list(cy[47:47 + 3 * (ppl - 1)])
-            busy = cy[47 + 3 * (ppl - 1)] if PROBE_ITERS else None
+            base_x = 47 + 3 * (ppl - 1)
+            acc_x = list(cy[47:base_x])
+            if n_tri:
+                (t_surf, hngx, hngy, hngz, hmat, hmi, hmo, needs_i,
+                 sh_occ, spec_last, shf0, shf1, shf2) = cy[base_x:
+                                                           base_x + 13]
+                base_x += 13
+            busy = cy[base_x] if PROBE_ITERS else None
             alive = alive_i != 0
             is_sh = alive & (mode != 0)
             st_h = chan(st, hero)
@@ -1401,6 +1547,37 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             b2 = jnp.where(rr_scale, b2 * inv1q, b2)
             rr_pend = jnp.where(do_rr_lane, 0, rr_pend)
 
+            if n_tri:
+                # ONE Moller-Trumbore sweep per iteration, serving each
+                # lane's pending query: path closest-hit (after any ray
+                # change) or NEE shadow occlusion (at walk start). Lanes
+                # resolving a path query stall their medium event this
+                # iteration — cheap next to running the sweep per query.
+                do_is = alive & ~is_sh & (needs_i != 0)
+                do_oc = is_sh & (sh_occ != 0)
+                qdx = jnp.where(do_oc, shx, dx)
+                qdy = jnp.where(do_oc, shy, dy)
+                qdz = jnp.where(do_oc, shz, dz)
+                (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h) = closest_hit(
+                    ox, oy, oz, qdx, qdy, qdz)
+                t_surf = jnp.where(do_is, t_h, t_surf)
+                hngx = jnp.where(do_is, nhx, hngx)
+                hngy = jnp.where(do_is, nhy, hngy)
+                hngz = jnp.where(do_is, nhz, hngz)
+                hmat = jnp.where(do_is, m_h, hmat)
+                hmi = jnp.where(do_is, mi_h, hmi)
+                hmo = jnp.where(do_is, mo_h, hmo)
+                needs_i = jnp.where(do_is, 0, needs_i)
+                # point lights occlude up to the light, env to infinity
+                occ_t = jnp.where(mode == 1, jnp.sqrt(sh_d2), _BIG)
+                blocked = do_oc & (t_h < occ_t - 1e-4)
+                mode = jnp.where(blocked, 0, mode)
+                sh_occ = jnp.where(do_oc, 0, sh_occ)
+                is_sh = alive & (mode != 0)
+                stall = do_is
+            else:
+                stall = jnp.zeros((sub, 128), bool)
+
             # medium state from POSITION, not just interface flags: a
             # grazing entry (o = wall + 1e-4 along d) can land PAST the
             # exit wall — outside the box with med==0. Such a lane would
@@ -1416,8 +1593,14 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
 
             hit, t_wall, entering = _box_hit(ox, oy, oz, dx, dy, dz,
                                              bmin, bmax)
-            in_med = alive & ~is_sh & (med == 0)
+            in_med = alive & ~is_sh & (med == 0) & ~stall
             wall_rem = jnp.where(hit, t_wall, _BIG)
+            if n_tri:
+                # the path's free-flight limit is the NEARER of the box
+                # wall and the next surface
+                path_lim = jnp.minimum(wall_rem, t_surf)
+            else:
+                path_lim = wall_rem
 
             # -- ONE unified majorant-walk event per lane ------------------
             # Path lanes step their camera/phase ray; shadow lanes step
@@ -1435,7 +1618,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             wdz = jnp.where(is_sh, shz, dz)
             m_d = maj_dens_at(epx, epy, epz)
             maj_h = m_d * st_h
-            t_lim = jnp.where(is_sh, sh_end - sh_t, wall_rem)
+            t_lim = jnp.where(is_sh, sh_end - sh_t, path_lim)
             t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
                                 t_lim)
             ua, ub, uc, ud = _uniform4(seed_a, pix_c, samp, dim)
@@ -1507,33 +1690,56 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             s_dead = is_sh & (
                 (jnp.maximum(jnp.maximum(sT0, sT1), sT2) == 0)
                 | (sh_t_new >= sh_end))
-            # fold the finished shadow walk's contribution into L
+            # fold the finished shadow walk's contribution into L.
+            # sh_f is the per-channel scatter-function value at the walk's
+            # origin (phase: f_hg replicated == sh_pdf; diffuse surface:
+            # albedo/pi * cos); sh_pdf is wi's sampling pdf for the env
+            # MIS denominator
+            if n_tri:
+                sf0, sf1, sf2 = shf0, shf1, shf2
+            else:
+                sf0 = sf1 = sf2 = sh_pdf
             if has_point:
                 okp = s_dead & (mode == 1)
                 denom = jnp.maximum(
                     avg3((sl0 * ru0 * pmf, sl1 * ru1 * pmf,
                           sl2 * ru2 * pmf)), 1e-30)
-                w = sh_fhg / (sh_d2 * denom)
-                L0 = jnp.where(okp, L0 + b0 * sT0 * float(lI[0]) * w, L0)
-                L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w, L1)
-                L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
+                w = 1.0 / (sh_d2 * denom)
+                L0 = jnp.where(okp, L0 + b0 * sT0 * sf0 * float(lI[0]) * w,
+                               L0)
+                L1 = jnp.where(okp, L1 + b1 * sT1 * sf1 * float(lI[1]) * w,
+                               L1)
+                L2 = jnp.where(okp, L2 + b2 * sT2 * sf2 * float(lI[2]) * w,
+                               L2)
             if has_env:
                 oke = s_dead & (mode == 2)
                 p_l = pmf * INV_4PI
                 denom = jnp.maximum(
-                    avg3((sl0 * ru0 * p_l + su0 * ru0 * sh_fhg,
-                          sl1 * ru1 * p_l + su1 * ru1 * sh_fhg,
-                          sl2 * ru2 * p_l + su2 * ru2 * sh_fhg)),
+                    avg3((sl0 * ru0 * p_l + su0 * ru0 * sh_pdf,
+                          sl1 * ru1 * p_l + su1 * ru1 * sh_pdf,
+                          sl2 * ru2 * p_l + su2 * ru2 * sh_pdf)),
                     1e-30)
-                w = sh_fhg / denom
-                L0 = jnp.where(oke, L0 + b0 * sT0 * float(envL[0]) * w, L0)
-                L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w, L1)
-                L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w, L2)
+                inv_den = 1.0 / denom
+                L0 = jnp.where(oke, L0 + b0 * sT0 * sf0 * float(envL[0])
+                               * inv_den, L0)
+                L1 = jnp.where(oke, L1 + b1 * sT1 * sf1 * float(envL[1])
+                               * inv_den, L1)
+                L2 = jnp.where(oke, L2 + b2 * sT2 * sf2 * float(envL[2])
+                               * inv_den, L2)
             mode = jnp.where(s_dead, 0, mode)
 
             # ===== path lanes: one delta-tracking event ===================
             # segment tail: telescoping rescale + advance
-            at_wall = in_med & ~coll & (t_seg >= wall_rem - 1e-6)
+            if n_tri:
+                # a tail that reaches the next surface BEFORE the box
+                # wall is a surface interaction, not an interface skip
+                at_surf_m = (in_med & ~coll & (t_surf < wall_rem)
+                             & (t_seg >= t_surf - 1e-6))
+                at_wall = (in_med & ~coll & ~at_surf_m
+                           & (t_seg >= wall_rem - 1e-6))
+            else:
+                at_surf_m = jnp.zeros((sub, 128), bool)
+                at_wall = in_med & ~coll & (t_seg >= wall_rem - 1e-6)
             tail = in_med & ~coll
             b0 = jnp.where(tail, b0 * sc_tail[0], b0)
             b1 = jnp.where(tail, b1 * sc_tail[1], b1)
@@ -1544,10 +1750,12 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             rl0 = jnp.where(tail, rl0 * sc_tail[0], rl0)
             rl1 = jnp.where(tail, rl1 * sc_tail[1], rl1)
             rl2 = jnp.where(tail, rl2 * sc_tail[2], rl2)
-            adv = tail & ~at_wall
+            adv = tail & ~at_wall & ~at_surf_m
             ox = jnp.where(adv, ox + (step + 1e-6) * dx, ox)
             oy = jnp.where(adv, oy + (step + 1e-6) * dy, oy)
             oz = jnp.where(adv, oz + (step + 1e-6) * dz, oz)
+            if n_tri:
+                t_surf = jnp.where(adv, t_surf - (step + 1e-6), t_surf)
 
             sa_h = dloc * chan(sa, hero)
             ss_h = dloc * chan(ss, hero)
@@ -1601,18 +1809,70 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             ox = jnp.where(nadv, sx, ox)
             oy = jnp.where(nadv, sy, oy)
             oz = jnp.where(nadv, sz, oz)
+            if n_tri:
+                t_surf = jnp.where(nadv, t_surf - dt_coll, t_surf)
 
-            # -- real scatter: launch the shadow walk + sample the phase ---
-            # the selected light's direction is chosen here; the walk steps
-            # in subsequent iterations while other lanes keep pathing
+            # ===== surface interactions (teaser scene class) ==============
+            # lanes whose flight reached the next triangle: shade it
+            # (diffuse with NEE + cosine bounce; smooth dielectric /
+            # conductor as delta lobes), wavefront/integrator.cpp:374-432
+            # generality for the fused scene class
             wox, woy, woz = -dx, -dy, -dz
+            if n_tri:
+                at_surf_nm = (alive & ~is_sh & ~stall & ~in_med
+                              & (med != 0) & (t_surf < wall_rem)
+                              & (t_surf < _BIG * 0.5))
+                hit_s = (at_surf_m | at_surf_nm) & (hmat >= 0)
+                hx = ox + t_surf * dx
+                hy = oy + t_surf * dy
+                hz = oz + t_surf * dz
+                # shading normal on the incoming side
+                nd = hngx * dx + hngy * dy + hngz * dz
+                front = nd < 0  # ray hits the geometric-normal side
+                nsx = jnp.where(front, hngx, -hngx)
+                nsy = jnp.where(front, hngy, -hngy)
+                nsz = jnp.where(front, hngz, -hngz)
+                kind_l = jnp.full((sub, 128), -1, jnp.int32)
+                alb0 = zf
+                alb1 = zf
+                alb2 = zf
+                eta_l = jnp.ones_like(zf)
+                for mi_ in range(n_mat):
+                    selm = hmat == mi_
+                    kind_l = jnp.where(selm, mat_kind[mi_], kind_l)
+                    alb0 = jnp.where(selm, float(mat_alb[mi_, 0]), alb0)
+                    alb1 = jnp.where(selm, float(mat_alb[mi_, 1]), alb1)
+                    alb2 = jnp.where(selm, float(mat_alb[mi_, 2]), alb2)
+                    eta_l = jnp.where(selm, max(mat_eta[mi_], 1e-3), eta_l)
+                # depth cap applies to surface bounces too
+                # (integrators.cpp:1060 `if (depth++ == maxDepth) break`)
+                s_exceed = hit_s & (depth >= max_depth)
+                alive = alive & ~s_exceed
+                hit_s = hit_s & ~s_exceed
+                depth = jnp.where(hit_s, depth + 1, depth)
+                shade_df = hit_s & (kind_l == 0)
+                shade_co = hit_s & (kind_l == 1)
+                shade_dl = hit_s & (kind_l == 2)
+            else:
+                shade_df = jnp.zeros((sub, 128), bool)
+                hit_s = shade_df
+                hx, hy, hz = sx, sy, sz
+                nsx = nsy = nsz = zf
+
+            # -- NEE setup at volume scatters AND diffuse surface hits ----
+            # one light sample; the ratio-tracked shadow walk then steps
+            # in subsequent iterations (preceded by a triangle-occlusion
+            # sweep when the scene has triangles)
+            spx = jnp.where(shade_df, hx, sx)
+            spy = jnp.where(shade_df, hy, sy)
+            spz = jnp.where(shade_df, hz, sz)
             u_sel = uc
             sel_pt = ((u_sel < pmf) if has_env else (u_sel >= -1.0)) \
                 if has_point else (u_sel < -1.0)
             # point-light candidate
-            plx = sx - float(lp[0])
-            ply = sy - float(lp[1])
-            plz = sz - float(lp[2])
+            plx = spx - float(lp[0])
+            ply = spy - float(lp[1])
+            plz = spz - float(lp[2])
             dist2 = jnp.maximum(plx * plx + ply * ply + plz * plz, 1e-12)
             dist = jnp.sqrt(dist2)
             inv_dist = 1.0 / dist
@@ -1625,9 +1885,30 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             wiz = jnp.where(sel_pt, -plz * inv_dist, ez)
             cos_wi = _dot(wox, woy, woz, wix, wiy, wiz)
             f_hg = _hg_value(cos_wi, g_hg)
-            _, t_exit_s, _ = _box_hit(sx, sy, sz, wix, wiy, wiz, bmin, bmax)
+            _, t_exit_s, _ = _box_hit(spx, spy, spz, wix, wiy, wiz,
+                                      bmin, bmax)
             t_med = jnp.where(sel_pt, jnp.minimum(dist, t_exit_s), t_exit_s)
-            nee_act = scat & (f_hg > 0)
+            nee_vol = scat & (f_hg > 0)
+            if n_tri:
+                cosn = wix * nsx + wiy * nsy + wiz * nsz
+                nee_srf = shade_df & (cosn > 0)
+                nee_act = nee_vol | nee_srf
+                pdf_w = jnp.where(nee_srf, jnp.maximum(cosn, 0.0) * INV_PI,
+                                  f_hg)
+                # the walk folds with the POST-continuation beta (it
+                # already carries the albedo of this bounce), so the NEE
+                # value is f_nee / w_continuation = cos/pi for diffuse
+                f_srf = INV_PI * cosn
+                shf0 = jnp.where(nee_act,
+                                 jnp.where(nee_srf, f_srf, f_hg), shf0)
+                shf1 = jnp.where(nee_act,
+                                 jnp.where(nee_srf, f_srf, f_hg), shf1)
+                shf2 = jnp.where(nee_act,
+                                 jnp.where(nee_srf, f_srf, f_hg), shf2)
+                sh_occ = jnp.where(nee_act, 1, sh_occ)
+            else:
+                nee_act = nee_vol
+                pdf_w = f_hg
             one = jnp.ones_like(b0)
             mode = jnp.where(nee_act, jnp.where(sel_pt, 1, 2), mode)
             shx = jnp.where(nee_act, wix, shx)
@@ -1635,7 +1916,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             shz = jnp.where(nee_act, wiz, shz)
             sh_t = jnp.where(nee_act, zf, sh_t)
             sh_end = jnp.where(nee_act, t_med, sh_end)
-            sh_fhg = jnp.where(nee_act, f_hg, sh_fhg)
+            sh_pdf = jnp.where(nee_act, pdf_w, sh_pdf)
             sh_d2 = jnp.where(nee_act, dist2, sh_d2)
             sT0 = jnp.where(nee_act, one, sT0)
             sT1 = jnp.where(nee_act, one, sT1)
@@ -1647,10 +1928,10 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             su1 = jnp.where(nee_act, one, su1)
             su2 = jnp.where(nee_act, one, su2)
 
-            pwx, pwy, pwz, ppdf = _sample_hg(
-                wox, woy, woz, g_hg, un1,
-                _uniform4(seed_a, pix_c, samp, dim)[0])
+            u_hg2 = _uniform4(seed_a, pix_c, samp, dim)[0]
             dim = dim + _U32(1)
+            pwx, pwy, pwz, ppdf = _sample_hg(wox, woy, woz, g_hg, un1,
+                                             u_hg2)
             bad_phase = scat & (ppdf <= 0)
             alive = alive & ~bad_phase
             inv_ppdf = 1.0 / jnp.maximum(ppdf, 1e-30)
@@ -1666,11 +1947,128 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             # RR due at this lane's next path event (after the NEE fold)
             rr_pend = jnp.where(scat, 1, rr_pend)
 
+            if n_tri:
+                # a volume scatter is a non-specular bounce: escape MIS
+                # applies again afterwards
+                spec_last = jnp.where(scat, 0, spec_last)
+
+                # -- surface bounces --------------------------------------
+                # diffuse: cosine-hemisphere continuation (beta *= albedo,
+                # the cos/pi cancels; materials.py bsdf_sample semantics)
+                (t1x, t1y, t1z), (t2x, t2y, t2z) = _coord_system(
+                    nsx, nsy, nsz)
+                r_cs = jnp.sqrt(un1)
+                phi_cs = (2.0 * np.pi) * u_hg2
+                lx = r_cs * jnp.cos(phi_cs)
+                ly = r_cs * jnp.sin(phi_cs)
+                lz = jnp.sqrt(jnp.maximum(1.0 - un1, 0.0))
+                wdfx = lx * t1x + ly * t2x + lz * nsx
+                wdfy = lx * t1y + ly * t2y + lz * nsy
+                wdfz = lx * t1z + ly * t2z + lz * nsz
+                pdf_df = jnp.maximum(lz, 1e-6) * INV_PI
+                # conductor: mirror about ns, Schlick F0 tint
+                dnd = dx * nsx + dy * nsy + dz * nsz
+                wrx = dx - 2.0 * dnd * nsx
+                wry = dy - 2.0 * dnd * nsy
+                wrz = dz - 2.0 * dnd * nsz
+                cos_o = jnp.clip(-dnd, 0.0, 1.0)
+                # dielectric: Fresnel reflect/refract about ns
+                eta_rel = jnp.where(front, eta_l, 1.0 / eta_l)
+                # exact dielectric Fresnel (materials.py semantics)
+                sin2_t = jnp.maximum(1.0 - cos_o * cos_o, 0.0) \
+                    / jnp.maximum(eta_rel * eta_rel, 1e-12)
+                tir = sin2_t >= 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                r_par = ((eta_rel * cos_o - cos_t)
+                         / jnp.maximum(eta_rel * cos_o + cos_t, 1e-12))
+                r_per = ((cos_o - eta_rel * cos_t)
+                         / jnp.maximum(cos_o + eta_rel * cos_t, 1e-12))
+                F_dl = jnp.where(tir, 1.0,
+                                 0.5 * (r_par * r_par + r_per * r_per))
+                refl_dl = ub < F_dl
+                inv_er = 1.0 / jnp.maximum(eta_rel, 1e-12)
+                wtx = dx * inv_er + (cos_o * inv_er - cos_t) * nsx
+                wty = dy * inv_er + (cos_o * inv_er - cos_t) * nsy
+                wtz = dz * inv_er + (cos_o * inv_er - cos_t) * nsz
+                wtx, wty, wtz = _normalize(wtx, wty, wtz)
+                # select outgoing direction + weights per material kind
+                go_refl = shade_co | (shade_dl & refl_dl)
+                n_dx = jnp.where(shade_df, wdfx,
+                                 jnp.where(go_refl, wrx, wtx))
+                n_dy = jnp.where(shade_df, wdfy,
+                                 jnp.where(go_refl, wry, wty))
+                n_dz = jnp.where(shade_df, wdfz,
+                                 jnp.where(go_refl, wrz, wtz))
+                # beta: diffuse *= albedo; conductor *= Schlick(F0=albedo);
+                # dielectric reflect *= 1, transmit *= 1/eta_rel^2
+                omc = (1.0 - cos_o)
+                omc5 = omc * omc * omc * omc * omc
+                fs0 = alb0 + (1.0 - alb0) * omc5
+                fs1 = alb1 + (1.0 - alb1) * omc5
+                fs2 = alb2 + (1.0 - alb2) * omc5
+                trans_sc = inv_er * inv_er
+                w_b0 = jnp.where(shade_df, alb0,
+                                 jnp.where(shade_co, fs0,
+                                           jnp.where(refl_dl, 1.0,
+                                                     trans_sc)))
+                w_b1 = jnp.where(shade_df, alb1,
+                                 jnp.where(shade_co, fs1,
+                                           jnp.where(refl_dl, 1.0,
+                                                     trans_sc)))
+                w_b2 = jnp.where(shade_df, alb2,
+                                 jnp.where(shade_co, fs2,
+                                           jnp.where(refl_dl, 1.0,
+                                                     trans_sc)))
+                b0 = jnp.where(hit_s, b0 * w_b0, b0)
+                b1 = jnp.where(hit_s, b1 * w_b1, b1)
+                b2 = jnp.where(hit_s, b2 * w_b2, b2)
+                # MIS bookkeeping: diffuse rl = ru/pdf; delta lobes rl = ru
+                inv_pdf_df = 1.0 / pdf_df
+                rl0 = jnp.where(hit_s, jnp.where(shade_df,
+                                                 ru0 * inv_pdf_df, ru0),
+                                rl0)
+                rl1 = jnp.where(hit_s, jnp.where(shade_df,
+                                                 ru1 * inv_pdf_df, ru1),
+                                rl1)
+                rl2 = jnp.where(hit_s, jnp.where(shade_df,
+                                                 ru2 * inv_pdf_df, ru2),
+                                rl2)
+                # medium switch on dielectric transmission (per-tri
+                # med_in/med_out interface ids)
+                went_t = shade_dl & ~refl_dl
+                med = jnp.where(went_t, jnp.where(front, hmi, hmo), med)
+                # move to the hit point, offset off the surface along the
+                # outgoing side to dodge self-intersection
+                out_sgn = jnp.where(
+                    (n_dx * nsx + n_dy * nsy + n_dz * nsz) >= 0, 1.0, -1.0)
+                ox = jnp.where(hit_s, hx + out_sgn * 1e-4 * nsx, ox)
+                oy = jnp.where(hit_s, hy + out_sgn * 1e-4 * nsy, oy)
+                oz = jnp.where(hit_s, hz + out_sgn * 1e-4 * nsz, oz)
+                dx = jnp.where(hit_s, n_dx, dx)
+                dy = jnp.where(hit_s, n_dy, dy)
+                dz = jnp.where(hit_s, n_dz, dz)
+                spec_last = jnp.where(hit_s,
+                                      jnp.where(shade_df, 0, 1), spec_last)
+                rr_pend = jnp.where(hit_s, 1, rr_pend)
+                t_surf = jnp.where(hit_s | scat, _BIG, t_surf)
+                needs_i = jnp.where(hit_s | scat, 1, needs_i)
+
             # -- escape / interface for non-medium + wall-reached lanes ---
-            flew = (alive & ~is_sh & ~scat & ~coll & ~in_med) | at_wall
-            escaped = alive & ~is_sh & ~in_med & ~scat & ~coll & ~hit
+            if n_tri:
+                no_surf = t_surf >= _BIG * 0.5
+                flew = ((alive & ~is_sh & ~stall & ~scat & ~coll & ~in_med
+                         & ~hit_s & (wall_rem < t_surf)) | at_wall)
+                escaped = (alive & ~is_sh & ~stall & ~in_med & ~scat
+                           & ~coll & ~hit & ~hit_s & no_surf)
+            else:
+                flew = (alive & ~is_sh & ~scat & ~coll & ~in_med) | at_wall
+                escaped = alive & ~is_sh & ~in_med & ~scat & ~coll & ~hit
             if has_env:
                 first = depth == 0
+                if n_tri:
+                    # delta bounces have no light-sampling competitor
+                    # (pbrt specularBounce flag)
+                    first = first | (spec_last != 0)
                 ru_avg = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
                 no_mis = escaped & first
                 L0 = jnp.where(no_mis, L0 + b0 * float(envL[0]) / ru_avg,
@@ -1695,6 +2093,8 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             ox = jnp.where(iface, ox + (t_wall + 1e-4) * dx, ox)
             oy = jnp.where(iface, oy + (t_wall + 1e-4) * dy, oy)
             oz = jnp.where(iface, oz + (t_wall + 1e-4) * dz, oz)
+            if n_tri:
+                t_surf = jnp.where(iface, t_surf - (t_wall + 1e-4), t_surf)
 
             # -- commit + regenerate --------------------------------------
             # a lane mid-shadow-walk is still mid-path: it cannot die here
@@ -1751,14 +2151,22 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             med = jnp.where(has_budget, -1, med)
             mode = jnp.where(has_budget, 0, mode)
             rr_pend = jnp.where(has_budget, 0, rr_pend)
+            if n_tri:
+                t_surf = jnp.where(has_budget, _BIG, t_surf)
+                needs_i = jnp.where(has_budget, 1, needs_i)
+                sh_occ = jnp.where(has_budget, 0, sh_occ)
+                spec_last = jnp.where(has_budget, 0, spec_last)
             alive = alive | has_budget
 
             return (samp, dim, alive.astype(jnp.int32), ox, oy, oz,
                     dx, dy, dz, b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
                     L0, L1, L2, depth, hero, med, a0, a1, a2, it + 1, mode,
                     sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2,
-                    shx, shy, shz, sh_t, sh_end, sh_fhg, sh_d2, rr_pend,
+                    shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2, rr_pend,
                     pix_c) + tuple(acc_x) \
+                + ((t_surf, hngx, hngy, hngz, hmat, hmi, hmo, needs_i,
+                    sh_occ, spec_last, shf0, shf1, shf2)
+                   if n_tri else ()) \
                 + ((jnp.where(alive_i != 0, busy + 1, busy),)
                    if PROBE_ITERS else ())
 
@@ -1914,14 +2322,18 @@ def _get_callable(c, spp, interpret):
                                     lambda b: (0, 0),
                                     memory_space=pltpu.VMEM)
         n_out = 3 * (MIX_PPL if mixed else 1)
+        n_tri_k = int(c.get("n_tri", 0))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    dens_spec,
+                    maj_spec]
+        if n_tri_k:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         call = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             out_shape=jax.ShapeDtypeStruct((n_out, npix // 128, 128),
                                            jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      dens_spec,
-                      maj_spec],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((n_out, sub, 128), lambda b: (0, b, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
@@ -1947,11 +2359,14 @@ def _get_callable(c, spp, interpret):
                 inv_q.append(jnp.asarray(inv))
 
         @jax.jit
-        def fn(seed, dens, maj, base=0):
+        def fn(seed, dens, maj, tris=None, base=0):
             # tiled/mixed layouts require base == 0 (single-chip launches)
             sm = jnp.stack([seed.astype(jnp.uint32),
                             jnp.asarray(base, jnp.uint32)]).reshape(1, 2)
-            out = call(sm, dens, maj)
+            if n_tri_k:
+                out = call(sm, dens, maj, tris)
+            else:
+                out = call(sm, dens, maj)
             if mixed:
                 acc = 0
                 for q in range(MIX_PPL):
@@ -2023,13 +2438,16 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
         nvox = int(np.prod(c["grid_res"]))
         per_launch = GRID_SPP_CHUNK if nvox <= 32768 else GRID_SPP_CHUNK_BIG
         chunk = int(spp) if interpret else min(int(spp), per_launch)
+        tris = (jnp.asarray(pack_tri_table(scene))
+                if c.get("n_tri", 0) else None)
         imgs = []
         done = 0
         while done < int(spp):
             n = min(chunk, int(spp) - done)
             fn = _get_callable(c, n, bool(interpret))
             imgs.append(fn(jnp.asarray(seed, jnp.uint32)
-                           + jnp.uint32(done * 65537), dens, maj) * n)
+                           + jnp.uint32(done * 65537), dens, maj,
+                           tris) * n)
             done += n
         return sum(imgs) / int(spp)
     fn = _get_callable(c, int(spp), bool(interpret))

@@ -1513,6 +1513,8 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     c = extract_constants(scene, camera, film, cfg)
     if c is None or c["kind"] != "grid":
         return False
+    if c.get("n_tri", 0):
+        return False  # teaser surfaces: volpath kernel only (for now)
     # density lookups: chunk sweep for small grids, one-hot MXU gather
     # up to MXU_MAX_VOX (PERF.md addendum 5); beyond that the XLA wave
     # still serves the scene
@@ -1586,7 +1588,7 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
     """Render `spp` frozen-field VSPG samples per pixel via the
     megakernel. Returns the (ny, nx, 3) mean image."""
     c = extract_constants(scene, camera, film, cfg)
-    if c is None or c["kind"] != "grid":
+    if c is None or c["kind"] != "grid" or c.get("n_tri", 0):
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
     dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion)

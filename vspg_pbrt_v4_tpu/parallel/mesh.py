@@ -235,7 +235,7 @@ def render_vspg_pallas_sharded(scene, camera, film, spp, cfg, gopt, vopt,
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     c = pv.extract_constants(scene, camera, film, cfg)
-    if c is None or c["kind"] != "grid":
+    if c is None or c["kind"] != "grid" or c.get("n_tri", 0):
         raise ValueError("scene not supported by the VSPG megakernel")
     npix = c["nx"] * c["ny"]
     npix_l = npix // n_dev

@@ -4,6 +4,7 @@ analog, SURVEY §2.4 / VERDICT r1 item 10): dense coarse cells split into
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -70,3 +71,56 @@ def test_adaptive_guided_render_unbiased():
     assert int(field.iteration) > 0
     assert int(field.n_leaves) > 4 ** 3  # refinement happened
     assert abs(img.mean() - 0.7) < 0.035 * 0.7, img.mean()
+
+
+@pytest.mark.slow
+def test_adaptive_field_in_kernel():
+    """The VSPG megakernel consumes ADAPTIVE fields (VERDICT r2 #3): the
+    packed table carries leaf centers + split-integer indirection rows,
+    and the two-stage one-hot fetch resolves coarse cell -> leaf. The
+    frozen-field kernel render must agree with the XLA frozen render of
+    the SAME field within MC noise."""
+    import vspg_pbrt_v4_tpu.ops.pallas_vspg as pk
+    from vspg_pbrt_v4_tpu.models import materials as M
+    from vspg_pbrt_v4_tpu.models.integrators import vspg
+    from vspg_pbrt_v4_tpu.models.lights import Lights
+    from vspg_pbrt_v4_tpu.models.media import GridMedium, Media
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+
+    n = 16
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    dens = np.clip(1.0 - np.sqrt(X**2 + Y**2 + Z**2), 0,
+                   1).astype(np.float32) * 2.0
+    gm = GridMedium.make(dens, [0.02] * 3, [1.0] * 3, (-1, -1, -1),
+                         (1, 1, 1), g=0.3, maj_res=8)
+    scene = volpath.Scene(
+        Geometry.build(boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1),
+                                   mat=-1, light=-1, med_in=0,
+                                   med_out=-1)]),
+        M.Materials.build([]), Media.make(grids=(gm,)),
+        Lights.make(point_p=[(0.0, 1.8, 0.0)], point_I=[(6.0,) * 3],
+                    env_L=[0.4] * 3, world_radius=100.0))
+    cam = PerspectiveCamera.make(
+        tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)), 30.0, (16, 16))
+    film = RGBFilm.make((16, 16))
+    cfg = volpath.VolPathConfig(max_depth=8, max_events=48)
+    gopt = gvp.GuidingOptions(field_res=4, record_depth=4,
+                              min_train_weight=4.0, adaptive_extra=128,
+                              refine_threshold=16.0)
+    vopt = vspg.VSPGOptions()
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=8, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        spp_per_pass=4, use_pallas=False)
+    assert int(field.n_leaves) > 4 ** 3  # refinement actually happened
+    assert pk.supports(scene, cam, film, cfg, gopt, vopt, field)
+    img_x, _, _ = vspg.render_vspg(
+        scene, cam, film, spp=32, cfg=cfg, gopt=gopt, vopt=vopt, seed=5,
+        spp_per_pass=32, field=field, isgb=isgb, train=False,
+        use_pallas=False)
+    img_k = pk.render_vspg_pallas(scene, cam, film, 32, cfg, gopt, vopt,
+                                  field, isgb, seed=9, interpret=True)
+    img_x, img_k = np.asarray(img_x), np.asarray(img_k)
+    assert np.isfinite(img_k).all()
+    rel = abs(img_k.mean() - img_x.mean()) / max(float(img_x.mean()), 1e-9)
+    assert rel < 0.04, (img_k.mean(), img_x.mean())

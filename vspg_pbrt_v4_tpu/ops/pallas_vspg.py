@@ -63,50 +63,87 @@ _LUM = (0.2126, 0.7152, 0.0722)
 
 
 def pack_field_table(field, criterion="variance"):
-    """Flatten the frozen volume half into a (P, C) f32 table.
+    """Flatten the frozen volume half into a (P, L) f32 table over all
+    L = res^3 + n_extra LEAVES.
 
-    Row layout (P = 8K + 5): for each lobe k: [w, mux, muy, muz, kappa,
-    mean_dist, vsp_lobe_vol, vsp_lobe_surf]; then cell rows [valid, vsp,
-    flux_r, flux_g, flux_b]. vsp has the criterion (variance |
-    contribution) pre-applied exactly as guiding/field._gather_half."""
-    if field.n_extra != 0:
-        raise ValueError("adaptive fields unsupported by the kernel")
+    Row layout (P = 8K + 8): for each lobe k: [w, mux, muy, muz, kappa,
+    mean_dist, vsp_lobe_vol, vsp_lobe_surf]; then leaf rows [valid, vsp,
+    flux_r, flux_g, flux_b, cx, cy, cz] (leaf centers drive the in-kernel
+    parallax re-aim — uniform cells and adaptive children alike). vsp has
+    the criterion (variance | contribution) pre-applied exactly as
+    guiding/field._gather_half.
+
+    Adaptive fields (n_extra > 0, the OpenPGL kd-tree analog) append 5
+    indirection rows indexed by COARSE cell id, split into <=128-valued
+    halves so they survive the bf16 pack exactly:
+    [leaf_of_hi, leaf_of_lo, child_base_hi, child_base_lo, refined]."""
     C = field.res ** 3
+    L = C + int(field.n_extra)
     K = field.n_lobes
     vol = field.volume
-    w = np.asarray(vol.weights, np.float32)[:C]
-    mu = np.asarray(vol.mu, np.float32)[:C]
-    kap = np.asarray(vol.kappa, np.float32)[:C]
-    sw = np.asarray(vol.stats_w, np.float32)[:C]
-    sd = np.asarray(vol.stats_dist, np.float32)[:C]
+    w = np.asarray(vol.weights, np.float32)[:L]
+    mu = np.asarray(vol.mu, np.float32)[:L]
+    kap = np.asarray(vol.kappa, np.float32)[:L]
+    sw = np.asarray(vol.stats_w, np.float32)[:L]
+    sd = np.asarray(vol.stats_dist, np.float32)[:L]
     dist = sd / np.maximum(sw, 1e-12)
-    vlv = np.asarray(vol.vsp_lobe_vol, np.float32)[:C]
-    vls = np.asarray(vol.vsp_lobe_surf, np.float32)[:C]
+    vlv = np.asarray(vol.vsp_lobe_vol, np.float32)[:L]
+    vls = np.asarray(vol.vsp_lobe_surf, np.float32)[:L]
     valid = (sw.sum(-1) > 8.0).astype(np.float32)
-    n = np.maximum(np.asarray(vol.vsp_n, np.float32)[:C], 1.0)
-    c_vol = np.asarray(vol.vsp_c_vol, np.float32)[:C] / n
-    c_surf = np.asarray(vol.vsp_c_surf, np.float32)[:C] / n
+    n = np.maximum(np.asarray(vol.vsp_n, np.float32)[:L], 1.0)
+    c_vol = np.asarray(vol.vsp_c_vol, np.float32)[:L] / n
+    c_surf = np.asarray(vol.vsp_c_surf, np.float32)[:L] / n
     if criterion == "variance":
         v_vol = np.maximum(
-            np.asarray(vol.vsp_c2_vol, np.float32)[:C] / n - c_vol**2, 0.0)
+            np.asarray(vol.vsp_c2_vol, np.float32)[:L] / n - c_vol**2, 0.0)
         v_surf = np.maximum(
-            np.asarray(vol.vsp_c2_surf, np.float32)[:C] / n - c_surf**2, 0.0)
+            np.asarray(vol.vsp_c2_surf, np.float32)[:L] / n - c_surf**2, 0.0)
         num = c_vol * c_vol + v_vol
         den = num + c_surf * c_surf + v_surf
     else:
         num = c_vol
         den = c_vol + c_surf
     vsp = np.where(den > 0, num / np.maximum(den, 1e-20), -1.0)
-    vsp = np.where(np.asarray(vol.vsp_n, np.float32)[:C] > 8.0, vsp, -1.0)
-    flux = (np.asarray(vol.flux, np.float32)[:C]
-            / np.maximum(np.asarray(vol.flux_w, np.float32)[:C], 1e-12)[:, None])
+    vsp = np.where(np.asarray(vol.vsp_n, np.float32)[:L] > 8.0, vsp, -1.0)
+    flux = (np.asarray(vol.flux, np.float32)[:L]
+            / np.maximum(np.asarray(vol.flux_w, np.float32)[:L],
+                         1e-12)[:, None])
+    if field.leaf_center is not None:
+        centers = np.asarray(field.leaf_center, np.float32)[:L]
+    else:
+        res = int(field.res)
+        ii = np.arange(C)
+        gi = np.stack([ii // (res * res), (ii // res) % res, ii % res],
+                      -1).astype(np.float32)
+        b0 = np.asarray(field.b_min, np.float32)
+        b1 = np.asarray(field.b_max, np.float32)
+        centers = b0 + (gi + 0.5) / res * (b1 - b0)
+        centers = np.pad(centers, ((0, L - C), (0, 0)))
     rows = []
     for k in range(K):
         rows += [w[:, k], mu[:, k, 0], mu[:, k, 1], mu[:, k, 2], kap[:, k],
                  dist[:, k], vlv[:, k], vls[:, k]]
     rows += [valid, vsp.astype(np.float32), flux[:, 0], flux[:, 1],
-             flux[:, 2]]
-    return np.stack(rows, 0).astype(np.float32)  # (P, C)
+             flux[:, 2], centers[:, 0], centers[:, 1], centers[:, 2]]
+    if field.n_extra:
+        lo_of = np.asarray(field.leaf_of, np.int64)
+        cb = np.asarray(field.child_base, np.int64)
+        rf = np.asarray(field.refined).astype(np.float32)
+
+        def split(v):
+            pad = np.zeros(L, np.float32)
+            hi = pad.copy()
+            lo = pad.copy()
+            hi[:C] = (v >> 7).astype(np.float32)
+            lo[:C] = (v & 127).astype(np.float32)
+            return hi, lo
+
+        of_hi, of_lo = split(lo_of)
+        cb_hi, cb_lo = split(cb)
+        rfp = np.zeros(L, np.float32)
+        rfp[:C] = rf
+        rows += [of_hi, of_lo, cb_hi, cb_lo, rfp]
+    return np.stack(rows, 0).astype(np.float32)  # (P, L)
 
 
 def pack_isgb_table(isgb, npix):
@@ -180,12 +217,17 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
     # guiding constants
     fres = int(gc["fres"])
     K = int(gc["K"])
+    n_extra = int(gc.get("n_extra", 0))
+    adaptive = n_extra > 0
     FC = fres ** 3
-    n_cell_chunks = max(FC // 128, 1)
-    P_ROWS = 8 * K + 5
+    FL = FC + n_extra  # leaf count (adaptive two-level field)
+    n_cell_chunks = max(-(-FL // 128), 1)
+    P_ROWS = 8 * K + 8
+    P_TOT = P_ROWS + (5 if adaptive else 0)
     fmxu = bool(gc.get("field_mxu", False))
-    FCp = max(-(-FC // 128), 1) * 128
-    P_pad = -(-P_ROWS // 8) * 8
+    assert fmxu or not adaptive, "adaptive fields need the MXU field path"
+    FCp = max(-(-FL // 128), 1) * 128
+    P_pad = -(-P_TOT // 8) * 8
     fb0 = tuple(float(v) for v in gc["fb_min"])
     fb1 = tuple(float(v) for v in gc["fb_max"])
     fext = tuple(fb1[k] - fb0[k] for k in range(3))
@@ -452,11 +494,37 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                 # column of each lane's cell: G[p, l] = ftab[p, cid[s, l]]
                 iota_f = jax.lax.broadcasted_iota(jnp.int32, (FCp, 128), 0)
                 ft = ftab_ref[:]
-                gs = []
-                for s in range(sub):
-                    oh = (iota_f == cid[s:s + 1, :]).astype(jnp.bfloat16)
-                    gs.append(jnp.dot(ft, oh,
-                                      preferred_element_type=jnp.float32))
+
+                def fetch_cols(idx):
+                    gs_ = []
+                    for s in range(sub):
+                        oh = (iota_f == idx[s:s + 1, :]).astype(
+                            jnp.bfloat16)
+                        gs_.append(jnp.dot(
+                            ft, oh, preferred_element_type=jnp.float32))
+                    return gs_
+
+                if adaptive:
+                    # stage 1: coarse-cell indirection rows (OpenPGL
+                    # kd-tree analog: leaf = refined ? child+octant :
+                    # leaf_of); integers ride as exact <=128 bf16 halves
+                    gs0 = fetch_cols(cid)
+                    ind = [jnp.concatenate(
+                        [gs0[s][P_ROWS + r:P_ROWS + r + 1, :]
+                         for s in range(sub)], axis=0) for r in range(5)]
+                    leaf_of = (ind[0] * 128.0 + ind[1]).astype(jnp.int32)
+                    child = (ind[2] * 128.0 + ind[3]).astype(jnp.int32)
+                    refined = ind[4] > 0.5
+                    frx = gfx - ix.astype(jnp.float32)
+                    fry = gfy - iy.astype(jnp.float32)
+                    frz = gfz - iz.astype(jnp.float32)
+                    octant = ((frx >= 0.5).astype(jnp.int32) * 4
+                              + (fry >= 0.5).astype(jnp.int32) * 2
+                              + (frz >= 0.5).astype(jnp.int32))
+                    leaf = jnp.where(refined, child + octant, leaf_of)
+                else:
+                    leaf = cid
+                gs = fetch_cols(leaf)
                 vals = [jnp.concatenate([gs[s][p:p + 1, :]
                                          for s in range(sub)], axis=0)
                         for p in range(P_ROWS)]
@@ -499,11 +567,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             valid = vals[8 * K] > 0.5
             vsp_cell = vals[8 * K + 1]
             flux = (vals[8 * K + 2], vals[8 * K + 3], vals[8 * K + 4])
-            # parallax re-aim: target = cell_center + mu * dist, re-point
-            # at the query position (OpenPGL parallax-aware VMM)
-            ccx = fb0[0] + (ix.astype(jnp.float32) + 0.5) / fres * fext[0]
-            ccy = fb0[1] + (iy.astype(jnp.float32) + 0.5) / fres * fext[1]
-            ccz = fb0[2] + (iz.astype(jnp.float32) + 0.5) / fres * fext[2]
+            # parallax re-aim: target = LEAF center + mu * dist, re-point
+            # at the query position (OpenPGL parallax-aware VMM); centers
+            # ride in the table so adaptive children re-aim correctly
+            ccx = vals[8 * K + 5]
+            ccy = vals[8 * K + 6]
+            ccz = vals[8 * K + 7]
             for lb in lobes:
                 mux, muy, muz = lb["mu"]
                 tx = ccx + mux * lb["dist"] - px
@@ -1428,6 +1497,7 @@ def guiding_constants(field, gopt, vopt, trained=None):
         trained=bool(int(field.iteration) > 0) if trained is None
         else bool(trained),
         max_collisions=256,
+        n_extra=int(getattr(field, "n_extra", 0)),
         # module flag snapshot: rides in gc so the kernel cache key and
         # the builder see a consistent value (tests flip FIELD_MXU)
         field_mxu=bool(FIELD_MXU),
@@ -1445,9 +1515,10 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False):
     n_blocks = npix // (sub * 128)
     nvox = int(np.prod(c["grid_res"]))
     nmaj = int(np.prod(c["maj_res"]))
-    FC = int(gc["fres"]) ** 3
-    n_cc = max(FC // 128, 1)
-    P_ROWS = 8 * int(gc["K"]) + 5
+    FC = int(gc["fres"]) ** 3 + int(gc.get("n_extra", 0))
+    n_cc = max(-(-FC // 128), 1)
+    P_ROWS = 8 * int(gc["K"]) + 8 \
+        + (5 if gc.get("n_extra", 0) else 0)
     kernel = _make_vspg_kernel(c, gc, spp, sub, tiled)
     call = pl.pallas_call(
         kernel,
@@ -1523,8 +1594,9 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     if (c["grid_res"][0] * c["grid_res"][1]
             * c["grid_res"][2]) > _pv.MXU_MAX_VOX:
         return False
-    if field is not None and getattr(field, "n_extra", 0) != 0:
-        return False
+    if (field is not None and getattr(field, "n_extra", 0) != 0
+            and not FIELD_MXU):
+        return False  # adaptive indirection needs the MXU field fetch
     FC = int(field.res) ** 3 if field is not None else 0
     if FC % 128 != 0 and FC > 128:
         return False
@@ -1538,11 +1610,10 @@ def pack_kernel_inputs(scene, field, crit):
     the field table packs row PAIRS unpacked by static parity)."""
     ftab_np = pack_field_table(field, crit)  # (P, C)
     P, FC = ftab_np.shape
-    if FC < 128:
-        ftab_np = np.pad(ftab_np, ((0, 0), (0, 128 - FC)))
-        FC = 128
-    if FC % 128:
-        raise ValueError("field res^3 must pad to a multiple of 128")
+    pad_c = (-FC) % 128 if FC >= 128 else 128 - FC
+    if pad_c:
+        ftab_np = np.pad(ftab_np, ((0, 0), (0, pad_c)))
+        FC = ftab_np.shape[1]
     if FIELD_MXU:
         # transposed-free MXU layout: (P_pad, FC) bf16, matmul operand
         P_pad = -(-P // 8) * 8

@@ -216,11 +216,16 @@ def _vspg_cloud32_scene():
     return volpath.Scene(geom, Materials.build([]), media, lights)
 
 
-def _vspg_frozen_bench(metric, gopt, vopt, res=128, spp=128, train_spp=4):
+def _vspg_frozen_bench(metric, gopt, vopt, res=128, spp=128, train_spp=32):
     """Shared configs-3/4 harness: train the field+ISGB once (untimed
     startup, the paper's train-then-render protocol,
     guidedvolpathvspgintegrator.cpp:117-131), then time the frozen-field
-    render phase — served by the ops/pallas_vspg megakernel."""
+    render phase — served by the ops/pallas_vspg megakernel.
+
+    Training runs 8 waves of 4 spp (one EM iteration per wave, the
+    reference's per-wave Field::Update): measured on the backlit pyro
+    cloud, 8 EM iterations take the per-sample relMSE win from 1.05x to
+    2.05x vs a single-wave field (round-3 probe)."""
     from vspg_pbrt_v4_tpu.models.integrators import vspg
 
     scene = _vspg_cloud32_scene()
@@ -228,7 +233,7 @@ def _vspg_frozen_bench(metric, gopt, vopt, res=128, spp=128, train_spp=4):
     film = RGBFilm.make((res, res))
     _, field, isgb = vspg.render_vspg(
         scene, camera, film, spp=train_spp, gopt=gopt, vopt=vopt,
-        seed=0, spp_per_pass=train_spp, use_pallas=False)
+        seed=0, spp_per_pass=max(train_spp // 8, 1), use_pallas=False)
 
     def run(seed, spp_):
         img, _, _ = vspg.render_vspg(
@@ -353,8 +358,12 @@ def bench_config5():
     gopt = gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
                               min_train_weight=16.0)
     vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    # 8 training waves (one EM iteration per wave): measured 2.05x
+    # per-sample relMSE win on the backlit pyro cloud vs 1.05x after a
+    # single wave (round-3 probe); untimed per the reference's
+    # cached-guiding workflow (loadGuidingCache disables training)
     _, field, isgb = vspg.render_vspg(
-        scene, camera, film, spp=4, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        scene, camera, film, spp=32, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
         spp_per_pass=4, use_pallas=False)
 
     def vspg_img(s):
@@ -470,8 +479,12 @@ def bench_config5t():
     gopt = gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
                               min_train_weight=16.0)
     vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    # 8 training waves (one EM iteration per wave): measured 2.05x
+    # per-sample relMSE win on the backlit pyro cloud vs 1.05x after a
+    # single wave (round-3 probe); untimed per the reference's
+    # cached-guiding workflow (loadGuidingCache disables training)
     _, field, isgb = vspg.render_vspg(
-        scene, camera, film, spp=4, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        scene, camera, film, spp=32, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
         spp_per_pass=4, use_pallas=False)
 
     def vspg_wave(s):

@@ -207,9 +207,6 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
     cw = np.asarray(c["cw"], np.float32)
     nx = c["nx"]
     max_depth = c["max_depth"]
-    max_iters = spp * c["max_events"]
-    MAX_COLL = int(gc["max_collisions"])
-    MAX_SHADOW = 192
     nx_pow2 = (nx & (nx - 1)) == 0
     nx_shift = int(np.log2(nx)) if nx_pow2 else 0
     LB = sub * 128
@@ -680,420 +677,21 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                              -1.0)
             return jnp.where((mass > 8.0) & (vdir >= 0.0), vdir, vsp_cell)
 
-        # -- shadow transmittance walk (as grid kernel) --------------------
-
-        def shadow_tr(px, py, pz, wx, wy, wz, t_end, hero, dim, samp,
-                      active):
-            st_h = chan(st, hero)
-            t_cur = zf
-            live = (active & (t_end > 0)).astype(jnp.int32)
-
-            def cond(carry):
-                return jnp.any(carry[10] != 0) & (carry[12] < MAX_SHADOW)
-
-            def body(carry):
-                (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur, live_i,
-                 dim, it) = carry
-                live = live_i != 0
-                cx = px + t_cur * wx
-                cy = py + t_cur * wy
-                cz = pz + t_cur * wz
-                m_d = maj_dens_at(cx, cy, cz)
-                maj_h = m_d * st_h
-                t_seg = seg_exit(cx, cy, cz, wx, wy, wz)
-                t_seg = jnp.minimum(t_seg, t_end - t_cur)
-                u0, u1, u2s, u3s = _uniform4(seed_a, pix, samp, dim)
-                dim = dim + _U32(1)
-                dt = jnp.where(maj_h > 0,
-                               -jnp.log1p(-u0) / jnp.maximum(maj_h, 1e-30),
-                               _BIG)
-                coll = live & (dt < t_seg)
-                step = jnp.where(coll, dt, t_seg)
-                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
-                           for k in range(3))
-                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
-                tail = live & ~coll
-                sc = tuple(Tm[k] / Tm_h for k in range(3))
-                T0 = jnp.where(tail, T0 * sc[0], T0)
-                T1 = jnp.where(tail, T1 * sc[1], T1)
-                T2 = jnp.where(tail, T2 * sc[2], T2)
-                rl0 = jnp.where(tail, rl0 * sc[0], rl0)
-                rl1 = jnp.where(tail, rl1 * sc[1], rl1)
-                rl2 = jnp.where(tail, rl2 * sc[2], rl2)
-                ru0 = jnp.where(tail, ru0 * sc[0], ru0)
-                ru1 = jnp.where(tail, ru1 * sc[1], ru1)
-                ru2 = jnp.where(tail, ru2 * sc[2], ru2)
-                if stoch:
-                    dcol = density_at_1(px + (t_cur + dt) * wx,
-                                        py + (t_cur + dt) * wy,
-                                        pz + (t_cur + dt) * wz, u2s, u3s)
-                else:
-                    dcol = density_at(px + (t_cur + dt) * wx,
-                                      py + (t_cur + dt) * wy,
-                                      pz + (t_cur + dt) * wz)
-                sn = tuple(jnp.maximum(m_d * float(st[k])
-                                       - dcol * float(st[k]), 0.0)
-                           for k in range(3))
-                pdf = jnp.maximum(Tm_h * maj_h, 1e-30)
-                T0 = jnp.where(coll, T0 * Tm[0] * sn[0] / pdf, T0)
-                T1 = jnp.where(coll, T1 * Tm[1] * sn[1] / pdf, T1)
-                T2 = jnp.where(coll, T2 * Tm[2] * sn[2] / pdf, T2)
-                rl0 = jnp.where(coll, rl0 * Tm[0] * m_d * float(st[0]) / pdf,
-                                rl0)
-                rl1 = jnp.where(coll, rl1 * Tm[1] * m_d * float(st[1]) / pdf,
-                                rl1)
-                rl2 = jnp.where(coll, rl2 * Tm[2] * m_d * float(st[2]) / pdf,
-                                rl2)
-                ru0 = jnp.where(coll, ru0 * Tm[0] * sn[0] / pdf, ru0)
-                ru1 = jnp.where(coll, ru1 * Tm[1] * sn[1] / pdf, ru1)
-                ru2 = jnp.where(coll, ru2 * Tm[2] * sn[2] / pdf, ru2)
-                denom_rr = jnp.maximum(
-                    avg3((rl0 + ru0, rl1 + ru1, rl2 + ru2)), 1e-30)
-                trm = jnp.maximum(jnp.maximum(T0, T1), T2) / denom_rr
-                low = coll & (trm < 0.05)
-                killed = low & (u1 < 0.75)
-                T0 = jnp.where(killed, zf, jnp.where(low, T0 / 0.25, T0))
-                T1 = jnp.where(killed, zf, jnp.where(low, T1 / 0.25, T1))
-                T2 = jnp.where(killed, zf, jnp.where(low, T2 / 0.25, T2))
-                dead = jnp.maximum(jnp.maximum(T0, T1), T2) == 0
-                t_cur = jnp.where(live, t_cur + step + 1e-6, t_cur)
-                live = live & ~dead & (t_cur < t_end)
-                return (T0, T1, T2, rl0, rl1, rl2, ru0, ru1, ru2, t_cur,
-                        live.astype(jnp.int32), dim, it + 1)
-
-            one3 = (jnp.ones_like(zf),) * 3
-            init = (*one3, *one3, *one3, t_cur, live, dim, jnp.int32(0))
-            out = jax.lax.while_loop(cond, body, init)
-            return ((out[0], out[1], out[2]), (out[3], out[4], out[5]),
-                    (out[6], out[7], out[8]), out[11])
-
-        # -- distance sampling: absorption-free delta walk -----------------
-
-        def delta_walk(ox, oy, oz, dx, dy, dz, wall, act, hero, dim, samp):
-            """vspg._heterogeneous_delta fused: walk the majorant DDA to
-            the first real collision. Returns multiplicative factors for
-            (beta, r_u, r_l), scattered, terminated, t_sc, dim."""
-            st_h = chan(st, hero)
-            one3 = (jnp.ones_like(zf),) * 3
-
-            def cond(carry):
-                return jnp.any(carry[13] != 0) & (carry[15] < MAX_COLL)
-
-            def body(carry):
-                (t_cur, f0, f1, f2, u0_, u1_, u2_, l0, l1, l2, scat_i,
-                 term_i, t_sc, live_i, dim, n) = carry
-                live = live_i != 0
-                scat = scat_i != 0
-                term = term_i != 0
-                cx = ox + t_cur * dx
-                cy = oy + t_cur * dy
-                cz = oz + t_cur * dz
-                m_d = maj_dens_at(cx, cy, cz)
-                maj_h = m_d * st_h
-                t_seg = jnp.minimum(
-                    seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
-                ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
-                dim = dim + _U32(1)
-                dt = jnp.where(maj_h > 0,
-                               -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
-                               _BIG)
-                coll = live & (dt < t_seg)
-                step = jnp.where(coll, dt, t_seg)
-                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
-                           for k in range(3))
-                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
-                # tail: telescoping spectral rescale, advance
-                tail = live & ~coll
-                sc = tuple(Tm[k] / Tm_h for k in range(3))
-                f0 = jnp.where(tail, f0 * sc[0], f0)
-                f1 = jnp.where(tail, f1 * sc[1], f1)
-                f2 = jnp.where(tail, f2 * sc[2], f2)
-                u0_ = jnp.where(tail, u0_ * sc[0], u0_)
-                u1_ = jnp.where(tail, u1_ * sc[1], u1_)
-                u2_ = jnp.where(tail, u2_ * sc[2], u2_)
-                l0 = jnp.where(tail, l0 * sc[0], l0)
-                l1 = jnp.where(tail, l1 * sc[1], l1)
-                l2 = jnp.where(tail, l2 * sc[2], l2)
-                # collision: real (scatter, absorption-free) vs null
-                t_c = t_cur + dt
-                if stoch:
-                    dloc = density_at_1(ox + t_c * dx, oy + t_c * dy,
-                                        oz + t_c * dz, uc, ud)
-                else:
-                    dloc = density_at(ox + t_c * dx, oy + t_c * dy,
-                                      oz + t_c * dz)
-                st_loc_h = dloc * st_h
-                p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
-                is_real = coll & (ub < p_real)
-                is_null = coll & ~is_real
-                pdf_r = jnp.maximum(Tm_h * st_loc_h, 1e-30)
-                f0 = jnp.where(is_real,
-                               f0 * Tm[0] * dloc * float(ss[0]) / pdf_r, f0)
-                f1 = jnp.where(is_real,
-                               f1 * Tm[1] * dloc * float(ss[1]) / pdf_r, f1)
-                f2 = jnp.where(is_real,
-                               f2 * Tm[2] * dloc * float(ss[2]) / pdf_r, f2)
-                u0_ = jnp.where(is_real,
-                                u0_ * Tm[0] * dloc * float(st[0]) / pdf_r,
-                                u0_)
-                u1_ = jnp.where(is_real,
-                                u1_ * Tm[1] * dloc * float(st[1]) / pdf_r,
-                                u1_)
-                u2_ = jnp.where(is_real,
-                                u2_ * Tm[2] * dloc * float(st[2]) / pdf_r,
-                                u2_)
-                scat = scat | is_real
-                t_sc = jnp.where(is_real, t_c, t_sc)
-                # null
-                sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
-                           for k in range(3))
-                sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
-                pdf_n = Tm_h * sn_h
-                inv_n = 1.0 / jnp.maximum(pdf_n, 1e-30)
-                f0 = jnp.where(is_null, f0 * Tm[0] * sn[0] * inv_n, f0)
-                f1 = jnp.where(is_null, f1 * Tm[1] * sn[1] * inv_n, f1)
-                f2 = jnp.where(is_null, f2 * Tm[2] * sn[2] * inv_n, f2)
-                u0_ = jnp.where(is_null, u0_ * Tm[0] * sn[0] * inv_n, u0_)
-                u1_ = jnp.where(is_null, u1_ * Tm[1] * sn[1] * inv_n, u1_)
-                u2_ = jnp.where(is_null, u2_ * Tm[2] * sn[2] * inv_n, u2_)
-                l0 = jnp.where(is_null,
-                               l0 * Tm[0] * m_d * float(st[0]) * inv_n, l0)
-                l1 = jnp.where(is_null,
-                               l1 * Tm[1] * m_d * float(st[1]) * inv_n, l1)
-                l2 = jnp.where(is_null,
-                               l2 * Tm[2] * m_d * float(st[2]) * inv_n, l2)
-                died = is_null & ((pdf_n <= 0)
-                                  | (jnp.maximum(jnp.maximum(f0, f1), f2)
-                                     == 0))
-                term = term | died
-                t_cur = jnp.where(is_null & ~died, t_c + 1e-6,
-                                  jnp.where(tail, t_cur + step + 1e-6,
-                                            t_cur))
-                live = live & ~is_real & ~died & (t_cur < wall)
-                return (t_cur, f0, f1, f2, u0_, u1_, u2_, l0, l1, l2,
-                        scat.astype(jnp.int32), term.astype(jnp.int32),
-                        t_sc, live.astype(jnp.int32), dim, n + 1)
-
-            init = (zf, *one3, *one3, *one3, zi, zi, zf,
-                    act.astype(jnp.int32), dim, jnp.int32(0))
-            out = jax.lax.while_loop(cond, body, init)
-            return ((out[1], out[2], out[3]), (out[4], out[5], out[6]),
-                    (out[7], out[8], out[9]), out[10] != 0, out[11] != 0,
-                    out[12], out[14])
-
-        # -- distance sampling: VSP reservoir-resampling walk --------------
-
-        def resampling_walk(ox, oy, oz, dx, dy, dz, wall, vsp, act, hero,
-                            dim, samp):
-            """vspg._heterogeneous_resampling fused. Returns
-            (factors (beta,r_u,r_l), scattered, terminated, t_sc, dim)."""
-            st_h = chan(st, hero)
-            one3 = (jnp.ones_like(zf),) * 3
-
-            # pre-pass: total majorant optical length (pure DDA, no
-            # density lookups)
-            def pre_cond(carry):
-                return jnp.any(carry[2] != 0) & (carry[3] < MAX_COLL)
-
-            def pre_body(carry):
-                t_cur, total, live_i, n = carry
-                live = live_i != 0
-                cx = ox + t_cur * dx
-                cy = oy + t_cur * dy
-                cz = oz + t_cur * dz
-                m_d = maj_dens_at(cx, cy, cz)
-                t_seg = jnp.minimum(
-                    seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
-                total = total + jnp.where(live, m_d * st_h * t_seg, 0.0)
-                t_cur = jnp.where(live, t_cur + t_seg + 1e-6, t_cur)
-                live = live & (t_cur < wall)
-                return t_cur, total, live.astype(jnp.int32), n + 1
-
-            _, total_len, _, _ = jax.lax.while_loop(
-                pre_cond, pre_body,
-                (zf, zf, act.astype(jnp.int32), jnp.int32(0)))
-            act = act & (total_len > 0)
-
-            min_total = -jnp.log(jnp.maximum(1.0 - vsp, 1e-6))
-            maj_scale = jnp.where(act & (min_total > total_len),
-                                  min_total / jnp.maximum(total_len, 1e-30),
-                                  1.0)
-            total_eff = jnp.maximum(total_len, min_total)
-            vol_ratio_comp = vsp / jnp.maximum(1.0 - jnp.exp(-total_eff),
-                                               1e-6)
-
-            # main walk: reservoir over tentative collisions
-            def cond(carry):
-                return jnp.any(carry[24] != 0) & (carry[26] < MAX_COLL)
-
-            def body(carry):
-                (t_cur, T0, T1, T2, tr0, tr1, tr2, b0, b1, b2, q0, q1, q2,
-                 l0, l1, l2, w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2,
-                 has_c_i, live_i, dim, n, cd0, cd1, cd2) = carry
-                live = live_i != 0
-                has_c = has_c_i != 0
-                cx = ox + t_cur * dx
-                cy = oy + t_cur * dy
-                cz = oz + t_cur * dz
-                m_d = maj_dens_at(cx, cy, cz) * maj_scale
-                maj_h = m_d * st_h
-                t_seg = jnp.minimum(
-                    seg_exit(cx, cy, cz, dx, dy, dz), wall - t_cur)
-                ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
-                dim = dim + _U32(1)
-                dt = jnp.where(maj_h > 0,
-                               -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
-                               _BIG)
-                coll = live & (dt < t_seg)
-                tail = live & ~coll
-                step = jnp.where(coll, dt, t_seg)
-                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
-                           for k in range(3))
-                T0 = jnp.where(live, T0 * Tm[0], T0)
-                T1 = jnp.where(live, T1 * Tm[1], T1)
-                T2 = jnp.where(live, T2 * Tm[2], T2)
-                # tentative collision: reservoir candidate + null update
-                t_c = t_cur + dt
-                if stoch:
-                    dloc = density_at_1(ox + t_c * dx, oy + t_c * dy,
-                                        oz + t_c * dz, uc, ud)
-                else:
-                    dloc = density_at(ox + t_c * dx, oy + t_c * dy,
-                                      oz + t_c * dz)
-                st_loc_h = dloc * st_h
-                tr_h = jnp.where(hero == 0, tr0,
-                                 jnp.where(hero == 1, tr1, tr2))
-                wi = jnp.where(coll,
-                               st_loc_h / jnp.maximum(maj_h, 1e-30) * tr_h,
-                               0.0)
-                w_sum_new = w_sum + wi
-                take = coll & (wi > 0) \
-                    & (ub < wi / jnp.maximum(w_sum_new, 1e-30))
-                T_h = jnp.maximum(
-                    jnp.where(hero == 0, T0,
-                              jnp.where(hero == 1, T1, T2)), 1e-30)
-                pdf = jnp.maximum(T_h * st_loc_h, 1e-30)
-                num0 = b0 * T0 * dloc * float(ss[0]) / pdf
-                num1 = b1 * T1 * dloc * float(ss[1]) / pdf
-                num2 = b2 * T2 * dloc * float(ss[2]) / pdf
-                den0 = q0 * T0 * dloc * float(st[0]) / pdf
-                den1 = q1 * T1 * dloc * float(st[1]) / pdf
-                den2 = q2 * T2 * dloc * float(st[2]) / pdf
-                c_t = jnp.where(take, t_c, c_t)
-                c_wi = jnp.where(take, wi, c_wi)
-                c_ste = jnp.where(take, wi, c_ste)
-                cn0 = jnp.where(take, num0, cn0)
-                cn1 = jnp.where(take, num1, cn1)
-                cn2 = jnp.where(take, num2, cn2)
-                cd0 = jnp.where(take, den0, cd0)
-                cd1 = jnp.where(take, den1, cd1)
-                cd2 = jnp.where(take, den2, cd2)
-                has_c = has_c | take
-                w_sum = jnp.where(coll, w_sum_new, w_sum)
-                # null-collision bookkeeping (always continue)
-                sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
-                           for k in range(3))
-                sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
-                pdf_n = jnp.maximum(T_h * sn_h, 1e-30)
-                b0 = jnp.where(coll, b0 * T0 * sn[0] / pdf_n, b0)
-                b1 = jnp.where(coll, b1 * T1 * sn[1] / pdf_n, b1)
-                b2 = jnp.where(coll, b2 * T2 * sn[2] / pdf_n, b2)
-                q0 = jnp.where(coll, q0 * T0 * sn[0] / pdf_n, q0)
-                q1 = jnp.where(coll, q1 * T1 * sn[1] / pdf_n, q1)
-                q2 = jnp.where(coll, q2 * T2 * sn[2] / pdf_n, q2)
-                l0 = jnp.where(coll, l0 * T0 * m_d * float(st[0]) / pdf_n,
-                               l0)
-                l1 = jnp.where(coll, l1 * T1 * m_d * float(st[1]) / pdf_n,
-                               l1)
-                l2 = jnp.where(coll, l2 * T2 * m_d * float(st[2]) / pdf_n,
-                               l2)
-                inv_mh = 1.0 / jnp.maximum(m_d, 1e-30)
-                tr0 = jnp.where(coll, tr0 * jnp.maximum(m_d - dloc, 0.0)
-                                * inv_mh, tr0)
-                tr1 = jnp.where(coll, tr1 * jnp.maximum(m_d - dloc, 0.0)
-                                * inv_mh, tr1)
-                tr2 = jnp.where(coll, tr2 * jnp.maximum(m_d - dloc, 0.0)
-                                * inv_mh, tr2)
-                T0 = jnp.where(coll, jnp.ones_like(T0), T0)
-                T1 = jnp.where(coll, jnp.ones_like(T1), T1)
-                T2 = jnp.where(coll, jnp.ones_like(T2), T2)
-                t_cur = jnp.where(coll, t_c,
-                                  jnp.where(tail, t_cur + step + 1e-6,
-                                            t_cur))
-                live = live & (t_cur < wall)
-                return (t_cur, T0, T1, T2, tr0, tr1, tr2, b0, b1, b2,
-                        q0, q1, q2, l0, l1, l2, w_sum, c_t, c_wi, c_ste,
-                        cn0, cn1, cn2, has_c.astype(jnp.int32),
-                        live.astype(jnp.int32), dim, n + 1, cd0, cd1, cd2)
-
-            init = (zf, *one3, *one3, *one3, *one3, *one3, zf, zf, zf, zf,
-                    *one3, zi, act.astype(jnp.int32), dim, jnp.int32(0),
-                    *one3)
-            out = jax.lax.while_loop(cond, body, init)
-            (t_cur, T0, T1, T2, tr0, tr1, tr2, b0, b1, b2, q0, q1, q2,
-             l0, l1, l2, w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2, has_c_i,
-             _, dim, _, cd0, cd1, cd2) = out
-            has_c = has_c_i != 0
-            # final segment fold: T over the tail since the last event
-            T_h = jnp.maximum(
-                jnp.where(hero == 0, T0, jnp.where(hero == 1, T1, T2)),
-                1e-30)
-            b0, b1, b2 = b0 * T0 / T_h, b1 * T1 / T_h, b2 * T2 / T_h
-            q0, q1, q2 = q0 * T0 / T_h, q1 * T1 / T_h, q2 * T2 / T_h
-            l0, l1, l2 = l0 * T0 / T_h, l1 * T1 / T_h, l2 * T2 / T_h
-
-            tr_h = jnp.where(hero == 0, tr0,
-                             jnp.where(hero == 1, tr1, tr2))
-            # surface candidate (integrator :735-747)
-            surf_wi = tr_h
-            adj = act & (tr_h < 1) & (tr_h > 0) & (w_sum > 0)
-            vol_ratio = (vol_ratio_comp * mis_ratio
-                         + (1.0 - tr_h) * (1.0 - mis_ratio))
-            surf_ratio = 1.0 - vol_ratio
-            surf_wi = jnp.where(
-                adj, surf_ratio / jnp.maximum(vol_ratio, 1e-6) * w_sum,
-                surf_wi)
-            w_total = w_sum + surf_wi
-            dead = act & (w_total <= 0)
-            u_pick, _, _, _ = _uniform4(seed_a, pix, samp, dim)
-            dim = dim + _U32(1)
-            pick_surf = act & ~dead \
-                & (u_pick < surf_wi / jnp.maximum(w_total, 1e-30))
-            pick_vol = act & ~dead & ~pick_surf & has_c
-            dead = dead | (act & ~pick_surf & ~has_c)
-
-            sel_wi = jnp.where(pick_surf, surf_wi, c_wi)
-            sel_ste = jnp.where(pick_surf, tr_h, c_ste)
-            sn0 = jnp.where(pick_surf, b0, cn0)
-            sn1 = jnp.where(pick_surf, b1, cn1)
-            sn2 = jnp.where(pick_surf, b2, cn2)
-            sd0 = jnp.where(pick_surf, q0, cd0)
-            sd1 = jnp.where(pick_surf, q1, cd1)
-            sd2 = jnp.where(pick_surf, q2, cd2)
-            factor = w_total * sel_ste / jnp.maximum(sel_wi, 1e-30)
-            ok = act & ~dead
-            fb0_ = jnp.where(ok, sn0 * factor, 1.0)
-            fb1_ = jnp.where(ok, sn1 * factor, 1.0)
-            fb2_ = jnp.where(ok, sn2 * factor, 1.0)
-            fu0 = jnp.where(ok, sd0, 1.0)
-            fu1 = jnp.where(ok, sd1, 1.0)
-            fu2 = jnp.where(ok, sd2, 1.0)
-            # light-strategy rescaled pdf over the pass-through null
-            # chain (vspg.py:732-734 r_l fix)
-            fl0 = jnp.where(pick_surf, l0, 1.0)
-            fl1 = jnp.where(pick_surf, l1, 1.0)
-            fl2 = jnp.where(pick_surf, l2, 1.0)
-            bad = ok & ~(jnp.isfinite(fb0_) & jnp.isfinite(fb1_)
-                         & jnp.isfinite(fb2_) & jnp.isfinite(fu0)
-                         & jnp.isfinite(fu1) & jnp.isfinite(fu2)
-                         & jnp.isfinite(fl0) & jnp.isfinite(fl1)
-                         & jnp.isfinite(fl2))
-            dead = dead | bad
-            scat = pick_vol & ~bad
-            return ((fb0_, fb1_, fb2_), (fu0, fu1, fu2), (fl0, fl1, fl2),
-                    scat, dead, c_t, dim)
-
-        # -- outer persistent-path loop ------------------------------------
+        # -- unified per-lane state machine --------------------------------
+        # Round-3 restructure (the same surgery that took the volpath grid
+        # kernel 0.18 -> 5.4 Mpaths/s at 64^3): the round-2 kernel ran the
+        # VSP prepass, the reservoir/delta distance walks and the NEE
+        # shadow walk as NESTED while_loops, so one scattering lane
+        # serialized its whole (sub,128) block and each outer iteration
+        # paid three walks' worth of full-tile density gathers. Here every
+        # lane performs exactly ONE shared majorant+density event per
+        # iteration, whatever phase of its path it is in.
+        #
+        # Per-lane mode: 0 transport/decide, 1 VSP optical-depth prepass
+        # (media_sampleTMaj.h:153-168), 2 reservoir resampling walk
+        # (media_sampleTMaj.h:183-247), 3 delta-tracking walk
+        # (media_sampleTMaj.h:49-117), 4/5 NEE ratio-tracking shadow walk
+        # toward the point light / env (integrators.cpp:1195-1244).
 
         def start_path(samp, dim):
             u0, u1, u2, _ = _uniform4(seed_a, pix, samp, dim)
@@ -1109,6 +707,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                                       jnp.zeros((sub, 128), _U32))
         ones3 = (jnp.ones_like(zf),) * 3
         zeros3 = (zf,) * 3
+        max_iters_u = spp * c["max_events"] * 12
         carry = (
             jnp.zeros((sub, 128), _U32),      # 0 samp
             jnp.full((sub, 128), 1, _U32),    # 1 dim
@@ -1121,33 +720,73 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             jnp.full((sub, 128), -1, jnp.int32),  # 23 medium
             *zeros3,                          # 24..26 acc
             jnp.int32(0),                     # 27 iter
+            zi,                               # 28 mode
+            zf,                               # 29 t_walk
+            *ones3, *ones3, *ones3,           # 30..38 walk f/u/l factors
+            *ones3, *ones3,                   # 39..44 wT / wtr (reservoir)
+            zf, zf, zf, zf,                   # 45 w_sum 46 c_t 47 c_wi 48 c_ste
+            *ones3, *ones3,                   # 49..54 cn / cd (candidate)
+            zi,                               # 55 has_c
+            jnp.ones_like(zf), jnp.ones_like(zf),  # 56 maj_sc, 57 vratio
+            zf,                               # 58 vsp_c
+            *zeros3,                          # 59..61 shadow dir
+            zf, zf, zf, jnp.ones_like(zf),    # 62 sh_t 63 sh_end 64 sh_pdf 65 sh_d2
+            *ones3, *ones3, *ones3,           # 66..74 shT / shl / shu
+            zf,                               # 75 sh_f
+            jnp.ones_like(zf),                # 76 rr_srv (deferred RR)
         )
 
         def cond(cy):
-            return jnp.any(cy[2] != 0) & (cy[27] < max_iters)
+            return jnp.any(cy[2] != 0) & (cy[27] < max_iters_u)
 
         def body(cy):
             (samp, dim, alive_i, ox, oy, oz, dx, dy, dz,
              b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
-             L0, L1, L2, depth, hero, med, a0, a1, a2, it) = cy
+             L0, L1, L2, depth, hero, med, a0, a1, a2, it, mode, t_walk,
+             wf0, wf1, wf2, wu0, wu1, wu2, wl0, wl1, wl2,
+             wT0, wT1, wT2, wr0, wr1, wr2,
+             w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2, cd0, cd1, cd2,
+             has_c_i, maj_sc, vratio, vsp_c,
+             shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2,
+             sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2, sh_f,
+             rr_srv) = cy
             alive = alive_i != 0
+            is_sh = alive & (mode >= 4)
+            walk_pre = alive & (mode == 1)
+            walk_res = alive & (mode == 2)
+            walk_del = alive & (mode == 3)
+            st_h = chan(st, hero)
+            one = jnp.ones_like(zf)
 
-            # medium state from POSITION: a grazing entry (wall + 1e-4
-            # along d) can land PAST the exit wall — outside the box with
-            # med==0 — and such a lane walks "in medium" forever on
-            # edge-clamped majorants, pinning its block at max_iters
-            # (the same stuck-lane class measured in pallas_volpath,
-            # round 3; the flag-based `stuck` kill below misses it)
+            # deferred RR (guided or throughput survival stored at the
+            # scatter, applied at the lane's next transport event so the
+            # pending NEE fold used the pre-RR beta — reference order:
+            # SampleLd then RR, guidedvolpathvspgintegrator.cpp:804-874)
+            u_rr0, _, _, _ = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            do_rr = alive & (mode == 0) & (rr_srv < 1.0)
+            rr_kill = do_rr & (u_rr0 >= rr_srv)
+            alive = alive & ~rr_kill
+            inv_srv = 1.0 / jnp.maximum(rr_srv, 1e-3)
+            rr_ok = do_rr & ~rr_kill
+            b0 = jnp.where(rr_ok, b0 * inv_srv, b0)
+            b1 = jnp.where(rr_ok, b1 * inv_srv, b1)
+            b2 = jnp.where(rr_ok, b2 * inv_srv, b2)
+            rr_srv = jnp.where(alive & (mode == 0), one, rr_srv)
+
+            # medium state from POSITION (stuck-lane guard: a grazing
+            # entry can land PAST the exit wall; edge-clamped majorants
+            # then collide forever)
             oob = ((ox < bmin[0]) | (ox > bmax[0])
                    | (oy < bmin[1]) | (oy > bmax[1])
                    | (oz < bmin[2]) | (oz > bmax[2]))
-            med = jnp.where((med == 0) & oob, -1, med)
+            med = jnp.where((med == 0) & oob & (mode == 0), -1, med)
 
             hit, t_wall, entering = _box_hit(ox, oy, oz, dx, dy, dz,
                                              bmin, bmax)
 
-            # -- lanes outside the medium: enter the box or escape --------
-            outside = alive & (med != 0)
+            # -- transport lanes: enter the box or escape ------------------
+            outside = alive & (mode == 0) & (med != 0)
             escaped = outside & ~hit
             if has_env:
                 first = depth == 0
@@ -1176,101 +815,454 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             ox = jnp.where(enter, ox + (t_wall + 1e-4) * dx, ox)
             oy = jnp.where(enter, oy + (t_wall + 1e-4) * dy, oy)
             oz = jnp.where(enter, oz + (t_wall + 1e-4) * dz, oz)
-            # a lane outside pointing at the exit face (grazing) dies
             stuck = alive & outside & hit & ~entering
             alive = alive & ~stuck
-
-            # -- in-medium lanes: VSP lookup + distance sampling -----------
-            in_med = alive & (med == 0) & ~enter
+            in_med = alive & (mode == 0) & (med == 0) & ~enter
             wall = jnp.where(hit, t_wall, _BIG)
 
+            # -- ONE shared majorant+density event per lane ----------------
+            epx = jnp.where(is_sh, ox + sh_t * shx, ox + t_walk * dx)
+            epy = jnp.where(is_sh, oy + sh_t * shy, oy + t_walk * dy)
+            epz = jnp.where(is_sh, oz + sh_t * shz, oz + t_walk * dz)
+            wdx = jnp.where(is_sh, shx, dx)
+            wdy = jnp.where(is_sh, shy, dy)
+            wdz = jnp.where(is_sh, shz, dz)
+            m_raw = maj_dens_at(epx, epy, epz)
+            # reservoir lanes walk the VSP-scaled majorant
+            # (media_sampleTMaj.h:170-181); prepass/delta/shadow unscaled
+            m_d = jnp.where(walk_res, m_raw * maj_sc, m_raw)
+            maj_h = m_d * st_h
+            t_lim = jnp.where(is_sh, sh_end - sh_t, wall - t_walk)
+            t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
+                                t_lim)
+            ua, ub, uc_, ud_ = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            dt = jnp.where(maj_h > 0,
+                           -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
+                           _BIG)
+            stepper = walk_res | walk_del | is_sh
+            coll = stepper & (dt < t_seg)
+            step = jnp.maximum(jnp.where(coll, dt, t_seg), 0.0)
+            Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
+                       for k in range(3))
+            Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
+            sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
+            un0, un1, un2, un3 = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            cpx = epx + dt * wdx
+            cpy = epy + dt * wdy
+            cpz = epz + dt * wdz
+            if stoch:
+                dloc = density_at_1(cpx, cpy, cpz, un2, un3)
+            else:
+                dloc = density_at(cpx, cpy, cpz)
+            st_loc_h = dloc * st_h
+            sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
+                       for k in range(3))
+            sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
+
+            # ===== mode 1: optical-depth prepass (no collisions) ==========
+            pre_t_new = t_walk + t_seg + 1e-6
+            w_sum = jnp.where(walk_pre, w_sum + m_raw * st_h * t_seg,
+                              w_sum)
+            pre_done = walk_pre & (pre_t_new >= wall)
+            t_walk = jnp.where(walk_pre, pre_t_new, t_walk)
+            total_len = w_sum
+            act_res = pre_done & (total_len > 0)
+            min_total = -jnp.log(jnp.maximum(1.0 - vsp_c, 1e-6))
+            maj_sc = jnp.where(
+                act_res & (min_total > total_len),
+                min_total / jnp.maximum(total_len, 1e-30),
+                jnp.where(pre_done, one, maj_sc))
+            total_eff = jnp.maximum(total_len, min_total)
+            vratio = jnp.where(
+                pre_done,
+                vsp_c / jnp.maximum(1.0 - jnp.exp(-total_eff), 1e-6),
+                vratio)
+            pre_pass = pre_done & ~act_res  # vacuum along the ray
+            # reservoir-walk init
+            mode = jnp.where(act_res, 2, mode)
+            t_walk = jnp.where(act_res, zf, t_walk)
+            w_sum = jnp.where(pre_done, zf, w_sum)
+            wf0 = jnp.where(act_res, one, wf0)
+            wf1 = jnp.where(act_res, one, wf1)
+            wf2 = jnp.where(act_res, one, wf2)
+            wu0 = jnp.where(act_res, one, wu0)
+            wu1 = jnp.where(act_res, one, wu1)
+            wu2 = jnp.where(act_res, one, wu2)
+            wl0 = jnp.where(act_res, one, wl0)
+            wl1 = jnp.where(act_res, one, wl1)
+            wl2 = jnp.where(act_res, one, wl2)
+            wT0 = jnp.where(act_res, one, wT0)
+            wT1 = jnp.where(act_res, one, wT1)
+            wT2 = jnp.where(act_res, one, wT2)
+            wr0 = jnp.where(act_res, one, wr0)
+            wr1 = jnp.where(act_res, one, wr1)
+            wr2 = jnp.where(act_res, one, wr2)
+            c_t = jnp.where(act_res, zf, c_t)
+            c_wi = jnp.where(act_res, zf, c_wi)
+            c_ste = jnp.where(act_res, zf, c_ste)
+            cn0 = jnp.where(act_res, one, cn0)
+            cn1 = jnp.where(act_res, one, cn1)
+            cn2 = jnp.where(act_res, one, cn2)
+            cd0 = jnp.where(act_res, one, cd0)
+            cd1 = jnp.where(act_res, one, cd1)
+            cd2 = jnp.where(act_res, one, cd2)
+            has_c = (has_c_i != 0) & ~act_res
+
+            # ===== modes 4/5: one shadow ratio-tracking step ===============
+            s_coll = is_sh & coll
+            s_tail = is_sh & ~coll
+            sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
+            sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
+            sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
+            sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
+            sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
+            sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
+            su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
+            su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
+            su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
+            pdf_sh = jnp.maximum(Tm_h * maj_h, 1e-30)
+            inv_spdf = 1.0 / pdf_sh
+            sT0 = jnp.where(s_coll, sT0 * Tm[0] * sn[0] * inv_spdf, sT0)
+            sT1 = jnp.where(s_coll, sT1 * Tm[1] * sn[1] * inv_spdf, sT1)
+            sT2 = jnp.where(s_coll, sT2 * Tm[2] * sn[2] * inv_spdf, sT2)
+            sl0 = jnp.where(s_coll,
+                            sl0 * Tm[0] * m_d * float(st[0]) * inv_spdf,
+                            sl0)
+            sl1 = jnp.where(s_coll,
+                            sl1 * Tm[1] * m_d * float(st[1]) * inv_spdf,
+                            sl1)
+            sl2 = jnp.where(s_coll,
+                            sl2 * Tm[2] * m_d * float(st[2]) * inv_spdf,
+                            sl2)
+            su0 = jnp.where(s_coll, su0 * Tm[0] * sn[0] * inv_spdf, su0)
+            su1 = jnp.where(s_coll, su1 * Tm[1] * sn[1] * inv_spdf, su1)
+            su2 = jnp.where(s_coll, su2 * Tm[2] * sn[2] * inv_spdf, su2)
+            # transmittance russian roulette (integrators.cpp:1404)
+            denom_rr = jnp.maximum(
+                avg3((sl0 + su0, sl1 + su1, sl2 + su2)), 1e-30)
+            trm = jnp.maximum(jnp.maximum(sT0, sT1), sT2) / denom_rr
+            low = s_coll & (trm < 0.05)
+            killed = low & (un0 < 0.75)
+            sT0 = jnp.where(killed, zf, jnp.where(low, sT0 / 0.25, sT0))
+            sT1 = jnp.where(killed, zf, jnp.where(low, sT1 / 0.25, sT1))
+            sT2 = jnp.where(killed, zf, jnp.where(low, sT2 / 0.25, sT2))
+            sh_t_new = sh_t + step + 1e-6
+            sh_t = jnp.where(is_sh, sh_t_new, sh_t)
+            s_dead = is_sh & (
+                (jnp.maximum(jnp.maximum(sT0, sT1), sT2) == 0)
+                | (sh_t_new >= sh_end))
+            # fold the finished walk: sh_f = f_hg(wi)/scale_v so that the
+            # POST-continuation beta reproduces beta_scatter * f_hg
+            if has_point:
+                okp = s_dead & (mode == 4)
+                denom = jnp.maximum(
+                    avg3((sl0 * ru0 * pmf, sl1 * ru1 * pmf,
+                          sl2 * ru2 * pmf)), 1e-30)
+                w = sh_f / (sh_d2 * denom)
+                L0 = jnp.where(okp, L0 + b0 * sT0 * float(lI[0]) * w, L0)
+                L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w, L1)
+                L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
+            if has_env:
+                oke = s_dead & (mode == 5)
+                p_l = pmf * INV_4PI
+                denom = jnp.maximum(
+                    avg3((sl0 * ru0 * p_l + su0 * ru0 * sh_pdf,
+                          sl1 * ru1 * p_l + su1 * ru1 * sh_pdf,
+                          sl2 * ru2 * p_l + su2 * ru2 * sh_pdf)), 1e-30)
+                w = sh_f / denom
+                L0 = jnp.where(oke, L0 + b0 * sT0 * float(envL[0]) * w, L0)
+                L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w, L1)
+                L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w, L2)
+            mode = jnp.where(s_dead, 0, mode)
+
+            # ===== mode 3: one delta-tracking step =========================
+            d_coll = walk_del & coll
+            d_tail = walk_del & ~coll
+            wf0 = jnp.where(d_tail, wf0 * sc_tail[0], wf0)
+            wf1 = jnp.where(d_tail, wf1 * sc_tail[1], wf1)
+            wf2 = jnp.where(d_tail, wf2 * sc_tail[2], wf2)
+            wu0 = jnp.where(d_tail, wu0 * sc_tail[0], wu0)
+            wu1 = jnp.where(d_tail, wu1 * sc_tail[1], wu1)
+            wu2 = jnp.where(d_tail, wu2 * sc_tail[2], wu2)
+            wl0 = jnp.where(d_tail, wl0 * sc_tail[0], wl0)
+            wl1 = jnp.where(d_tail, wl1 * sc_tail[1], wl1)
+            wl2 = jnp.where(d_tail, wl2 * sc_tail[2], wl2)
+            p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
+            d_real = d_coll & (ub < p_real)
+            d_null = d_coll & ~d_real
+            pdf_r = jnp.maximum(Tm_h * st_loc_h, 1e-30)
+            wf0 = jnp.where(d_real,
+                            wf0 * Tm[0] * dloc * float(ss[0]) / pdf_r, wf0)
+            wf1 = jnp.where(d_real,
+                            wf1 * Tm[1] * dloc * float(ss[1]) / pdf_r, wf1)
+            wf2 = jnp.where(d_real,
+                            wf2 * Tm[2] * dloc * float(ss[2]) / pdf_r, wf2)
+            wu0 = jnp.where(d_real,
+                            wu0 * Tm[0] * dloc * float(st[0]) / pdf_r, wu0)
+            wu1 = jnp.where(d_real,
+                            wu1 * Tm[1] * dloc * float(st[1]) / pdf_r, wu1)
+            wu2 = jnp.where(d_real,
+                            wu2 * Tm[2] * dloc * float(st[2]) / pdf_r, wu2)
+            pdf_dn = Tm_h * sn_h
+            inv_dn = 1.0 / jnp.maximum(pdf_dn, 1e-30)
+            wf0 = jnp.where(d_null, wf0 * Tm[0] * sn[0] * inv_dn, wf0)
+            wf1 = jnp.where(d_null, wf1 * Tm[1] * sn[1] * inv_dn, wf1)
+            wf2 = jnp.where(d_null, wf2 * Tm[2] * sn[2] * inv_dn, wf2)
+            wu0 = jnp.where(d_null, wu0 * Tm[0] * sn[0] * inv_dn, wu0)
+            wu1 = jnp.where(d_null, wu1 * Tm[1] * sn[1] * inv_dn, wu1)
+            wu2 = jnp.where(d_null, wu2 * Tm[2] * sn[2] * inv_dn, wu2)
+            wl0 = jnp.where(d_null,
+                            wl0 * Tm[0] * m_d * float(st[0]) * inv_dn, wl0)
+            wl1 = jnp.where(d_null,
+                            wl1 * Tm[1] * m_d * float(st[1]) * inv_dn, wl1)
+            wl2 = jnp.where(d_null,
+                            wl2 * Tm[2] * m_d * float(st[2]) * inv_dn, wl2)
+            d_died = d_null & ((pdf_dn <= 0)
+                               | (jnp.maximum(jnp.maximum(wf0, wf1), wf2)
+                                  == 0))
+            del_t_new = jnp.where(d_coll, t_walk + dt + 1e-6,
+                                  t_walk + step + 1e-6)
+            d_passed = d_tail & (del_t_new >= wall)
+            t_walk = jnp.where(walk_del, del_t_new, t_walk)
+
+            # ===== mode 2: one reservoir-resampling step ===================
+            r_coll = walk_res & coll
+            r_tail = walk_res & ~coll
+            live_r = walk_res
+            wT0n = jnp.where(live_r, wT0 * Tm[0], wT0)
+            wT1n = jnp.where(live_r, wT1 * Tm[1], wT1)
+            wT2n = jnp.where(live_r, wT2 * Tm[2], wT2)
+            tr_h = jnp.where(hero == 0, wr0,
+                             jnp.where(hero == 1, wr1, wr2))
+            wi_r = jnp.where(r_coll,
+                             st_loc_h / jnp.maximum(maj_h, 1e-30) * tr_h,
+                             0.0)
+            w_sum_new = w_sum + wi_r
+            take = r_coll & (wi_r > 0) \
+                & (ub < wi_r / jnp.maximum(w_sum_new, 1e-30))
+            T_h = jnp.maximum(
+                jnp.where(hero == 0, wT0n,
+                          jnp.where(hero == 1, wT1n, wT2n)), 1e-30)
+            pdf_rr = jnp.maximum(T_h * st_loc_h, 1e-30)
+            num0 = wf0 * wT0n * dloc * float(ss[0]) / pdf_rr
+            num1 = wf1 * wT1n * dloc * float(ss[1]) / pdf_rr
+            num2 = wf2 * wT2n * dloc * float(ss[2]) / pdf_rr
+            den0 = wu0 * wT0n * dloc * float(st[0]) / pdf_rr
+            den1 = wu1 * wT1n * dloc * float(st[1]) / pdf_rr
+            den2 = wu2 * wT2n * dloc * float(st[2]) / pdf_rr
+            t_c_r = t_walk + dt
+            c_t = jnp.where(take, t_c_r, c_t)
+            c_wi = jnp.where(take, wi_r, c_wi)
+            c_ste = jnp.where(take, wi_r, c_ste)
+            cn0 = jnp.where(take, num0, cn0)
+            cn1 = jnp.where(take, num1, cn1)
+            cn2 = jnp.where(take, num2, cn2)
+            cd0 = jnp.where(take, den0, cd0)
+            cd1 = jnp.where(take, den1, cd1)
+            cd2 = jnp.where(take, den2, cd2)
+            has_c = has_c | take
+            w_sum = jnp.where(r_coll, w_sum_new, w_sum)
+            pdf_rn = jnp.maximum(T_h * sn_h, 1e-30)
+            wf0 = jnp.where(r_coll, wf0 * wT0n * sn[0] / pdf_rn, wf0)
+            wf1 = jnp.where(r_coll, wf1 * wT1n * sn[1] / pdf_rn, wf1)
+            wf2 = jnp.where(r_coll, wf2 * wT2n * sn[2] / pdf_rn, wf2)
+            wu0 = jnp.where(r_coll, wu0 * wT0n * sn[0] / pdf_rn, wu0)
+            wu1 = jnp.where(r_coll, wu1 * wT1n * sn[1] / pdf_rn, wu1)
+            wu2 = jnp.where(r_coll, wu2 * wT2n * sn[2] / pdf_rn, wu2)
+            wl0 = jnp.where(r_coll,
+                            wl0 * wT0n * m_d * float(st[0]) / pdf_rn, wl0)
+            wl1 = jnp.where(r_coll,
+                            wl1 * wT1n * m_d * float(st[1]) / pdf_rn, wl1)
+            wl2 = jnp.where(r_coll,
+                            wl2 * wT2n * m_d * float(st[2]) / pdf_rn, wl2)
+            inv_mh = 1.0 / jnp.maximum(m_d, 1e-30)
+            nsc = jnp.maximum(m_d - dloc, 0.0) * inv_mh
+            wr0 = jnp.where(r_coll, wr0 * nsc, wr0)
+            wr1 = jnp.where(r_coll, wr1 * nsc, wr1)
+            wr2 = jnp.where(r_coll, wr2 * nsc, wr2)
+            wT0 = jnp.where(r_coll, one, wT0n)
+            wT1 = jnp.where(r_coll, one, wT1n)
+            wT2 = jnp.where(r_coll, one, wT2n)
+            res_t_new = jnp.where(r_coll, t_c_r,
+                                  t_walk + step + 1e-6)
+            t_walk = jnp.where(walk_res, res_t_new, t_walk)
+            res_done = walk_res & (res_t_new >= wall)
+
+            # reservoir conclusion: final tail fold + candidate selection
+            T_hf = jnp.maximum(
+                jnp.where(hero == 0, wT0, jnp.where(hero == 1, wT1, wT2)),
+                1e-30)
+            ff0 = wf0 * wT0 / T_hf
+            ff1 = wf1 * wT1 / T_hf
+            ff2 = wf2 * wT2 / T_hf
+            fu0_ = wu0 * wT0 / T_hf
+            fu1_ = wu1 * wT1 / T_hf
+            fu2_ = wu2 * wT2 / T_hf
+            fl0_ = wl0 * wT0 / T_hf
+            fl1_ = wl1 * wT1 / T_hf
+            fl2_ = wl2 * wT2 / T_hf
+            tr_hf = jnp.where(hero == 0, wr0,
+                              jnp.where(hero == 1, wr1, wr2))
+            surf_wi = tr_hf
+            adj = res_done & (tr_hf < 1) & (tr_hf > 0) & (w_sum > 0)
+            vol_ratio = (vratio * mis_ratio
+                         + (1.0 - tr_hf) * (1.0 - mis_ratio))
+            surf_ratio = 1.0 - vol_ratio
+            surf_wi = jnp.where(
+                adj, surf_ratio / jnp.maximum(vol_ratio, 1e-6) * w_sum,
+                surf_wi)
+            w_total = w_sum + surf_wi
+            r_dead0 = res_done & (w_total <= 0)
+            pick_surf = res_done & ~r_dead0 \
+                & (un1 < surf_wi / jnp.maximum(w_total, 1e-30))
+            pick_vol = res_done & ~r_dead0 & ~pick_surf & has_c
+            r_dead = r_dead0 | (res_done & ~pick_surf & ~has_c)
+            sel_wi = jnp.where(pick_surf, surf_wi, c_wi)
+            sel_ste = jnp.where(pick_surf, tr_hf, c_ste)
+            sn0_ = jnp.where(pick_surf, ff0, cn0)
+            sn1_ = jnp.where(pick_surf, ff1, cn1)
+            sn2_ = jnp.where(pick_surf, ff2, cn2)
+            sd0_ = jnp.where(pick_surf, fu0_, cd0)
+            sd1_ = jnp.where(pick_surf, fu1_, cd1)
+            sd2_ = jnp.where(pick_surf, fu2_, cd2)
+            factor = w_total * sel_ste / jnp.maximum(sel_wi, 1e-30)
+            r_ok = res_done & ~r_dead
+            rfb0 = jnp.where(r_ok, sn0_ * factor, one)
+            rfb1 = jnp.where(r_ok, sn1_ * factor, one)
+            rfb2 = jnp.where(r_ok, sn2_ * factor, one)
+            rfu0 = jnp.where(r_ok, sd0_, one)
+            rfu1 = jnp.where(r_ok, sd1_, one)
+            rfu2 = jnp.where(r_ok, sd2_, one)
+            rfl0 = jnp.where(pick_surf, fl0_, one)
+            rfl1 = jnp.where(pick_surf, fl1_, one)
+            rfl2 = jnp.where(pick_surf, fl2_, one)
+            r_bad = r_ok & ~(jnp.isfinite(rfb0) & jnp.isfinite(rfb1)
+                             & jnp.isfinite(rfb2) & jnp.isfinite(rfu0)
+                             & jnp.isfinite(rfu1) & jnp.isfinite(rfu2)
+                             & jnp.isfinite(rfl0) & jnp.isfinite(rfl1)
+                             & jnp.isfinite(rfl2))
+            r_dead = r_dead | r_bad
+            r_scat = pick_vol & ~r_bad
+
+            # ===== merged walk conclusions ================================
+            # apply the accumulated walk factors to the path weights
+            del_conc = d_real | d_died | d_passed
+            b0 = jnp.where(del_conc, b0 * wf0, jnp.where(res_done,
+                                                         b0 * rfb0, b0))
+            b1 = jnp.where(del_conc, b1 * wf1, jnp.where(res_done,
+                                                         b1 * rfb1, b1))
+            b2 = jnp.where(del_conc, b2 * wf2, jnp.where(res_done,
+                                                         b2 * rfb2, b2))
+            ru0 = jnp.where(del_conc, ru0 * wu0, jnp.where(res_done,
+                                                           ru0 * rfu0, ru0))
+            ru1 = jnp.where(del_conc, ru1 * wu1, jnp.where(res_done,
+                                                           ru1 * rfu1, ru1))
+            ru2 = jnp.where(del_conc, ru2 * wu2, jnp.where(res_done,
+                                                           ru2 * rfu2, ru2))
+            rl0 = jnp.where(del_conc, rl0 * wl0,
+                            jnp.where(res_done, rl0 * rfl0, rl0))
+            rl1 = jnp.where(del_conc, rl1 * wl1,
+                            jnp.where(res_done, rl1 * rfl1, rl1))
+            rl2 = jnp.where(del_conc, rl2 * wl2,
+                            jnp.where(res_done, rl2 * rfl2, rl2))
+            scat_w = d_real | r_scat
+            term_w = d_died | r_dead
+            passed = d_passed | pre_pass | pick_surf
+            t_sc = jnp.where(d_real, t_walk, c_t)  # delta: t at the real
+            alive = alive & ~term_w
+            depth_exceeded = scat_w & (depth >= max_depth)
+            alive = alive & ~depth_exceeded
+            scat = scat_w & ~depth_exceeded & alive
+            depth = jnp.where(scat, depth + 1, depth)
+            # pass-through lanes leave the medium (box convex: next
+            # iteration escapes to the env); every concluded walk drops
+            # back to transport (scatter lanes re-enter shadow mode below)
+            med = jnp.where(passed, -1, med)
+            mode = jnp.where(passed | term_w | scat_w, 0, mode)
+            ox = jnp.where(passed, ox + (wall + 1e-4) * dx, ox)
+            oy = jnp.where(passed, oy + (wall + 1e-4) * dy, oy)
+            oz = jnp.where(passed, oz + (wall + 1e-4) * dz, oz)
+
+            # ===== ONE shared field query ================================
+            # serves (a) transport lanes starting a walk (secondary VSP
+            # along d at o) and (b) scatter vertices (directional guiding
+            # product + flux for guided RR at s) — disjoint lane sets
+            sx = ox + t_sc * dx
+            sy = oy + t_sc * dy
+            sz = oz + t_sc * dz
+            qx = jnp.where(scat, sx, ox)
+            qy = jnp.where(scat, sy, oy)
+            qz = jnp.where(scat, sz, oz)
+            lobes_q, valid_q, vsp_cell_q, flux_q = field_query(qx, qy, qz)
+
+            # -- transport lanes: VSP lookup + walk start ------------------
             primary = depth == 0
             vsp = jnp.full_like(zf, -1.0)
             if guide_primary:
                 vsp = jnp.where(primary, isgb_vsp, vsp)
             if guide_secondary:
-                lobes_o, valid_o, vsp_cell_o, _ = field_query(ox, oy, oz)
-                v_sec = vsp_directional(lobes_o, vsp_cell_o, dx, dy, dz)
+                v_sec = vsp_directional(lobes_q, vsp_cell_q, dx, dy, dz)
                 vsp = jnp.where(~primary, v_sec, vsp)
             guide = in_med & (vsp >= 0.0)
-            vsp = jnp.clip(vsp, 0.001, 0.999)
+            vsp_c = jnp.where(in_med, jnp.clip(vsp, 0.001, 0.999), vsp_c)
+            mode = jnp.where(in_med, jnp.where(guide, 1, 3), mode)
+            t_walk = jnp.where(in_med, zf, t_walk)
+            w_sum = jnp.where(in_med, zf, w_sum)
+            init_w = in_med & ~guide  # delta factors init
+            wf0 = jnp.where(init_w, one, wf0)
+            wf1 = jnp.where(init_w, one, wf1)
+            wf2 = jnp.where(init_w, one, wf2)
+            wu0 = jnp.where(init_w, one, wu0)
+            wu1 = jnp.where(init_w, one, wu1)
+            wu2 = jnp.where(init_w, one, wu2)
+            wl0 = jnp.where(init_w, one, wl0)
+            wl1 = jnp.where(init_w, one, wl1)
+            wl2 = jnp.where(init_w, one, wl2)
 
-            (rf_b, rf_u, rf_l, r_scat, r_dead, r_t, dim) = resampling_walk(
-                ox, oy, oz, dx, dy, dz, wall, vsp, guide, hero, dim, samp)
-            (df_b, df_u, df_l, d_scat, d_dead, d_t, dim) = delta_walk(
-                ox, oy, oz, dx, dy, dz, wall, in_med & ~guide, hero, dim,
-                samp)
-
-            # merge the two routes
-            b0 = jnp.where(guide, b0 * rf_b[0], jnp.where(in_med,
-                                                          b0 * df_b[0], b0))
-            b1 = jnp.where(guide, b1 * rf_b[1], jnp.where(in_med,
-                                                          b1 * df_b[1], b1))
-            b2 = jnp.where(guide, b2 * rf_b[2], jnp.where(in_med,
-                                                          b2 * df_b[2], b2))
-            ru0 = jnp.where(guide, ru0 * rf_u[0],
-                            jnp.where(in_med, ru0 * df_u[0], ru0))
-            ru1 = jnp.where(guide, ru1 * rf_u[1],
-                            jnp.where(in_med, ru1 * df_u[1], ru1))
-            ru2 = jnp.where(guide, ru2 * rf_u[2],
-                            jnp.where(in_med, ru2 * df_u[2], ru2))
-            rl0 = jnp.where(guide, rl0 * rf_l[0],
-                            jnp.where(in_med, rl0 * df_l[0], rl0))
-            rl1 = jnp.where(guide, rl1 * rf_l[1],
-                            jnp.where(in_med, rl1 * df_l[1], rl1))
-            rl2 = jnp.where(guide, rl2 * rf_l[2],
-                            jnp.where(in_med, rl2 * df_l[2], rl2))
-            # Mosaic cannot select i1 vectors — merge the route flags in i32
-            scat_raw = (jnp.where(guide, r_scat.astype(jnp.int32),
-                                  d_scat.astype(jnp.int32)) != 0) & in_med
-            term = (jnp.where(guide, r_dead.astype(jnp.int32),
-                              d_dead.astype(jnp.int32)) != 0) & in_med
-            t_sc = jnp.where(guide, r_t, d_t)
-            alive = alive & ~term
-
-            depth_exceeded = scat_raw & (depth >= max_depth)
-            alive = alive & ~depth_exceeded
-            scat = scat_raw & ~depth_exceeded & alive
-            depth = jnp.where(scat, depth + 1, depth)
-
-            # pass-through lanes leave the medium (box convex: next
-            # iteration escapes to the env)
-            passed = in_med & ~scat_raw & ~term
-            med = jnp.where(passed, -1, med)
-            ox = jnp.where(passed, ox + (wall + 1e-4) * dx, ox)
-            oy = jnp.where(passed, oy + (wall + 1e-4) * dy, oy)
-            oz = jnp.where(passed, oz + (wall + 1e-4) * dz, oz)
-
-            # -- scatter vertex: guiding distribution ----------------------
-            sx = ox + t_sc * dx
-            sy = oy + t_sc * dy
-            sz = oz + t_sc * dz
+            # -- scatter processing: guided RR + NEE + direction -----------
+            use_guide = scat & valid_q & vol_guiding
+            prod = product_hg(lobes_q, dx, dy, dz)
             wox, woy, woz = -dx, -dy, -dz
-            lobes_s, valid_s, _, flux_s = field_query(sx, sy, sz)
-            use_guide = scat & valid_s & vol_guiding
-            prod = product_hg(lobes_s, dx, dy, dz)
 
-            # -- NEE -----------------------------------------------------
-            ua, ub, uc, ud = _uniform4(seed_a, pix, samp, dim)
+            # guided RR survival (openpgl GuidedRussianRoulette), stored
+            # for deferred application after the NEE fold
+            if guide_rr:
+                num_rr = lum3(b0 * flux_q[0], b1 * flux_q[1],
+                              b2 * flux_q[2])
+                survival = jnp.where(
+                    valid_q & (isgb_pem > 0),
+                    jnp.clip(num_rr / jnp.maximum(isgb_pel, 1e-6), 0.1,
+                             1.0),
+                    one)
+            else:
+                ru_avg2 = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
+                survival = jnp.clip(
+                    jnp.maximum(jnp.maximum(b0, b1), b2) / ru_avg2, 0.0,
+                    1.0)
+            rr_due = scat & (depth > min_rr_depth)
+            rr_srv = jnp.where(rr_due, survival, rr_srv)
+
+            # NEE light pick + direction
+            up0, up1, up2, up3 = _uniform4(seed_a, pix, samp, dim)
             dim = dim + _U32(1)
-            sel_pt = ((ua < pmf) if has_env else (ua >= -1.0)) \
-                if has_point else (ua < -1.0)
+            sel_pt = ((up0 < pmf) if has_env else (up0 >= -1.0)) \
+                if has_point else (up0 < -1.0)
             plx = sx - float(lp[0])
             ply = sy - float(lp[1])
             plz = sz - float(lp[2])
             dist2 = jnp.maximum(plx * plx + ply * ply + plz * plz, 1e-12)
             dist = jnp.sqrt(dist2)
             inv_dist = 1.0 / dist
-            ez = 1.0 - 2.0 * ub
+            ez = 1.0 - 2.0 * up1
             er = jnp.sqrt(jnp.maximum(1.0 - ez * ez, 0.0))
-            ephi = (2.0 * np.pi) * uc
+            ephi = (2.0 * np.pi) * up2
             wix = jnp.where(sel_pt, -plx * inv_dist, er * jnp.cos(ephi))
             wiy = jnp.where(sel_pt, -ply * inv_dist, er * jnp.sin(ephi))
             wiz = jnp.where(sel_pt, -plz * inv_dist, ez)
             cos_wi = _dot(wox, woy, woz, wix, wiy, wiz)
             f_hg = _hg_value(cos_wi, g_hg)
-            # scatter-strategy pdf at the light direction: the guided mix
-            # (vspg_bounce:828-831)
             gpdf_l = mixture_pdf(prod, wix, wiy, wiz)
             spdf_l = jnp.where(use_guide,
                                (1.0 - pg_nee) * f_hg + pg_nee * gpdf_l,
@@ -1280,64 +1272,15 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             t_med = jnp.where(sel_pt, jnp.minimum(dist, t_exit_s),
                               t_exit_s)
             nee_act = scat & (f_hg > 0)
-            (Tr, trl, tru, dim) = shadow_tr(sx, sy, sz, wix, wiy, wiz,
-                                            t_med, hero, dim, samp,
-                                            nee_act)
-            if has_point:
-                okp = nee_act & sel_pt
-                denom = jnp.maximum(
-                    avg3((trl[0] * ru0 * pmf, trl[1] * ru1 * pmf,
-                          trl[2] * ru2 * pmf)), 1e-30)
-                w = f_hg / (dist2 * denom)
-                L0 = jnp.where(okp, L0 + b0 * Tr[0] * float(lI[0]) * w, L0)
-                L1 = jnp.where(okp, L1 + b1 * Tr[1] * float(lI[1]) * w, L1)
-                L2 = jnp.where(okp, L2 + b2 * Tr[2] * float(lI[2]) * w, L2)
-            if has_env:
-                oke = nee_act & ~sel_pt
-                p_l = pmf * INV_4PI
-                denom = jnp.maximum(
-                    avg3((trl[0] * ru0 * p_l + tru[0] * ru0 * spdf_l,
-                          trl[1] * ru1 * p_l + tru[1] * ru1 * spdf_l,
-                          trl[2] * ru2 * p_l + tru[2] * ru2 * spdf_l)),
-                    1e-30)
-                w = f_hg / denom
-                L0 = jnp.where(oke, L0 + b0 * Tr[0] * float(envL[0]) * w,
-                               L0)
-                L1 = jnp.where(oke, L1 + b1 * Tr[1] * float(envL[1]) * w,
-                               L1)
-                L2 = jnp.where(oke, L2 + b2 * Tr[2] * float(envL[2]) * w,
-                               L2)
 
-            # -- guided RR (openpgl GuidedRussianRoulette) ----------------
-            u_rr, u_c, u_g0, u_g1 = _uniform4(seed_a, pix, samp, dim)
-            dim = dim + _U32(1)
-            if guide_rr:
-                num = lum3(b0 * flux_s[0], b1 * flux_s[1], b2 * flux_s[2])
-                survival = jnp.where(
-                    valid_s & (isgb_pem > 0),
-                    jnp.clip(num / jnp.maximum(isgb_pel, 1e-6), 0.1, 1.0),
-                    1.0)
-            else:
-                ru_avg = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
-                survival = jnp.clip(
-                    jnp.maximum(jnp.maximum(b0, b1), b2) / ru_avg, 0.0,
-                    1.0)
-            do_rr = scat & (depth > min_rr_depth) & (survival < 1.0)
-            kill = do_rr & (u_rr >= survival)
-            alive = alive & ~kill
-            inv_srv = 1.0 / jnp.maximum(survival, 1e-3)
-            b0 = jnp.where(do_rr & ~kill, b0 * inv_srv, b0)
-            b1 = jnp.where(do_rr & ~kill, b1 * inv_srv, b1)
-            b2 = jnp.where(do_rr & ~kill, b2 * inv_srv, b2)
-
-            # -- direction sampling: one-sample MIS or RIS ----------------
+            # direction sampling: one-sample MIS or RIS ------------------
             u_p0, u_p1, u_sel, u_pk = _uniform4(seed_a, pix, samp, dim)
             dim = dim + _U32(1)
-            # base HG sample
+            u_c, u_g0, u_g1, _ = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
             hwx, hwy, hwz, hpdf = _sample_hg(wox, woy, woz, g_hg, u_p0,
                                              u_p1)
             if not ris:
-                # one-sample MIS (guided_volpath._guided_sample 'mis')
                 take_g = use_guide & (u_c < pg)
                 u_lobe = jnp.clip(u_c / max(pg, 1e-6), 0.0, 0.999999)
                 gwx2, gwy2, gwz2, gpdf_g2 = mixture_sample(prod, u_lobe,
@@ -1356,21 +1299,19 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                                 hpdf)
                 pdf_v = mix
                 mis_pdf = mix
-                # boolean algebra, not where(): Mosaic can't select i1
                 valid_v = ((take_g & (base_pdf > 0))
                            | (~take_g & (hpdf > 0))) & (pdf_v > 0)
             else:
-                # RIS over {base, guide} candidates (guiding.h:169-257)
                 gwx, gwy, gwz, gpdf_g = mixture_sample(prod, u_g0, u_pk,
                                                        u_sel)
                 bpdf_g = _hg_value(_dot(wox, woy, woz, gwx, gwy, gwz),
                                    g_hg)
                 gpdf_b = mixture_pdf(prod, hwx, hwy, hwz)
-                irp_b = jnp.where(valid_s,
-                                  mixture_pdf(lobes_s, hwx, hwy, hwz),
+                irp_b = jnp.where(valid_q,
+                                  mixture_pdf(lobes_q, hwx, hwy, hwz),
                                   INV_4PI)
-                irp_g = jnp.where(valid_s,
-                                  mixture_pdf(lobes_s, gwx, gwy, gwz),
+                irp_g = jnp.where(valid_q,
+                                  mixture_pdf(lobes_q, gwx, gwy, gwz),
                                   INV_4PI)
                 mis0 = 0.5 * (hpdf + gpdf_b)
                 mis1 = 0.5 * (bpdf_g + gpdf_g)
@@ -1414,6 +1355,29 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             dy = jnp.where(scat, wvy, dy)
             dz = jnp.where(scat, wvz, dz)
 
+            # shadow-walk setup for the pending NEE (folds with the
+            # POST-continuation beta, so sh_f = f_hg / scale_v)
+            nee_go = nee_act & alive
+            mode = jnp.where(nee_go, jnp.where(sel_pt, 4, 5), mode)
+            shx = jnp.where(nee_go, wix, shx)
+            shy = jnp.where(nee_go, wiy, shy)
+            shz = jnp.where(nee_go, wiz, shz)
+            sh_t = jnp.where(nee_go, zf, sh_t)
+            sh_end = jnp.where(nee_go, t_med, sh_end)
+            sh_pdf = jnp.where(nee_go, spdf_l, sh_pdf)
+            sh_d2 = jnp.where(nee_go, dist2, sh_d2)
+            sh_f = jnp.where(nee_go,
+                             f_hg / jnp.maximum(scale_v, 1e-30), sh_f)
+            sT0 = jnp.where(nee_go, one, sT0)
+            sT1 = jnp.where(nee_go, one, sT1)
+            sT2 = jnp.where(nee_go, one, sT2)
+            sl0 = jnp.where(nee_go, one, sl0)
+            sl1 = jnp.where(nee_go, one, sl1)
+            sl2 = jnp.where(nee_go, one, sl2)
+            su0 = jnp.where(nee_go, one, su0)
+            su1 = jnp.where(nee_go, one, su1)
+            su2 = jnp.where(nee_go, one, su2)
+
             # -- commit + regenerate dead lanes ----------------------------
             died = ~alive & (samp < spp)
             bad = ~(jnp.isfinite(L0) & jnp.isfinite(L1) & jnp.isfinite(L2))
@@ -1434,7 +1398,6 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             dy = jnp.where(has_budget, d_n[1], dy)
             dz = jnp.where(has_budget, d_n[2], dz)
             hero = jnp.where(has_budget, hero_n, hero)
-            one = jnp.ones_like(b0)
             b0 = jnp.where(has_budget, one, b0)
             b1 = jnp.where(has_budget, one, b1)
             b2 = jnp.where(has_budget, one, b2)
@@ -1449,11 +1412,21 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             L2 = jnp.where(has_budget, zf, L2)
             depth = jnp.where(has_budget, 0, depth)
             med = jnp.where(has_budget, -1, med)
+            mode = jnp.where(has_budget, 0, mode)
+            rr_srv = jnp.where(has_budget, one, rr_srv)
             alive = alive | has_budget
 
             return (samp, dim, alive.astype(jnp.int32), ox, oy, oz,
                     dx, dy, dz, b0, b1, b2, ru0, ru1, ru2, rl0, rl1, rl2,
-                    L0, L1, L2, depth, hero, med, a0, a1, a2, it + 1)
+                    L0, L1, L2, depth, hero, med, a0, a1, a2, it + 1,
+                    mode, t_walk,
+                    wf0, wf1, wf2, wu0, wu1, wu2, wl0, wl1, wl2,
+                    wT0, wT1, wT2, wr0, wr1, wr2,
+                    w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2, cd0, cd1, cd2,
+                    has_c.astype(jnp.int32), maj_sc, vratio, vsp_c,
+                    shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2,
+                    sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2, sh_f,
+                    rr_srv)
 
         final = jax.lax.while_loop(cond, body, carry)
         a0, a1, a2 = final[24], final[25], final[26]

@@ -1577,17 +1577,23 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     return npix % 128 == 0
 
 
-def pack_kernel_inputs(scene, field, crit):
+def pack_kernel_inputs(scene, field, crit, field_mxu=None):
     """Host-side table packing shared by the single-chip and sharded
     renderers: returns (dens, maj, ftab) device arrays (bf16-pair-packed;
-    the field table packs row PAIRS unpacked by static parity)."""
+    the field table packs row PAIRS unpacked by static parity).
+
+    ``field_mxu`` should be the gc['field_mxu'] snapshot taken by
+    guiding_constants so one read governs both the packed layout and the
+    kernel's expectation (defaults to the module flag for standalone use)."""
+    if field_mxu is None:
+        field_mxu = FIELD_MXU
     ftab_np = pack_field_table(field, crit)  # (P, C)
     P, FC = ftab_np.shape
     pad_c = (-FC) % 128 if FC >= 128 else 128 - FC
     if pad_c:
         ftab_np = np.pad(ftab_np, ((0, 0), (0, pad_c)))
         FC = ftab_np.shape[1]
-    if FIELD_MXU:
+    if field_mxu:
         # transposed-free MXU layout: (P_pad, FC) bf16, matmul operand
         P_pad = -(-P // 8) * 8
         fp = np.pad(ftab_np, ((0, P_pad - P), (0, 0))).astype(np.float32)
@@ -1635,7 +1641,8 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
     if c is None or c["kind"] != "grid" or c.get("n_tri", 0):
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
-    dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion)
+    dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion,
+                                         field_mxu=gc["field_mxu"])
     npix = c["nx"] * c["ny"]
     itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
     if sub is None:

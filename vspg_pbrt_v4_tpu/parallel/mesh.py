@@ -245,7 +245,8 @@ def render_vspg_pallas_sharded(scene, camera, film, spp, cfg, gopt, vopt,
     c_local["ny"] = c["ny"] // n_dev  # shard height; nx decode unchanged
     gc = pk.guiding_constants(field, gopt, vopt)
     dens, maj, ftab = pk.pack_kernel_inputs(scene, field,
-                                            vopt.vsp_criterion)
+                                            vopt.vsp_criterion,
+                                            field_mxu=gc["field_mxu"])
     itab = pk.pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
     sub = 8
     while npix_l % (sub * 128) != 0:

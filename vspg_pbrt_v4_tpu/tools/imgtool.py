@@ -178,11 +178,10 @@ def main(argv=None):
         return 0
 
     if args.cmd == "convert":
+        from ..utils.image import write_image
+
         img = read_image(args.image) * args.scale
-        if args.outfile.endswith(".png"):
-            write_png(args.outfile, img)
-        else:
-            write_exr(args.outfile, img.astype(np.float32))
+        write_image(args.outfile, img)
         return 0
 
     if args.cmd == "makeequiarea":

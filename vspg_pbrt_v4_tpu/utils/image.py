@@ -194,8 +194,157 @@ def write_png(path, img):
     iio.imwrite(path, (np.clip(srgb, 0, 1) * 255).astype(np.uint8))
 
 
+def write_pfm(path, img):
+    """Write (ny,nx,3) float32 to a little-endian PFM
+    (ref: util/image.cpp:1785 WritePFM; netpbm pfm.html). PFM stores rows
+    bottom-to-top; a negative scale marks little-endian data."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    ny, nx, _ = img.shape
+    with open(path, "wb") as f:
+        f.write(b"PF\n%d %d\n-1.000000\n" % (nx, ny))
+        f.write(np.ascontiguousarray(img[::-1], "<f4").tobytes())
+
+
+def read_pfm(path):
+    """Read a PFM (color 'PF' or grayscale 'Pf') into (ny,nx,3) float32
+    (ref: util/image.cpp ReadPFM)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    toks, pos = [], 0
+    while len(toks) < 4:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(data[start:pos])
+    pos += 1  # single whitespace after scale
+    magic, nx, ny, scale = toks[0], int(toks[1]), int(toks[2]), float(toks[3])
+    nc = 3 if magic == b"PF" else 1
+    dt = "<f4" if scale < 0 else ">f4"
+    img = np.frombuffer(data, dt, nx * ny * nc, pos).reshape(ny, nx, nc)
+    img = np.asarray(img[::-1], np.float32) * abs(scale or 1.0)
+    return img.repeat(3, -1) if nc == 1 else img
+
+
+# -- QOI ("Quite OK Image", qoiformat.org) — ref: util/image.cpp:1498,1729 ---
+
+_QOI_MAGIC = b"qoif"
+
+
+def _qoi_hash(px):
+    return (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+
+
+def write_qoi(path, img):
+    """Encode linear (ny,nx,3) float to an sRGB-channel QOI file
+    (ref: util/image.cpp:1530 qoi_encode disposition; format per the
+    public one-page QOI spec: INDEX/DIFF/LUMA/RUN/RGB/RGBA ops)."""
+    img = np.asarray(img, np.float32)
+    srgb = np.where(img <= 0.0031308, 12.92 * img,
+                    1.055 * np.power(np.clip(img, 1e-8, None), 1 / 2.4)
+                    - 0.055)
+    px8 = (np.clip(srgb, 0, 1) * 255 + 0.5).astype(np.uint8)
+    ny, nx, _ = px8.shape
+    out = bytearray(_QOI_MAGIC)
+    out += nx.to_bytes(4, "big") + ny.to_bytes(4, "big") + bytes([3, 0])
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = px8.reshape(-1, 3)
+    for i in range(flat.shape[0]):
+        px = (int(flat[i, 0]), int(flat[i, 1]), int(flat[i, 2]), 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = _qoi_hash(px)
+        if index[h] == px:
+            out.append(h)
+        else:
+            index[h] = px
+            dr = (px[0] - prev[0] + 128) % 256 - 128
+            dg = (px[1] - prev[1] + 128) % 256 - 128
+            db = (px[2] - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, px[0], px[1], px[2]])
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00\x00\x00\x00\x00\x00\x00\x01"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_qoi(path):
+    """Decode a QOI file to linear float (ny,nx,3)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI file")
+    nx = int.from_bytes(data[4:8], "big")
+    ny = int.from_bytes(data[8:12], "big")
+    nch = data[12]
+    out = np.empty((ny * nx, 4), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    pos, i, n = 14, 0, ny * nx
+    while i < n:
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0xFE:  # RGB
+            px = (data[pos], data[pos + 1], data[pos + 2], px[3])
+            pos += 3
+        elif b0 == 0xFF:  # RGBA
+            px = tuple(data[pos : pos + 4])
+            pos += 4
+        elif b0 >> 6 == 0:  # INDEX
+            px = index[b0]
+        elif b0 >> 6 == 1:  # DIFF
+            px = ((px[0] + ((b0 >> 4) & 3) - 2) % 256,
+                  (px[1] + ((b0 >> 2) & 3) - 2) % 256,
+                  (px[2] + (b0 & 3) - 2) % 256, px[3])
+        elif b0 >> 6 == 2:  # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = data[pos]
+            pos += 1
+            px = ((px[0] + dg + (b1 >> 4) - 8) % 256,
+                  (px[1] + dg) % 256,
+                  (px[2] + dg + (b1 & 0xF) - 8) % 256, px[3])
+        else:  # RUN
+            for _ in range(b0 & 0x3F):
+                out[i] = px
+                i += 1
+        index[_qoi_hash(px)] = px
+        out[i] = px
+        i += 1
+    raw = out.reshape(ny, nx, 4)[..., :3].astype(np.float32) / 255.0
+    del nch
+    return np.where(raw <= 0.04045, raw / 12.92,
+                    ((raw + 0.055) / 1.055) ** 2.4)
+
+
 def read_image(path):
-    """Read EXR or PNG into linear float (ny,nx,3)."""
+    """Read EXR, PFM, QOI, or PNG into linear float (ny,nx,3)."""
+    p = str(path)
+    if p.endswith(".pfm"):
+        return read_pfm(path)
+    if p.endswith(".qoi"):
+        return read_qoi(path)
     if str(path).endswith(".exr"):
         img, names = read_exr(path)
         if img.shape[-1] >= 3:
@@ -210,6 +359,20 @@ def read_image(path):
     raw = np.asarray(iio.imread(path), np.float32) / 255.0
     lin = np.where(raw <= 0.04045, raw / 12.92, ((raw + 0.055) / 1.055) ** 2.4)
     return lin[..., :3]
+
+
+def write_image(path, img):
+    """Extension-dispatched writer (ref: util/image.cpp:1008 Image::Write):
+    .exr / .pfm / .qoi / .png."""
+    p = str(path)
+    if p.endswith(".pfm"):
+        write_pfm(path, img)
+    elif p.endswith(".qoi"):
+        write_qoi(path, img)
+    elif p.endswith(".png"):
+        write_png(path, img)
+    else:
+        write_exr(path, np.asarray(img, np.float32))
 
 
 # -- error metrics (imgtool diff analogs) ------------------------------------

@@ -57,6 +57,12 @@ def main(argv=None):
     ap.add_argument("--volMajScale", type=float, default=None,
                     help="global volume majorant scale override "
                          "(options.h:58 volumeMajorantScale)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="interactive terminal rendering: wasdqe/arrow "
+                         "camera motion, progressive accumulation "
+                         "(cmd/pbrt.cpp:59, util/gui.h:27)")
+    ap.add_argument("--max-waves", type=int, default=None,
+                    help="stop --interactive after N waves (scripted use)")
     ap.add_argument("--debugstart", default=None, metavar="X,Y,S",
                     help="deterministically replay one pixel sample and "
                          "print its radiance (cpu/integrators.cpp:77-95)")
@@ -169,6 +175,37 @@ def main(argv=None):
     spp_per_pass = max(1, min(args.spp_per_pass, setup.spp))
 
     out = args.outfile or setup.outfile
+
+    if args.interactive:
+        # util/gui.h:27 GUI + pbrt.cpp:127 interactive loop, terminal
+        # edition: each wave renders spp_per_pass samples through the
+        # fastest available backend (megakernel when the scene supports
+        # it), the GUI accumulates and polls camera keys.
+        from .utils import gui as _gui
+
+        diag = 2.0 * float(setup.scene.lights.world_radius) \
+            if float(setup.scene.lights.world_radius) < 1e4 else 4.0
+        ui = _gui.GUI(out or args.scene, setup.film.resolution,
+                      scene_diag=max(diag, 1e-3))
+
+        def render_one_wave(cam, wave):
+            return np.asarray(volpath.render_persistent(
+                setup.scene, cam, setup.film, spp=spp_per_pass, cfg=cfg,
+                seed=args.seed + wave * 7919,
+                camera_medium=setup.camera_medium))
+
+        try:
+            img = _gui.interactive_loop(ui, setup.camera, render_one_wave,
+                                        spp_per_pass=spp_per_pass,
+                                        max_waves=args.max_waves)
+        finally:
+            ui.close()
+        if out:
+            from .utils.image import write_image
+
+            write_image(out, np.asarray(img))
+        return 0
+
     progressive = (args.time is not None or args.display_server
                    or args.write_partial_images or args.checkpoint)
     if progressive and name in ("volpath", "path", "simplevolpath"):

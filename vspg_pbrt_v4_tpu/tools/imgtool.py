@@ -113,6 +113,10 @@ def main(argv=None):
                     help="sun elevation in degrees")
     mk.add_argument("--turbidity", type=float, default=3.0)
     mk.add_argument("--resolution", type=int, default=512)
+    mk.add_argument("--model", choices=("hosek", "preetham"),
+                    default="hosek",
+                    help="hosek = the reference's ArHosek sky "
+                         "(imgtool.cpp:326)")
 
     mem = sub.add_parser("makeemitters")  # cmd/imgtool.cpp:184 makeemitters
     mem.add_argument("image")
@@ -265,10 +269,12 @@ def main(argv=None):
         from ..utils.sky import make_sky_equal_area
 
         out = make_sky_equal_area(args.resolution, args.elevation,
-                                  args.turbidity, args.albedo)
+                                  args.turbidity, args.albedo,
+                                  model=args.model)
         write_exr(args.outfile, out.astype(np.float32))
-        print(f"sky {args.resolution}^2 elevation {args.elevation} "
-              f"turbidity {args.turbidity} -> {args.outfile}")
+        print(f"sky ({args.model}) {args.resolution}^2 elevation "
+              f"{args.elevation} turbidity {args.turbidity} "
+              f"-> {args.outfile}")
         return 0
 
     if args.cmd == "makeemitters":

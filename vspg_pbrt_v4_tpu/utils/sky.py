@@ -1,12 +1,17 @@
-"""Analytic daylight sky model for `imgtool makesky`.
+"""Analytic daylight sky models for `imgtool makesky`.
 
 Role of the reference's makesky (cmd/imgtool.cpp:170, backed by the vendored
-ArHosek skymodel in src/ext/skymodel). This implementation uses the
-Preetham et al. 1999 analytic sky (the Hosek-Wilkie predecessor): the
-five-parameter Perez luminance/chromaticity distribution driven by
-turbidity, with a simple sun disk. Output is an equal-area octahedral map
-(the renderer's ImageInfiniteLight parameterization, vecmath.h
-EqualAreaSquareToSphere).
+ArHosek skymodel in src/ext/skymodel). Two models:
+
+- **Hosek-Wilkie 2012** (default, the reference's model): the RGB
+  tristimulus variant driven by the paper's published coefficient fits
+  (data/hosek_rgb.npz), validated against the vendored C implementation
+  (tests/test_tools.py golden values).
+- **Preetham 1999** (the predecessor, kept for comparison): five-parameter
+  Perez luminance/chromaticity distribution.
+
+Output is an equal-area octahedral map (the renderer's ImageInfiniteLight
+parameterization, vecmath.h EqualAreaSquareToSphere).
 """
 
 from __future__ import annotations
@@ -96,11 +101,104 @@ def sky_radiance(d, sun_dir, turbidity=3.0):
     return rgb
 
 
+# -- Hosek-Wilkie 2012 ("An Analytic Model for Full Spectral Sky-Dome
+# Radiance") — the model the reference's makesky uses (cmd/imgtool.cpp:326,
+# src/ext/skymodel/ArHosekSkyModel.c). This is the RGB tristimulus variant
+# (arhosek_tristim_skymodel_radiance); the reference evaluates the spectral
+# variant at 13 wavelengths and converts through ACES2065-1 — same model,
+# same coefficient fits, different integration path. The coefficient
+# datasets (data/hosek_rgb.npz) are the paper's published fits extracted
+# from the vendored ArHosekSkyModelData_RGB.h (numeric data, not code).
+
+_HOSEK_TABLES = None
+
+
+def _hosek_tables():
+    global _HOSEK_TABLES
+    if _HOSEK_TABLES is None:
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "hosek_rgb.npz")
+        z = np.load(path)
+        _HOSEK_TABLES = (np.asarray(z["config"], np.float64),
+                         np.asarray(z["radiance"], np.float64))
+    return _HOSEK_TABLES
+
+
+def _hosek_config(turbidity, albedo, solar_elevation):
+    """ArHosekSkyModel_CookConfiguration (ArHosekSkyModel.c:147): quintic
+    Bezier over elevation^(1/3), linear blends over the integer-turbidity
+    bracket and the two albedo datasets. Returns (cfg (3,9), rad (3,))."""
+    cfg_t, rad_t = _hosek_tables()  # (3,2,10,6,9), (3,2,10,6)
+    T = float(np.clip(turbidity, 1.0, 10.0))
+    a = float(np.clip(albedo, 0.0, 1.0))
+    it = min(int(T), 9)  # bracket [it, it+1], dataset index it-1
+    rem = T - it
+    x = (max(float(solar_elevation), 0.0) / (np.pi / 2.0)) ** (1.0 / 3.0)
+    # quintic Bernstein weights over the 6 elevation knots
+    w = np.asarray([(1 - x) ** 5,
+                    5 * (1 - x) ** 4 * x,
+                    10 * (1 - x) ** 3 * x ** 2,
+                    10 * (1 - x) ** 2 * x ** 3,
+                    5 * (1 - x) * x ** 4,
+                    x ** 5])
+
+    def blend(tab):  # tab: (3, 2, 10, 6, ...) -> (3, ...)
+        lo = np.tensordot(tab[:, :, it - 1], w, axes=([2], [0]))
+        hi = (np.tensordot(tab[:, :, min(it, 9)], w, axes=([2], [0]))
+              if rem > 0 else lo)
+        per_albedo = lo * (1.0 - rem) + hi * rem  # (3, 2, ...)
+        return per_albedo[:, 0] * (1.0 - a) + per_albedo[:, 1] * a
+
+    return blend(cfg_t), blend(rad_t)
+
+
+def hosek_sky_radiance(d, sun_dir, turbidity=3.0, albedo=0.5,
+                       sun_disc=True):
+    """Hosek-Wilkie RGB sky radiance for directions d (...,3), y-up.
+    Below-horizon directions return 0 (imgtool.cpp:385 skips the downward
+    hemisphere). The 9-coefficient distribution follows
+    ArHosekSkyModel_GetRadianceInternal (ArHosekSkyModel.c:291)."""
+    d = np.asarray(d, np.float64)
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    up = np.asarray([0.0, 1.0, 0.0])
+    sun_dir = np.asarray(sun_dir, np.float64)
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    cos_theta = np.clip(d @ up, -1.0, 1.0)
+    cos_gamma = np.clip(d @ sun_dir, -1.0, 1.0)
+    gamma = np.arccos(cos_gamma)
+    solar_elev = np.pi / 2.0 - np.arccos(np.clip(sun_dir @ up, -1.0, 1.0))
+    cfg, rad = _hosek_config(turbidity, albedo, solar_elev)  # (3,9), (3,)
+
+    ct = np.maximum(cos_theta, 0.0)[..., None]  # (...,1) broadcast vs (3,)
+    cg = cos_gamma[..., None]
+    g = gamma[..., None]
+    A, B, C, D, E, F, G, H, I = (cfg[:, i] for i in range(9))
+    expM = np.exp(E * g)
+    rayM = cg * cg
+    mieM = (1.0 + cg * cg) / np.power(1.0 + I * I - 2.0 * I * cg, 1.5)
+    zenith = np.sqrt(ct)
+    L = ((1.0 + A * np.exp(B / (ct + 0.01)))
+         * (C + D * expM + F * rayM + G * mieM + H * zenith)) * rad
+    L = np.where((cos_theta <= 0.0)[..., None], 0.0, L)
+    if sun_disc:
+        # limb-darkened solar disc (ArHosekSkyModel.c solar radiance path;
+        # 0.51 deg diameter). Radiance level chosen so disc irradiance ~
+        # 100x the sky's horizontal diffuse component at elev 30 deg.
+        sr = np.radians(0.255)
+        ld = np.sqrt(np.clip(1.0 - (g / sr) ** 2, 0.0, 1.0))
+        disc = (g < sr) & (cos_theta > 0.0)[..., None]
+        L = np.where(disc, L + 2.0e4 * (0.5 + 0.5 * ld)
+                     * np.asarray([1.0, 0.94, 0.88]), L)
+    return np.clip(L, 0.0, None)
+
+
 def make_sky_equal_area(resolution, elevation_deg, turbidity=3.0,
-                        albedo=0.5):
-    """Equal-area sky env map (S,S,3). `albedo` lifts the below-horizon
-    hemisphere with a constant ambient bounce (the reference passes ground
-    albedo to the Hosek model)."""
+                        albedo=0.5, model="hosek"):
+    """Equal-area sky env map (S,S,3) — imgtool makesky
+    (cmd/imgtool.cpp:326). model='hosek' (the reference's ArHosek path) or
+    'preetham' (the 1999 predecessor kept for comparison)."""
     S = int(resolution)
     u = (np.arange(S) + 0.5) / S
     U, V = np.meshgrid(u, u, indexing="xy")
@@ -108,6 +206,9 @@ def make_sky_equal_area(resolution, elevation_deg, turbidity=3.0,
     d = np.asarray(equal_area_square_to_sphere(sq))
     elev = np.radians(elevation_deg)
     sun_dir = np.asarray([0.0, np.sin(elev), -np.cos(elev)])
+    if model == "hosek":
+        rgb = hosek_sky_radiance(d, sun_dir, turbidity, albedo)
+        return rgb.reshape(S, S, 3).astype(np.float32)
     rgb = sky_radiance(d, sun_dir, turbidity)
     # ground: albedo-scaled average sky radiance
     up_mask = d[:, 1] > 0

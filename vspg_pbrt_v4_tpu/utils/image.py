@@ -146,12 +146,12 @@ def read_exr(path):
         cpos += 16
         channels.append((cname, ptype))
     comp = attrs["compression"][1][0]
-    assert comp in (0, 2, 3), \
-        f"unsupported EXR compression {comp} (NONE/ZIPS/ZIP only)"
+    assert comp in (0, 2, 3, 4), \
+        f"unsupported EXR compression {comp} (NONE/ZIPS/ZIP/PIZ only)"
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     nx, ny = x1 - x0 + 1, y1 - y0 + 1
 
-    lines_per = {0: 1, 2: 1, 3: _ZIP_BLOCK}[comp]
+    lines_per = {0: 1, 2: 1, 3: _ZIP_BLOCK, 4: _PIZ_BLOCK}[comp]
     n_chunks = -(-ny // lines_per)
     pos += 8 * n_chunks  # skip offset table
     nc = len(channels)
@@ -166,6 +166,8 @@ def read_exr(path):
         pos += nbytes
         if comp in (2, 3) and nbytes < raw_size:
             payload = _zip_unpredict(zlib.decompress(payload))
+        elif comp == 4 and nbytes < raw_size:
+            payload = _piz_uncompress(payload, channels, nx, n_lines)
         bpos = 0
         for li in range(n_lines):
             for ci, (cname, ptype) in enumerate(channels):
@@ -192,6 +194,210 @@ def write_png(path, img):
     srgb = np.where(img <= 0.0031308, 12.92 * img,
                     1.055 * np.power(np.clip(img, 1e-8, None), 1 / 2.4) - 0.055)
     iio.imwrite(path, (np.clip(srgb, 0, 1) * 255).astype(np.uint8))
+
+
+# -- PIZ decompression (OpenEXR ImfPizCompressor/ImfHuf/ImfWav scheme) -------
+# Read-side support for third-party PIZ EXRs (the reference links OpenEXR,
+# util/image.cpp:1817 reads any compression; our writer emits ZIP like the
+# reference's writer). Decode only: wavelet + canonical-Huffman per 32-line
+# block.
+
+_PIZ_BLOCK = 32
+_USHORT_RANGE = 1 << 16
+_BITMAP_SIZE = _USHORT_RANGE >> 3
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "c", "lc")
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.lc = 0
+
+    def get(self, n):
+        while self.lc < n:
+            self.c = (self.c << 8) | self.data[self.pos]
+            self.pos += 1
+            self.lc += 8
+        self.lc -= n
+        return (self.c >> self.lc) & ((1 << n) - 1)
+
+
+def _huf_unpack_enc_table(br, im, iM):
+    """ImfHuf hufUnpackEncTable: 6-bit code lengths with zero-run escapes
+    (SHORT_ZEROCODE_RUN=59, LONG_ZEROCODE_RUN=63), then canonical code
+    assignment (hufCanonicalCodeTable)."""
+    lengths = np.zeros(_USHORT_RANGE + 1, np.int64)
+    i = im
+    while i <= iM:
+        l = br.get(6)
+        if l == 63:  # LONG_ZEROCODE_RUN
+            zerun = br.get(8) + 6  # SHORTEST_LONG_RUN
+            i += zerun
+        elif l >= 59:  # SHORT_ZEROCODE_RUN
+            i += l - 59 + 2
+        else:
+            lengths[i] = l
+            i += 1
+    # canonical codes, longest first (hufCanonicalCodeTable)
+    n = np.zeros(59, np.int64)
+    for l in lengths[lengths > 0]:
+        n[l] += 1
+    c = 0
+    start = np.zeros(59, np.int64)
+    for l in range(58, 0, -1):
+        start[l] = c
+        c = (c + n[l]) >> 1
+    codes = {}
+    nxt = start.copy()
+    for sym in np.nonzero(lengths)[0]:
+        l = int(lengths[sym])
+        codes[(l, int(nxt[l]))] = int(sym)
+        nxt[l] += 1
+    return codes
+
+
+def _huf_uncompress(buf, n_out):
+    """ImfHuf hufUncompress: 20-byte header (im, iM, tableLength, nBits,
+    reserved), packed code-length table, MSB-first bitstream; symbol iM is
+    the run-length escape (repeat previous value, 8-bit count)."""
+    im, iM, _tl, n_bits = struct.unpack_from("<IIII", buf, 0)
+    br = _BitReader(buf[20:])
+    codes = _huf_unpack_enc_table(br, im, iM)
+    # ImfHuf resumes the data bitstream at the byte AFTER the table's last
+    # consumed byte: leftover bits in the unpacker's buffer are discarded
+    br.c, br.lc = 0, 0
+    out = np.empty(n_out, np.uint16)
+    k = 0
+    cur, curlen = 0, 0
+    bits_read = 0
+    while k < n_out and bits_read < n_bits:
+        cur = (cur << 1) | br.get(1)
+        curlen += 1
+        bits_read += 1
+        sym = codes.get((curlen, cur))
+        if sym is None:
+            continue
+        if sym == iM:  # run-length escape
+            cs = br.get(8)
+            bits_read += 8
+            out[k:k + cs] = out[k - 1]
+            k += cs
+        else:
+            out[k] = sym
+            k += 1
+        cur, curlen = 0, 0
+    if k != n_out:
+        raise ValueError("PIZ: not enough Huffman data")
+    return out
+
+
+def _wdec14(l, h):
+    ls = l.astype(np.int16).astype(np.int64)
+    hi = h.astype(np.int16).astype(np.int64)
+    ai = ls + (hi & 1) + (hi >> 1)
+    a = ai.astype(np.int16).astype(np.uint16)
+    b = (ai - hi).astype(np.int16).astype(np.uint16)
+    return a, b
+
+
+def _wdec16(l, h):
+    m = l.astype(np.int64)
+    d = h.astype(np.int64)
+    bb = (m - (d >> 1)) & 0xFFFF
+    aa = (d + bb - (1 << 15)) & 0xFFFF
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_decode(plane, nx, ny, max_value):
+    """ImfWav wav2Decode on a (ny, nx) uint16 view (in place), vectorized
+    per hierarchy level with strided slices."""
+    wdec = _wdec14 if max_value < (1 << 14) else _wdec16
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        # indices of the 2x2 block corners at this level
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        if ys.size and xs.size:
+            Y, X = np.meshgrid(ys, xs, indexing="ij")
+            a00 = plane[Y, X]
+            a01 = plane[Y, X + p]
+            a10 = plane[Y + p, X]
+            a11 = plane[Y + p, X + p]
+            i00, i10 = wdec(a00, a10)
+            i01, i11 = wdec(a01, a11)
+            b00, b01 = wdec(i00, i01)
+            b10, b11 = wdec(i10, i11)
+            plane[Y, X] = b00
+            plane[Y, X + p] = b01
+            plane[Y + p, X] = b10
+            plane[Y + p, X + p] = b11
+        if (nx & p) and ys.size:
+            # odd column: px one step past the last full block
+            x_last = xs[-1] + p2 if xs.size else 0
+            a, b = wdec(plane[ys, x_last], plane[ys + p, x_last])
+            plane[ys, x_last] = a
+            plane[ys + p, x_last] = b
+        if (ny & p) and xs.size:
+            y_last = ys[-1] + p2 if ys.size else 0
+            a, b = wdec(plane[y_last, xs], plane[y_last, xs + p])
+            plane[y_last, xs] = a
+            plane[y_last, xs + p] = b
+        p2 = p
+        p >>= 1
+    return plane
+
+
+def _piz_uncompress(payload, channels, nx, n_lines):
+    """One PIZ chunk -> scanline-interleaved bytes (ImfPizCompressor::
+    uncompress): bitmap + reverse LUT, Huffman, per-channel 2D wavelet,
+    LUT application, row reorder."""
+    pos = 0
+    min_nz, max_nz = struct.unpack_from("<HH", payload, 0)
+    pos = 4
+    bitmap = np.zeros(_BITMAP_SIZE, np.uint8)
+    if min_nz <= max_nz:
+        nbm = max_nz - min_nz + 1
+        bitmap[min_nz:max_nz + 1] = np.frombuffer(payload, np.uint8, nbm,
+                                                  pos)
+        pos += nbm
+    # reverseLutFromBitmap
+    bits = np.unpackbits(bitmap, bitorder="little")
+    bits[0] = 1
+    lut16 = np.nonzero(bits)[0].astype(np.uint16)
+    max_value = lut16.size - 1
+    (length,) = struct.unpack_from("<i", payload, pos)
+    pos += 4
+    sizes = [1 if pt == 1 else 2 for _, pt in channels]  # shorts/sample
+    n_shorts = sum(nx * n_lines * s for s in sizes)
+    data = _huf_uncompress(payload[pos:pos + length], n_shorts)
+    # per-channel wavelet planes
+    out_rows = []
+    base = 0
+    planes = []
+    for (cname, pt), s in zip(channels, sizes):
+        cn = nx * n_lines * s
+        block = data[base:base + cn].reshape(n_lines, nx * s)
+        for j in range(s):
+            pl = np.ascontiguousarray(block[:, j::s])
+            _wav2_decode(pl, nx, n_lines, max_value)
+            block[:, j::s] = pl
+        planes.append(block)
+        base += cn
+    # applyLut + row-interleave
+    raw = bytearray()
+    for y in range(n_lines):
+        for block in planes:
+            raw += lut16[block[y]].astype("<u2").tobytes()
+    return bytes(raw)
 
 
 def write_pfm(path, img):

@@ -200,7 +200,7 @@ def main(argv=None):
                                         max_waves=args.max_waves)
         finally:
             ui.close()
-        if out:
+        if out and img is not None:  # --max-waves 0 renders nothing
             from .utils.image import write_image
 
             write_image(out, np.asarray(img))

@@ -76,13 +76,22 @@ class GUI:
         """Drain available input without blocking (GLFW pollEvents analog)."""
         chars = []
         f = self.infile
-        if hasattr(f, "fileno") and self._raw:
+        has_fd = hasattr(f, "fileno")
+        if has_fd:
+            try:
+                f.fileno()
+            except (OSError, ValueError):
+                has_fd = False
+        if has_fd:
+            # any real file descriptor (tty or pipe) polls with a zero
+            # timeout — a blocking read() on a long-lived non-tty stdin
+            # pipe would hang the render loop after the first wave
             while select.select([f], [], [], 0)[0]:
                 c = f.read(1)
                 if not c:
                     break
                 chars.append(c)
-        else:  # scripted stream (tests / piped input): read all that's left
+        else:  # fd-less stream (tests / StringIO): read all that's left
             data = f.read()
             if data:
                 chars.extend(data)
@@ -155,6 +164,11 @@ class GUI:
                 self.move_scale *= 2.0
             elif k == "-":
                 self.move_scale *= 0.5
+            elif k == "r":
+                # gui.cpp processKeys: 'r' cancels accumulated camera
+                # motion (movingFromCamera = identity) and resets
+                m = tr.identity()
+                needs_reset = True
             elif k == "c":
                 self.print_camera_transform = True
         self.moving_from_camera = m

@@ -9,6 +9,7 @@ with sRGB encode.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -577,8 +578,13 @@ def write_image(path, img):
         write_qoi(path, img)
     elif p.endswith(".png"):
         write_png(path, img)
-    else:
+    elif p.endswith(".exr") or "." not in os.path.basename(p):
         write_exr(path, np.asarray(img, np.float32))
+    else:
+        # Image::Write errors on unsupported extensions — writing EXR
+        # bytes into e.g. out.jpg would silently mislabel the file
+        raise ValueError(f"unsupported image extension: {p!r} "
+                         "(supported: .exr .pfm .qoi .png)")
 
 
 # -- error metrics (imgtool diff analogs) ------------------------------------

@@ -183,15 +183,58 @@ def hosek_sky_radiance(d, sun_dir, turbidity=3.0, albedo=0.5,
          * (C + D * expM + F * rayM + G * mieM + H * zenith)) * rad
     L = np.where((cos_theta <= 0.0)[..., None], 0.0, L)
     if sun_disc:
-        # limb-darkened solar disc (ArHosekSkyModel.c solar radiance path;
-        # 0.51 deg diameter). Radiance level chosen so disc irradiance ~
-        # 100x the sky's horizontal diffuse component at elev 30 deg.
+        # limb-darkened solar disc (arhosekskymodel_solar_radiance path;
+        # 0.51 deg diameter). The spectral solar dataset isn't vendored
+        # here, so the disc radiance is derived physically instead:
+        # extraterrestrial solar spectral radiance E0/omega_sun attenuated
+        # by the Preetham/Iqbal direct-beam transmittance (Rayleigh +
+        # aerosol + ozone at the RGB primaries' representative
+        # wavelengths) — the same units (W m^-2 sr^-1 nm^-1) as the Hosek
+        # RGB radiance dataset the sky term blends.
         sr = np.radians(0.255)
+        disc_L = solar_disc_radiance(solar_elev, turbidity)
         ld = np.sqrt(np.clip(1.0 - (g / sr) ** 2, 0.0, 1.0))
+        # disc-area mean of (0.35 + 0.65 ld) is 0.35 + 0.65*(2/3): divide
+        # it out so the profile preserves the disc's mean radiance
+        prof = (0.35 + 0.65 * ld) / (0.35 + 0.65 * (2.0 / 3.0))
         disc = (g < sr) & (cos_theta > 0.0)[..., None]
-        L = np.where(disc, L + 2.0e4 * (0.5 + 0.5 * ld)
-                     * np.asarray([1.0, 0.94, 0.88]), L)
+        L = np.where(disc, L + disc_L * prof, L)
     return np.clip(L, 0.0, None)
+
+
+def solar_disc_radiance(solar_elev, turbidity=3.0):
+    """Mean solar-disc RGB radiance (W m^-2 sr^-1 nm^-1) at the given
+    solar elevation (radians) and turbidity.
+
+    Direct-beam transmittance follows Preetham App. A / Iqbal: relative
+    air mass m = 1/(cos ths + 0.15 (93.885 - ths_deg)^-1.253), Rayleigh
+    tau_R = 0.008735 lam^-4.08, aerosol tau_A = beta lam^-1.3 with
+    beta = 0.04608 T - 0.04586, ozone tau_O = k_o * 0.35 cm; evaluated at
+    612/549/465 nm for R/G/B. Extraterrestrial spectral irradiance at
+    those wavelengths (Wehrli 1985): ~(1.69, 1.90, 2.05) W m^-2 nm^-1;
+    dividing by the sun's solid angle 2 pi (1 - cos 0.255 deg) gives the
+    unattenuated disc radiance.
+
+    Units: the Hosek RGB dataset is BAND-INTEGRATED spectral radiance
+    (each channel tiles ~1/3 of the ~340 nm visible range), so the
+    per-nm solar irradiance is scaled by that band width to land in the
+    same units as the sky term (cross-check: the resulting direct-to-
+    diffuse horizontal irradiance ratio is ~2 at T=3, elev 30 deg —
+    the measured clear-sky range)."""
+    band_nm = 340.0 / 3.0  # per-channel visible band width
+    lam = np.asarray([0.612, 0.549, 0.465])  # um
+    E0 = np.asarray([1.69, 1.90, 2.05]) * band_nm  # W m^-2 per band
+    omega_sun = 2.0 * np.pi * (1.0 - np.cos(np.radians(0.255)))
+    theta_s = np.clip(np.pi / 2.0 - solar_elev, 0.0, np.radians(90.0))
+    m = 1.0 / (np.cos(theta_s)
+               + 0.15 * (93.885 - np.degrees(theta_s)) ** -1.253)
+    beta = 0.04608 * turbidity - 0.04586
+    tau_r = 0.008735 * lam ** -4.08
+    tau_a = beta * lam ** -1.3
+    k_o = np.asarray([0.124, 0.095, 0.008])  # Chappuis band, cm^-1
+    tau_o = k_o * 0.35
+    trans = np.exp(-m * (tau_r + tau_a + tau_o))
+    return E0 / omega_sun * trans
 
 
 def make_sky_equal_area(resolution, elevation_deg, turbidity=3.0,

@@ -293,3 +293,52 @@ def test_kernel_mxu_gather_furnace_trained():
         _pv.MXU_MIN_VOX = old_mx
         pk.STOCH_TRILERP_MAX_EXACT = old_st
         pk._KERNEL_CACHE.clear()
+
+
+def test_record_kernel_matches_plain_and_trains():
+    """The TRAINING variant (record=True) must produce the IDENTICAL
+    image to the plain kernel at the same seed (records are pure side
+    outputs), and its SegmentRecord must train the field through the
+    standard propagate/train_step pipeline (guiding.h:682-832 analog)."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.guiding import field as gfield
+    from vspg_pbrt_v4_tpu.models.guiding import isgb as gisgb
+    from vspg_pbrt_v4_tpu.models.guiding import recording as grec
+    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gv
+
+    scene = _grid_scene(_cloud_density(), [0.2] * 3, [2.8] * 3, g=0.5,
+                        env_L=[0.1] * 3, point=((0, 0.3, 2.5), (40.,) * 3))
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    field = gfield.GuidingField.make((-1.1,) * 3, (1.1,) * 3, res=8,
+                                     n_lobes=4)
+    isgb = ISGB.make((RES, RES), "variance", "atrous")
+    # wave 1 (untrained) + wave 2 (guided): records sane, image identical
+    for w in range(2):
+        img_r, segrec, f_alb, f_nrm, f_vol, L_raw = pk.train_wave_pallas(
+            scene, cam, film, _CFG, _GOPT, vopt, field, isgb,
+            seed=jnp.uint32(w * 7919 + 1), interpret=True)
+        img_p = pk.render_vspg_pallas(scene, cam, film, 1, _CFG, _GOPT,
+                                      vopt, field, isgb,
+                                      seed=jnp.uint32(w * 7919 + 1),
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_p),
+                                   rtol=1e-6)
+        pos, valid = np.asarray(segrec.pos), np.asarray(segrec.valid)
+        assert valid.any()
+        assert np.all(np.abs(pos[valid]) <= 1.001)  # vertices in the box
+        assert np.all(np.asarray(segrec.pdf)[valid] > 0)
+        assert np.allclose(
+            np.linalg.norm(np.asarray(segrec.wi)[valid], axis=-1), 1.0,
+            atol=2e-3)
+        pid = jnp.arange(film.npix, dtype=jnp.int32)
+        isgb = gisgb.isgb_add_samples(isgb, pid, L_raw, f_alb, f_nrm,
+                                      f_vol, pid >= 0, half=w % 2)
+        batch = grec.propagate(segrec)
+        assert bool(jnp.isfinite(jnp.where(batch.valid, batch.weight,
+                                           0.0)).all())
+        field = gv.train_step(field, batch)
+        isgb = gisgb.isgb_update(isgb)
+    assert int(field.iteration) == 2
+    assert float(np.asarray(field.volume.vsp_n).sum()) > 0

@@ -1135,7 +1135,8 @@ def vspg_wave(scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
 def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
                 gopt=GuidingOptions(), vopt=VSPGOptions(), seed=0,
                 camera_medium=-1, spp_per_pass=1, field=None, isgb=None,
-                train=True, use_pallas="auto", interpret_pallas=False):
+                train=True, use_pallas="auto", interpret_pallas=False,
+                train_pallas="auto"):
     """Progressive VSPG rendering: waves + training barrier + ISGB updates
     at waves 1,2,4,8,... (PostProcessWave, :230-259).
 
@@ -1144,6 +1145,11 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
     supports it ("auto"); False forces the XLA wave path. Freezing the
     field/ISGB for the kernel phase only changes sampling distributions,
     never estimator weights — the mixed image stays unbiased.
+
+    train_pallas: training waves also run through the megakernel (its
+    record variant) when spp_per_pass == 1 and the scene class qualifies
+    — ~100x faster per wave, enabling reference-scale training budgets
+    (up to guideNumTrainingWaves=128, integrators.h:502) on TPU.
 
     Returns (image, field, isgb)."""
     if field is None:
@@ -1175,12 +1181,47 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
                  if vopt.sampling_method == "nds+" else None)
     n_tr = 0
     spp_done = 0
+    kimg_sum = None
+    kimg_spp = 0
+    ktrain_ok = None  # lazily evaluated: scene qualifies for kernel train
     for wave in range(spp // spp_per_pass):
         do_train = train and int(field.iteration) < gopt.train_waves
         if not do_train and use_pallas and _pallas_supported(
                 scene, camera, film, cfg, gopt, vopt, field,
                 bool(interpret_pallas)):
             break  # remaining spp render through the fused kernel
+        if do_train and train_pallas and spp_per_pass == 1 \
+                and tr_buffer is None:
+            if ktrain_ok is None:
+                ktrain_ok = _pallas_supported(
+                    scene, camera, film, cfg, gopt, vopt, field,
+                    bool(interpret_pallas))
+            if ktrain_ok:
+                from ...ops import pallas_vspg as _pk
+
+                img_w, segrec, f_alb, f_nrm, f_vol, L_raw = \
+                    _pk.train_wave_pallas(
+                        scene, camera, film, cfg, gopt, vopt, field, isgb,
+                        seed=jnp.uint32(seed) + jnp.uint32(wave * 7919 + 1),
+                        interpret=bool(interpret_pallas))
+                spp_done += 1
+                kimg_spp += 1
+                kimg_sum = img_w if kimg_sum is None else kimg_sum + img_w
+                pid = jnp.arange(film.npix, dtype=jnp.int32)
+                isgb = gisgb.isgb_add_samples(isgb, pid, L_raw, f_alb,
+                                              f_nrm, f_vol, pid >= 0,
+                                              half=wave % 2)
+                batch = grec.propagate(segrec)
+                total_w = float(jnp.sum(jnp.where(batch.valid,
+                                                  batch.weight, 0.0)))
+                if total_w > gopt.min_train_weight:
+                    field = gv.train_step(field, batch)
+                    if gopt.adaptive_extra:
+                        field = gfield.refine_field(field,
+                                                    gopt.refine_threshold)
+                if (wave + 1) in vopt.isgb_update_waves:
+                    isgb = gisgb.isgb_update(isgb)
+                continue
         spp_done += spp_per_pass
         film_state, isgb, batch, tr = vspg_wave(
             scene, camera, film, film_state, field, isgb, cfg, gopt, vopt,
@@ -1201,6 +1242,12 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
         if (wave + 1) in vopt.isgb_update_waves:
             isgb = gisgb.isgb_update(isgb)
     remaining = spp - spp_done
+    xla_spp = spp_done - kimg_spp
+    parts = []
+    if xla_spp > 0:
+        parts.append((film.image(film_state), xla_spp))
+    if kimg_spp > 0:
+        parts.append((kimg_sum / kimg_spp, kimg_spp))
     if remaining > 0:
         from ...ops import pallas_vspg as _pk
 
@@ -1208,12 +1255,9 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
             scene, camera, film, remaining, cfg, gopt, vopt, field, isgb,
             seed=jnp.uint32(seed) + jnp.uint32(0x9E3779B9),
             interpret=bool(interpret_pallas))
-        if spp_done == 0:
-            return img_k, field, isgb
-        img_x = film.image(film_state)
-        img = (img_x * spp_done + img_k * remaining) / spp
-        return img, field, isgb
-    return film.image(film_state), field, isgb
+        parts.append((img_k, remaining))
+    img = sum(im * w for im, w in parts) / sum(w for _, w in parts)
+    return img, field, isgb
 
 
 def _pallas_supported(scene, camera, film, cfg, gopt, vopt, field,

@@ -164,12 +164,27 @@ def pack_isgb_table(isgb, npix):
 # ---------------------------------------------------------------------------
 
 
-def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
+# training-record rows written by the record variant (one 1-spp wave):
+# per-slot rows 0-2 pos, 3-5 wi, 6 scatter weight (f/pdf, scalar), 7 pdf,
+# 8-10 NEE direct (beta-free, guiding.h:729), 11-13 MIS-weighted emission
+# (guiding.h:748-784); slot-0-only rows 14 first-event-is-volume,
+# 15-17 first-event normal (-d), feeding the ISGB sample stream.
+REC_ROWS = 18
+
+
+def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
+                      rec_depth=6):
     """Build the render-phase kernel. `c` = grid scene constants
     (pallas_volpath.extract_constants, kind == 'grid'), `gc` = guiding
     constants dict: fres, K, fb_min, fb_max, pg, mode, vsp_mis_ratio,
     guide_rr, min_rr_depth, guide_primary, guide_secondary, trained,
-    volume_guiding, max_collisions."""
+    volume_guiding, max_collisions.
+
+    record=True builds the TRAINING variant (spp must be 1): alongside the
+    image it fills a (REC_ROWS, rec_depth, sub, 128) per-block record
+    buffer with the path-segment data the guiding trainer consumes — the
+    in-kernel analog of the reference's PathSegmentStorage recording
+    (guiding.h:682-832), replacing the ~100x slower XLA training wave."""
     sa = np.asarray(c["sigma_a"], np.float32)
     ss = np.asarray(c["sigma_s"], np.float32)
     st = sa + ss
@@ -288,7 +303,17 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                     - np.log(2.0 * np.pi)
                     - np.log1p(-np.exp(-2.0 * max(kappa_h, MIN_KAPPA))))
 
-    def kernel(seed_ref, dens_ref, maj_ref, ftab_ref, isgb_ref, out_ref):
+    def kernel(seed_ref, dens_ref, maj_ref, ftab_ref, isgb_ref, out_ref,
+               *rec_refs):
+        rec_ref = rec_refs[0] if record else None
+        if record:
+            rec_ref[...] = jnp.zeros((REC_ROWS, rec_depth, sub, 128),
+                                     jnp.float32)
+
+        def rec_put(row, sl, sel, val):
+            cur = rec_ref[row, sl]
+            rec_ref[row, sl] = jnp.where(sel, val, cur)
+
         block = pl.program_id(0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
         lane_j = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
@@ -687,9 +712,11 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
         # lane performs exactly ONE shared majorant+density event per
         # iteration, whatever phase of its path it is in.
         #
-        # Per-lane mode: 0 transport/decide, 1 VSP optical-depth prepass
-        # (media_sampleTMaj.h:153-168), 2 reservoir resampling walk
-        # (media_sampleTMaj.h:183-247), 3 delta-tracking walk
+        # Per-lane mode: 0 transport/decide, 2 ONE-PASS reservoir
+        # resampling walk (media_sampleTMaj.h:183-247; the reference's
+        # optical-depth prepass :153-168 is folded into the walk itself —
+        # tau accumulates on the fly, the majorant scale comes from a
+        # one-point estimate at walk start), 3 delta-tracking walk
         # (media_sampleTMaj.h:49-117), 4/5 NEE ratio-tracking shadow walk
         # toward the point light / env (integrators.cpp:1195-1244).
 
@@ -727,13 +754,14 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             zf, zf, zf, zf,                   # 45 w_sum 46 c_t 47 c_wi 48 c_ste
             *ones3, *ones3,                   # 49..54 cn / cd (candidate)
             zi,                               # 55 has_c
-            jnp.ones_like(zf), jnp.ones_like(zf),  # 56 maj_sc, 57 vratio
+            jnp.ones_like(zf), jnp.zeros_like(zf),  # 56 maj_sc, 57 tau_acc
             zf,                               # 58 vsp_c
             *zeros3,                          # 59..61 shadow dir
             zf, zf, zf, jnp.ones_like(zf),    # 62 sh_t 63 sh_end 64 sh_pdf 65 sh_d2
             *ones3, *ones3, *ones3,           # 66..74 shT / shl / shu
             zf,                               # 75 sh_f
             jnp.ones_like(zf),                # 76 rr_srv (deferred RR)
+            zf,                               # 77 sh_fl (f_hg, record var.)
         )
 
         def cond(cy):
@@ -746,13 +774,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
              wf0, wf1, wf2, wu0, wu1, wu2, wl0, wl1, wl2,
              wT0, wT1, wT2, wr0, wr1, wr2,
              w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2, cd0, cd1, cd2,
-             has_c_i, maj_sc, vratio, vsp_c,
+             has_c_i, maj_sc, tau_acc, vsp_c,
              shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2,
              sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2, sh_f,
-             rr_srv) = cy
+             rr_srv, sh_fl) = cy
             alive = alive_i != 0
             is_sh = alive & (mode >= 4)
-            walk_pre = alive & (mode == 1)
             walk_res = alive & (mode == 2)
             walk_del = alive & (mode == 3)
             st_h = chan(st, hero)
@@ -809,6 +836,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                                L1)
                 L2 = jnp.where(with_mis, L2 + b2 * float(envL[2]) / den,
                                L2)
+                if record:
+                    # beta-free MIS-weighted emission on the edge leaving
+                    # the most recent vertex (addInfiniteLightEmission)
+                    w_mis = jnp.where(first, jnp.ones_like(zf),
+                                      ru_avg / den)
+                    for sl in range(rec_depth):
+                        s_ = escaped & (depth - 1 == sl)
+                        rec_put(11, sl, s_, float(envL[0]) * w_mis)
+                        rec_put(12, sl, s_, float(envL[1]) * w_mis)
+                        rec_put(13, sl, s_, float(envL[2]) * w_mis)
             alive = alive & ~escaped
             enter = alive & outside & hit & entering
             med = jnp.where(enter, 0, med)
@@ -861,54 +898,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                        for k in range(3))
             sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
 
-            # ===== mode 1: optical-depth prepass (no collisions) ==========
-            pre_t_new = t_walk + t_seg + 1e-6
-            w_sum = jnp.where(walk_pre, w_sum + m_raw * st_h * t_seg,
-                              w_sum)
-            pre_done = walk_pre & (pre_t_new >= wall)
-            t_walk = jnp.where(walk_pre, pre_t_new, t_walk)
-            total_len = w_sum
-            act_res = pre_done & (total_len > 0)
-            min_total = -jnp.log(jnp.maximum(1.0 - vsp_c, 1e-6))
-            maj_sc = jnp.where(
-                act_res & (min_total > total_len),
-                min_total / jnp.maximum(total_len, 1e-30),
-                jnp.where(pre_done, one, maj_sc))
-            total_eff = jnp.maximum(total_len, min_total)
-            vratio = jnp.where(
-                pre_done,
-                vsp_c / jnp.maximum(1.0 - jnp.exp(-total_eff), 1e-6),
-                vratio)
-            pre_pass = pre_done & ~act_res  # vacuum along the ray
-            # reservoir-walk init
-            mode = jnp.where(act_res, 2, mode)
-            t_walk = jnp.where(act_res, zf, t_walk)
-            w_sum = jnp.where(pre_done, zf, w_sum)
-            wf0 = jnp.where(act_res, one, wf0)
-            wf1 = jnp.where(act_res, one, wf1)
-            wf2 = jnp.where(act_res, one, wf2)
-            wu0 = jnp.where(act_res, one, wu0)
-            wu1 = jnp.where(act_res, one, wu1)
-            wu2 = jnp.where(act_res, one, wu2)
-            wl0 = jnp.where(act_res, one, wl0)
-            wl1 = jnp.where(act_res, one, wl1)
-            wl2 = jnp.where(act_res, one, wl2)
-            wT0 = jnp.where(act_res, one, wT0)
-            wT1 = jnp.where(act_res, one, wT1)
-            wT2 = jnp.where(act_res, one, wT2)
-            wr0 = jnp.where(act_res, one, wr0)
-            wr1 = jnp.where(act_res, one, wr1)
-            wr2 = jnp.where(act_res, one, wr2)
-            c_t = jnp.where(act_res, zf, c_t)
-            c_wi = jnp.where(act_res, zf, c_wi)
-            c_ste = jnp.where(act_res, zf, c_ste)
-            cn0 = jnp.where(act_res, one, cn0)
-            cn1 = jnp.where(act_res, one, cn1)
-            cn2 = jnp.where(act_res, one, cn2)
-            cd0 = jnp.where(act_res, one, cd0)
-            cd1 = jnp.where(act_res, one, cd1)
-            cd2 = jnp.where(act_res, one, cd2)
-            has_c = (has_c_i != 0) & ~act_res
+            has_c = has_c_i != 0
 
             # ===== modes 4/5: one shadow ratio-tracking step ===============
             s_coll = is_sh & coll
@@ -964,6 +954,17 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                 L0 = jnp.where(okp, L0 + b0 * sT0 * float(lI[0]) * w, L0)
                 L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w, L1)
                 L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
+                if record:
+                    # beta-free direct at the vertex (_combine_ld local:
+                    # r_p == 1 in the MIS denominator)
+                    den_lp = jnp.maximum(
+                        avg3((sl0 * pmf, sl1 * pmf, sl2 * pmf)), 1e-30)
+                    wl_ = sh_fl / (sh_d2 * den_lp)
+                    for sl in range(rec_depth):
+                        s_ = okp & (depth - 1 == sl)
+                        rec_put(8, sl, s_, sT0 * float(lI[0]) * wl_)
+                        rec_put(9, sl, s_, sT1 * float(lI[1]) * wl_)
+                        rec_put(10, sl, s_, sT2 * float(lI[2]) * wl_)
             if has_env:
                 oke = s_dead & (mode == 5)
                 p_l = pmf * INV_4PI
@@ -975,6 +976,23 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                 L0 = jnp.where(oke, L0 + b0 * sT0 * float(envL[0]) * w, L0)
                 L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w, L1)
                 L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w, L2)
+                if record:
+                    den_le = jnp.maximum(
+                        avg3((sl0 * p_l + su0 * sh_pdf,
+                              sl1 * p_l + su1 * sh_pdf,
+                              sl2 * p_l + su2 * sh_pdf)), 1e-30)
+                    wl_ = sh_fl / den_le
+                    for sl in range(rec_depth):
+                        s_ = oke & (depth - 1 == sl)
+                        cur0 = rec_ref[8, sl]
+                        rec_put(8, sl, s_, cur0 + sT0 * float(envL[0])
+                                * wl_)
+                        cur1 = rec_ref[9, sl]
+                        rec_put(9, sl, s_, cur1 + sT1 * float(envL[1])
+                                * wl_)
+                        cur2 = rec_ref[10, sl]
+                        rec_put(10, sl, s_, cur2 + sT2 * float(envL[2])
+                                * wl_)
             mode = jnp.where(s_dead, 0, mode)
 
             # ===== mode 3: one delta-tracking step =========================
@@ -1028,6 +1046,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             t_walk = jnp.where(walk_del, del_t_new, t_walk)
 
             # ===== mode 2: one reservoir-resampling step ===================
+            # One-pass TPU adaptation of the reference's TWO-pass resampling
+            # route (media_sampleTMaj.h:153-181 walks the whole segment once
+            # just to sum the majorant optical depth before the collision
+            # walk): the reservoir walk always continues to the far wall, so
+            # the majorant optical depth is accumulated DURING the walk and
+            # the volume-ratio weight is formed at conclusion instead.
+            # Halves the volume traversals per guided segment; the RIS
+            # weights stay self-consistent, so the estimator is unbiased.
+            tau_acc = jnp.where(walk_res, tau_acc + m_raw * st_h * step,
+                                tau_acc)
             r_coll = walk_res & coll
             r_tail = walk_res & ~coll
             live_r = walk_res
@@ -1107,6 +1135,10 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                               jnp.where(hero == 1, wr1, wr2))
             surf_wi = tr_hf
             adj = res_done & (tr_hf < 1) & (tr_hf > 0) & (w_sum > 0)
+            # volume ratio from the ACTUAL scaled optical depth the walk
+            # traversed (prepass-free: tau accumulated in-walk above)
+            vratio = vsp_c / jnp.maximum(
+                1.0 - jnp.exp(-maj_sc * tau_acc), 1e-6)
             vol_ratio = (vratio * mis_ratio
                          + (1.0 - tr_hf) * (1.0 - mis_ratio))
             surf_ratio = 1.0 - vol_ratio
@@ -1169,7 +1201,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                             jnp.where(res_done, rl2 * rfl2, rl2))
             scat_w = d_real | r_scat
             term_w = d_died | r_dead
-            passed = d_passed | pre_pass | pick_surf
+            passed = d_passed | pick_surf
             t_sc = jnp.where(d_real, t_walk, c_t)  # delta: t at the real
             alive = alive & ~term_w
             depth_exceeded = scat_w & (depth >= max_depth)
@@ -1207,19 +1239,53 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                 vsp = jnp.where(~primary, v_sec, vsp)
             guide = in_med & (vsp >= 0.0)
             vsp_c = jnp.where(in_med, jnp.clip(vsp, 0.001, 0.999), vsp_c)
-            mode = jnp.where(in_med, jnp.where(guide, 1, 3), mode)
+            mode = jnp.where(in_med, jnp.where(guide, 2, 3), mode)
             t_walk = jnp.where(in_med, zf, t_walk)
             w_sum = jnp.where(in_med, zf, w_sum)
-            init_w = in_med & ~guide  # delta factors init
-            wf0 = jnp.where(init_w, one, wf0)
-            wf1 = jnp.where(init_w, one, wf1)
-            wf2 = jnp.where(init_w, one, wf2)
-            wu0 = jnp.where(init_w, one, wu0)
-            wu1 = jnp.where(init_w, one, wu1)
-            wu2 = jnp.where(init_w, one, wu2)
-            wl0 = jnp.where(init_w, one, wl0)
-            wl1 = jnp.where(init_w, one, wl1)
-            wl2 = jnp.where(init_w, one, wl2)
+            tau_acc = jnp.where(in_med, zf, tau_acc)
+            # majorant scale for the guided walk: a ONE-point stochastic
+            # estimate of the segment's majorant optical depth replaces
+            # the reference's exact prepass (media_sampleTMaj.h:170-181).
+            # The scale only shapes importance — an estimate costs some
+            # variance in thin regions, never bias; the clip bounds the
+            # collision blowup when the estimate runs low.
+            u_m0, _, _, _ = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
+            m_pt = maj_dens_at(ox + u_m0 * wall * dx,
+                               oy + u_m0 * wall * dy,
+                               oz + u_m0 * wall * dz)
+            tau_e = m_pt * st_h * wall
+            min_total = -jnp.log(jnp.maximum(1.0 - vsp_c, 1e-6))
+            maj_sc = jnp.where(
+                guide,
+                jnp.clip(min_total / jnp.maximum(tau_e, 1e-6), 1.0, 16.0),
+                jnp.where(in_med, one, maj_sc))
+            # per-walk state init (delta + reservoir share wf/wu/wl)
+            wf0 = jnp.where(in_med, one, wf0)
+            wf1 = jnp.where(in_med, one, wf1)
+            wf2 = jnp.where(in_med, one, wf2)
+            wu0 = jnp.where(in_med, one, wu0)
+            wu1 = jnp.where(in_med, one, wu1)
+            wu2 = jnp.where(in_med, one, wu2)
+            wl0 = jnp.where(in_med, one, wl0)
+            wl1 = jnp.where(in_med, one, wl1)
+            wl2 = jnp.where(in_med, one, wl2)
+            wT0 = jnp.where(guide, one, wT0)
+            wT1 = jnp.where(guide, one, wT1)
+            wT2 = jnp.where(guide, one, wT2)
+            wr0 = jnp.where(guide, one, wr0)
+            wr1 = jnp.where(guide, one, wr1)
+            wr2 = jnp.where(guide, one, wr2)
+            c_t = jnp.where(guide, zf, c_t)
+            c_wi = jnp.where(guide, zf, c_wi)
+            c_ste = jnp.where(guide, zf, c_ste)
+            cn0 = jnp.where(guide, one, cn0)
+            cn1 = jnp.where(guide, one, cn1)
+            cn2 = jnp.where(guide, one, cn2)
+            cd0 = jnp.where(guide, one, cd0)
+            cd1 = jnp.where(guide, one, cd1)
+            cd2 = jnp.where(guide, one, cd2)
+            has_c = has_c & ~guide
 
             # -- scatter processing: guided RR + NEE + direction -----------
             use_guide = scat & valid_q & vol_guiding
@@ -1355,6 +1421,26 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             dy = jnp.where(scat, wvy, dy)
             dz = jnp.where(scat, wvz, dz)
 
+            if record:
+                # new vertex slot (record_vertex): depth was incremented
+                # at this scatter, so the slot index is depth-1; vertices
+                # beyond rec_depth are dropped, matching the XLA recorder
+                for sl in range(rec_depth):
+                    s_ = scat & (depth - 1 == sl)
+                    rec_put(0, sl, s_, sx)
+                    rec_put(1, sl, s_, sy)
+                    rec_put(2, sl, s_, sz)
+                    rec_put(3, sl, s_, wvx)
+                    rec_put(4, sl, s_, wvy)
+                    rec_put(5, sl, s_, wvz)
+                    rec_put(6, sl, s_, scale_v)
+                    rec_put(7, sl, s_, pdf_v)
+                f1_ = scat & (depth == 1)  # ISGB first-event data
+                rec_put(14, 0, f1_, one)
+                rec_put(15, 0, f1_, wox)
+                rec_put(16, 0, f1_, woy)
+                rec_put(17, 0, f1_, woz)
+
             # shadow-walk setup for the pending NEE (folds with the
             # POST-continuation beta, so sh_f = f_hg / scale_v)
             nee_go = nee_act & alive
@@ -1368,6 +1454,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
             sh_d2 = jnp.where(nee_go, dist2, sh_d2)
             sh_f = jnp.where(nee_go,
                              f_hg / jnp.maximum(scale_v, 1e-30), sh_f)
+            sh_fl = jnp.where(nee_go, f_hg, sh_fl)
             sT0 = jnp.where(nee_go, one, sT0)
             sT1 = jnp.where(nee_go, one, sT1)
             sT2 = jnp.where(nee_go, one, sT2)
@@ -1423,10 +1510,10 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False):
                     wf0, wf1, wf2, wu0, wu1, wu2, wl0, wl1, wl2,
                     wT0, wT1, wT2, wr0, wr1, wr2,
                     w_sum, c_t, c_wi, c_ste, cn0, cn1, cn2, cd0, cd1, cd2,
-                    has_c.astype(jnp.int32), maj_sc, vratio, vsp_c,
+                    has_c.astype(jnp.int32), maj_sc, tau_acc, vsp_c,
                     shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2,
                     sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2, sh_f,
-                    rr_srv)
+                    rr_srv, sh_fl)
 
         final = jax.lax.while_loop(cond, body, carry)
         a0, a1, a2 = final[24], final[25], final[26]
@@ -1477,10 +1564,11 @@ def guiding_constants(field, gopt, vopt, trained=None):
     )
 
 
-def _get_callable(c, gc, spp, sub, interpret, tiled=False):
+def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
+                  rec_depth=6):
     key = (tuple(sorted((k, v) for k, v in c.items())),
            tuple(sorted((k, v) for k, v in gc.items())), spp, sub,
-           interpret, tiled)
+           interpret, tiled, record, rec_depth)
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1492,11 +1580,23 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False):
     n_cc = max(-(-FC // 128), 1)
     P_ROWS = 8 * int(gc["K"]) + 8 \
         + (5 if gc.get("n_extra", 0) else 0)
-    kernel = _make_vspg_kernel(c, gc, spp, sub, tiled)
+    kernel = _make_vspg_kernel(c, gc, spp, sub, tiled, record=record,
+                               rec_depth=rec_depth)
+    out_shape = jax.ShapeDtypeStruct((3, npix // 128, 128), jnp.float32)
+    out_spec = pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+    if record:
+        assert spp == 1, "record variant runs one training sample per lane"
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (REC_ROWS, rec_depth, npix // 128, 128), jnp.float32))
+        out_spec = (out_spec,
+                    pl.BlockSpec((REC_ROWS, rec_depth, sub, 128),
+                                 lambda b: (0, 0, b, 0),
+                                 memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        out_shape=jax.ShapeDtypeStruct((3, npix // 128, 128), jnp.float32),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   (pl.BlockSpec((128, -(-(-(-nvox // 128)) // 8) * 8),
                                 lambda b: (0, 0),
@@ -1521,8 +1621,7 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False):
                                 memory_space=pltpu.VMEM)),
                   pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=interpret,
     )
 
@@ -1543,10 +1642,15 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False):
             itab = itab.reshape(3, npix)[:, pid_perm] \
                 .reshape(3, npix // 128, 128)
         out = call(sm, dens, maj, ftab, itab)
+        rec = None
+        if record:
+            out, rec = out
+            rec = rec.reshape(REC_ROWS, rec_depth, npix)
         flat = jnp.transpose(out, (1, 2, 0)).reshape(npix, 3)
         if tiled:
             flat = flat[inv_perm]
-        return flat.reshape(c["ny"], c["nx"], 3)
+        img = flat.reshape(c["ny"], c["nx"], 3)
+        return (img, rec) if record else img
 
     _KERNEL_CACHE[key] = fn
     return fn
@@ -1631,6 +1735,63 @@ def pack_kernel_inputs(scene, field, crit, field_mxu=None):
     else:
         maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
     return dens, maj, ftab
+
+
+def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
+                      seed, interpret=False, sub=None):
+    """One 1-spp TRAINING wave through the megakernel.
+
+    Returns (image, SegmentRecord, first_albedo, first_normal, first_vol)
+    — the same artifacts vspg_wave produces on the XLA path, ~100x
+    faster. The guiding field/ISGB passed in steer this wave's sampling
+    (the reference's progressive per-wave training,
+    guidedvolpathvspgintegrator.cpp:230-259)."""
+    from ..models.guiding.recording import SegmentRecord
+
+    c = extract_constants(scene, camera, film, cfg)
+    if c is None or c["kind"] != "grid" or c.get("n_tri", 0):
+        raise ValueError("scene not supported by the VSPG megakernel")
+    gc = guiding_constants(field, gopt, vopt)
+    dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion,
+                                         field_mxu=gc["field_mxu"])
+    npix = c["nx"] * c["ny"]
+    itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
+    if sub is None:
+        sub = 8
+        while npix % (sub * 128) != 0:
+            sub //= 2
+    D = int(gopt.record_depth)
+    fn = _get_callable(c, gc, 1, sub, bool(interpret), tiled=False,
+                       record=True, rec_depth=D)
+    img, rec = fn(jnp.asarray(seed, jnp.uint32), dens, maj, ftab, itab)
+    # rec rows -> SegmentRecord (R=npix lanes, D slots); edge distances
+    # from consecutive vertex positions (record_vertex closes the edge the
+    # same way); unset distances fall through to propagate()'s 1e6 default
+    pos = jnp.moveaxis(rec[0:3], 0, -1).transpose(1, 0, 2)  # (npix,D,3)
+    wi = jnp.moveaxis(rec[3:6], 0, -1).transpose(1, 0, 2)
+    sw = rec[6].T[..., None] * jnp.ones(3)
+    pdf = rec[7].T
+    direct = jnp.moveaxis(rec[8:11], 0, -1).transpose(1, 0, 2)
+    emission = jnp.moveaxis(rec[11:14], 0, -1).transpose(1, 0, 2)
+    valid = pdf > 0
+    nxt = jnp.concatenate([valid[:, 1:], jnp.zeros_like(valid[:, :1])], 1)
+    dpos = jnp.concatenate([pos[:, 1:] - pos[:, :-1],
+                            jnp.zeros_like(pos[:, :1])], 1)
+    dist = jnp.where(nxt, jnp.sqrt(jnp.maximum(
+        jnp.sum(dpos * dpos, -1), 0.0)), 0.0)
+    segrec = SegmentRecord(pos=pos, wi=wi, scatter_w=sw, direct=direct,
+                           emission=emission, pdf=pdf, distance=dist,
+                           is_volume=valid, valid=valid,
+                           count=jnp.sum(valid, 1).astype(jnp.int32))
+    first_vol = rec[14, 0] > 0.5
+    first_normal = jnp.moveaxis(rec[15:18, 0], 0, -1)  # (npix, 3)
+    alb = np.asarray(c["sigma_s"], np.float32) / np.maximum(
+        np.asarray(c["sigma_s"], np.float32)
+        + np.asarray(c["sigma_a"], np.float32), 1e-12)
+    first_albedo = first_vol[:, None] * jnp.asarray(alb)
+    # un-scale the film image back to raw per-lane L for the ISGB stream
+    L_raw = img.reshape(npix, 3) / c["imaging_ratio"]
+    return img, segrec, first_albedo, first_normal, first_vol, L_raw
 
 
 def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,

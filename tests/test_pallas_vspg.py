@@ -316,7 +316,8 @@ def test_record_kernel_matches_plain_and_trains():
     isgb = ISGB.make((RES, RES), "variance", "atrous")
     # wave 1 (untrained) + wave 2 (guided): records sane, image identical
     for w in range(2):
-        img_r, segrec, f_alb, f_nrm, f_vol, L_raw = pk.train_wave_pallas(
+        (img_r, segrec, f_alb, f_nrm, f_vol, L_raw,
+         _pk_tables) = pk.train_wave_pallas(
             scene, cam, film, _CFG, _GOPT, vopt, field, isgb,
             seed=jnp.uint32(w * 7919 + 1), interpret=True)
         img_p = pk.render_vspg_pallas(scene, cam, film, 1, _CFG, _GOPT,

@@ -1184,6 +1184,7 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
     kimg_sum = None
     kimg_spp = 0
     ktrain_ok = None  # lazily evaluated: scene qualifies for kernel train
+    _packed = None  # packed (dens, maj) reused across kernel train waves
     for wave in range(spp // spp_per_pass):
         do_train = train and int(field.iteration) < gopt.train_waves
         if not do_train and use_pallas and _pallas_supported(
@@ -1199,11 +1200,12 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
             if ktrain_ok:
                 from ...ops import pallas_vspg as _pk
 
-                img_w, segrec, f_alb, f_nrm, f_vol, L_raw = \
+                img_w, segrec, f_alb, f_nrm, f_vol, L_raw, _packed = \
                     _pk.train_wave_pallas(
                         scene, camera, film, cfg, gopt, vopt, field, isgb,
                         seed=jnp.uint32(seed) + jnp.uint32(wave * 7919 + 1),
-                        interpret=bool(interpret_pallas))
+                        interpret=bool(interpret_pallas),
+                        packed_scene=_packed)
                 spp_done += 1
                 kimg_spp += 1
                 kimg_sum = img_w if kimg_sum is None else kimg_sum + img_w

@@ -2403,6 +2403,9 @@ def _get_callable(c, spp, interpret):
     return fn
 
 
+_PACK_CACHE = {}
+
+
 def render_homog_pallas(scene, camera, film, spp, cfg, seed,
                         interpret=False):
     """Render via the megakernel (homogeneous OR single-grid scene class).
@@ -2416,30 +2419,39 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
         raise ValueError("npix must be a multiple of 128")
     if c["kind"] == "grid":
         gm = scene.media.grids[0]
-        if c["dens_pack"] == "mxu":
-            dens = jnp.asarray(pack_i8_transposed(
-                np.asarray(gm.density), np.asarray(gm.majorant),
-                c["grid_res"], c["maj_res"]))
-        elif c["dens_pack"] == "i8":
-            dens = jnp.asarray(pack_i8_quads(
-                np.asarray(gm.density), np.asarray(gm.majorant),
-                c["grid_res"], c["maj_res"]))
+        # identity-keyed pack cache: equal-time wave loops call this with
+        # the SAME scene object every wave — re-packing + re-uploading the
+        # grid tables through the relay would dominate short launches
+        # (entries hold a strong scene ref so `is` identity stays valid)
+        hit = _PACK_CACHE.get(c["dens_pack"])
+        if hit is not None and hit[0] is scene:
+            dens, maj, tris = hit[1]
         else:
-            dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density),
-                                               "down"))
-        if c["dens_pack"] == "mxu":
-            maj = jnp.asarray(pack_bf16_transposed(np.asarray(gm.majorant),
-                                                   "up"))
-        else:
-            maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant),
-                                              "up"))
+            if c["dens_pack"] == "mxu":
+                dens = jnp.asarray(pack_i8_transposed(
+                    np.asarray(gm.density), np.asarray(gm.majorant),
+                    c["grid_res"], c["maj_res"]))
+            elif c["dens_pack"] == "i8":
+                dens = jnp.asarray(pack_i8_quads(
+                    np.asarray(gm.density), np.asarray(gm.majorant),
+                    c["grid_res"], c["maj_res"]))
+            else:
+                dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density),
+                                                   "down"))
+            if c["dens_pack"] == "mxu":
+                maj = jnp.asarray(pack_bf16_transposed(
+                    np.asarray(gm.majorant), "up"))
+            else:
+                maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant),
+                                                  "up"))
+            tris = (jnp.asarray(pack_tri_table(scene))
+                    if c.get("n_tri", 0) else None)
+            _PACK_CACHE[c["dens_pack"]] = (scene, (dens, maj, tris))
         # chunk spp across kernel launches: the fused DDA kernel's runtime
         # scales with spp and long launches can trip the TPU watchdog
         nvox = int(np.prod(c["grid_res"]))
         per_launch = GRID_SPP_CHUNK if nvox <= 32768 else GRID_SPP_CHUNK_BIG
         chunk = int(spp) if interpret else min(int(spp), per_launch)
-        tris = (jnp.asarray(pack_tri_table(scene))
-                if c.get("n_tri", 0) else None)
         imgs = []
         done = 0
         while done < int(spp):

@@ -1136,9 +1136,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             surf_wi = tr_hf
             adj = res_done & (tr_hf < 1) & (tr_hf > 0) & (w_sum > 0)
             # volume ratio from the ACTUAL scaled optical depth the walk
-            # traversed (prepass-free: tau accumulated in-walk above)
-            vratio = vsp_c / jnp.maximum(
-                1.0 - jnp.exp(-maj_sc * tau_acc), 1e-6)
+            # traversed (prepass-free: tau accumulated in-walk above).
+            # The exact prepass guarantees achieved-P >= vsp so vratio <= 1
+            # (media_sampleTMaj.h:170-181); with an ESTIMATED scale the
+            # walk can undershoot — clamp to keep the surface candidate's
+            # RIS weight non-negative (a negative weight silently drops
+            # the transmitted contribution on thin rays: measured as a
+            # relMSE floor at the cloud edges)
+            vratio = jnp.minimum(
+                vsp_c / jnp.maximum(1.0 - jnp.exp(-maj_sc * tau_acc),
+                                    1e-6), 1.0)
             vol_ratio = (vratio * mis_ratio
                          + (1.0 - tr_hf) * (1.0 - mis_ratio))
             surf_ratio = 1.0 - vol_ratio
@@ -1681,14 +1688,20 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     return npix % 128 == 0
 
 
-def pack_kernel_inputs(scene, field, crit, field_mxu=None):
+def pack_kernel_inputs(scene, field, crit, field_mxu=None,
+                       packed_scene=None):
     """Host-side table packing shared by the single-chip and sharded
     renderers: returns (dens, maj, ftab) device arrays (bf16-pair-packed;
     the field table packs row PAIRS unpacked by static parity).
 
     ``field_mxu`` should be the gc['field_mxu'] snapshot taken by
     guiding_constants so one read governs both the packed layout and the
-    kernel's expectation (defaults to the module flag for standalone use)."""
+    kernel's expectation (defaults to the module flag for standalone use).
+
+    ``packed_scene``: optional (dens, maj) pair from a previous call on
+    the SAME scene — skips re-packing and re-uploading the density and
+    majorant tables (they never change across training waves; only the
+    field table does)."""
     if field_mxu is None:
         field_mxu = FIELD_MXU
     ftab_np = pack_field_table(field, crit)  # (P, C)
@@ -1712,6 +1725,9 @@ def pack_kernel_inputs(scene, field, crit, field_mxu=None):
         words = (r[0::2, :] & 0xFFFF) | (r[1::2, :] << 16)
         ftab = jnp.asarray(np.ascontiguousarray(words).view(np.float32)
                            .reshape(-1, 128))
+    if packed_scene is not None:
+        dens, maj = packed_scene
+        return dens, maj, ftab
     gm = scene.media.grids[0]
     from . import pallas_volpath as _pv
 
@@ -1738,14 +1754,15 @@ def pack_kernel_inputs(scene, field, crit, field_mxu=None):
 
 
 def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
-                      seed, interpret=False, sub=None):
+                      seed, interpret=False, sub=None, packed_scene=None):
     """One 1-spp TRAINING wave through the megakernel.
 
-    Returns (image, SegmentRecord, first_albedo, first_normal, first_vol)
-    — the same artifacts vspg_wave produces on the XLA path, ~100x
-    faster. The guiding field/ISGB passed in steer this wave's sampling
-    (the reference's progressive per-wave training,
-    guidedvolpathvspgintegrator.cpp:230-259)."""
+    Returns (image, SegmentRecord, first_albedo, first_normal, first_vol,
+    L_raw, (dens, maj)) — the same artifacts vspg_wave produces on the
+    XLA path, ~100x faster, plus the packed scene tables to feed back via
+    ``packed_scene`` on subsequent waves. The guiding field/ISGB passed
+    in steer this wave's sampling (the reference's progressive per-wave
+    training, guidedvolpathvspgintegrator.cpp:230-259)."""
     from ..models.guiding.recording import SegmentRecord
 
     c = extract_constants(scene, camera, film, cfg)
@@ -1753,7 +1770,8 @@ def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
     dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion,
-                                         field_mxu=gc["field_mxu"])
+                                         field_mxu=gc["field_mxu"],
+                                         packed_scene=packed_scene)
     npix = c["nx"] * c["ny"]
     itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
     if sub is None:
@@ -1791,7 +1809,16 @@ def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
     first_albedo = first_vol[:, None] * jnp.asarray(alb)
     # un-scale the film image back to raw per-lane L for the ISGB stream
     L_raw = img.reshape(npix, 3) / c["imaging_ratio"]
-    return img, segrec, first_albedo, first_normal, first_vol, L_raw
+    return (img, segrec, first_albedo, first_normal, first_vol, L_raw,
+            (dens, maj))
+
+
+# frozen-phase input cache: repeated equal-time waves call
+# render_vspg_pallas with the SAME scene/field/isgb objects — re-packing
+# and re-uploading the density/majorant/field/ISGB tables every wave
+# costs more than the kernel itself through the relay. Entries hold
+# strong refs to the keyed objects so `is` identity stays valid.
+_INPUT_CACHE = {}
 
 
 def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
@@ -1802,10 +1829,19 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
     if c is None or c["kind"] != "grid" or c.get("n_tri", 0):
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
-    dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion,
-                                         field_mxu=gc["field_mxu"])
     npix = c["nx"] * c["ny"]
-    itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
+    ck = (vopt.vsp_criterion, gc["field_mxu"], npix)
+    hit = _INPUT_CACHE.get(ck)
+    if (hit is not None and hit[0] is scene and hit[1] is field
+            and hit[2] is isgb):
+        dens, maj, ftab, itab = hit[3]
+    else:
+        dens, maj, ftab = pack_kernel_inputs(
+            scene, field, vopt.vsp_criterion, field_mxu=gc["field_mxu"])
+        itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
+        _INPUT_CACHE[ck] = (scene, field, isgb, (dens, maj, ftab, itab))
+        if len(_INPUT_CACHE) > 8:
+            _INPUT_CACHE.pop(next(iter(_INPUT_CACHE)))
     if sub is None:
         sub = 8
         while npix % (sub * 128) != 0:

@@ -620,6 +620,91 @@ def bench_config5m():
     }
 
 
+def bench_config5v():
+    """The paper's actual teaser claim: VSPG vs delta-tracking volpath on
+    the transparent-machines-in-cloud scene class at equal TIME
+    (guidedvolpathvspgintegrator.cpp:262-630 — gbsdf.init + SampleLd +
+    VSP distance sampling in one path loop over surfaces-in-media;
+    images/teaser-transparent-machines.png). Both competitors run their
+    fused megakernels (ops/pallas_vspg now serves triangles: SMEM
+    Moller-Trumbore sweep + guided-BSDF surface sampling); the VSPG
+    field+ISGB train untimed per the reference's cached-guiding workflow."""
+    from vspg_pbrt_v4_tpu.models import materials as M
+    from vspg_pbrt_v4_tpu.models.film import relmse as relmse_fn
+    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
+    from vspg_pbrt_v4_tpu.models.integrators import vspg
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+
+    res, budget = 128, 6.0
+    base = _pyro_cloud_scene()
+    mats = M.Materials.build([
+        dict(type=M.DIFFUSE, albedo=(0.65, 0.3, 0.2)),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.75, 0.5), roughness=0.0),
+    ])
+    geom = Geometry.build(
+        triangles=_machine_tris(),
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    scene = volpath.Scene(geom, mats, base.media, base.lights)
+    camera = _camera(res)
+    film = RGBFilm.make((res, res))
+    cfg = volpath.VolPathConfig(max_depth=48, max_events=256,
+                                max_collisions=4096)
+    ref = np.asarray(jax.device_get(volpath.render_persistent(
+        scene, camera, film, spp=2048, cfg=cfg, seed=999,
+        lanes_per_pixel=1)))
+
+    def timed_accum(run_wave, wave_spp):
+        jax.device_get(run_wave(0)[0, 0])  # compile + warm (untimed)
+        t0 = time.perf_counter()
+        acc, n_done, w = None, 0, 0
+        while time.perf_counter() - t0 < budget:
+            img = run_wave(w + 1)
+            acc = img if acc is None else acc + img
+            jax.device_get(acc[0, 0])
+            n_done += wave_spp
+            w += 1
+        return np.asarray(jax.device_get(acc)) / w, n_done
+
+    wave = 64
+    vol_img, vol_spp = timed_accum(
+        lambda s: volpath.render_persistent(scene, camera, film, spp=wave,
+                                            cfg=cfg, seed=s,
+                                            lanes_per_pixel=1), wave)
+    e_vol = float(relmse_fn(vol_img, ref))
+
+    gopt = gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
+                              min_train_weight=16.0)
+    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    _, field, isgb = vspg.render_vspg(
+        scene, camera, film, spp=48, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        spp_per_pass=1, use_pallas=False)
+
+    def vspg_wave(s):
+        img, _, _ = vspg.render_vspg(
+            scene, camera, film, spp=wave, cfg=cfg, gopt=gopt, vopt=vopt,
+            seed=s + 100, spp_per_pass=wave, field=field, isgb=isgb,
+            train=False)
+        return img
+
+    vspg_img, vspg_spp = timed_accum(vspg_wave, wave)
+    e_vspg = float(relmse_fn(vspg_img, ref))
+    ratio = e_vol / max(e_vspg, 1e-12)
+    return {
+        "metric": "vspg_teaser_machines_equal_time",
+        "value": round(ratio, 3),
+        "unit": "relMSE ratio at equal time (>1: VSPG wins)",
+        "vs_baseline": round(ratio, 3),
+        "relmse_volpath": round(e_vol, 5),
+        "relmse_vspg": round(e_vspg, 5),
+        "spp_volpath": vol_spp,
+        "spp_vspg": vspg_spp,
+        "budget_s": budget,
+        "n_tri": 48,
+    }
+
+
 def bench_config5b():
     """BASELINE config 5's literal protocol: equal-TIME wave loop at 1080p
     (cpu/integrators.cpp:113-231 --time budget semantics). Renders fogbox
@@ -676,8 +761,8 @@ def main():
     print(f"# bench_config1 {time.perf_counter() - t00:.0f}s",
           file=sys.stderr, flush=True)
     for fn in (bench_config2, bench_config2b, bench_config3, bench_config4,
-               bench_config5, bench_config5t, bench_config5m,
-               bench_config5b, bench_config6):
+               bench_config5, bench_config5t, bench_config5v,
+               bench_config5m, bench_config5b, bench_config6):
         t0 = time.perf_counter()
         try:
             print(json.dumps(fn()), flush=True)

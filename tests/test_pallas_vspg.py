@@ -343,3 +343,115 @@ def test_record_kernel_matches_plain_and_trains():
         isgb = gisgb.isgb_update(isgb)
     assert int(field.iteration) == 2
     assert float(np.asarray(field.volume.vsp_n).sum()) > 0
+
+
+def _machines_scene(env_L=(0.12, 0.14, 0.16), point=((0.0, 0.4, 2.2),
+                                                     (20.0,) * 3)):
+    """Tiny transparent-machines proxy: glass + metal + diffuse cubes
+    inside the test cloud (the teaser scene class,
+    guidedvolpathvspgintegrator.cpp:262-630)."""
+    from vspg_pbrt_v4_tpu.models import materials as M
+
+    def cube(c, h, mat):
+        cx, cy, cz = c
+        v = {}
+        for i in range(8):
+            v[i] = (cx + (h if i & 1 else -h), cy + (h if i & 2 else -h),
+                    cz + (h if i & 4 else -h))
+        faces = [(0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5), (0, 4, 5),
+                 (0, 5, 1), (2, 3, 7), (2, 7, 6), (0, 2, 6), (0, 6, 4),
+                 (1, 5, 7), (1, 7, 3)]
+        return [dict(p0=v[a], p1=v[b], p2=v[cc], mat=mat, light=-1,
+                     med_in=-1, med_out=0) for (a, b, cc) in faces]
+
+    mats = M.Materials.build([
+        dict(type=M.DIFFUSE, albedo=(0.65, 0.3, 0.2)),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.75, 0.5), roughness=0.0),
+    ])
+    tris = (cube((0.0, -0.2, 0.0), 0.3, 1) + cube((-0.4, 0.2, 0.1), 0.15, 2)
+            + cube((0.4, 0.3, -0.2), 0.15, 0))
+    gm = GridMedium.make(_cloud_density(), [0.1] * 3, [1.5] * 3,
+                         (-1, -1, -1), (1, 1, 1), g=0.3, maj_res=8)
+    geom = Geometry.build(
+        triangles=tris,
+        boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
+                    med_in=0, med_out=-1)])
+    lights = Lights.make(point_p=[point[0]], point_I=[point[1]],
+                         env_L=list(env_L), world_radius=100.0)
+    return volpath.Scene(geom, mats, Media.make(grids=(gm,)), lights)
+
+
+def test_kernel_teaser_triangles_matches_xla():
+    """VSPG megakernel on the teaser scene class (triangles in the
+    medium, guided-BSDF surface sampling): the trained-frozen kernel and
+    XLA renders are independent unbiased estimators of the same scene —
+    per-half means must agree within MC noise. The paper's flagship
+    configuration (VSPG on the transparent machines,
+    guidedvolpathvspgintegrator.cpp:262-630) on the fast path."""
+    scene = _machines_scene()
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    cfg = volpath.VolPathConfig(max_depth=16, max_events=64)
+    gopt = gvp.GuidingOptions(mode="ris", field_res=4, record_depth=6,
+                              min_train_weight=8.0)
+    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    from vspg_pbrt_v4_tpu.models.guiding.field import GuidingField
+
+    assert GuidingField is not None
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=6, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        spp_per_pass=1, use_pallas=False, train_pallas=False)
+    assert pk.supports(scene, cam, film, cfg, gopt, vopt, field)
+    img_k = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 96, cfg, gopt, vopt, field, isgb, seed=3,
+        interpret=True))
+    assert np.isfinite(img_k).all()
+    ref = np.asarray(volpath.render(scene, cam, film, spp=192, seed=11,
+                                    spp_per_pass=8, cfg=cfg))
+    h = RES // 2
+    for sy in (slice(0, h), slice(h, RES)):
+        a = ref[sy].mean()
+        b = img_k[sy].mean()
+        assert abs(a - b) < 0.10 * max(a, 0.05), (a, b)
+
+
+def test_record_kernel_triangles_trains():
+    """Training records on the teaser scene class: surface vertices ride
+    with is_volume=False (they train the surface half, guiding.h:786),
+    first-event albedo comes from the material at surface first hits,
+    and the training image equals the plain kernel image at the seed."""
+    import jax.numpy as jnp
+
+    from vspg_pbrt_v4_tpu.models.guiding import field as gfield
+    from vspg_pbrt_v4_tpu.models.guiding import recording as grec
+    from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gv
+
+    scene = _machines_scene()
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    cfg = volpath.VolPathConfig(max_depth=16, max_events=64)
+    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    field = gfield.GuidingField.make((-1.1,) * 3, (1.1,) * 3, res=4,
+                                     n_lobes=4)
+    isgb = ISGB.make((RES, RES), "variance", "atrous")
+    (img_r, segrec, f_alb, f_nrm, f_vol, L_raw,
+     _tabs) = pk.train_wave_pallas(
+        scene, cam, film, cfg, _GOPT, vopt, field, isgb, seed=7,
+        interpret=True)
+    img_p = pk.render_vspg_pallas(scene, cam, film, 1, cfg, _GOPT, vopt,
+                                  field, isgb, seed=7, interpret=True)
+    np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_p),
+                               rtol=1e-6)
+    valid = np.asarray(segrec.valid)
+    is_vol = np.asarray(segrec.is_volume)
+    assert valid.any()
+    assert (valid & ~is_vol).any()  # some diffuse surface vertices
+    assert (valid & is_vol).any()
+    # scatter weights at surface vertices carry the albedo tint
+    sw = np.asarray(segrec.scatter_w)
+    srf = valid & ~is_vol
+    assert not np.allclose(sw[srf][:, 0], sw[srf][:, 1])
+    batch = grec.propagate(segrec)
+    assert bool(jnp.isfinite(jnp.where(batch.valid, batch.weight,
+                                       0.0)).all())
+    field2 = gv.train_step(field, batch)
+    assert float(np.asarray(field2.surface.stats_w).sum()) >= 0.0

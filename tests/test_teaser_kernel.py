@@ -90,14 +90,41 @@ def test_teaser_kernel_matches_volpath():
     assert np.mean(np.abs(img.mean(-1) - ref.mean(-1))) / denom < 0.15
 
 
-def test_teaser_rejects_rough_surface_mats():
-    """Rough conductor pushes the scene out of the fused class (falls back
-    to the general path)."""
+def test_teaser_rejects_rough_dielectric():
+    """Rough dielectric stays out of the fused class (falls back to the
+    general path); rough conductor and CookTorrance are served."""
     scene, camera, film, cfg = _teaser_scene()
     mats = M.Materials.build([
         dict(type=M.DIFFUSE, albedo=(0.7, 0.4, 0.2)),
-        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
-        dict(type=M.CONDUCTOR, albedo=(0.9, 0.7, 0.4), roughness=0.2),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.2),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.7, 0.4), roughness=0.0),
     ])
     scene = scene._replace(materials=mats)
     assert pv.extract_constants(scene, camera, film, cfg) is None
+
+
+def test_teaser_kernel_rough_ct_matches_volpath():
+    """Round-4: Trowbridge-Reitz rough conductor + the fork's
+    CookTorrance (bxdfs.cpp:78-183) inside the fused kernel — VNDF
+    sampling, glossy NEE and MIS all in-kernel
+    (wavefront/surfscatter.cpp generality). Cross-estimator: mean must
+    match the general jnp wavefront path."""
+    scene, camera, film, cfg = _teaser_scene()
+    mats = M.Materials.build([
+        dict(type=M.COOK_TORRANCE, albedo=(0.7, 0.4, 0.2), eta=1.5,
+             roughness=0.3),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.7, 0.4), roughness=0.25),
+    ])
+    scene = scene._replace(materials=mats)
+    c = pv.extract_constants(scene, camera, film, cfg)
+    assert c is not None and c["n_tri"] == 36
+    ref = np.asarray(volpath.render(scene, camera, film, spp=48, seed=3,
+                                    spp_per_pass=8, cfg=cfg))
+    img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48, cfg,
+                                            seed=7, interpret=True))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / max(float(ref.mean()), 1e-9)
+    assert rel < 0.035, (img.mean(), ref.mean())
+    denom = np.maximum(ref.mean(), 1e-3)
+    assert np.mean(np.abs(img.mean(-1) - ref.mean(-1))) / denom < 0.15

@@ -87,6 +87,12 @@ class VSPGOptions(NamedTuple):
     vsp_criterion: str = "variance"  # "variance" | "contribution"
     guide_rr: bool = True
     min_rr_depth: int = 1
+    # megakernel guided-walk collision-budget cap: the walk majorant is
+    # scaled only up to -log(1-cap) expected collisions per segment (the
+    # reference's exact-prepass scale targets the full vsp clamp 0.999 =
+    # ~6.9 collisions; on TPU each collision is a block-wide iteration —
+    # PERF.md round-4 ablation). Importance-only: estimator stays unbiased.
+    scale_vsp_cap: float = 0.95
     denoiser: str = "atrous"  # ISGB denoiser: "atrous" | "unet"
     isgb_update_waves: tuple = (1, 2, 4, 8, 16, 32, 64, 128)
     calculate_tr_buffer: bool = True

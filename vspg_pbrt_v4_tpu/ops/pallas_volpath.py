@@ -191,10 +191,12 @@ def extract_constants(scene, camera, film, cfg):
             at = np.asarray(mats.albedo_tex)
             for mid in np.unique(mat_ids):
                 kind = int(mt[mid])
-                if kind not in (0, 1, 2):  # DIFFUSE/CONDUCTOR/DIELECTRIC
+                # DIFFUSE / CONDUCTOR (smooth or Trowbridge-Reitz rough)
+                # / smooth DIELECTRIC / COOK_TORRANCE (fork glossy)
+                if kind not in (0, 1, 2, 11):
                     return None
-                if kind in (1, 2) and float(rough[mid]) >= 1e-3:
-                    return None  # smooth (delta) lobes only
+                if kind == 2 and float(rough[mid]) >= 1e-3:
+                    return None  # rough dielectric: XLA path
                 if int(at[mid]) >= 0:
                     return None
         if int(np.asarray(g.box_mat)[0]) >= 0:
@@ -321,6 +323,8 @@ def extract_constants(scene, camera, film, cfg):
                 for row in np.asarray(mats.albedo, np.float32))
             c["mat_eta"] = tuple(float(v)
                                  for v in np.asarray(mats.eta, np.float32))
+            c["mat_rough"] = tuple(
+                float(v) for v in np.asarray(mats.roughness, np.float32))
         return c
     except Exception:
         return None
@@ -1159,7 +1163,14 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
         mat_kind = tuple(c["mat_kind"])
         mat_alb = np.asarray(c["mat_albedo"], np.float32).reshape(-1, 3)
         mat_eta = tuple(float(v) for v in c["mat_eta"])
+        mat_rough = tuple(float(v) for v in c.get(
+            "mat_rough", (0.0,) * len(mat_kind)))
         n_mat = len(mat_kind)
+        # Trowbridge-Reitz lanes present? (rough conductor / CookTorrance;
+        # wavefront/surfscatter.cpp generality, util/scattering.h math)
+        any_rough = any(
+            (mat_kind[i] == 1 and mat_rough[i] >= 1e-3)
+            or mat_kind[i] == 11 for i in range(n_mat))
     npix_k = c["nx"] * c["ny"]
     if mixed:
         assert spp % ppl == 0 and (npix_k & (npix_k - 1)) == 0 and nx_pow2
@@ -1837,6 +1848,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 alb1 = zf
                 alb2 = zf
                 eta_l = jnp.ones_like(zf)
+                rough_l = zf
                 for mi_ in range(n_mat):
                     selm = hmat == mi_
                     kind_l = jnp.where(selm, mat_kind[mi_], kind_l)
@@ -1844,6 +1856,8 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                     alb1 = jnp.where(selm, float(mat_alb[mi_, 1]), alb1)
                     alb2 = jnp.where(selm, float(mat_alb[mi_, 2]), alb2)
                     eta_l = jnp.where(selm, max(mat_eta[mi_], 1e-3), eta_l)
+                    rough_l = jnp.where(selm, max(mat_rough[mi_], 1e-4),
+                                        rough_l)
                 # depth cap applies to surface bounces too
                 # (integrators.cpp:1060 `if (depth++ == maxDepth) break`)
                 s_exceed = hit_s & (depth >= max_depth)
@@ -1851,8 +1865,50 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 hit_s = hit_s & ~s_exceed
                 depth = jnp.where(hit_s, depth + 1, depth)
                 shade_df = hit_s & (kind_l == 0)
-                shade_co = hit_s & (kind_l == 1)
+                smooth_l = rough_l < 1e-3
+                shade_co = hit_s & (kind_l == 1) & smooth_l
                 shade_dl = hit_s & (kind_l == 2)
+                if any_rough:
+                    # Trowbridge-Reitz glossy lanes: rough conductor
+                    # (bxdfs.h ConductorBxDF) + CookTorrance (fork,
+                    # bxdfs.cpp:78-183) — NEE-capable non-delta lobes
+                    shade_cr = hit_s & (kind_l == 1) & ~smooth_l
+                    shade_ct = hit_s & (kind_l == 11)
+                    glossy = shade_cr | shade_ct
+                    # local shading frame + microfacet helpers (all
+                    # component-wise; util/scattering.h math)
+                    (g1x, g1y, g1z), (g2x, g2y, g2z) = _coord_system(
+                        nsx, nsy, nsz)
+
+                    def to_loc(vx, vy, vz):
+                        return (vx * g1x + vy * g1y + vz * g1z,
+                                vx * g2x + vy * g2y + vz * g2z,
+                                vx * nsx + vy * nsy + vz * nsz)
+
+                    def to_wld(lx, ly, lz):
+                        return (lx * g1x + ly * g2x + lz * nsx,
+                                lx * g1y + ly * g2y + lz * nsy,
+                                lx * g1z + ly * g2z + lz * nsz)
+
+                    alpha_l = rough_l
+
+                    def tr_d_z(mz2):
+                        # D from cos^2(theta_m); tan2 = (1-c2)/c2
+                        c2 = jnp.maximum(mz2, 1e-8)
+                        t2 = (1.0 - c2) / c2
+                        a2 = alpha_l * alpha_l
+                        e = 1.0 + t2 / a2
+                        return 1.0 / (np.pi * a2 * c2 * c2 * e * e)
+
+                    def tr_lam(wz):
+                        c2 = jnp.clip(wz * wz, 1e-8, 1.0)
+                        t2 = (1.0 - c2) / c2
+                        return 0.5 * (jnp.sqrt(
+                            1.0 + alpha_l * alpha_l * t2) - 1.0)
+
+                    wo_lx, wo_ly, wo_lz = to_loc(wox, woy, woz)
+                else:
+                    glossy = jnp.zeros((sub, 128), bool)
             else:
                 shade_df = jnp.zeros((sub, 128), bool)
                 hit_s = shade_df
@@ -1892,9 +1948,72 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             if n_tri:
                 cosn = wix * nsx + wiy * nsy + wiz * nsz
                 nee_srf = shade_df & (cosn > 0)
+                if any_rough:
+                    # glossy NEE: Trowbridge-Reitz f + pdf at the light
+                    # sample (bxdfs.h ConductorBxDF::f/PDF, CookTorrance
+                    # bxdfs.cpp:127-183)
+                    def frd(ci, eta):
+                        ci_ = jnp.clip(ci, 0.0, 1.0)
+                        s2 = (1.0 - ci_ * ci_) / jnp.maximum(
+                            eta * eta, 1e-12)
+                        tir = s2 >= 1.0
+                        ct_ = jnp.sqrt(jnp.maximum(1.0 - s2, 0.0))
+                        rp = (eta * ci_ - ct_) / jnp.maximum(
+                            eta * ci_ + ct_, 1e-12)
+                        rq = (ci_ - eta * ct_) / jnp.maximum(
+                            ci_ + eta * ct_, 1e-12)
+                        return jnp.where(tir, 1.0,
+                                         0.5 * (rp * rp + rq * rq))
+
+                    nee_glo = glossy & (cosn > 0)
+                    wi_lx, wi_ly, wi_lz = to_loc(wix, wiy, wiz)
+                    hmx = wo_lx + wi_lx
+                    hmy = wo_ly + wi_ly
+                    hmz = wo_lz + wi_lz
+                    hmx, hmy, hmz = _normalize(hmx, hmy, hmz)
+                    hsg = jnp.where(hmz < 0, -1.0, 1.0)
+                    hmx, hmy, hmz = hmx * hsg, hmy * hsg, hmz * hsg
+                    Dm_n = tr_d_z(hmz * hmz)
+                    lam_o = tr_lam(wo_lz)
+                    lam_i = tr_lam(wi_lz)
+                    G1o = 1.0 / (1.0 + lam_o)
+                    G2 = 1.0 / (1.0 + lam_o + lam_i)
+                    zo_s = jnp.maximum(jnp.abs(wo_lz), 1e-6)
+                    zi_s = jnp.maximum(jnp.abs(wi_lz), 1e-6)
+                    pdf_spec_n = G1o * Dm_n / (4.0 * zo_s)
+                    c_owm = jnp.abs(wo_lx * hmx + wo_ly * hmy
+                                    + wo_lz * hmz)
+                    omcw = jnp.clip(1.0 - c_owm, 0.0, 1.0)
+                    omcw5 = omcw * omcw * omcw * omcw * omcw
+                    spec_c = Dm_n * G2 / (4.0 * zo_s * zi_s)
+                    F_ct_n = frd(c_owm, eta_l)
+                    pr_ct = frd(jnp.abs(wo_lz), eta_l)
+                    # per-channel f at the NEE direction
+                    fne0 = jnp.where(
+                        shade_ct,
+                        spec_c * F_ct_n + alb0 * INV_PI * (1.0 - F_ct_n),
+                        spec_c * (alb0 + (1.0 - alb0) * omcw5))
+                    fne1 = jnp.where(
+                        shade_ct,
+                        spec_c * F_ct_n + alb1 * INV_PI * (1.0 - F_ct_n),
+                        spec_c * (alb1 + (1.0 - alb1) * omcw5))
+                    fne2 = jnp.where(
+                        shade_ct,
+                        spec_c * F_ct_n + alb2 * INV_PI * (1.0 - F_ct_n),
+                        spec_c * (alb2 + (1.0 - alb2) * omcw5))
+                    pdf_glo = jnp.where(
+                        shade_ct,
+                        pr_ct * pdf_spec_n
+                        + (1.0 - pr_ct) * jnp.maximum(cosn, 0.0) * INV_PI,
+                        pdf_spec_n)
+                    nee_srf = nee_srf | nee_glo
+                else:
+                    nee_glo = jnp.zeros((sub, 128), bool)
                 nee_act = nee_vol | nee_srf
                 pdf_w = jnp.where(nee_srf, jnp.maximum(cosn, 0.0) * INV_PI,
                                   f_hg)
+                if any_rough:
+                    pdf_w = jnp.where(nee_glo, pdf_glo, pdf_w)
                 # the walk folds with the POST-continuation beta (it
                 # already carries the albedo of this bounce), so the NEE
                 # value is f_nee / w_continuation = cos/pi for diffuse
@@ -1991,6 +2110,110 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 wty = dy * inv_er + (cos_o * inv_er - cos_t) * nsy
                 wtz = dz * inv_er + (cos_o * inv_er - cos_t) * nsz
                 wtx, wty, wtz = _normalize(wtx, wty, wtz)
+                if any_rough:
+                    # Trowbridge-Reitz VNDF sampling (Heitz 2018;
+                    # scattering.h Sample_wm) in the local frame
+                    u_r0, u_r1, u_r2, _ = _uniform4(seed_a, pix_c, samp,
+                                                    dim)
+                    dim = dim + _U32(1)
+                    whx = alpha_l * wo_lx
+                    why = alpha_l * wo_ly
+                    whz = wo_lz
+                    whx, why, whz = _normalize(whx, why, whz)
+                    sgn_h = jnp.where(whz < 0, -1.0, 1.0)
+                    whx, why, whz = whx * sgn_h, why * sgn_h, whz * sgn_h
+                    tlen = jnp.sqrt(jnp.maximum(whx * whx + why * why,
+                                                1e-18))
+                    big_z = whz > 0.999999
+                    t1hx = jnp.where(big_z, 1.0, -why / tlen)
+                    t1hy = jnp.where(big_z, 0.0, whx / tlen)
+                    t2hx = -whz * t1hy
+                    t2hy = whz * t1hx
+                    t2hz = whx * t1hy - why * t1hx
+                    r_d = jnp.sqrt(u_r0)
+                    ph_d = (2.0 * np.pi) * u_r1
+                    px_d = r_d * jnp.cos(ph_d)
+                    py_d = r_d * jnp.sin(ph_d)
+                    h_d = jnp.sqrt(jnp.maximum(1.0 - px_d * px_d, 0.0))
+                    mixz = (1.0 + whz) * 0.5
+                    py_d = mixz * py_d + (1.0 - mixz) * h_d
+                    pz_d = jnp.sqrt(jnp.maximum(
+                        1.0 - px_d * px_d - py_d * py_d, 0.0))
+                    nhx = px_d * t1hx + py_d * t2hx + pz_d * whx
+                    nhy = px_d * t1hy + py_d * t2hy + pz_d * why
+                    nhz = px_d * 0.0 + py_d * t2hz + pz_d * whz
+                    wmx = alpha_l * nhx
+                    wmy = alpha_l * nhy
+                    wmz = jnp.maximum(nhz, 1e-6)
+                    wmx, wmy, wmz = _normalize(wmx, wmy, wmz)
+                    owm_s = wo_lx * wmx + wo_ly * wmy + wo_lz * wmz
+                    rix = 2.0 * owm_s * wmx - wo_lx
+                    riy = 2.0 * owm_s * wmy - wo_ly
+                    riz = 2.0 * owm_s * wmz - wo_lz
+                    # CookTorrance lobe pick: Fresnel(cos_o) chooses the
+                    # glossy vs Lambertian lobe (bxdfs.cpp:78-126);
+                    # the diffuse branch reuses the cosine sample (lx,
+                    # ly, lz) already drawn for shade_df lanes
+                    pr_s = frd(jnp.abs(wo_lz), eta_l)
+                    take_spec = shade_cr | (shade_ct & (u_r2 < pr_s))
+                    wi_glx = jnp.where(take_spec, rix, lx)
+                    wi_gly = jnp.where(take_spec, riy, ly)
+                    wi_glz = jnp.where(take_spec, riz, lz)
+                    ziL = wi_glz
+                    # f + pdf at the SAMPLED wi (eval half-vector)
+                    hsx = wo_lx + wi_glx
+                    hsy = wo_ly + wi_gly
+                    hsz = wo_lz + wi_glz
+                    hsx, hsy, hsz = _normalize(hsx, hsy, hsz)
+                    hsg2 = jnp.where(hsz < 0, -1.0, 1.0)
+                    hsx, hsy, hsz = hsx * hsg2, hsy * hsg2, hsz * hsg2
+                    Dm_s = tr_d_z(hsz * hsz)
+                    lam_i2 = tr_lam(ziL)
+                    G2s = 1.0 / (1.0 + lam_o + lam_i2)
+                    zi_c = jnp.maximum(jnp.abs(ziL), 1e-6)
+                    pdf_spec_s = G1o * Dm_s / (4.0 * zo_s)
+                    c_owm_s = jnp.abs(wo_lx * hsx + wo_ly * hsy
+                                      + wo_lz * hsz)
+                    omcs = jnp.clip(1.0 - c_owm_s, 0.0, 1.0)
+                    omcs5 = omcs * omcs * omcs * omcs * omcs
+                    spec_s = Dm_s * G2s / (4.0 * zo_s * zi_c)
+                    F_ct_s = frd(c_owm_s, eta_l)
+                    fg0 = jnp.where(
+                        shade_ct,
+                        spec_s * F_ct_s + alb0 * INV_PI * (1.0 - F_ct_s),
+                        spec_s * (alb0 + (1.0 - alb0) * omcs5))
+                    fg1 = jnp.where(
+                        shade_ct,
+                        spec_s * F_ct_s + alb1 * INV_PI * (1.0 - F_ct_s),
+                        spec_s * (alb1 + (1.0 - alb1) * omcs5))
+                    fg2 = jnp.where(
+                        shade_ct,
+                        spec_s * F_ct_s + alb2 * INV_PI * (1.0 - F_ct_s),
+                        spec_s * (alb2 + (1.0 - alb2) * omcs5))
+                    pdf_gs = jnp.where(
+                        shade_ct,
+                        pr_s * pdf_spec_s
+                        + (1.0 - pr_s) * zi_c * INV_PI,
+                        pdf_spec_s)
+                    valid_g = (ziL > 1e-6) & (pdf_gs > 1e-12)
+                    pdf_gs = jnp.maximum(pdf_gs, 1e-12)
+                    inv_pgs = 1.0 / pdf_gs
+                    # invalid samples: continuation weight collapses to
+                    # TINY so the pending NEE fold (shf = f_nee/w_cont)
+                    # still reconstructs the exact product; the lane is
+                    # then RR-killed at its next path event (beta ~ 0)
+                    TINY_G = 1e-18
+                    wg0 = jnp.where(valid_g, fg0 * ziL * inv_pgs, TINY_G)
+                    wg1 = jnp.where(valid_g, fg1 * ziL * inv_pgs, TINY_G)
+                    wg2 = jnp.where(valid_g, fg2 * ziL * inv_pgs, TINY_G)
+                    wi_wx, wi_wy, wi_wz = to_wld(wi_glx, wi_gly, wi_glz)
+                    # pending glossy NEE: fold value = f_nee*cos / w_cont
+                    shf0 = jnp.where(nee_glo, fne0 * cosn
+                                     / jnp.maximum(wg0, 1e-30), shf0)
+                    shf1 = jnp.where(nee_glo, fne1 * cosn
+                                     / jnp.maximum(wg1, 1e-30), shf1)
+                    shf2 = jnp.where(nee_glo, fne2 * cosn
+                                     / jnp.maximum(wg2, 1e-30), shf2)
                 # select outgoing direction + weights per material kind
                 go_refl = shade_co | (shade_dl & refl_dl)
                 n_dx = jnp.where(shade_df, wdfx,
@@ -1999,6 +2222,10 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                                  jnp.where(go_refl, wry, wty))
                 n_dz = jnp.where(shade_df, wdfz,
                                  jnp.where(go_refl, wrz, wtz))
+                if any_rough:
+                    n_dx = jnp.where(glossy, wi_wx, n_dx)
+                    n_dy = jnp.where(glossy, wi_wy, n_dy)
+                    n_dz = jnp.where(glossy, wi_wz, n_dz)
                 # beta: diffuse *= albedo; conductor *= Schlick(F0=albedo);
                 # dielectric reflect *= 1, transmit *= 1/eta_rel^2
                 omc = (1.0 - cos_o)
@@ -2019,18 +2246,28 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                                  jnp.where(shade_co, fs2,
                                            jnp.where(refl_dl, 1.0,
                                                      trans_sc)))
+                if any_rough:
+                    w_b0 = jnp.where(glossy, wg0, w_b0)
+                    w_b1 = jnp.where(glossy, wg1, w_b1)
+                    w_b2 = jnp.where(glossy, wg2, w_b2)
                 b0 = jnp.where(hit_s, b0 * w_b0, b0)
                 b1 = jnp.where(hit_s, b1 * w_b1, b1)
                 b2 = jnp.where(hit_s, b2 * w_b2, b2)
-                # MIS bookkeeping: diffuse rl = ru/pdf; delta lobes rl = ru
+                # MIS bookkeeping: diffuse/glossy rl = ru/pdf; delta
+                # lobes rl = ru
                 inv_pdf_df = 1.0 / pdf_df
-                rl0 = jnp.where(hit_s, jnp.where(shade_df,
+                if any_rough:
+                    inv_pdf_df = jnp.where(glossy, inv_pgs, inv_pdf_df)
+                    nondelta = shade_df | glossy
+                else:
+                    nondelta = shade_df
+                rl0 = jnp.where(hit_s, jnp.where(nondelta,
                                                  ru0 * inv_pdf_df, ru0),
                                 rl0)
-                rl1 = jnp.where(hit_s, jnp.where(shade_df,
+                rl1 = jnp.where(hit_s, jnp.where(nondelta,
                                                  ru1 * inv_pdf_df, ru1),
                                 rl1)
-                rl2 = jnp.where(hit_s, jnp.where(shade_df,
+                rl2 = jnp.where(hit_s, jnp.where(nondelta,
                                                  ru2 * inv_pdf_df, ru2),
                                 rl2)
                 # medium switch on dielectric transmission (per-tri
@@ -2048,7 +2285,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 dy = jnp.where(hit_s, n_dy, dy)
                 dz = jnp.where(hit_s, n_dz, dz)
                 spec_last = jnp.where(hit_s,
-                                      jnp.where(shade_df, 0, 1), spec_last)
+                                      jnp.where(nondelta, 0, 1), spec_last)
                 rr_pend = jnp.where(hit_s, 1, rr_pend)
                 t_surf = jnp.where(hit_s | scat, _BIG, t_surf)
                 needs_i = jnp.where(hit_s | scat, 1, needs_i)

@@ -42,7 +42,8 @@ from .pallas_volpath import (_BIG, INV_4PI, STOCH_TRILERP_MAX_EXACT, _U32,
                              extract_constants, make_mxu_lookup,
                              make_mxu_lookup_i8, make_stoch_density_fn,
                              pack_bf16_pairs, pack_bf16_transposed,
-                             pack_i8_quads, pack_i8_transposed)
+                             pack_i8_quads, pack_i8_transposed,
+                             pack_tri_table as _pv_pack_tri_table)
 
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
@@ -54,6 +55,13 @@ MAX_KAPPA = 2e3
 # take_along_axis sweep. Same bf16 parameter precision as the packed-pair
 # table (mu still renormalized after fetch).
 FIELD_MXU = True
+# kernel-table lobe budget: the packed tables carry only each leaf's
+# top-K_PACK lobes by weight (renormalized). Sampling and every pdf the
+# kernel evaluates use the SAME truncated mixture, so the estimator stays
+# consistent/unbiased — the truncation only approximates the trained
+# guiding distribution (vMF transcendental cost scales linearly in K;
+# PERF.md round-4 ablation). None = pack all lobes.
+K_PACK = 4
 _LUM = (0.2126, 0.7152, 0.0722)
 
 
@@ -62,7 +70,8 @@ _LUM = (0.2126, 0.7152, 0.0722)
 # ---------------------------------------------------------------------------
 
 
-def pack_field_table(field, criterion="variance"):
+def pack_field_table(field, criterion="variance", with_surface=False,
+                     k_top=None):
     """Flatten the frozen volume half into a (P, L) f32 table over all
     L = res^3 + n_extra LEAVES.
 
@@ -73,14 +82,45 @@ def pack_field_table(field, criterion="variance"):
     the criterion (variance | contribution) pre-applied exactly as
     guiding/field._gather_half.
 
+    with_surface=True (teaser scenes: triangles in the medium) appends the
+    SURFACE half's rows in the same layout right after the volume rows —
+    both halves share the spatial tree, so one MXU fetch returns the whole
+    column for guided-BSDF sampling at surface hits (guiding.h:57-358).
+
     Adaptive fields (n_extra > 0, the OpenPGL kd-tree analog) append 5
     indirection rows indexed by COARSE cell id, split into <=128-valued
     halves so they survive the bf16 pack exactly:
     [leaf_of_hi, leaf_of_lo, child_base_hi, child_base_lo, refined]."""
+    rows = _pack_half_rows(field, field.volume, criterion, k_top)
+    if with_surface:
+        rows += _pack_half_rows(field, field.surface, criterion, k_top)
+    C = field.res ** 3
+    L = C + int(field.n_extra)
+    if field.n_extra:
+        lo_of = np.asarray(field.leaf_of, np.int64)
+        cb = np.asarray(field.child_base, np.int64)
+        rf = np.asarray(field.refined).astype(np.float32)
+
+        def split(v):
+            pad = np.zeros(L, np.float32)
+            hi = pad.copy()
+            lo = pad.copy()
+            hi[:C] = (v >> 7).astype(np.float32)
+            lo[:C] = (v & 127).astype(np.float32)
+            return hi, lo
+
+        of_hi, of_lo = split(lo_of)
+        cb_hi, cb_lo = split(cb)
+        rfp = np.zeros(L, np.float32)
+        rfp[:C] = rf
+        rows += [of_hi, of_lo, cb_hi, cb_lo, rfp]
+    return np.stack(rows, 0).astype(np.float32)  # (P, L)
+
+
+def _pack_half_rows(field, vol, criterion, k_top=None):
     C = field.res ** 3
     L = C + int(field.n_extra)
     K = field.n_lobes
-    vol = field.volume
     w = np.asarray(vol.weights, np.float32)[:L]
     mu = np.asarray(vol.mu, np.float32)[:L]
     kap = np.asarray(vol.kappa, np.float32)[:L]
@@ -89,6 +129,21 @@ def pack_field_table(field, criterion="variance"):
     dist = sd / np.maximum(sw, 1e-12)
     vlv = np.asarray(vol.vsp_lobe_vol, np.float32)[:L]
     vls = np.asarray(vol.vsp_lobe_surf, np.float32)[:L]
+    if k_top is not None and k_top < K:
+        # keep each leaf's top-k lobes by weight, renormalized to the
+        # original mixture mass (K_PACK doc above)
+        order = np.argsort(-w, axis=1)[:, :k_top]  # (L, k)
+        li = np.arange(L)[:, None]
+        tot = w.sum(1, keepdims=True)
+        w = w[li, order]
+        w = w * tot / np.maximum(w.sum(1, keepdims=True), 1e-20)
+        mu = mu[li, order]
+        kap = kap[li, order]
+        sw = sw[li, order]
+        dist = dist[li, order]
+        vlv = vlv[li, order]
+        vls = vls[li, order]
+        K = k_top
     valid = (sw.sum(-1) > 8.0).astype(np.float32)
     n = np.maximum(np.asarray(vol.vsp_n, np.float32)[:L], 1.0)
     c_vol = np.asarray(vol.vsp_c_vol, np.float32)[:L] / n
@@ -125,25 +180,7 @@ def pack_field_table(field, criterion="variance"):
                  dist[:, k], vlv[:, k], vls[:, k]]
     rows += [valid, vsp.astype(np.float32), flux[:, 0], flux[:, 1],
              flux[:, 2], centers[:, 0], centers[:, 1], centers[:, 2]]
-    if field.n_extra:
-        lo_of = np.asarray(field.leaf_of, np.int64)
-        cb = np.asarray(field.child_base, np.int64)
-        rf = np.asarray(field.refined).astype(np.float32)
-
-        def split(v):
-            pad = np.zeros(L, np.float32)
-            hi = pad.copy()
-            lo = pad.copy()
-            hi[:C] = (v >> 7).astype(np.float32)
-            lo[:C] = (v & 127).astype(np.float32)
-            return hi, lo
-
-        of_hi, of_lo = split(lo_of)
-        cb_hi, cb_lo = split(cb)
-        rfp = np.zeros(L, np.float32)
-        rfp[:C] = rf
-        rows += [of_hi, of_lo, cb_hi, cb_lo, rfp]
-    return np.stack(rows, 0).astype(np.float32)  # (P, L)
+    return rows
 
 
 def pack_isgb_table(isgb, npix):
@@ -165,11 +202,16 @@ def pack_isgb_table(isgb, npix):
 
 
 # training-record rows written by the record variant (one 1-spp wave):
-# per-slot rows 0-2 pos, 3-5 wi, 6 scatter weight (f/pdf, scalar), 7 pdf,
+# per-slot rows 0-2 pos, 3-5 wi, 6 scatter weight R (f/pdf), 7 pdf,
 # 8-10 NEE direct (beta-free, guiding.h:729), 11-13 MIS-weighted emission
 # (guiding.h:748-784); slot-0-only rows 14 first-event-is-volume,
-# 15-17 first-event normal (-d), feeding the ISGB sample stream.
-REC_ROWS = 18
+# 15-17 first-event normal (-d or surface ns), feeding the ISGB sample
+# stream; per-slot row 18 vertex-is-volume (surface vertices train the
+# surface half, guiding.h:786/810); slot-0-only rows 19-21 first-event
+# albedo (medium single-scatter albedo / material albedo); per-slot rows
+# 22-23 scatter weight G/B (channel-dependent at textured/diffuse surface
+# vertices; equal to row 6 at volume vertices).
+REC_ROWS = 24
 
 
 def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
@@ -226,6 +268,11 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
     nx_shift = int(np.log2(nx)) if nx_pow2 else 0
     LB = sub * 128
 
+    # teaser scene class constants (must precede the field-table layout:
+    # surface rows double P_ROWS)
+    n_tri = int(c.get("n_tri", 0))
+    with_surf = n_tri > 0
+
     # guiding constants
     fres = int(gc["fres"])
     K = int(gc["K"])
@@ -234,10 +281,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
     FC = fres ** 3
     FL = FC + n_extra  # leaf count (adaptive two-level field)
     n_cell_chunks = max(-(-FL // 128), 1)
-    P_ROWS = 8 * K + 8
+    P_HALF = 8 * K + 8
+    P_ROWS = P_HALF * (2 if with_surf else 1)
     P_TOT = P_ROWS + (5 if adaptive else 0)
     fmxu = bool(gc.get("field_mxu", False))
     assert fmxu or not adaptive, "adaptive fields need the MXU field path"
+    assert fmxu or not with_surf, "surface rows need the MXU field path"
     FCp = max(-(-FL // 128), 1) * 128
     P_pad = -(-P_TOT // 8) * 8
     fb0 = tuple(float(v) for v in gc["fb_min"])
@@ -259,6 +308,25 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                             0.0, MAX_KAPPA))
     hg_sign = 1.0 if g_hg >= 0 else -1.0
     apply_hg_product = abs(g_hg) > 1e-3
+
+    # teaser scene class: triangles (diffuse / smooth-dielectric /
+    # smooth-conductor) inside the medium, with guided-BSDF sampling at
+    # diffuse hits (GuidedBSDF, guiding.h:57-358). The field table then
+    # carries BOTH halves (volume rows, then surface rows).
+    if n_tri:
+        mat_kind = c["mat_kind"]
+        mat_alb = np.asarray(c["mat_albedo"], np.float32)
+        mat_eta = c["mat_eta"]
+        n_mat = len(mat_kind)
+        # vMF approximation of the clamped-cosine lobe (vmf.COSINE_KAPPA,
+        # OpenPGL ApplyCosineProduct)
+        kappa_cos = 2.18853
+        log_c_cos = float(np.log(kappa_cos) - np.log(2.0 * np.pi)
+                          - np.log1p(-np.exp(-2.0 * kappa_cos)))
+    surf_guide = (with_surf and bool(gc.get("surface_guiding", True))
+                  and bool(gc["trained"]))
+    scale_vsp_cap = float(gc.get("scale_vsp_cap", 0.95))
+    INV_PI = float(1.0 / np.pi)
 
     def chan(vec3, h):
         return jnp.where(h == 0, float(vec3[0]),
@@ -303,9 +371,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     - np.log(2.0 * np.pi)
                     - np.log1p(-np.exp(-2.0 * max(kappa_h, MIN_KAPPA))))
 
-    def kernel(seed_ref, dens_ref, maj_ref, ftab_ref, isgb_ref, out_ref,
-               *rec_refs):
-        rec_ref = rec_refs[0] if record else None
+    def kernel(seed_ref, dens_ref, maj_ref, ftab_ref, isgb_ref, *rest):
+        if n_tri:
+            tris_ref = rest[0]
+            rest = rest[1:]
+        out_ref = rest[0]
+        rec_ref = rest[1] if record else None
         if record:
             rec_ref[...] = jnp.zeros((REC_ROWS, rec_depth, sub, 128),
                                      jnp.float32)
@@ -498,6 +569,48 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 t_seg = jnp.minimum(t_seg, t_axis)
             return jnp.maximum(t_seg, 1e-5)
 
+        def closest_hit(qox, qoy, qoz, qdx, qdy, qdz):
+            """Moller-Trumbore SMEM sweep (pallas_volpath idiom): returns
+            (t, ngx, ngy, ngz, mat, med_in, med_out); t=_BIG, mat=-1 on
+            miss."""
+
+            def tri(ti, carry):
+                (t_b, nxb, nyb, nzb, mb, mib, mob) = carry
+                p0x, p0y, p0z = tris_ref[ti, 0], tris_ref[ti, 1], \
+                    tris_ref[ti, 2]
+                e1x, e1y, e1z = tris_ref[ti, 3], tris_ref[ti, 4], \
+                    tris_ref[ti, 5]
+                e2x, e2y, e2z = tris_ref[ti, 6], tris_ref[ti, 7], \
+                    tris_ref[ti, 8]
+                pvx = qdy * e2z - qdz * e2y
+                pvy = qdz * e2x - qdx * e2z
+                pvz = qdx * e2y - qdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = qox - p0x, qoy - p0y, qoz - p0z
+                b1 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                b2 = (qdx * qvx + qdy * qvy + qdz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ((jnp.abs(det) > 1e-12) & (b1 >= 0.0) & (b2 >= 0.0)
+                      & (b1 + b2 <= 1.0) & (tt > 1e-4) & (tt < t_b))
+                t_b = jnp.where(ok, tt, t_b)
+                nxb = jnp.where(ok, tris_ref[ti, 9], nxb)
+                nyb = jnp.where(ok, tris_ref[ti, 10], nyb)
+                nzb = jnp.where(ok, tris_ref[ti, 11], nzb)
+                mb = jnp.where(ok, tris_ref[ti, 12].astype(jnp.int32), mb)
+                mib = jnp.where(ok, tris_ref[ti, 13].astype(jnp.int32), mib)
+                mob = jnp.where(ok, tris_ref[ti, 14].astype(jnp.int32), mob)
+                return (t_b, nxb, nyb, nzb, mb, mib, mob)
+
+            init = (jnp.full((sub, 128), _BIG, jnp.float32), zf, zf, zf,
+                    jnp.full((sub, 128), -1, jnp.int32),
+                    jnp.full((sub, 128), -1, jnp.int32),
+                    jnp.full((sub, 128), -1, jnp.int32))
+            return jax.lax.fori_loop(0, n_tri, tri, init)
+
         # -- field query --------------------------------------------------
 
         def field_query(px, py, pz):
@@ -578,34 +691,44 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     w_q = words[p // 2]
                     vals.append(_unpack_lo(w_q) if p % 2 == 0
                                 else _unpack_hi(w_q))
-            lobes = []
-            for k in range(K):
-                w_k, mux, muy, muz, kap, dstk, vlv, vls = vals[8 * k:8 * k + 8]
-                # bf16 mu is ~0.4% off unit — renormalize (kappa can be
-                # ~2e3, where exp(kappa*(dot-1)) amplifies any |mu| error)
-                mux, muy, muz = _normalize(mux, muy, muz)
-                lobes.append(dict(w=w_k, mu=(mux, muy, muz), kappa=kap,
-                                  dist=dstk, vlv=vlv, vls=vls))
-            valid = vals[8 * K] > 0.5
-            vsp_cell = vals[8 * K + 1]
-            flux = (vals[8 * K + 2], vals[8 * K + 3], vals[8 * K + 4])
-            # parallax re-aim: target = LEAF center + mu * dist, re-point
-            # at the query position (OpenPGL parallax-aware VMM); centers
-            # ride in the table so adaptive children re-aim correctly
-            ccx = vals[8 * K + 5]
-            ccy = vals[8 * K + 6]
-            ccz = vals[8 * K + 7]
-            for lb in lobes:
-                mux, muy, muz = lb["mu"]
-                tx = ccx + mux * lb["dist"] - px
-                ty = ccy + muy * lb["dist"] - py
-                tz = ccz + muz * lb["dist"] - pz
-                rx, ry, rz = _normalize(tx, ty, tz)
-                use = (lb["dist"] > 1e-6) & valid
-                lb["mu"] = (jnp.where(use, rx, mux),
-                            jnp.where(use, ry, muy),
-                            jnp.where(use, rz, muz))
-            return lobes, valid, vsp_cell, flux
+            def parse_half(base):
+                lobes = []
+                for k in range(K):
+                    (w_k, mux, muy, muz, kap, dstk, vlv,
+                     vls) = vals[base + 8 * k:base + 8 * k + 8]
+                    # bf16 mu is ~0.4% off unit — renormalize (kappa can
+                    # be ~2e3, where exp(kappa*(dot-1)) amplifies any
+                    # |mu| error)
+                    mux, muy, muz = _normalize(mux, muy, muz)
+                    lobes.append(dict(w=w_k, mu=(mux, muy, muz), kappa=kap,
+                                      dist=dstk, vlv=vlv, vls=vls))
+                valid = vals[base + 8 * K] > 0.5
+                vsp_cell = vals[base + 8 * K + 1]
+                flux = (vals[base + 8 * K + 2], vals[base + 8 * K + 3],
+                        vals[base + 8 * K + 4])
+                # parallax re-aim: target = LEAF center + mu * dist,
+                # re-point at the query position (OpenPGL parallax-aware
+                # VMM); centers ride in the table so adaptive children
+                # re-aim correctly
+                ccx = vals[base + 8 * K + 5]
+                ccy = vals[base + 8 * K + 6]
+                ccz = vals[base + 8 * K + 7]
+                for lb in lobes:
+                    mux, muy, muz = lb["mu"]
+                    tx = ccx + mux * lb["dist"] - px
+                    ty = ccy + muy * lb["dist"] - py
+                    tz = ccz + muz * lb["dist"] - pz
+                    rx, ry, rz = _normalize(tx, ty, tz)
+                    use = (lb["dist"] > 1e-6) & valid
+                    lb["mu"] = (jnp.where(use, rx, mux),
+                                jnp.where(use, ry, muy),
+                                jnp.where(use, rz, muz))
+                return lobes, valid, vsp_cell, flux
+
+            vol_half = parse_half(0)
+            if with_surf:
+                return vol_half + parse_half(P_HALF)
+            return vol_half
 
         def mixture_pdf(lobes, wx, wy, wz):
             # vmf.mixture_pdf: plain weighted sum (weights are EM-normalized)
@@ -615,24 +738,21 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 p = p + lb["w"] * vmf_pdf_e(cw_, lb["kappa"])
             return p
 
-        def product_hg(lobes, dx, dy, dz):
-            """Apply the HG-lobe vMF product (vmf.product_with_vmf with
-            mu_b = d * sign(g), kappa_b static). Returns new lobes list."""
-            if not apply_hg_product:
-                return lobes
-            mbx, mby, mbz = dx * hg_sign, dy * hg_sign, dz * hg_sign
+        def product_vmf(lobes, mbx, mby, mbz, kappa_b, log_c_b):
+            """Multiply every lobe by one vMF (vmf.product_with_vmf with a
+            static kappa_b). Returns new lobes list."""
             total_old = zf
             total_new = zf
             out = []
             for lb in lobes:
-                kmux = lb["kappa"] * lb["mu"][0] + kappa_h * mbx
-                kmuy = lb["kappa"] * lb["mu"][1] + kappa_h * mby
-                kmuz = lb["kappa"] * lb["mu"][2] + kappa_h * mbz
+                kmux = lb["kappa"] * lb["mu"][0] + kappa_b * mbx
+                kmuy = lb["kappa"] * lb["mu"][1] + kappa_b * mby
+                kmuz = lb["kappa"] * lb["mu"][2] + kappa_b * mbz
                 k_new = jnp.sqrt(jnp.maximum(
                     kmux * kmux + kmuy * kmuy + kmuz * kmuz, 1e-12))
                 inv = 1.0 / jnp.maximum(k_new, 1e-8)
-                log_s = (log_c(lb["kappa"]) + log_c_h - log_c(k_new)
-                         + (k_new - lb["kappa"] - kappa_h))
+                log_s = (log_c(lb["kappa"]) + log_c_b - log_c(k_new)
+                         + (k_new - lb["kappa"] - kappa_b))
                 w_new = lb["w"] * jnp.exp(jnp.clip(log_s, -60.0, 60.0))
                 total_old = total_old + lb["w"]
                 total_new = total_new + w_new
@@ -643,6 +763,14 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             for lb in out:
                 lb["w"] = lb["w"] * scale
             return out
+
+        def product_hg(lobes, dx, dy, dz):
+            """Apply the HG-lobe vMF product (vmf.product_with_vmf with
+            mu_b = d * sign(g), kappa_b static). Returns new lobes list."""
+            if not apply_hg_product:
+                return lobes
+            return product_vmf(lobes, dx * hg_sign, dy * hg_sign,
+                               dz * hg_sign, kappa_h, log_c_h)
 
         def mixture_sample(lobes, u_sel, u0, u1):
             """CDF lobe select + vMF sample (vmf.mixture_sample)."""
@@ -762,7 +890,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             zf,                               # 75 sh_f
             jnp.ones_like(zf),                # 76 rr_srv (deferred RR)
             zf,                               # 77 sh_fl (f_hg, record var.)
-        )
+        ) + ((jnp.full((sub, 128), _BIG, jnp.float32),  # 78 t_surf
+              zf, zf, zf,                               # 79..81 hit normal
+              jnp.full((sub, 128), -1, jnp.int32),      # 82 hit mat
+              jnp.full((sub, 128), -1, jnp.int32),      # 83 hit med_in
+              jnp.full((sub, 128), -1, jnp.int32),      # 84 hit med_out
+              jnp.ones((sub, 128), jnp.int32),          # 85 needs_isect
+              zi,                                       # 86 sh_need_occ
+              zi) if n_tri else ()) \
+          + ((zi,) if record else ()) \
+          + ((jnp.ones_like(zf),) * 3 if (record and n_tri) else ())
 
         def cond(cy):
             return jnp.any(cy[2] != 0) & (cy[27] < max_iters_u)
@@ -777,7 +914,18 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
              has_c_i, maj_sc, tau_acc, vsp_c,
              shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2,
              sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2, sh_f,
-             rr_srv, sh_fl) = cy
+             rr_srv, sh_fl) = cy[:78]
+            xi = 78
+            if n_tri:
+                (t_surf, hngx, hngy, hngz, hmat, hmi, hmo, needs_i,
+                 sh_occ, spec_last) = cy[xi:xi + 10]
+                xi += 10
+            if record:
+                rslot = cy[xi]
+                xi += 1
+            if record and n_tri:
+                ra0, ra1, ra2 = cy[xi:xi + 3]
+                xi += 3
             alive = alive_i != 0
             is_sh = alive & (mode >= 4)
             walk_res = alive & (mode == 2)
@@ -801,22 +949,62 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             b2 = jnp.where(rr_ok, b2 * inv_srv, b2)
             rr_srv = jnp.where(alive & (mode == 0), one, rr_srv)
 
+            if n_tri:
+                # ONE Moller-Trumbore sweep per iteration, serving each
+                # lane's pending query: path closest-hit (after any ray
+                # change) or NEE shadow occlusion (at walk start) —
+                # pallas_volpath teaser-kernel structure (PERF.md round-3
+                # addendum 4)
+                do_is = alive & (mode == 0) & (needs_i != 0)
+                do_oc = is_sh & (sh_occ != 0)
+                qdx = jnp.where(do_oc, shx, dx)
+                qdy = jnp.where(do_oc, shy, dy)
+                qdz = jnp.where(do_oc, shz, dz)
+                (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h) = closest_hit(
+                    ox, oy, oz, qdx, qdy, qdz)
+                t_surf = jnp.where(do_is, t_h, t_surf)
+                hngx = jnp.where(do_is, nhx, hngx)
+                hngy = jnp.where(do_is, nhy, hngy)
+                hngz = jnp.where(do_is, nhz, hngz)
+                hmat = jnp.where(do_is, m_h, hmat)
+                hmi = jnp.where(do_is, mi_h, hmi)
+                hmo = jnp.where(do_is, mo_h, hmo)
+                needs_i = jnp.where(do_is, 0, needs_i)
+                # point lights occlude up to the light, env to infinity
+                occ_t = jnp.where(mode == 4, jnp.sqrt(sh_d2), _BIG)
+                blocked = do_oc & (t_h < occ_t - 1e-4)
+                mode = jnp.where(blocked, 0, mode)
+                sh_occ = jnp.where(do_oc, 0, sh_occ)
+                is_sh = alive & (mode >= 4)
+                stall = do_is
+            else:
+                stall = jnp.zeros((sub, 128), bool)
+
             # medium state from POSITION (stuck-lane guard: a grazing
             # entry can land PAST the exit wall; edge-clamped majorants
             # then collide forever)
             oob = ((ox < bmin[0]) | (ox > bmax[0])
                    | (oy < bmin[1]) | (oy > bmax[1])
                    | (oz < bmin[2]) | (oz > bmax[2]))
-            med = jnp.where((med == 0) & oob & (mode == 0), -1, med)
+            med = jnp.where((med == 0) & oob & (mode == 0) & ~stall, -1,
+                            med)
 
             hit, t_wall, entering = _box_hit(ox, oy, oz, dx, dy, dz,
                                              bmin, bmax)
 
             # -- transport lanes: enter the box or escape ------------------
-            outside = alive & (mode == 0) & (med != 0)
-            escaped = outside & ~hit
+            outside = alive & (mode == 0) & (med != 0) & ~stall
+            if n_tri:
+                no_surf = t_surf >= _BIG * 0.5
+                escaped = outside & ~hit & no_surf
+            else:
+                escaped = outside & ~hit
             if has_env:
                 first = depth == 0
+                if n_tri:
+                    # delta bounces have no light-sampling competitor
+                    # (pbrt specularBounce flag)
+                    first = first | (spec_last != 0)
                 ru_avg = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
                 no_mis = escaped & first
                 L0 = jnp.where(no_mis, L0 + b0 * float(envL[0]) / ru_avg,
@@ -842,20 +1030,44 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     w_mis = jnp.where(first, jnp.ones_like(zf),
                                       ru_avg / den)
                     for sl in range(rec_depth):
-                        s_ = escaped & (depth - 1 == sl)
+                        s_ = escaped & (rslot - 1 == sl)
                         rec_put(11, sl, s_, float(envL[0]) * w_mis)
                         rec_put(12, sl, s_, float(envL[1]) * w_mis)
                         rec_put(13, sl, s_, float(envL[2]) * w_mis)
             alive = alive & ~escaped
-            enter = alive & outside & hit & entering
-            med = jnp.where(enter, 0, med)
-            ox = jnp.where(enter, ox + (t_wall + 1e-4) * dx, ox)
-            oy = jnp.where(enter, oy + (t_wall + 1e-4) * dy, oy)
-            oz = jnp.where(enter, oz + (t_wall + 1e-4) * dz, oz)
-            stuck = alive & outside & hit & ~entering
-            alive = alive & ~stuck
-            in_med = alive & (mode == 0) & (med == 0) & ~enter
+            if n_tri:
+                # surface BEFORE the box wall: non-medium flight reaches
+                # a triangle (glass-interior lanes included); otherwise a
+                # box-wall crossing toggles the medium by `entering`
+                wall_o = jnp.where(hit, t_wall, _BIG)
+                at_surf_nm = outside & ~escaped & ~no_surf \
+                    & (t_surf < wall_o)
+                iface = outside & ~escaped & ~at_surf_nm & hit
+                med = jnp.where(iface, jnp.where(entering, 0, -1), med)
+                ox = jnp.where(iface, ox + (t_wall + 1e-4) * dx, ox)
+                oy = jnp.where(iface, oy + (t_wall + 1e-4) * dy, oy)
+                oz = jnp.where(iface, oz + (t_wall + 1e-4) * dz, oz)
+                t_surf = jnp.where(iface, t_surf - (t_wall + 1e-4),
+                                   t_surf)
+                enter = iface & entering
+            else:
+                at_surf_nm = jnp.zeros((sub, 128), bool)
+                enter = alive & outside & hit & entering
+                med = jnp.where(enter, 0, med)
+                ox = jnp.where(enter, ox + (t_wall + 1e-4) * dx, ox)
+                oy = jnp.where(enter, oy + (t_wall + 1e-4) * dy, oy)
+                oz = jnp.where(enter, oz + (t_wall + 1e-4) * dz, oz)
+                stuck = alive & outside & hit & ~entering
+                alive = alive & ~stuck
+            in_med = alive & (mode == 0) & (med == 0) & ~enter & ~stall
             wall = jnp.where(hit, t_wall, _BIG)
+            if n_tri:
+                # walks are bounded by the NEARER of the wall and the
+                # next surface (the resampling route's tMax semantics:
+                # media_sampleTMaj.h:137 walks to the closest hit)
+                plim = jnp.minimum(wall, t_surf)
+            else:
+                plim = wall
 
             # -- ONE shared majorant+density event per lane ----------------
             epx = jnp.where(is_sh, ox + sh_t * shx, ox + t_walk * dx)
@@ -869,7 +1081,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             # (media_sampleTMaj.h:170-181); prepass/delta/shadow unscaled
             m_d = jnp.where(walk_res, m_raw * maj_sc, m_raw)
             maj_h = m_d * st_h
-            t_lim = jnp.where(is_sh, sh_end - sh_t, wall - t_walk)
+            t_lim = jnp.where(is_sh, sh_end - sh_t, plim - t_walk)
             t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
                                 t_lim)
             ua, ub, uc_, ud_ = _uniform4(seed_a, pix, samp, dim)
@@ -956,15 +1168,20 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
                 if record:
                     # beta-free direct at the vertex (_combine_ld local:
-                    # r_p == 1 in the MIS denominator)
+                    # r_p == 1 in the MIS denominator); ra* carry the
+                    # surface-BSDF albedo tint (1 at volume vertices)
                     den_lp = jnp.maximum(
                         avg3((sl0 * pmf, sl1 * pmf, sl2 * pmf)), 1e-30)
                     wl_ = sh_fl / (sh_d2 * den_lp)
+                    t0_ = ra0 if n_tri else one
+                    t1_ = ra1 if n_tri else one
+                    t2_ = ra2 if n_tri else one
                     for sl in range(rec_depth):
-                        s_ = okp & (depth - 1 == sl)
-                        rec_put(8, sl, s_, sT0 * float(lI[0]) * wl_)
-                        rec_put(9, sl, s_, sT1 * float(lI[1]) * wl_)
-                        rec_put(10, sl, s_, sT2 * float(lI[2]) * wl_)
+                        s_ = okp & (rslot - 1 == sl)
+                        rec_put(8, sl, s_, sT0 * float(lI[0]) * wl_ * t0_)
+                        rec_put(9, sl, s_, sT1 * float(lI[1]) * wl_ * t1_)
+                        rec_put(10, sl, s_,
+                                sT2 * float(lI[2]) * wl_ * t2_)
             if has_env:
                 oke = s_dead & (mode == 5)
                 p_l = pmf * INV_4PI
@@ -982,17 +1199,20 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                               sl1 * p_l + su1 * sh_pdf,
                               sl2 * p_l + su2 * sh_pdf)), 1e-30)
                     wl_ = sh_fl / den_le
+                    t0_ = ra0 if n_tri else one
+                    t1_ = ra1 if n_tri else one
+                    t2_ = ra2 if n_tri else one
                     for sl in range(rec_depth):
-                        s_ = oke & (depth - 1 == sl)
+                        s_ = oke & (rslot - 1 == sl)
                         cur0 = rec_ref[8, sl]
                         rec_put(8, sl, s_, cur0 + sT0 * float(envL[0])
-                                * wl_)
+                                * wl_ * t0_)
                         cur1 = rec_ref[9, sl]
                         rec_put(9, sl, s_, cur1 + sT1 * float(envL[1])
-                                * wl_)
+                                * wl_ * t1_)
                         cur2 = rec_ref[10, sl]
                         rec_put(10, sl, s_, cur2 + sT2 * float(envL[2])
-                                * wl_)
+                                * wl_ * t2_)
             mode = jnp.where(s_dead, 0, mode)
 
             # ===== mode 3: one delta-tracking step =========================
@@ -1042,7 +1262,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                                   == 0))
             del_t_new = jnp.where(d_coll, t_walk + dt + 1e-6,
                                   t_walk + step + 1e-6)
-            d_passed = d_tail & (del_t_new >= wall)
+            d_passed = d_tail & (del_t_new >= plim)
             t_walk = jnp.where(walk_del, del_t_new, t_walk)
 
             # ===== mode 2: one reservoir-resampling step ===================
@@ -1113,10 +1333,29 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             wT0 = jnp.where(r_coll, one, wT0n)
             wT1 = jnp.where(r_coll, one, wT1n)
             wT2 = jnp.where(r_coll, one, wT2n)
+            # transmittance RR on the walk TAIL (the shadow walk's
+            # integrators.cpp:1404 pattern): once the null-ratio product
+            # has collapsed, the remaining chord only serves the
+            # (near-zero) pass-through candidate — every candidate
+            # snapshot already taken is unaffected. Terminating sets
+            # wr = 0 (surface candidate killed); survivors compensate
+            # ALL tail-dependent running products. Cuts the dense-chord
+            # full-traversal cost that dominates the guided walk
+            # (PERF.md round-4 ablation: delta walks stop at the first
+            # real collision; this walk crossed the whole chord).
+            # NOTE (round-4): a transmittance-RR truncation of this walk
+            # (kill the tail once the null-ratio product collapses, the
+            # shadow walk's integrators.cpp:1404 pattern) measured a 3x
+            # relMSE REGRESSION on the backlit pyro cloud at zero
+            # throughput gain — on backlit media the pass-through
+            # candidate carries the dominant (transmitted) contribution,
+            # so truncating it trades exactly the wrong variance. Keep
+            # the full-chord walk (the reference's own cost profile,
+            # media_sampleTMaj.h:183-247).
             res_t_new = jnp.where(r_coll, t_c_r,
                                   t_walk + step + 1e-6)
             t_walk = jnp.where(walk_res, res_t_new, t_walk)
-            res_done = walk_res & (res_t_new >= wall)
+            res_done = walk_res & (res_t_new >= plim)
 
             # reservoir conclusion: final tail fold + candidate selection
             T_hf = jnp.maximum(
@@ -1215,26 +1454,55 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             alive = alive & ~depth_exceeded
             scat = scat_w & ~depth_exceeded & alive
             depth = jnp.where(scat, depth + 1, depth)
-            # pass-through lanes leave the medium (box convex: next
-            # iteration escapes to the env); every concluded walk drops
-            # back to transport (scatter lanes re-enter shadow mode below)
-            med = jnp.where(passed, -1, med)
+            # pass-through lanes reach the segment bound: the box wall
+            # (leave the medium; box convex: next iteration escapes) or
+            # — teaser scenes — the next triangle (surface interaction
+            # below, medium unchanged). Every concluded walk drops back
+            # to transport (scatter lanes re-enter shadow mode below).
+            if n_tri:
+                at_surf_m = passed & (t_surf < wall - 1e-6)
+                leave = passed & ~at_surf_m
+            else:
+                at_surf_m = jnp.zeros((sub, 128), bool)
+                leave = passed
+            med = jnp.where(leave, -1, med)
             mode = jnp.where(passed | term_w | scat_w, 0, mode)
-            ox = jnp.where(passed, ox + (wall + 1e-4) * dx, ox)
-            oy = jnp.where(passed, oy + (wall + 1e-4) * dy, oy)
-            oz = jnp.where(passed, oz + (wall + 1e-4) * dz, oz)
+            ox = jnp.where(leave, ox + (wall + 1e-4) * dx, ox)
+            oy = jnp.where(leave, oy + (wall + 1e-4) * dy, oy)
+            oz = jnp.where(leave, oz + (wall + 1e-4) * dz, oz)
+            if n_tri:
+                t_surf = jnp.where(leave, t_surf - (wall + 1e-4), t_surf)
 
             # ===== ONE shared field query ================================
             # serves (a) transport lanes starting a walk (secondary VSP
-            # along d at o) and (b) scatter vertices (directional guiding
-            # product + flux for guided RR at s) — disjoint lane sets
+            # along d at o), (b) scatter vertices (directional guiding
+            # product + flux for guided RR at s) and — teaser scenes —
+            # (c) surface hits (guided-BSDF surface half + guided RR
+            # flux at h) — pairwise disjoint lane sets
             sx = ox + t_sc * dx
             sy = oy + t_sc * dy
             sz = oz + t_sc * dz
             qx = jnp.where(scat, sx, ox)
             qy = jnp.where(scat, sy, oy)
             qz = jnp.where(scat, sz, oz)
-            lobes_q, valid_q, vsp_cell_q, flux_q = field_query(qx, qy, qz)
+            if n_tri:
+                # surface interaction lanes (depth cap applies to surface
+                # bounces too, integrators.cpp:1060)
+                hit_s0 = (at_surf_m | at_surf_nm) & (hmat >= 0)
+                s_exceed = hit_s0 & (depth >= max_depth)
+                alive = alive & ~s_exceed
+                hit_s = hit_s0 & ~s_exceed & alive
+                depth = jnp.where(hit_s, depth + 1, depth)
+                hx = ox + t_surf * dx
+                hy = oy + t_surf * dy
+                hz = oz + t_surf * dz
+                qx = jnp.where(hit_s, hx, qx)
+                qy = jnp.where(hit_s, hy, qy)
+                qz = jnp.where(hit_s, hz, qz)
+            fq = field_query(qx, qy, qz)
+            lobes_q, valid_q, vsp_cell_q, flux_q = fq[:4]
+            if with_surf:
+                slobes_q, svalid_q, _svsp_q, sflux_q = fq[4:8]
 
             # -- transport lanes: VSP lookup + walk start ------------------
             primary = depth == 0
@@ -1258,11 +1526,23 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             # collision blowup when the estimate runs low.
             u_m0, _, _, _ = _uniform4(seed_a, pix, samp, dim)
             dim = dim + _U32(1)
-            m_pt = maj_dens_at(ox + u_m0 * wall * dx,
-                               oy + u_m0 * wall * dy,
-                               oz + u_m0 * wall * dz)
-            tau_e = m_pt * st_h * wall
-            min_total = -jnp.log(jnp.maximum(1.0 - vsp_c, 1e-6))
+            m_pt = maj_dens_at(ox + u_m0 * plim * dx,
+                               oy + u_m0 * plim * dy,
+                               oz + u_m0 * plim * dz)
+            tau_e = m_pt * st_h * plim
+            # collision-budget cap: the reference scales the majorant so
+            # achieved-P >= vsp (media_sampleTMaj.h:170-181); at the 0.999
+            # VSP clamp that is -log(1e-3) ~ 6.9 expected collisions per
+            # guided segment — ~7 block-wide iterations on a TPU where a
+            # delta walk stops at the FIRST real collision (the measured
+            # 2.5x cost gap, PERF.md round-4 ablation). Targeting at most
+            # P ~ scale_vsp_cap keeps dense segments exact (tau already >
+            # min_total there => scale 1) and caps thin-segment walks at
+            # ~3 collisions; the scale only shapes importance — the
+            # vratio<=1 clamp already handles under-achieved targets, so
+            # the estimator stays unbiased.
+            vsp_for_scale = jnp.minimum(vsp_c, scale_vsp_cap)
+            min_total = -jnp.log(jnp.maximum(1.0 - vsp_for_scale, 1e-6))
             maj_sc = jnp.where(
                 guide,
                 jnp.clip(min_total / jnp.maximum(tau_e, 1e-6), 1.0, 16.0),
@@ -1299,6 +1579,40 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             prod = product_hg(lobes_q, dx, dy, dz)
             wox, woy, woz = -dx, -dy, -dz
 
+            if n_tri:
+                # surface material classification + shading frame
+                # (pallas_volpath teaser block; guided-BSDF additions
+                # follow the XLA path, vspg.py:944-1046)
+                nd_ = hngx * dx + hngy * dy + hngz * dz
+                front = nd_ < 0  # ray hits the geometric-normal side
+                nsx = jnp.where(front, hngx, -hngx)
+                nsy = jnp.where(front, hngy, -hngy)
+                nsz = jnp.where(front, hngz, -hngz)
+                kind_l = jnp.full((sub, 128), -1, jnp.int32)
+                alb0 = zf
+                alb1 = zf
+                alb2 = zf
+                eta_l = jnp.ones_like(zf)
+                for mi_ in range(n_mat):
+                    selm = hmat == mi_
+                    kind_l = jnp.where(selm, mat_kind[mi_], kind_l)
+                    alb0 = jnp.where(selm, float(mat_alb[mi_, 0]), alb0)
+                    alb1 = jnp.where(selm, float(mat_alb[mi_, 1]), alb1)
+                    alb2 = jnp.where(selm, float(mat_alb[mi_, 2]), alb2)
+                    eta_l = jnp.where(selm, max(mat_eta[mi_], 1e-3), eta_l)
+                shade_df = hit_s & (kind_l == 0)
+                shade_co = hit_s & (kind_l == 1)
+                shade_dl = hit_s & (kind_l == 2)
+                spec_lane = shade_co | shade_dl
+                if surf_guide:
+                    # GuidedBSDF.init: cosine product about the shading
+                    # normal (vMF approximation, guiding.h:83-109)
+                    use_gs = shade_df & svalid_q
+                    sprod = product_vmf(slobes_q, nsx, nsy, nsz,
+                                        kappa_cos, log_c_cos)
+                else:
+                    use_gs = jnp.zeros((sub, 128), bool)
+
             # guided RR survival (openpgl GuidedRussianRoulette), stored
             # for deferred application after the NEE fold
             if guide_rr:
@@ -1317,14 +1631,22 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             rr_due = scat & (depth > min_rr_depth)
             rr_srv = jnp.where(rr_due, survival, rr_srv)
 
-            # NEE light pick + direction
+            # NEE light pick + direction (volume scatters AND diffuse
+            # surface hits share one light sample; the ratio-tracked
+            # shadow walk then steps in subsequent iterations)
             up0, up1, up2, up3 = _uniform4(seed_a, pix, samp, dim)
             dim = dim + _U32(1)
             sel_pt = ((up0 < pmf) if has_env else (up0 >= -1.0)) \
                 if has_point else (up0 < -1.0)
-            plx = sx - float(lp[0])
-            ply = sy - float(lp[1])
-            plz = sz - float(lp[2])
+            if n_tri:
+                spx = jnp.where(shade_df, hx, sx)
+                spy = jnp.where(shade_df, hy, sy)
+                spz = jnp.where(shade_df, hz, sz)
+            else:
+                spx, spy, spz = sx, sy, sz
+            plx = spx - float(lp[0])
+            ply = spy - float(lp[1])
+            plz = spz - float(lp[2])
             dist2 = jnp.maximum(plx * plx + ply * ply + plz * plz, 1e-12)
             dist = jnp.sqrt(dist2)
             inv_dist = 1.0 / dist
@@ -1340,11 +1662,26 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             spdf_l = jnp.where(use_guide,
                                (1.0 - pg_nee) * f_hg + pg_nee * gpdf_l,
                                f_hg)
-            _, t_exit_s, _ = _box_hit(sx, sy, sz, wix, wiy, wiz, bmin,
+            _, t_exit_s, _ = _box_hit(spx, spy, spz, wix, wiy, wiz, bmin,
                                       bmax)
             t_med = jnp.where(sel_pt, jnp.minimum(dist, t_exit_s),
                               t_exit_s)
             nee_act = scat & (f_hg > 0)
+            if n_tri:
+                # diffuse-surface NEE: guided mixture blended into the
+                # MIS scatter pdf exactly as the XLA path
+                # (vspg.py:995-1008, scatter_pdf2)
+                cosn = wix * nsx + wiy * nsy + wiz * nsz
+                nee_srf = shade_df & (cosn > 0)
+                bpdf_nee = jnp.maximum(cosn, 0.0) * INV_PI
+                if surf_guide:
+                    gpdf_nee = mixture_pdf(sprod, wix, wiy, wiz)
+                    spdf_srf = jnp.where(
+                        use_gs, (1.0 - pg) * bpdf_nee + pg * gpdf_nee,
+                        bpdf_nee)
+                else:
+                    spdf_srf = bpdf_nee
+                f_srf_nee = cosn * INV_PI
 
             # direction sampling: one-sample MIS or RIS ------------------
             u_p0, u_p1, u_sel, u_pk = _uniform4(seed_a, pix, samp, dim)
@@ -1428,40 +1765,308 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             dy = jnp.where(scat, wvy, dy)
             dz = jnp.where(scat, wvz, dz)
 
+            if n_tri:
+                # ===== surface bounces ================================
+                # diffuse (guided-BSDF one-sample MIS / RIS over cosine
+                # x cosine-product mixture, guiding.h:120-257), smooth
+                # conductor (Schlick mirror), smooth dielectric
+                # (Fresnel reflect/refract + medium switch) — the
+                # pallas_volpath teaser materials with the XLA path's
+                # guided sampling (vspg.py:1010-1046) layered on
+                u_s0, u_s1, u_s2, u_s3 = _uniform4(seed_a, pix, samp, dim)
+                dim = dim + _U32(1)
+                (t1x, t1y, t1z), (t2x, t2y, t2z) = _coord_system(
+                    nsx, nsy, nsz)
+                r_cs = jnp.sqrt(u_s0)
+                phi_cs = (2.0 * np.pi) * u_s1
+                lx_ = r_cs * jnp.cos(phi_cs)
+                ly_ = r_cs * jnp.sin(phi_cs)
+                lz_ = jnp.sqrt(jnp.maximum(1.0 - u_s0, 0.0))
+                wdfx = lx_ * t1x + ly_ * t2x + lz_ * nsx
+                wdfy = lx_ * t1y + ly_ * t2y + lz_ * nsy
+                wdfz = lx_ * t1z + ly_ * t2z + lz_ * nsz
+                pdf_df = jnp.maximum(lz_, 1e-6) * INV_PI
+                if surf_guide:
+                    # reuse the volume direction-sampling uniforms: scat
+                    # and hit_s lane sets are disjoint
+                    if not ris:
+                        take_gs = use_gs & (u_c < pg)
+                        u_lob = jnp.clip(u_c / max(pg, 1e-6), 0.0,
+                                         0.999999)
+                        gsx, gsy, gsz, gspdf = mixture_sample(
+                            sprod, u_lob, u_g0, u_g1)
+                        wsx = jnp.where(take_gs, gsx, wdfx)
+                        wsy = jnp.where(take_gs, gsy, wdfy)
+                        wsz = jnp.where(take_gs, gsz, wdfz)
+                        cos_g = gsx * nsx + gsy * nsy + gsz * nsz
+                        base_pdf_s = jnp.where(
+                            take_gs, jnp.maximum(cos_g, 0.0) * INV_PI,
+                            pdf_df)
+                        guide_pdf_s = jnp.where(
+                            take_gs, gspdf,
+                            mixture_pdf(sprod, wdfx, wdfy, wdfz))
+                        mix_s = jnp.where(
+                            use_gs,
+                            (1.0 - pg) * base_pdf_s + pg * guide_pdf_s,
+                            pdf_df)
+                        pdf_sv = mix_s
+                        mis_pdf_s = mix_s
+                        valid_sv = jnp.where(take_gs, base_pdf_s > 0,
+                                             pdf_df > 0) & (pdf_sv > 0)
+                    else:
+                        gsx, gsy, gsz, gspdf = mixture_sample(
+                            sprod, u_g0, u_pk, u_sel)
+                        cos_g = gsx * nsx + gsy * nsy + gsz * nsz
+                        bpdf_gs = jnp.maximum(cos_g, 0.0) * INV_PI
+                        gpdf_bs = mixture_pdf(sprod, wdfx, wdfy, wdfz)
+                        irp_bs = jnp.where(
+                            svalid_q,
+                            mixture_pdf(slobes_q, wdfx, wdfy, wdfz),
+                            INV_4PI)
+                        irp_gs = jnp.where(
+                            svalid_q,
+                            mixture_pdf(slobes_q, gsx, gsy, gsz),
+                            INV_4PI)
+                        mis0s = 0.5 * (pdf_df + gpdf_bs)
+                        mis1s = 0.5 * (bpdf_gs + gspdf)
+                        tgt0 = pdf_df * ((1 - pg) * INV_4PI + pg * irp_bs)
+                        tgt1 = bpdf_gs * ((1 - pg) * INV_4PI + pg * irp_gs)
+                        w0s = jnp.where(pdf_df > 0,
+                                        tgt0 / jnp.maximum(mis0s, 1e-20),
+                                        0.0)
+                        w1s = jnp.where(bpdf_gs > 0,
+                                        tgt1 / jnp.maximum(mis1s, 1e-20),
+                                        0.0)
+                        sum_ws = w0s + w1s
+                        pick1s = u_c * jnp.maximum(sum_ws, 1e-20) > w0s
+                        wsx = jnp.where(pick1s, gsx, wdfx)
+                        wsy = jnp.where(pick1s, gsy, wdfy)
+                        wsz = jnp.where(pick1s, gsz, wdfz)
+                        mis_sel_s = jnp.where(pick1s, mis1s, mis0s)
+                        w_sel_s = jnp.where(pick1s, w1s, w0s)
+                        pdf_ris_s = w_sel_s * mis_sel_s * 2.0 \
+                            / jnp.maximum(sum_ws, 1e-20)
+                        ris_ok_s = use_gs & (sum_ws > 0) & (pdf_ris_s > 0)
+                        wsx = jnp.where(use_gs, wsx, wdfx)
+                        wsy = jnp.where(use_gs, wsy, wdfy)
+                        wsz = jnp.where(use_gs, wsz, wdfz)
+                        pdf_sv = jnp.where(use_gs, pdf_ris_s, pdf_df)
+                        mis_pdf_s = jnp.where(use_gs, mis_sel_s, pdf_df)
+                        valid_sv = (use_gs & ris_ok_s) \
+                            | (~use_gs & (pdf_df > 0))
+                else:
+                    wsx, wsy, wsz = wdfx, wdfy, wdfz
+                    pdf_sv = pdf_df
+                    mis_pdf_s = pdf_df
+                    valid_sv = pdf_df > 0
+                cos_out = jnp.maximum(
+                    wsx * nsx + wsy * nsy + wsz * nsz, 0.0)
+                # channel-independent continuation scale: beta *= alb *
+                # s_df (for pure cosine sampling s_df == 1, the volpath
+                # teaser identity)
+                s_df = cos_out * INV_PI / jnp.maximum(pdf_sv, 1e-30)
+                alive = alive & ~(shade_df & ~valid_sv)
+                shade_df = shade_df & valid_sv
+                hit_s = shade_df | shade_co | shade_dl
+                # conductor: mirror about ns, Schlick F0 tint
+                dnd = dx * nsx + dy * nsy + dz * nsz
+                wrx = dx - 2.0 * dnd * nsx
+                wry = dy - 2.0 * dnd * nsy
+                wrz = dz - 2.0 * dnd * nsz
+                cos_o = jnp.clip(-dnd, 0.0, 1.0)
+                # dielectric: exact Fresnel reflect/refract about ns
+                eta_rel = jnp.where(front, eta_l, 1.0 / eta_l)
+                sin2_t = jnp.maximum(1.0 - cos_o * cos_o, 0.0) \
+                    / jnp.maximum(eta_rel * eta_rel, 1e-12)
+                tir = sin2_t >= 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                r_par = ((eta_rel * cos_o - cos_t)
+                         / jnp.maximum(eta_rel * cos_o + cos_t, 1e-12))
+                r_per = ((cos_o - eta_rel * cos_t)
+                         / jnp.maximum(cos_o + eta_rel * cos_t, 1e-12))
+                F_dl = jnp.where(tir, 1.0,
+                                 0.5 * (r_par * r_par + r_per * r_per))
+                refl_dl = u_s2 < F_dl
+                inv_er = 1.0 / jnp.maximum(eta_rel, 1e-12)
+                wtx = dx * inv_er + (cos_o * inv_er - cos_t) * nsx
+                wty = dy * inv_er + (cos_o * inv_er - cos_t) * nsy
+                wtz = dz * inv_er + (cos_o * inv_er - cos_t) * nsz
+                wtx, wty, wtz = _normalize(wtx, wty, wtz)
+                go_refl = shade_co | (shade_dl & refl_dl)
+                n_dx = jnp.where(shade_df, wsx,
+                                 jnp.where(go_refl, wrx, wtx))
+                n_dy = jnp.where(shade_df, wsy,
+                                 jnp.where(go_refl, wry, wty))
+                n_dz = jnp.where(shade_df, wsz,
+                                 jnp.where(go_refl, wrz, wtz))
+                omc = (1.0 - cos_o)
+                omc5 = omc * omc * omc * omc * omc
+                fs0 = alb0 + (1.0 - alb0) * omc5
+                fs1 = alb1 + (1.0 - alb1) * omc5
+                fs2 = alb2 + (1.0 - alb2) * omc5
+                trans_sc = inv_er * inv_er
+                w_b0 = jnp.where(shade_df, alb0 * s_df,
+                                 jnp.where(shade_co, fs0,
+                                           jnp.where(refl_dl, 1.0,
+                                                     trans_sc)))
+                w_b1 = jnp.where(shade_df, alb1 * s_df,
+                                 jnp.where(shade_co, fs1,
+                                           jnp.where(refl_dl, 1.0,
+                                                     trans_sc)))
+                w_b2 = jnp.where(shade_df, alb2 * s_df,
+                                 jnp.where(shade_co, fs2,
+                                           jnp.where(refl_dl, 1.0,
+                                                     trans_sc)))
+                b0 = jnp.where(hit_s, b0 * w_b0, b0)
+                b1 = jnp.where(hit_s, b1 * w_b1, b1)
+                b2 = jnp.where(hit_s, b2 * w_b2, b2)
+                # MIS bookkeeping: diffuse rl = ru/mis_pdf; delta lobes
+                # rl = ru (no light-sampling competitor)
+                inv_mis_s = 1.0 / jnp.maximum(mis_pdf_s, 1e-30)
+                rl0 = jnp.where(hit_s, jnp.where(shade_df,
+                                                 ru0 * inv_mis_s, ru0),
+                                rl0)
+                rl1 = jnp.where(hit_s, jnp.where(shade_df,
+                                                 ru1 * inv_mis_s, ru1),
+                                rl1)
+                rl2 = jnp.where(hit_s, jnp.where(shade_df,
+                                                 ru2 * inv_mis_s, ru2),
+                                rl2)
+                # medium switch on dielectric transmission (per-tri
+                # med_in/med_out interface ids)
+                went_t = shade_dl & ~refl_dl
+                med = jnp.where(went_t, jnp.where(front, hmi, hmo), med)
+                out_sgn = jnp.where(
+                    (n_dx * nsx + n_dy * nsy + n_dz * nsz) >= 0, 1.0,
+                    -1.0)
+                ox = jnp.where(hit_s, hx + out_sgn * 1e-4 * nsx, ox)
+                oy = jnp.where(hit_s, hy + out_sgn * 1e-4 * nsy, oy)
+                oz = jnp.where(hit_s, hz + out_sgn * 1e-4 * nsz, oz)
+                dx = jnp.where(hit_s, n_dx, dx)
+                dy = jnp.where(hit_s, n_dy, dy)
+                dz = jnp.where(hit_s, n_dz, dz)
+                spec_last = jnp.where(hit_s,
+                                      jnp.where(shade_df, 0, 1),
+                                      jnp.where(scat, 0, spec_last))
+                t_surf = jnp.where(hit_s | scat, _BIG, t_surf)
+                needs_i = jnp.where(hit_s | scat, 1, needs_i)
+                # guided RR at surfaces (XLA path vspg.py:1054-1066):
+                # flux from the SURFACE half, post-continuation beta;
+                # specular lanes survive at 0.95
+                if guide_rr:
+                    num_rs = lum3(b0 * sflux_q[0], b1 * sflux_q[1],
+                                  b2 * sflux_q[2])
+                    surv_s = jnp.where(
+                        svalid_q & (isgb_pem > 0),
+                        jnp.clip(num_rs / jnp.maximum(isgb_pel, 1e-6),
+                                 0.1, 1.0),
+                        one)
+                    surv_s = jnp.where(spec_lane, 0.95, surv_s)
+                else:
+                    ru_avg3 = jnp.maximum(avg3((ru0, ru1, ru2)), 1e-30)
+                    surv_s = jnp.clip(
+                        jnp.maximum(jnp.maximum(b0, b1), b2) / ru_avg3,
+                        0.0, 1.0)
+                rr_due_s = hit_s & (depth > min_rr_depth)
+                rr_srv = jnp.where(rr_due_s, surv_s, rr_srv)
+
             if record:
-                # new vertex slot (record_vertex): depth was incremented
-                # at this scatter, so the slot index is depth-1; vertices
-                # beyond rec_depth are dropped, matching the XLA recorder
+                # new vertex slot (record_vertex): compact slot counter
+                # rslot (specular surface bounces are NOT recorded, so
+                # depth-1 would leave gaps that break the backward
+                # propagation chain); vertices beyond rec_depth are
+                # dropped, matching the XLA recorder
+                rec_v = scat
+                if n_tri:
+                    rec_v = scat | shade_df
+                    rpx = jnp.where(shade_df, hx, sx)
+                    rpy = jnp.where(shade_df, hy, sy)
+                    rpz = jnp.where(shade_df, hz, sz)
+                    rwx = jnp.where(shade_df, wsx, wvx)
+                    rwy = jnp.where(shade_df, wsy, wvy)
+                    rwz = jnp.where(shade_df, wsz, wvz)
+                    rsw0 = jnp.where(shade_df, alb0 * s_df, scale_v)
+                    rsw1 = jnp.where(shade_df, alb1 * s_df, scale_v)
+                    rsw2 = jnp.where(shade_df, alb2 * s_df, scale_v)
+                    rpdf = jnp.where(shade_df, pdf_sv, pdf_v)
+                else:
+                    rpx, rpy, rpz = sx, sy, sz
+                    rwx, rwy, rwz = wvx, wvy, wvz
+                    rsw0 = rsw1 = rsw2 = scale_v
+                    rpdf = pdf_v
                 for sl in range(rec_depth):
-                    s_ = scat & (depth - 1 == sl)
-                    rec_put(0, sl, s_, sx)
-                    rec_put(1, sl, s_, sy)
-                    rec_put(2, sl, s_, sz)
-                    rec_put(3, sl, s_, wvx)
-                    rec_put(4, sl, s_, wvy)
-                    rec_put(5, sl, s_, wvz)
-                    rec_put(6, sl, s_, scale_v)
-                    rec_put(7, sl, s_, pdf_v)
+                    s_ = rec_v & (rslot == sl)
+                    rec_put(0, sl, s_, rpx)
+                    rec_put(1, sl, s_, rpy)
+                    rec_put(2, sl, s_, rpz)
+                    rec_put(3, sl, s_, rwx)
+                    rec_put(4, sl, s_, rwy)
+                    rec_put(5, sl, s_, rwz)
+                    rec_put(6, sl, s_, rsw0)
+                    rec_put(22, sl, s_, rsw1)
+                    rec_put(23, sl, s_, rsw2)
+                    rec_put(7, sl, s_, rpdf)
+                    rec_put(18, sl, s_,
+                            jnp.where(scat, one, zf) if n_tri else one)
                 f1_ = scat & (depth == 1)  # ISGB first-event data
                 rec_put(14, 0, f1_, one)
                 rec_put(15, 0, f1_, wox)
                 rec_put(16, 0, f1_, woy)
                 rec_put(17, 0, f1_, woz)
+                rec_put(19, 0, f1_, jnp.full_like(zf, float(
+                    ss[0] / max(st[0], 1e-12))))
+                rec_put(20, 0, f1_, jnp.full_like(zf, float(
+                    ss[1] / max(st[1], 1e-12))))
+                rec_put(21, 0, f1_, jnp.full_like(zf, float(
+                    ss[2] / max(st[2], 1e-12))))
+                if n_tri:
+                    fs1_ = hit_s & (depth == 1)
+                    rec_put(15, 0, fs1_, nsx)
+                    rec_put(16, 0, fs1_, nsy)
+                    rec_put(17, 0, fs1_, nsz)
+                    rec_put(19, 0, fs1_, alb0)
+                    rec_put(20, 0, fs1_, alb1)
+                    rec_put(21, 0, fs1_, alb2)
+                rslot = jnp.where(rec_v, rslot + 1, rslot)
 
             # shadow-walk setup for the pending NEE (folds with the
-            # POST-continuation beta, so sh_f = f_hg / scale_v)
+            # POST-continuation beta, so sh_f = f_hg / scale_v; at
+            # diffuse surfaces f = cos/pi and the continuation carries
+            # alb * s_df, so sh_f = (cos/pi) / s_df — channel-independent
+            # because the albedo rides in beta)
             nee_go = nee_act & alive
-            mode = jnp.where(nee_go, jnp.where(sel_pt, 4, 5), mode)
-            shx = jnp.where(nee_go, wix, shx)
-            shy = jnp.where(nee_go, wiy, shy)
-            shz = jnp.where(nee_go, wiz, shz)
-            sh_t = jnp.where(nee_go, zf, sh_t)
-            sh_end = jnp.where(nee_go, t_med, sh_end)
+            if n_tri:
+                nee_gs = nee_srf & alive & shade_df
+                nee_all = nee_go | nee_gs
+            else:
+                nee_gs = jnp.zeros((sub, 128), bool)
+                nee_all = nee_go
+            mode = jnp.where(nee_all, jnp.where(sel_pt, 4, 5), mode)
+            shx = jnp.where(nee_all, wix, shx)
+            shy = jnp.where(nee_all, wiy, shy)
+            shz = jnp.where(nee_all, wiz, shz)
+            sh_t = jnp.where(nee_all, zf, sh_t)
+            sh_end = jnp.where(nee_all, t_med, sh_end)
             sh_pdf = jnp.where(nee_go, spdf_l, sh_pdf)
-            sh_d2 = jnp.where(nee_go, dist2, sh_d2)
+            sh_d2 = jnp.where(nee_all, dist2, sh_d2)
             sh_f = jnp.where(nee_go,
                              f_hg / jnp.maximum(scale_v, 1e-30), sh_f)
             sh_fl = jnp.where(nee_go, f_hg, sh_fl)
+            if n_tri:
+                sh_pdf = jnp.where(nee_gs, spdf_srf, sh_pdf)
+                sh_f = jnp.where(
+                    nee_gs, f_srf_nee / jnp.maximum(s_df, 1e-30), sh_f)
+                sh_fl = jnp.where(nee_gs, f_srf_nee, sh_fl)
+                sh_occ = jnp.where(nee_all, 1, sh_occ)
+            if record and n_tri:
+                # surface NEE records carry the material albedo tint
+                # (the XLA recorder's f_hat2 includes the BSDF albedo)
+                ra0 = jnp.where(nee_all, jnp.where(nee_gs, alb0, one),
+                                ra0)
+                ra1 = jnp.where(nee_all, jnp.where(nee_gs, alb1, one),
+                                ra1)
+                ra2 = jnp.where(nee_all, jnp.where(nee_gs, alb2, one),
+                                ra2)
             sT0 = jnp.where(nee_go, one, sT0)
             sT1 = jnp.where(nee_go, one, sT1)
             sT2 = jnp.where(nee_go, one, sT2)
@@ -1508,6 +2113,13 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             med = jnp.where(has_budget, -1, med)
             mode = jnp.where(has_budget, 0, mode)
             rr_srv = jnp.where(has_budget, one, rr_srv)
+            if n_tri:
+                t_surf = jnp.where(has_budget, _BIG, t_surf)
+                needs_i = jnp.where(has_budget, 1, needs_i)
+                sh_occ = jnp.where(has_budget, 0, sh_occ)
+                spec_last = jnp.where(has_budget, 0, spec_last)
+            if record:
+                rslot = jnp.where(has_budget, 0, rslot)
             alive = alive | has_budget
 
             return (samp, dim, alive.astype(jnp.int32), ox, oy, oz,
@@ -1520,7 +2132,11 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     has_c.astype(jnp.int32), maj_sc, tau_acc, vsp_c,
                     shx, shy, shz, sh_t, sh_end, sh_pdf, sh_d2,
                     sT0, sT1, sT2, sl0, sl1, sl2, su0, su1, su2, sh_f,
-                    rr_srv, sh_fl)
+                    rr_srv, sh_fl) \
+                + ((t_surf, hngx, hngy, hngz, hmat, hmi, hmo, needs_i,
+                    sh_occ, spec_last) if n_tri else ()) \
+                + ((rslot,) if record else ()) \
+                + ((ra0, ra1, ra2) if (record and n_tri) else ())
 
         final = jax.lax.while_loop(cond, body, carry)
         a0, a1, a2 = final[24], final[25], final[26]
@@ -1550,7 +2166,8 @@ def guiding_constants(field, gopt, vopt, trained=None):
     """Static guiding-constant dict for the kernel cache key."""
     return dict(
         fres=int(field.res),
-        K=int(field.n_lobes),
+        K=(int(field.n_lobes) if K_PACK is None
+           else min(int(field.n_lobes), int(K_PACK))),
         fb_min=tuple(float(x) for x in np.asarray(field.b_min)),
         fb_max=tuple(float(x) for x in np.asarray(field.b_max)),
         pg=float(gopt.guiding_prob),
@@ -1561,6 +2178,8 @@ def guiding_constants(field, gopt, vopt, trained=None):
         guide_primary=bool(vopt.guide_vsp and vopt.guide_primary_vsp),
         guide_secondary=bool(vopt.guide_vsp and vopt.guide_secondary_vsp),
         volume_guiding=bool(gopt.volume_guiding),
+        surface_guiding=bool(gopt.surface_guiding),
+        scale_vsp_cap=float(getattr(vopt, "scale_vsp_cap", 0.95)),
         trained=bool(int(field.iteration) > 0) if trained is None
         else bool(trained),
         max_collisions=256,
@@ -1585,7 +2204,8 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
     nmaj = int(np.prod(c["maj_res"]))
     FC = int(gc["fres"]) ** 3 + int(gc.get("n_extra", 0))
     n_cc = max(-(-FC // 128), 1)
-    P_ROWS = 8 * int(gc["K"]) + 8 \
+    n_tri = int(c.get("n_tri", 0))
+    P_ROWS = (8 * int(gc["K"]) + 8) * (2 if n_tri else 1) \
         + (5 if gc.get("n_extra", 0) else 0)
     kernel = _make_vspg_kernel(c, gc, spp, sub, tiled, record=record,
                                rec_depth=rec_depth)
@@ -1627,7 +2247,8 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
                                 lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)),
                   pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)]
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if n_tri else []),
         out_specs=out_spec,
         interpret=interpret,
     )
@@ -1639,7 +2260,7 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
         pid_perm, inv_perm = jnp.asarray(pid_np), jnp.asarray(inv_np)
 
     @jax.jit
-    def fn(seed, dens, maj, ftab, itab, base=0):
+    def fn(seed, dens, maj, ftab, itab, tris=None, base=0):
         # tiled layout requires base == 0 (single-chip launches)
         sm = jnp.stack([seed.astype(jnp.uint32),
                         jnp.asarray(base, jnp.uint32)]).reshape(1, 2)
@@ -1648,7 +2269,10 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
             # the tiled slot order so lane (i, j) still reads its pixel
             itab = itab.reshape(3, npix)[:, pid_perm] \
                 .reshape(3, npix // 128, 128)
-        out = call(sm, dens, maj, ftab, itab)
+        if n_tri:
+            out = call(sm, dens, maj, ftab, itab, tris)
+        else:
+            out = call(sm, dens, maj, ftab, itab)
         rec = None
         if record:
             out, rec = out
@@ -1669,7 +2293,15 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     if c is None or c["kind"] != "grid":
         return False
     if c.get("n_tri", 0):
-        return False  # teaser surfaces: volpath kernel only (for now)
+        if not FIELD_MXU:
+            return False  # surface field rows need the MXU field fetch
+        # the VSPG kernel's surface machinery serves diffuse + smooth
+        # delta lobes; rough/CookTorrance teaser variants run through the
+        # volpath kernel or the XLA wave for now
+        for mk, mr in zip(c["mat_kind"], c.get("mat_rough",
+                                               (0.0,) * len(c["mat_kind"]))):
+            if mk not in (0, 1, 2) or (mk in (1, 2) and mr >= 1e-3):
+                return False
     # density lookups: chunk sweep for small grids, one-hot MXU gather
     # up to MXU_MAX_VOX (PERF.md addendum 5); beyond that the XLA wave
     # still serves the scene
@@ -1691,20 +2323,23 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
 def pack_kernel_inputs(scene, field, crit, field_mxu=None,
                        packed_scene=None):
     """Host-side table packing shared by the single-chip and sharded
-    renderers: returns (dens, maj, ftab) device arrays (bf16-pair-packed;
-    the field table packs row PAIRS unpacked by static parity).
+    renderers: returns (dens, maj, ftab, tris) device arrays
+    (bf16-pair-packed; the field table packs row PAIRS unpacked by static
+    parity; tris is the SMEM triangle table or None).
 
     ``field_mxu`` should be the gc['field_mxu'] snapshot taken by
     guiding_constants so one read governs both the packed layout and the
     kernel's expectation (defaults to the module flag for standalone use).
 
-    ``packed_scene``: optional (dens, maj) pair from a previous call on
+    ``packed_scene``: optional (dens, maj, tris) from a previous call on
     the SAME scene — skips re-packing and re-uploading the density and
     majorant tables (they never change across training waves; only the
     field table does)."""
     if field_mxu is None:
         field_mxu = FIELD_MXU
-    ftab_np = pack_field_table(field, crit)  # (P, C)
+    n_tri = int(scene.geometry.tri_p0.shape[0])
+    ftab_np = pack_field_table(field, crit, with_surface=n_tri > 0,
+                               k_top=K_PACK)  # (P, C)
     P, FC = ftab_np.shape
     pad_c = (-FC) % 128 if FC >= 128 else 128 - FC
     if pad_c:
@@ -1726,8 +2361,9 @@ def pack_kernel_inputs(scene, field, crit, field_mxu=None,
         ftab = jnp.asarray(np.ascontiguousarray(words).view(np.float32)
                            .reshape(-1, 128))
     if packed_scene is not None:
-        dens, maj = packed_scene
-        return dens, maj, ftab
+        dens, maj, tris = packed_scene
+        return dens, maj, ftab, tris
+    tris = (jnp.asarray(_pv_pack_tri_table(scene)) if n_tri else None)
     gm = scene.media.grids[0]
     from . import pallas_volpath as _pv
 
@@ -1750,7 +2386,7 @@ def pack_kernel_inputs(scene, field, crit, field_mxu=None,
                                                "up"))
     else:
         maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant), "up"))
-    return dens, maj, ftab
+    return dens, maj, ftab, tris
 
 
 def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
@@ -1766,12 +2402,12 @@ def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
     from ..models.guiding.recording import SegmentRecord
 
     c = extract_constants(scene, camera, film, cfg)
-    if c is None or c["kind"] != "grid" or c.get("n_tri", 0):
+    if c is None or c["kind"] != "grid":
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
-    dens, maj, ftab = pack_kernel_inputs(scene, field, vopt.vsp_criterion,
-                                         field_mxu=gc["field_mxu"],
-                                         packed_scene=packed_scene)
+    dens, maj, ftab, tris = pack_kernel_inputs(
+        scene, field, vopt.vsp_criterion, field_mxu=gc["field_mxu"],
+        packed_scene=packed_scene)
     npix = c["nx"] * c["ny"]
     itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
     if sub is None:
@@ -1781,17 +2417,19 @@ def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
     D = int(gopt.record_depth)
     fn = _get_callable(c, gc, 1, sub, bool(interpret), tiled=False,
                        record=True, rec_depth=D)
-    img, rec = fn(jnp.asarray(seed, jnp.uint32), dens, maj, ftab, itab)
+    img, rec = fn(jnp.asarray(seed, jnp.uint32), dens, maj, ftab, itab,
+                  tris)
     # rec rows -> SegmentRecord (R=npix lanes, D slots); edge distances
     # from consecutive vertex positions (record_vertex closes the edge the
     # same way); unset distances fall through to propagate()'s 1e6 default
     pos = jnp.moveaxis(rec[0:3], 0, -1).transpose(1, 0, 2)  # (npix,D,3)
     wi = jnp.moveaxis(rec[3:6], 0, -1).transpose(1, 0, 2)
-    sw = rec[6].T[..., None] * jnp.ones(3)
+    sw = jnp.stack([rec[6], rec[22], rec[23]], -1).transpose(1, 0, 2)
     pdf = rec[7].T
     direct = jnp.moveaxis(rec[8:11], 0, -1).transpose(1, 0, 2)
     emission = jnp.moveaxis(rec[11:14], 0, -1).transpose(1, 0, 2)
     valid = pdf > 0
+    is_vol = (rec[18].T > 0.5) & valid
     nxt = jnp.concatenate([valid[:, 1:], jnp.zeros_like(valid[:, :1])], 1)
     dpos = jnp.concatenate([pos[:, 1:] - pos[:, :-1],
                             jnp.zeros_like(pos[:, :1])], 1)
@@ -1799,18 +2437,15 @@ def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
         jnp.sum(dpos * dpos, -1), 0.0)), 0.0)
     segrec = SegmentRecord(pos=pos, wi=wi, scatter_w=sw, direct=direct,
                            emission=emission, pdf=pdf, distance=dist,
-                           is_volume=valid, valid=valid,
+                           is_volume=is_vol, valid=valid,
                            count=jnp.sum(valid, 1).astype(jnp.int32))
     first_vol = rec[14, 0] > 0.5
     first_normal = jnp.moveaxis(rec[15:18, 0], 0, -1)  # (npix, 3)
-    alb = np.asarray(c["sigma_s"], np.float32) / np.maximum(
-        np.asarray(c["sigma_s"], np.float32)
-        + np.asarray(c["sigma_a"], np.float32), 1e-12)
-    first_albedo = first_vol[:, None] * jnp.asarray(alb)
+    first_albedo = jnp.moveaxis(rec[19:22, 0], 0, -1)  # (npix, 3)
     # un-scale the film image back to raw per-lane L for the ISGB stream
     L_raw = img.reshape(npix, 3) / c["imaging_ratio"]
     return (img, segrec, first_albedo, first_normal, first_vol, L_raw,
-            (dens, maj))
+            (dens, maj, tris))
 
 
 # frozen-phase input cache: repeated equal-time waves call
@@ -1826,7 +2461,7 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
     """Render `spp` frozen-field VSPG samples per pixel via the
     megakernel. Returns the (ny, nx, 3) mean image."""
     c = extract_constants(scene, camera, film, cfg)
-    if c is None or c["kind"] != "grid" or c.get("n_tri", 0):
+    if c is None or c["kind"] != "grid":
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
     npix = c["nx"] * c["ny"]
@@ -1834,12 +2469,13 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
     hit = _INPUT_CACHE.get(ck)
     if (hit is not None and hit[0] is scene and hit[1] is field
             and hit[2] is isgb):
-        dens, maj, ftab, itab = hit[3]
+        dens, maj, ftab, itab, tris = hit[3]
     else:
-        dens, maj, ftab = pack_kernel_inputs(
+        dens, maj, ftab, tris = pack_kernel_inputs(
             scene, field, vopt.vsp_criterion, field_mxu=gc["field_mxu"])
         itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
-        _INPUT_CACHE[ck] = (scene, field, isgb, (dens, maj, ftab, itab))
+        _INPUT_CACHE[ck] = (scene, field, isgb,
+                            (dens, maj, ftab, itab, tris))
         if len(_INPUT_CACHE) > 8:
             _INPUT_CACHE.pop(next(iter(_INPUT_CACHE)))
     if sub is None:
@@ -1860,6 +2496,6 @@ def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
         fn = _get_callable(c, gc, n, sub, bool(interpret), tiled)
         imgs.append(fn(jnp.asarray(seed, jnp.uint32)
                        + jnp.uint32(done * 65537), dens, maj, ftab,
-                       itab) * n)
+                       itab, tris) * n)
         done += n
     return sum(imgs) / int(spp)

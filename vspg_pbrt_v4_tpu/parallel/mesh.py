@@ -244,7 +244,7 @@ def render_vspg_pallas_sharded(scene, camera, film, spp, cfg, gopt, vopt,
     c_local = dict(c)
     c_local["ny"] = c["ny"] // n_dev  # shard height; nx decode unchanged
     gc = pk.guiding_constants(field, gopt, vopt)
-    dens, maj, ftab = pk.pack_kernel_inputs(scene, field,
+    dens, maj, ftab, _tris = pk.pack_kernel_inputs(scene, field,
                                             vopt.vsp_criterion,
                                             field_mxu=gc["field_mxu"])
     itab = pk.pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
@@ -261,7 +261,7 @@ def render_vspg_pallas_sharded(scene, camera, film, spp, cfg, gopt, vopt,
             n = min(chunk, int(spp) - done)
             fn = pk._get_callable(c_local, gc, n, sub, bool(interpret))
             imgs.append(fn(jnp.uint32(seed) + jnp.uint32(done * 65537),
-                           dens_r, maj_r, ftab_r, itab_s, base) * n)
+                           dens_r, maj_r, ftab_r, itab_s, base=base) * n)
             done += n
         return sum(imgs) / int(spp)  # (ny_local, nx, 3)
 

@@ -48,6 +48,12 @@ from .pallas_volpath import (_BIG, INV_4PI, STOCH_TRILERP_MAX_EXACT, _U32,
 MIN_KAPPA = 1e-2
 MAX_KAPPA = 2e3
 
+# majorant/density micro-steps per kernel iteration. Round-4 measured
+# UNROLL=2 at 0.85 -> 0.65 Mpaths/s on the 64^3 pyro cloud (worse): the
+# ~90-carry state already saturates vregs, so doubling the step body
+# spills more than the amortized fixed cost saves. Keep 1.
+WALK_UNROLL = 1
+
 # Field-cell parameter fetch strategy: one one-hot MXU matmul per sublane
 # fetches ALL P_ROWS parameters of each lane's cell at once (every row
 # shares the cell index, so G = Ftab (P,FC) @ onehot (FC,128) yields the
@@ -976,7 +982,15 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 mode = jnp.where(blocked, 0, mode)
                 sh_occ = jnp.where(do_oc, 0, sh_occ)
                 is_sh = alive & (mode >= 4)
-                stall = do_is
+                # a lane whose shadow walk was BLOCKED just dropped to
+                # transport with a STALE t_surf (its path ray was never
+                # swept after the scatter's direction change): it must
+                # stall this iteration, or it starts a walk bounded only
+                # by the box wall and traverses the medium THROUGH
+                # triangles (measured: +7-16% energy leak around the
+                # cubes on point-lit teaser scenes — walk modes never
+                # re-run the sweep, so the whole chord went unbounded)
+                stall = do_is | (alive & (mode == 0) & (needs_i != 0))
             else:
                 stall = jnp.zeros((sub, 128), bool)
 
@@ -1069,293 +1083,320 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             else:
                 plim = wall
 
-            # -- ONE shared majorant+density event per lane ----------------
-            epx = jnp.where(is_sh, ox + sh_t * shx, ox + t_walk * dx)
-            epy = jnp.where(is_sh, oy + sh_t * shy, oy + t_walk * dy)
-            epz = jnp.where(is_sh, oz + sh_t * shz, oz + t_walk * dz)
-            wdx = jnp.where(is_sh, shx, dx)
-            wdy = jnp.where(is_sh, shy, dy)
-            wdz = jnp.where(is_sh, shz, dz)
-            m_raw = maj_dens_at(epx, epy, epz)
-            # reservoir lanes walk the VSP-scaled majorant
-            # (media_sampleTMaj.h:170-181); prepass/delta/shadow unscaled
-            m_d = jnp.where(walk_res, m_raw * maj_sc, m_raw)
-            maj_h = m_d * st_h
-            t_lim = jnp.where(is_sh, sh_end - sh_t, plim - t_walk)
-            t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
-                                t_lim)
-            ua, ub, uc_, ud_ = _uniform4(seed_a, pix, samp, dim)
-            dim = dim + _U32(1)
-            dt = jnp.where(maj_h > 0,
-                           -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
-                           _BIG)
-            stepper = walk_res | walk_del | is_sh
-            coll = stepper & (dt < t_seg)
-            step = jnp.maximum(jnp.where(coll, dt, t_seg), 0.0)
-            Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
-                       for k in range(3))
-            Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
-            sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
-            un0, un1, un2, un3 = _uniform4(seed_a, pix, samp, dim)
-            dim = dim + _U32(1)
-            cpx = epx + dt * wdx
-            cpy = epy + dt * wdy
-            cpz = epz + dt * wdz
-            if stoch:
-                dloc = density_at_1(cpx, cpy, cpz, un2, un3)
-            else:
-                dloc = density_at(cpx, cpy, cpz)
-            st_loc_h = dloc * st_h
-            sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
-                       for k in range(3))
-            sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
-
+            # ===== WALK_UNROLL shared majorant+density events per lane =====
+            # Round-4: the walk phases (guided reservoir, delta, shadow
+            # ratio-tracking) dominate the iteration count while the
+            # fixed per-iteration machinery (field fetch + vMF mixtures +
+            # NEE + direction sampling + surface sweep) is paid every
+            # iteration by every lane. Running WALK_UNROLL micro-steps
+            # per iteration amortizes that fixed cost; lanes whose walk
+            # concludes freeze until the loop exits (conclusions are
+            # processed once, below).
             has_c = has_c_i != 0
+            d_real_a = jnp.zeros((sub, 128), bool)
+            d_died_a = jnp.zeros((sub, 128), bool)
+            d_passed_a = jnp.zeros((sub, 128), bool)
+            res_done_a = jnp.zeros((sub, 128), bool)
+            for _mstep in range(WALK_UNROLL):
+                frozen = d_real_a | d_died_a | d_passed_a | res_done_a
+                walk_res_m = walk_res & ~frozen
+                walk_del_m = walk_del & ~frozen
+                is_sh_m = alive & (mode >= 4)
+                # -- one shared majorant+density event (micro-step body) ------
+                epx = jnp.where(is_sh_m, ox + sh_t * shx, ox + t_walk * dx)
+                epy = jnp.where(is_sh_m, oy + sh_t * shy, oy + t_walk * dy)
+                epz = jnp.where(is_sh_m, oz + sh_t * shz, oz + t_walk * dz)
+                wdx = jnp.where(is_sh_m, shx, dx)
+                wdy = jnp.where(is_sh_m, shy, dy)
+                wdz = jnp.where(is_sh_m, shz, dz)
+                m_raw = maj_dens_at(epx, epy, epz)
+                # reservoir lanes walk the VSP-scaled majorant
+                # (media_sampleTMaj.h:170-181); prepass/delta/shadow unscaled
+                m_d = jnp.where(walk_res_m, m_raw * maj_sc, m_raw)
+                maj_h = m_d * st_h
+                t_lim = jnp.where(is_sh_m, sh_end - sh_t, plim - t_walk)
+                t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
+                                    t_lim)
+                ua, ub, uc_, ud_ = _uniform4(seed_a, pix, samp, dim)
+                dim = dim + _U32(1)
+                dt = jnp.where(maj_h > 0,
+                               -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
+                               _BIG)
+                stepper = walk_res_m | walk_del_m | is_sh_m
+                coll = stepper & (dt < t_seg)
+                step = jnp.maximum(jnp.where(coll, dt, t_seg), 0.0)
+                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
+                           for k in range(3))
+                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
+                sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
+                un0, un1, un2, un3 = _uniform4(seed_a, pix, samp, dim)
+                dim = dim + _U32(1)
+                cpx = epx + dt * wdx
+                cpy = epy + dt * wdy
+                cpz = epz + dt * wdz
+                if stoch:
+                    dloc = density_at_1(cpx, cpy, cpz, un2, un3)
+                else:
+                    dloc = density_at(cpx, cpy, cpz)
+                st_loc_h = dloc * st_h
+                sn = tuple(jnp.maximum((m_d - dloc) * float(st[k]), 0.0)
+                           for k in range(3))
+                sn_h = jnp.maximum(m_d - dloc, 0.0) * st_h
 
-            # ===== modes 4/5: one shadow ratio-tracking step ===============
-            s_coll = is_sh & coll
-            s_tail = is_sh & ~coll
-            sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
-            sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
-            sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
-            sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
-            sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
-            sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
-            su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
-            su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
-            su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
-            pdf_sh = jnp.maximum(Tm_h * maj_h, 1e-30)
-            inv_spdf = 1.0 / pdf_sh
-            sT0 = jnp.where(s_coll, sT0 * Tm[0] * sn[0] * inv_spdf, sT0)
-            sT1 = jnp.where(s_coll, sT1 * Tm[1] * sn[1] * inv_spdf, sT1)
-            sT2 = jnp.where(s_coll, sT2 * Tm[2] * sn[2] * inv_spdf, sT2)
-            sl0 = jnp.where(s_coll,
-                            sl0 * Tm[0] * m_d * float(st[0]) * inv_spdf,
-                            sl0)
-            sl1 = jnp.where(s_coll,
-                            sl1 * Tm[1] * m_d * float(st[1]) * inv_spdf,
-                            sl1)
-            sl2 = jnp.where(s_coll,
-                            sl2 * Tm[2] * m_d * float(st[2]) * inv_spdf,
-                            sl2)
-            su0 = jnp.where(s_coll, su0 * Tm[0] * sn[0] * inv_spdf, su0)
-            su1 = jnp.where(s_coll, su1 * Tm[1] * sn[1] * inv_spdf, su1)
-            su2 = jnp.where(s_coll, su2 * Tm[2] * sn[2] * inv_spdf, su2)
-            # transmittance russian roulette (integrators.cpp:1404)
-            denom_rr = jnp.maximum(
-                avg3((sl0 + su0, sl1 + su1, sl2 + su2)), 1e-30)
-            trm = jnp.maximum(jnp.maximum(sT0, sT1), sT2) / denom_rr
-            low = s_coll & (trm < 0.05)
-            killed = low & (un0 < 0.75)
-            sT0 = jnp.where(killed, zf, jnp.where(low, sT0 / 0.25, sT0))
-            sT1 = jnp.where(killed, zf, jnp.where(low, sT1 / 0.25, sT1))
-            sT2 = jnp.where(killed, zf, jnp.where(low, sT2 / 0.25, sT2))
-            sh_t_new = sh_t + step + 1e-6
-            sh_t = jnp.where(is_sh, sh_t_new, sh_t)
-            s_dead = is_sh & (
-                (jnp.maximum(jnp.maximum(sT0, sT1), sT2) == 0)
-                | (sh_t_new >= sh_end))
-            # fold the finished walk: sh_f = f_hg(wi)/scale_v so that the
-            # POST-continuation beta reproduces beta_scatter * f_hg
-            if has_point:
-                okp = s_dead & (mode == 4)
-                denom = jnp.maximum(
-                    avg3((sl0 * ru0 * pmf, sl1 * ru1 * pmf,
-                          sl2 * ru2 * pmf)), 1e-30)
-                w = sh_f / (sh_d2 * denom)
-                L0 = jnp.where(okp, L0 + b0 * sT0 * float(lI[0]) * w, L0)
-                L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w, L1)
-                L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
-                if record:
-                    # beta-free direct at the vertex (_combine_ld local:
-                    # r_p == 1 in the MIS denominator); ra* carry the
-                    # surface-BSDF albedo tint (1 at volume vertices)
-                    den_lp = jnp.maximum(
-                        avg3((sl0 * pmf, sl1 * pmf, sl2 * pmf)), 1e-30)
-                    wl_ = sh_fl / (sh_d2 * den_lp)
-                    t0_ = ra0 if n_tri else one
-                    t1_ = ra1 if n_tri else one
-                    t2_ = ra2 if n_tri else one
-                    for sl in range(rec_depth):
-                        s_ = okp & (rslot - 1 == sl)
-                        rec_put(8, sl, s_, sT0 * float(lI[0]) * wl_ * t0_)
-                        rec_put(9, sl, s_, sT1 * float(lI[1]) * wl_ * t1_)
-                        rec_put(10, sl, s_,
-                                sT2 * float(lI[2]) * wl_ * t2_)
-            if has_env:
-                oke = s_dead & (mode == 5)
-                p_l = pmf * INV_4PI
-                denom = jnp.maximum(
-                    avg3((sl0 * ru0 * p_l + su0 * ru0 * sh_pdf,
-                          sl1 * ru1 * p_l + su1 * ru1 * sh_pdf,
-                          sl2 * ru2 * p_l + su2 * ru2 * sh_pdf)), 1e-30)
-                w = sh_f / denom
-                L0 = jnp.where(oke, L0 + b0 * sT0 * float(envL[0]) * w, L0)
-                L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w, L1)
-                L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w, L2)
-                if record:
-                    den_le = jnp.maximum(
-                        avg3((sl0 * p_l + su0 * sh_pdf,
-                              sl1 * p_l + su1 * sh_pdf,
-                              sl2 * p_l + su2 * sh_pdf)), 1e-30)
-                    wl_ = sh_fl / den_le
-                    t0_ = ra0 if n_tri else one
-                    t1_ = ra1 if n_tri else one
-                    t2_ = ra2 if n_tri else one
-                    for sl in range(rec_depth):
-                        s_ = oke & (rslot - 1 == sl)
-                        cur0 = rec_ref[8, sl]
-                        rec_put(8, sl, s_, cur0 + sT0 * float(envL[0])
-                                * wl_ * t0_)
-                        cur1 = rec_ref[9, sl]
-                        rec_put(9, sl, s_, cur1 + sT1 * float(envL[1])
-                                * wl_ * t1_)
-                        cur2 = rec_ref[10, sl]
-                        rec_put(10, sl, s_, cur2 + sT2 * float(envL[2])
-                                * wl_ * t2_)
-            mode = jnp.where(s_dead, 0, mode)
+                # ===== modes 4/5: one shadow ratio-tracking step ===============
+                s_coll = is_sh_m & coll
+                s_tail = is_sh_m & ~coll
+                sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
+                sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
+                sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
+                sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
+                sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
+                sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
+                su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
+                su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
+                su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
+                pdf_sh = jnp.maximum(Tm_h * maj_h, 1e-30)
+                inv_spdf = 1.0 / pdf_sh
+                sT0 = jnp.where(s_coll, sT0 * Tm[0] * sn[0] * inv_spdf, sT0)
+                sT1 = jnp.where(s_coll, sT1 * Tm[1] * sn[1] * inv_spdf, sT1)
+                sT2 = jnp.where(s_coll, sT2 * Tm[2] * sn[2] * inv_spdf, sT2)
+                sl0 = jnp.where(s_coll,
+                                sl0 * Tm[0] * m_d * float(st[0]) * inv_spdf,
+                                sl0)
+                sl1 = jnp.where(s_coll,
+                                sl1 * Tm[1] * m_d * float(st[1]) * inv_spdf,
+                                sl1)
+                sl2 = jnp.where(s_coll,
+                                sl2 * Tm[2] * m_d * float(st[2]) * inv_spdf,
+                                sl2)
+                su0 = jnp.where(s_coll, su0 * Tm[0] * sn[0] * inv_spdf, su0)
+                su1 = jnp.where(s_coll, su1 * Tm[1] * sn[1] * inv_spdf, su1)
+                su2 = jnp.where(s_coll, su2 * Tm[2] * sn[2] * inv_spdf, su2)
+                # transmittance russian roulette (integrators.cpp:1404)
+                denom_rr = jnp.maximum(
+                    avg3((sl0 + su0, sl1 + su1, sl2 + su2)), 1e-30)
+                trm = jnp.maximum(jnp.maximum(sT0, sT1), sT2) / denom_rr
+                low = s_coll & (trm < 0.05)
+                killed = low & (un0 < 0.75)
+                sT0 = jnp.where(killed, zf, jnp.where(low, sT0 / 0.25, sT0))
+                sT1 = jnp.where(killed, zf, jnp.where(low, sT1 / 0.25, sT1))
+                sT2 = jnp.where(killed, zf, jnp.where(low, sT2 / 0.25, sT2))
+                sh_t_new = sh_t + step + 1e-6
+                sh_t = jnp.where(is_sh_m, sh_t_new, sh_t)
+                s_dead = is_sh_m & (
+                    (jnp.maximum(jnp.maximum(sT0, sT1), sT2) == 0)
+                    | (sh_t_new >= sh_end))
+                # fold the finished walk: sh_f = f_hg(wi)/scale_v so that the
+                # POST-continuation beta reproduces beta_scatter * f_hg
+                if has_point:
+                    okp = s_dead & (mode == 4)
+                    denom = jnp.maximum(
+                        avg3((sl0 * ru0 * pmf, sl1 * ru1 * pmf,
+                              sl2 * ru2 * pmf)), 1e-30)
+                    w = sh_f / (sh_d2 * denom)
+                    L0 = jnp.where(okp, L0 + b0 * sT0 * float(lI[0]) * w, L0)
+                    L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w, L1)
+                    L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
+                    if record:
+                        # beta-free direct at the vertex (_combine_ld local:
+                        # r_p == 1 in the MIS denominator); ra* carry the
+                        # surface-BSDF albedo tint (1 at volume vertices)
+                        den_lp = jnp.maximum(
+                            avg3((sl0 * pmf, sl1 * pmf, sl2 * pmf)), 1e-30)
+                        wl_ = sh_fl / (sh_d2 * den_lp)
+                        t0_ = ra0 if n_tri else one
+                        t1_ = ra1 if n_tri else one
+                        t2_ = ra2 if n_tri else one
+                        for sl in range(rec_depth):
+                            s_ = okp & (rslot - 1 == sl)
+                            rec_put(8, sl, s_, sT0 * float(lI[0]) * wl_ * t0_)
+                            rec_put(9, sl, s_, sT1 * float(lI[1]) * wl_ * t1_)
+                            rec_put(10, sl, s_,
+                                    sT2 * float(lI[2]) * wl_ * t2_)
+                if has_env:
+                    oke = s_dead & (mode == 5)
+                    p_l = pmf * INV_4PI
+                    denom = jnp.maximum(
+                        avg3((sl0 * ru0 * p_l + su0 * ru0 * sh_pdf,
+                              sl1 * ru1 * p_l + su1 * ru1 * sh_pdf,
+                              sl2 * ru2 * p_l + su2 * ru2 * sh_pdf)), 1e-30)
+                    w = sh_f / denom
+                    L0 = jnp.where(oke, L0 + b0 * sT0 * float(envL[0]) * w, L0)
+                    L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w, L1)
+                    L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w, L2)
+                    if record:
+                        den_le = jnp.maximum(
+                            avg3((sl0 * p_l + su0 * sh_pdf,
+                                  sl1 * p_l + su1 * sh_pdf,
+                                  sl2 * p_l + su2 * sh_pdf)), 1e-30)
+                        wl_ = sh_fl / den_le
+                        t0_ = ra0 if n_tri else one
+                        t1_ = ra1 if n_tri else one
+                        t2_ = ra2 if n_tri else one
+                        for sl in range(rec_depth):
+                            s_ = oke & (rslot - 1 == sl)
+                            cur0 = rec_ref[8, sl]
+                            rec_put(8, sl, s_, cur0 + sT0 * float(envL[0])
+                                    * wl_ * t0_)
+                            cur1 = rec_ref[9, sl]
+                            rec_put(9, sl, s_, cur1 + sT1 * float(envL[1])
+                                    * wl_ * t1_)
+                            cur2 = rec_ref[10, sl]
+                            rec_put(10, sl, s_, cur2 + sT2 * float(envL[2])
+                                    * wl_ * t2_)
+                mode = jnp.where(s_dead, 0, mode)
 
-            # ===== mode 3: one delta-tracking step =========================
-            d_coll = walk_del & coll
-            d_tail = walk_del & ~coll
-            wf0 = jnp.where(d_tail, wf0 * sc_tail[0], wf0)
-            wf1 = jnp.where(d_tail, wf1 * sc_tail[1], wf1)
-            wf2 = jnp.where(d_tail, wf2 * sc_tail[2], wf2)
-            wu0 = jnp.where(d_tail, wu0 * sc_tail[0], wu0)
-            wu1 = jnp.where(d_tail, wu1 * sc_tail[1], wu1)
-            wu2 = jnp.where(d_tail, wu2 * sc_tail[2], wu2)
-            wl0 = jnp.where(d_tail, wl0 * sc_tail[0], wl0)
-            wl1 = jnp.where(d_tail, wl1 * sc_tail[1], wl1)
-            wl2 = jnp.where(d_tail, wl2 * sc_tail[2], wl2)
-            p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
-            d_real = d_coll & (ub < p_real)
-            d_null = d_coll & ~d_real
-            pdf_r = jnp.maximum(Tm_h * st_loc_h, 1e-30)
-            wf0 = jnp.where(d_real,
-                            wf0 * Tm[0] * dloc * float(ss[0]) / pdf_r, wf0)
-            wf1 = jnp.where(d_real,
-                            wf1 * Tm[1] * dloc * float(ss[1]) / pdf_r, wf1)
-            wf2 = jnp.where(d_real,
-                            wf2 * Tm[2] * dloc * float(ss[2]) / pdf_r, wf2)
-            wu0 = jnp.where(d_real,
-                            wu0 * Tm[0] * dloc * float(st[0]) / pdf_r, wu0)
-            wu1 = jnp.where(d_real,
-                            wu1 * Tm[1] * dloc * float(st[1]) / pdf_r, wu1)
-            wu2 = jnp.where(d_real,
-                            wu2 * Tm[2] * dloc * float(st[2]) / pdf_r, wu2)
-            pdf_dn = Tm_h * sn_h
-            inv_dn = 1.0 / jnp.maximum(pdf_dn, 1e-30)
-            wf0 = jnp.where(d_null, wf0 * Tm[0] * sn[0] * inv_dn, wf0)
-            wf1 = jnp.where(d_null, wf1 * Tm[1] * sn[1] * inv_dn, wf1)
-            wf2 = jnp.where(d_null, wf2 * Tm[2] * sn[2] * inv_dn, wf2)
-            wu0 = jnp.where(d_null, wu0 * Tm[0] * sn[0] * inv_dn, wu0)
-            wu1 = jnp.where(d_null, wu1 * Tm[1] * sn[1] * inv_dn, wu1)
-            wu2 = jnp.where(d_null, wu2 * Tm[2] * sn[2] * inv_dn, wu2)
-            wl0 = jnp.where(d_null,
-                            wl0 * Tm[0] * m_d * float(st[0]) * inv_dn, wl0)
-            wl1 = jnp.where(d_null,
-                            wl1 * Tm[1] * m_d * float(st[1]) * inv_dn, wl1)
-            wl2 = jnp.where(d_null,
-                            wl2 * Tm[2] * m_d * float(st[2]) * inv_dn, wl2)
-            d_died = d_null & ((pdf_dn <= 0)
-                               | (jnp.maximum(jnp.maximum(wf0, wf1), wf2)
-                                  == 0))
-            del_t_new = jnp.where(d_coll, t_walk + dt + 1e-6,
-                                  t_walk + step + 1e-6)
-            d_passed = d_tail & (del_t_new >= plim)
-            t_walk = jnp.where(walk_del, del_t_new, t_walk)
+                # ===== mode 3: one delta-tracking step =========================
+                d_coll = walk_del_m & coll
+                d_tail = walk_del_m & ~coll
+                wf0 = jnp.where(d_tail, wf0 * sc_tail[0], wf0)
+                wf1 = jnp.where(d_tail, wf1 * sc_tail[1], wf1)
+                wf2 = jnp.where(d_tail, wf2 * sc_tail[2], wf2)
+                wu0 = jnp.where(d_tail, wu0 * sc_tail[0], wu0)
+                wu1 = jnp.where(d_tail, wu1 * sc_tail[1], wu1)
+                wu2 = jnp.where(d_tail, wu2 * sc_tail[2], wu2)
+                wl0 = jnp.where(d_tail, wl0 * sc_tail[0], wl0)
+                wl1 = jnp.where(d_tail, wl1 * sc_tail[1], wl1)
+                wl2 = jnp.where(d_tail, wl2 * sc_tail[2], wl2)
+                p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
+                d_real = d_coll & (ub < p_real)
+                d_real_a = d_real_a | d_real
+                d_null = d_coll & ~d_real
+                pdf_r = jnp.maximum(Tm_h * st_loc_h, 1e-30)
+                wf0 = jnp.where(d_real,
+                                wf0 * Tm[0] * dloc * float(ss[0]) / pdf_r, wf0)
+                wf1 = jnp.where(d_real,
+                                wf1 * Tm[1] * dloc * float(ss[1]) / pdf_r, wf1)
+                wf2 = jnp.where(d_real,
+                                wf2 * Tm[2] * dloc * float(ss[2]) / pdf_r, wf2)
+                wu0 = jnp.where(d_real,
+                                wu0 * Tm[0] * dloc * float(st[0]) / pdf_r, wu0)
+                wu1 = jnp.where(d_real,
+                                wu1 * Tm[1] * dloc * float(st[1]) / pdf_r, wu1)
+                wu2 = jnp.where(d_real,
+                                wu2 * Tm[2] * dloc * float(st[2]) / pdf_r, wu2)
+                pdf_dn = Tm_h * sn_h
+                inv_dn = 1.0 / jnp.maximum(pdf_dn, 1e-30)
+                wf0 = jnp.where(d_null, wf0 * Tm[0] * sn[0] * inv_dn, wf0)
+                wf1 = jnp.where(d_null, wf1 * Tm[1] * sn[1] * inv_dn, wf1)
+                wf2 = jnp.where(d_null, wf2 * Tm[2] * sn[2] * inv_dn, wf2)
+                wu0 = jnp.where(d_null, wu0 * Tm[0] * sn[0] * inv_dn, wu0)
+                wu1 = jnp.where(d_null, wu1 * Tm[1] * sn[1] * inv_dn, wu1)
+                wu2 = jnp.where(d_null, wu2 * Tm[2] * sn[2] * inv_dn, wu2)
+                wl0 = jnp.where(d_null,
+                                wl0 * Tm[0] * m_d * float(st[0]) * inv_dn, wl0)
+                wl1 = jnp.where(d_null,
+                                wl1 * Tm[1] * m_d * float(st[1]) * inv_dn, wl1)
+                wl2 = jnp.where(d_null,
+                                wl2 * Tm[2] * m_d * float(st[2]) * inv_dn, wl2)
+                d_died_a = d_died_a | (d_null & (
+                    (pdf_dn <= 0)
+                    | (jnp.maximum(jnp.maximum(wf0, wf1), wf2) == 0)))
+                del_t_new = jnp.where(d_coll, t_walk + dt + 1e-6,
+                                      t_walk + step + 1e-6)
+                d_passed_a = d_passed_a \
+                    | (d_tail & (del_t_new >= plim))
+                t_walk = jnp.where(walk_del_m, del_t_new, t_walk)
 
-            # ===== mode 2: one reservoir-resampling step ===================
-            # One-pass TPU adaptation of the reference's TWO-pass resampling
-            # route (media_sampleTMaj.h:153-181 walks the whole segment once
-            # just to sum the majorant optical depth before the collision
-            # walk): the reservoir walk always continues to the far wall, so
-            # the majorant optical depth is accumulated DURING the walk and
-            # the volume-ratio weight is formed at conclusion instead.
-            # Halves the volume traversals per guided segment; the RIS
-            # weights stay self-consistent, so the estimator is unbiased.
-            tau_acc = jnp.where(walk_res, tau_acc + m_raw * st_h * step,
-                                tau_acc)
-            r_coll = walk_res & coll
-            r_tail = walk_res & ~coll
-            live_r = walk_res
-            wT0n = jnp.where(live_r, wT0 * Tm[0], wT0)
-            wT1n = jnp.where(live_r, wT1 * Tm[1], wT1)
-            wT2n = jnp.where(live_r, wT2 * Tm[2], wT2)
-            tr_h = jnp.where(hero == 0, wr0,
-                             jnp.where(hero == 1, wr1, wr2))
-            wi_r = jnp.where(r_coll,
-                             st_loc_h / jnp.maximum(maj_h, 1e-30) * tr_h,
-                             0.0)
-            w_sum_new = w_sum + wi_r
-            take = r_coll & (wi_r > 0) \
-                & (ub < wi_r / jnp.maximum(w_sum_new, 1e-30))
-            T_h = jnp.maximum(
-                jnp.where(hero == 0, wT0n,
-                          jnp.where(hero == 1, wT1n, wT2n)), 1e-30)
-            pdf_rr = jnp.maximum(T_h * st_loc_h, 1e-30)
-            num0 = wf0 * wT0n * dloc * float(ss[0]) / pdf_rr
-            num1 = wf1 * wT1n * dloc * float(ss[1]) / pdf_rr
-            num2 = wf2 * wT2n * dloc * float(ss[2]) / pdf_rr
-            den0 = wu0 * wT0n * dloc * float(st[0]) / pdf_rr
-            den1 = wu1 * wT1n * dloc * float(st[1]) / pdf_rr
-            den2 = wu2 * wT2n * dloc * float(st[2]) / pdf_rr
-            t_c_r = t_walk + dt
-            c_t = jnp.where(take, t_c_r, c_t)
-            c_wi = jnp.where(take, wi_r, c_wi)
-            c_ste = jnp.where(take, wi_r, c_ste)
-            cn0 = jnp.where(take, num0, cn0)
-            cn1 = jnp.where(take, num1, cn1)
-            cn2 = jnp.where(take, num2, cn2)
-            cd0 = jnp.where(take, den0, cd0)
-            cd1 = jnp.where(take, den1, cd1)
-            cd2 = jnp.where(take, den2, cd2)
-            has_c = has_c | take
-            w_sum = jnp.where(r_coll, w_sum_new, w_sum)
-            pdf_rn = jnp.maximum(T_h * sn_h, 1e-30)
-            wf0 = jnp.where(r_coll, wf0 * wT0n * sn[0] / pdf_rn, wf0)
-            wf1 = jnp.where(r_coll, wf1 * wT1n * sn[1] / pdf_rn, wf1)
-            wf2 = jnp.where(r_coll, wf2 * wT2n * sn[2] / pdf_rn, wf2)
-            wu0 = jnp.where(r_coll, wu0 * wT0n * sn[0] / pdf_rn, wu0)
-            wu1 = jnp.where(r_coll, wu1 * wT1n * sn[1] / pdf_rn, wu1)
-            wu2 = jnp.where(r_coll, wu2 * wT2n * sn[2] / pdf_rn, wu2)
-            wl0 = jnp.where(r_coll,
-                            wl0 * wT0n * m_d * float(st[0]) / pdf_rn, wl0)
-            wl1 = jnp.where(r_coll,
-                            wl1 * wT1n * m_d * float(st[1]) / pdf_rn, wl1)
-            wl2 = jnp.where(r_coll,
-                            wl2 * wT2n * m_d * float(st[2]) / pdf_rn, wl2)
-            inv_mh = 1.0 / jnp.maximum(m_d, 1e-30)
-            nsc = jnp.maximum(m_d - dloc, 0.0) * inv_mh
-            wr0 = jnp.where(r_coll, wr0 * nsc, wr0)
-            wr1 = jnp.where(r_coll, wr1 * nsc, wr1)
-            wr2 = jnp.where(r_coll, wr2 * nsc, wr2)
-            wT0 = jnp.where(r_coll, one, wT0n)
-            wT1 = jnp.where(r_coll, one, wT1n)
-            wT2 = jnp.where(r_coll, one, wT2n)
-            # transmittance RR on the walk TAIL (the shadow walk's
-            # integrators.cpp:1404 pattern): once the null-ratio product
-            # has collapsed, the remaining chord only serves the
-            # (near-zero) pass-through candidate — every candidate
-            # snapshot already taken is unaffected. Terminating sets
-            # wr = 0 (surface candidate killed); survivors compensate
-            # ALL tail-dependent running products. Cuts the dense-chord
-            # full-traversal cost that dominates the guided walk
-            # (PERF.md round-4 ablation: delta walks stop at the first
-            # real collision; this walk crossed the whole chord).
-            # NOTE (round-4): a transmittance-RR truncation of this walk
-            # (kill the tail once the null-ratio product collapses, the
-            # shadow walk's integrators.cpp:1404 pattern) measured a 3x
-            # relMSE REGRESSION on the backlit pyro cloud at zero
-            # throughput gain — on backlit media the pass-through
-            # candidate carries the dominant (transmitted) contribution,
-            # so truncating it trades exactly the wrong variance. Keep
-            # the full-chord walk (the reference's own cost profile,
-            # media_sampleTMaj.h:183-247).
-            res_t_new = jnp.where(r_coll, t_c_r,
-                                  t_walk + step + 1e-6)
-            t_walk = jnp.where(walk_res, res_t_new, t_walk)
-            res_done = walk_res & (res_t_new >= plim)
+                # ===== mode 2: one reservoir-resampling step ===================
+                # One-pass TPU adaptation of the reference's TWO-pass resampling
+                # route (media_sampleTMaj.h:153-181 walks the whole segment once
+                # just to sum the majorant optical depth before the collision
+                # walk): the reservoir walk always continues to the far wall, so
+                # the majorant optical depth is accumulated DURING the walk and
+                # the volume-ratio weight is formed at conclusion instead.
+                # Halves the volume traversals per guided segment; the RIS
+                # weights stay self-consistent, so the estimator is unbiased.
+                tau_acc = jnp.where(walk_res_m, tau_acc + m_raw * st_h * step,
+                                    tau_acc)
+                r_coll = walk_res_m & coll
+                r_tail = walk_res_m & ~coll
+                live_r = walk_res_m
+                wT0n = jnp.where(live_r, wT0 * Tm[0], wT0)
+                wT1n = jnp.where(live_r, wT1 * Tm[1], wT1)
+                wT2n = jnp.where(live_r, wT2 * Tm[2], wT2)
+                tr_h = jnp.where(hero == 0, wr0,
+                                 jnp.where(hero == 1, wr1, wr2))
+                wi_r = jnp.where(r_coll,
+                                 st_loc_h / jnp.maximum(maj_h, 1e-30) * tr_h,
+                                 0.0)
+                w_sum_new = w_sum + wi_r
+                take = r_coll & (wi_r > 0) \
+                    & (ub < wi_r / jnp.maximum(w_sum_new, 1e-30))
+                T_h = jnp.maximum(
+                    jnp.where(hero == 0, wT0n,
+                              jnp.where(hero == 1, wT1n, wT2n)), 1e-30)
+                pdf_rr = jnp.maximum(T_h * st_loc_h, 1e-30)
+                num0 = wf0 * wT0n * dloc * float(ss[0]) / pdf_rr
+                num1 = wf1 * wT1n * dloc * float(ss[1]) / pdf_rr
+                num2 = wf2 * wT2n * dloc * float(ss[2]) / pdf_rr
+                den0 = wu0 * wT0n * dloc * float(st[0]) / pdf_rr
+                den1 = wu1 * wT1n * dloc * float(st[1]) / pdf_rr
+                den2 = wu2 * wT2n * dloc * float(st[2]) / pdf_rr
+                t_c_r = t_walk + dt
+                c_t = jnp.where(take, t_c_r, c_t)
+                c_wi = jnp.where(take, wi_r, c_wi)
+                c_ste = jnp.where(take, wi_r, c_ste)
+                cn0 = jnp.where(take, num0, cn0)
+                cn1 = jnp.where(take, num1, cn1)
+                cn2 = jnp.where(take, num2, cn2)
+                cd0 = jnp.where(take, den0, cd0)
+                cd1 = jnp.where(take, den1, cd1)
+                cd2 = jnp.where(take, den2, cd2)
+                has_c = has_c | take
+                w_sum = jnp.where(r_coll, w_sum_new, w_sum)
+                pdf_rn = jnp.maximum(T_h * sn_h, 1e-30)
+                wf0 = jnp.where(r_coll, wf0 * wT0n * sn[0] / pdf_rn, wf0)
+                wf1 = jnp.where(r_coll, wf1 * wT1n * sn[1] / pdf_rn, wf1)
+                wf2 = jnp.where(r_coll, wf2 * wT2n * sn[2] / pdf_rn, wf2)
+                wu0 = jnp.where(r_coll, wu0 * wT0n * sn[0] / pdf_rn, wu0)
+                wu1 = jnp.where(r_coll, wu1 * wT1n * sn[1] / pdf_rn, wu1)
+                wu2 = jnp.where(r_coll, wu2 * wT2n * sn[2] / pdf_rn, wu2)
+                wl0 = jnp.where(r_coll,
+                                wl0 * wT0n * m_d * float(st[0]) / pdf_rn, wl0)
+                wl1 = jnp.where(r_coll,
+                                wl1 * wT1n * m_d * float(st[1]) / pdf_rn, wl1)
+                wl2 = jnp.where(r_coll,
+                                wl2 * wT2n * m_d * float(st[2]) / pdf_rn, wl2)
+                inv_mh = 1.0 / jnp.maximum(m_d, 1e-30)
+                nsc = jnp.maximum(m_d - dloc, 0.0) * inv_mh
+                wr0 = jnp.where(r_coll, wr0 * nsc, wr0)
+                wr1 = jnp.where(r_coll, wr1 * nsc, wr1)
+                wr2 = jnp.where(r_coll, wr2 * nsc, wr2)
+                wT0 = jnp.where(r_coll, one, wT0n)
+                wT1 = jnp.where(r_coll, one, wT1n)
+                wT2 = jnp.where(r_coll, one, wT2n)
+                # transmittance RR on the walk TAIL (the shadow walk's
+                # integrators.cpp:1404 pattern): once the null-ratio product
+                # has collapsed, the remaining chord only serves the
+                # (near-zero) pass-through candidate — every candidate
+                # snapshot already taken is unaffected. Terminating sets
+                # wr = 0 (surface candidate killed); survivors compensate
+                # ALL tail-dependent running products. Cuts the dense-chord
+                # full-traversal cost that dominates the guided walk
+                # (PERF.md round-4 ablation: delta walks stop at the first
+                # real collision; this walk crossed the whole chord).
+                # NOTE (round-4): a transmittance-RR truncation of this walk
+                # (kill the tail once the null-ratio product collapses, the
+                # shadow walk's integrators.cpp:1404 pattern) measured a 3x
+                # relMSE REGRESSION on the backlit pyro cloud at zero
+                # throughput gain — on backlit media the pass-through
+                # candidate carries the dominant (transmitted) contribution,
+                # so truncating it trades exactly the wrong variance. Keep
+                # the full-chord walk (the reference's own cost profile,
+                # media_sampleTMaj.h:183-247).
+                res_t_new = jnp.where(r_coll, t_c_r,
+                                      t_walk + step + 1e-6)
+                t_walk = jnp.where(walk_res_m, res_t_new, t_walk)
+                res_done_a = res_done_a \
+                    | (walk_res_m & (res_t_new >= plim))
+
+            d_real = d_real_a
+            d_died = d_died_a
+            d_passed = d_passed_a
+            res_done = res_done_a
+            u_rc, _, _, _ = _uniform4(seed_a, pix, samp, dim)
+            dim = dim + _U32(1)
 
             # reservoir conclusion: final tail fold + candidate selection
             T_hf = jnp.maximum(
@@ -1394,7 +1435,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             w_total = w_sum + surf_wi
             r_dead0 = res_done & (w_total <= 0)
             pick_surf = res_done & ~r_dead0 \
-                & (un1 < surf_wi / jnp.maximum(w_total, 1e-30))
+                & (u_rc < surf_wi / jnp.maximum(w_total, 1e-30))
             pick_vol = res_done & ~r_dead0 & ~pick_surf & has_c
             r_dead = r_dead0 | (res_done & ~pick_surf & ~has_c)
             sel_wi = jnp.where(pick_surf, surf_wi, c_wi)

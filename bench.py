@@ -564,12 +564,51 @@ def _machine_tris():
             + cube((0.0, 0.45, 0.3), 0.12, 1))     # glass part
 
 
+def _machine_mesh_tris(n_sub=3):
+    """REAL-mesh transparent machines: each part is a loop-subdivided
+    cube written to and re-read from an actual .ply file
+    (tools/plytool.py write_ply/load_mesh — the reference's rply ingest
+    path), ~2.3k triangles total. Exercises the chunk-skip VMEM
+    triangle path (ops/pallas_volpath MAX_TRIS_MESH class)."""
+    import tempfile
+
+    from vspg_pbrt_v4_tpu.tools.plytool import load_mesh, write_ply
+    from vspg_pbrt_v4_tpu.utils.loopsubdiv import subdivide
+
+    parts = ((( 0.05, -0.25, 0.0), 0.33, 1),
+             ((-0.42,  0.18, 0.15), 0.17, 2),
+             (( 0.42,  0.3, -0.2), 0.15, 0),
+             (( 0.0,   0.45, 0.3), 0.12, 1))
+    tris = []
+    for (cx, cy, cz), h, mat in parts:
+        verts = np.array([[cx + (h if i & 1 else -h),
+                           cy + (h if i & 2 else -h),
+                           cz + (h if i & 4 else -h)] for i in range(8)],
+                         np.float32)
+        faces = np.array([(0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),
+                          (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),
+                          (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3)],
+                         np.int32)
+        v, f, _ = subdivide(verts, faces, n_sub, compute_limit=False)
+        path = tempfile.mktemp(suffix=".ply")
+        write_ply(path, v, f)
+        mesh = load_mesh(path)
+        P, idx = mesh["P"], mesh["indices"]
+        P = np.asarray(P, np.float32)
+        for (a, b, c) in np.asarray(idx, np.int64).reshape(-1, 3):
+            tris.append(dict(p0=P[a], p1=P[b], p2=P[c], mat=mat, light=-1,
+                             med_in=-1, med_out=0))
+    return tris
+
+
 def bench_config5m():
     """BASELINE config 5 proxy: transparent machines inside the pyro
     cloud at 1080p, equal-time wave loop (--time budget semantics,
     cpu/integrators.cpp:113-231) through the fused teaser megakernel —
     the full wavefront generality (surfaces x media x NEE) in one
-    kernel."""
+    kernel. Round-4: the machines are a REAL ~2.3k-tri PLY mesh served
+    by the chunk-skip VMEM triangle sweep (round-3 measured a 48-tri
+    proxy through the SMEM sweep)."""
     from vspg_pbrt_v4_tpu.models import materials as M
     from vspg_pbrt_v4_tpu.models.shapes import Geometry
 
@@ -581,8 +620,9 @@ def bench_config5m():
         dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
         dict(type=M.CONDUCTOR, albedo=(0.9, 0.75, 0.5), roughness=0.0),
     ])
+    mesh_tris = _machine_mesh_tris()
     geom = Geometry.build(
-        triangles=_machine_tris(),
+        triangles=mesh_tris,
         boxes=[dict(bmin=(-1, -1, -1), bmax=(1, 1, 1), mat=-1, light=-1,
                     med_in=0, med_out=-1)])
     scene = volpath.Scene(geom, mats, base.media, base.lights)
@@ -701,7 +741,7 @@ def bench_config5v():
         "spp_volpath": vol_spp,
         "spp_vspg": vspg_spp,
         "budget_s": budget,
-        "n_tri": 48,
+        "n_tri": len(mesh_tris),
     }
 
 

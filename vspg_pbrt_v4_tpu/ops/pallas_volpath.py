@@ -103,6 +103,15 @@ MIX_PPL = 4
 # kernel; glass/metal/diffuse surfaces inside the cloud
 MAX_TRIS_GRID = 64
 
+# mesh-class extension: above MAX_TRIS_GRID the kernel switches to a
+# VMEM-resident triangle table swept in Morton-ordered chunks of
+# MESH_CHUNK, each chunk guarded by a per-chunk AABB slab test +
+# lax.cond skip (packet-traversal, TPU style: the wide-BVH answer to
+# cpu/aggregates.h:28 / gpu/optix/aggregate.h:30 without per-lane
+# stacks). Cap set by VMEM (tris (T,16) f32) and sweep cost.
+MAX_TRIS_MESH = 16384
+MESH_CHUNK = 64
+
 
 def _pcg4d(a, b, c, d):
     """pcg4d (utils/rng.py) with numpy-scalar constants — Pallas kernels
@@ -163,7 +172,7 @@ def extract_constants(scene, camera, film, cfg):
             return None  # instanced meshes take the two-level XLA path
         if n_other or n_box != 1:
             return None
-        if n_tri > MAX_TRIS_GRID:
+        if n_tri > MAX_TRIS_MESH:
             return None
         if n_tri:
             # teaser-class extension: flat-shaded triangles with
@@ -519,6 +528,177 @@ def pack_tri_table(scene):
     tab[:, 13] = np.asarray(g.tri_med_in, np.float32)
     tab[:, 14] = np.asarray(g.tri_med_out, np.float32)
     return tab
+
+
+def pack_tri_chunks(scene, chunk=MESH_CHUNK):
+    """Morton-ordered MESH_CHUNK-tri chunks + per-chunk AABBs for the
+    chunk-skip closest-hit sweep (mesh-class scenes). Returns
+    (tris (T_pad, 16) f32 [VMEM layout], bounds (n_chunks, 8) f32
+    [SMEM: bmin, bmax, pad2]). Padding rows are degenerate (det == 0)."""
+    tab = pack_tri_table(scene)  # (T, 16)
+    p0 = tab[:, 0:3]
+    cen = p0 + (tab[:, 3:6] + tab[:, 6:9]) / 3.0
+    lo = cen.min(0)
+    ex = np.maximum(cen.max(0) - lo, 1e-9)
+    q = np.clip(((cen - lo) / ex * 1023.0).astype(np.int64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    tab = tab[np.argsort(code, kind="stable")]
+    T = tab.shape[0]
+    nc = -(-T // chunk)
+    pad = nc * chunk - T
+    if pad:
+        fill = np.zeros((pad, 16), np.float32)
+        fill[:, 12:15] = -1.0  # mat/med ids
+        tab = np.concatenate([tab, fill], 0)
+    v0 = tab[:, 0:3]
+    v1 = v0 + tab[:, 3:6]
+    v2 = v0 + tab[:, 6:9]
+    vs = np.stack([v0, v1, v2], 1).reshape(nc, chunk * 3, 3)
+    real = np.arange(nc * chunk).reshape(nc, chunk).repeat(3, 1) < T
+    big = np.float32(3e38)
+    bmin = np.where(real[..., None], vs, big).min(1)
+    bmax = np.where(real[..., None], vs, -big).max(1)
+    bounds = np.zeros((nc, 8), np.float32)
+    bounds[:, 0:3] = bmin - 1e-5
+    bounds[:, 3:6] = bmax + 1e-5
+    return np.ascontiguousarray(tab), bounds
+
+
+def make_mesh_closest_hit(tris_ref, tb_ref, n_chunks, sub, zf):
+    """Chunk-skip closest-hit for VMEM triangle tables: per chunk, a
+    per-lane AABB slab test decides (lax.cond) whether to run the
+    vectorized (chunk, 128) Moller-Trumbore block per sublane. Rays
+    coherent within a block (camera tiles, point-light shadow packets)
+    touch a handful of Morton-local chunks.
+
+    Returns closest_hit(o, d, need, t_cap) -> (t, ngx, ngy, ngz, mat,
+    med_in, med_out); `need` masks lanes actually querying (idle lanes
+    must not force chunk sweeps), `t_cap` bounds the search (occlusion
+    lanes pass their light distance)."""
+
+    def closest_hit(qox, qoy, qoz, qdx, qdy, qdz, need, t_cap):
+        t_b = jnp.where(need, t_cap, 0.0)
+        nxb = zf
+        nyb = zf
+        nzb = zf
+        mb = jnp.full_like(t_b, -1.0)
+        mib = jnp.full_like(t_b, -1.0)
+        mob = jnp.full_like(t_b, -1.0)
+        ix = 1.0 / jnp.where(jnp.abs(qdx) < 1e-12,
+                             jnp.where(qdx >= 0, 1e-12, -1e-12), qdx)
+        iy = 1.0 / jnp.where(jnp.abs(qdy) < 1e-12,
+                             jnp.where(qdy >= 0, 1e-12, -1e-12), qdy)
+        iz = 1.0 / jnp.where(jnp.abs(qdz) < 1e-12,
+                             jnp.where(qdz >= 0, 1e-12, -1e-12), qdz)
+
+        def chunkloop(ci, carry):
+            (t_b, nxb, nyb, nzb, mb, mib, mob) = carry
+            tx0 = (tb_ref[ci, 0] - qox) * ix
+            tx1 = (tb_ref[ci, 3] - qox) * ix
+            ty0 = (tb_ref[ci, 1] - qoy) * iy
+            ty1 = (tb_ref[ci, 4] - qoy) * iy
+            tz0 = (tb_ref[ci, 2] - qoz) * iz
+            tz1 = (tb_ref[ci, 5] - qoz) * iz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            might = need & (tmax >= tmin) & (tmin < t_b)
+
+            def sweep(carry):
+                (t_b, nxb, nyb, nzb, mb, mib, mob) = carry
+                blk = tris_ref[pl.ds(ci * MESH_CHUNK, MESH_CHUNK), :]
+                p0x = blk[:, 0:1]
+                p0y = blk[:, 1:2]
+                p0z = blk[:, 2:3]
+                e1x = blk[:, 3:4]
+                e1y = blk[:, 4:5]
+                e1z = blk[:, 5:6]
+                e2x = blk[:, 6:7]
+                e2y = blk[:, 7:8]
+                e2z = blk[:, 8:9]
+                outs = []
+                for s_ in range(sub):
+                    dxr = qdx[s_:s_ + 1, :]
+                    dyr = qdy[s_:s_ + 1, :]
+                    dzr = qdz[s_:s_ + 1, :]
+                    oxr = qox[s_:s_ + 1, :]
+                    oyr = qoy[s_:s_ + 1, :]
+                    ozr = qoz[s_:s_ + 1, :]
+                    pvx = dyr * e2z - dzr * e2y
+                    pvy = dzr * e2x - dxr * e2z
+                    pvz = dxr * e2y - dyr * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                                        1.0 / det, 0.0)
+                    tvx = oxr - p0x
+                    tvy = oyr - p0y
+                    tvz = ozr - p0z
+                    b1 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    b2 = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = ((jnp.abs(det) > 1e-12) & (b1 >= 0.0)
+                          & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                          & (tt > 1e-4) & (tt < t_b[s_:s_ + 1, :]))
+                    tt = jnp.where(ok, tt, 3e38)
+                    t_new = jnp.min(tt, axis=0, keepdims=True)
+                    sel = ok & (tt <= t_new)
+                    # break arg-min ties toward the lowest row id
+                    rid = jax.lax.broadcasted_iota(
+                        jnp.int32, tt.shape, 0)
+                    rmin = jnp.min(jnp.where(sel, rid, 2 ** 30), axis=0,
+                                   keepdims=True)
+                    sel = sel & (rid == rmin)
+
+                    def pick(col):
+                        return jnp.sum(jnp.where(sel, blk[:, col:col + 1],
+                                                 0.0), axis=0,
+                                       keepdims=True)
+
+                    outs.append((t_new, pick(9), pick(10), pick(11),
+                                 pick(12), pick(13), pick(14)))
+                t_new = jnp.concatenate([o[0] for o in outs], axis=0)
+                closer = t_new < t_b
+                t_b = jnp.where(closer, t_new, t_b)
+                nxb2 = jnp.concatenate([o[1] for o in outs], axis=0)
+                nyb2 = jnp.concatenate([o[2] for o in outs], axis=0)
+                nzb2 = jnp.concatenate([o[3] for o in outs], axis=0)
+                mb2 = jnp.concatenate([o[4] for o in outs], axis=0)
+                mib2 = jnp.concatenate([o[5] for o in outs], axis=0)
+                mob2 = jnp.concatenate([o[6] for o in outs], axis=0)
+                nxb = jnp.where(closer, nxb2, nxb)
+                nyb = jnp.where(closer, nyb2, nyb)
+                nzb = jnp.where(closer, nzb2, nzb)
+                mb = jnp.where(closer, mb2, mb)
+                mib = jnp.where(closer, mib2, mib)
+                mob = jnp.where(closer, mob2, mob)
+                return (t_b, nxb, nyb, nzb, mb, mib, mob)
+
+            return jax.lax.cond(jnp.any(might), sweep, lambda c: c, carry)
+
+        carry = jax.lax.fori_loop(
+            0, n_chunks, chunkloop,
+            (t_b, nxb, nyb, nzb, mb, mib, mob))
+        (t_b, nxb, nyb, nzb, mb, mib, mob) = carry
+        found = mb >= 0.0
+        t_out = jnp.where(found, t_b, _BIG)
+        return (t_out, nxb, nyb, nzb, mb.astype(jnp.int32),
+                mib.astype(jnp.int32), mob.astype(jnp.int32))
+
+    return closest_hit
 
 
 def make_mxu_lookup_i8(tt_ref, sub, C):
@@ -1159,6 +1339,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
     ppl = MIX_PPL if mixed else 1
     sppq = spp // ppl  # samples per (lane, slot)
     n_tri = int(c.get("n_tri", 0))
+    mesh_mode = n_tri > MAX_TRIS_GRID
     if n_tri:
         mat_kind = tuple(c["mat_kind"])
         mat_alb = np.asarray(c["mat_albedo"], np.float32).reshape(-1, 3)
@@ -1166,6 +1347,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
         mat_rough = tuple(float(v) for v in c.get(
             "mat_rough", (0.0,) * len(mat_kind)))
         n_mat = len(mat_kind)
+        n_tri_chunks = -(-n_tri // MESH_CHUNK)
         # Trowbridge-Reitz lanes present? (rough conductor / CookTorrance;
         # wavefront/surfscatter.cpp generality, util/scattering.h math)
         any_rough = any(
@@ -1200,7 +1382,9 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
     cam_o = (float(cw[0, 3]), float(cw[1, 3]), float(cw[2, 3]))
 
     def kernel(seed_ref, dens_ref, maj_ref, *rest):
-        if n_tri:
+        if mesh_mode:
+            tris_ref, tb_ref, out_ref = rest
+        elif n_tri:
             tris_ref, out_ref = rest
         else:
             (out_ref,) = rest
@@ -1398,6 +1582,10 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             # phantom collisions for walks that graze or exit the grid
             return jnp.where(inside, m_v, 0.0)
 
+        if n_tri and mesh_mode:
+            mesh_hit = make_mesh_closest_hit(tris_ref, tb_ref,
+                                             n_tri_chunks, sub, zf)
+
         def closest_hit(qox, qoy, qoz, qdx, qdy, qdz):
             """Moller-Trumbore SMEM sweep (pallas_surface.py idiom):
             returns (t, ngx, ngy, ngz, mat, med_in, med_out); t=_BIG,
@@ -1569,8 +1757,17 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 qdx = jnp.where(do_oc, shx, dx)
                 qdy = jnp.where(do_oc, shy, dy)
                 qdz = jnp.where(do_oc, shz, dz)
-                (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h) = closest_hit(
-                    ox, oy, oz, qdx, qdy, qdz)
+                # point lights occlude up to the light, env to infinity
+                occ_t = jnp.where(mode == 1, jnp.sqrt(sh_d2), _BIG)
+                if mesh_mode:
+                    # chunk-skip sweep: idle lanes must not force chunk
+                    # visits; occlusion lanes cap the search at the light
+                    t_cap = jnp.where(do_oc, occ_t, _BIG)
+                    (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h) = mesh_hit(
+                        ox, oy, oz, qdx, qdy, qdz, do_is | do_oc, t_cap)
+                else:
+                    (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h) = closest_hit(
+                        ox, oy, oz, qdx, qdy, qdz)
                 t_surf = jnp.where(do_is, t_h, t_surf)
                 hngx = jnp.where(do_is, nhx, hngx)
                 hngy = jnp.where(do_is, nhy, hngy)
@@ -1579,8 +1776,6 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 hmi = jnp.where(do_is, mi_h, hmi)
                 hmo = jnp.where(do_is, mo_h, hmo)
                 needs_i = jnp.where(do_is, 0, needs_i)
-                # point lights occlude up to the light, env to infinity
-                occ_t = jnp.where(mode == 1, jnp.sqrt(sh_d2), _BIG)
                 blocked = do_oc & (t_h < occ_t - 1e-4)
                 mode = jnp.where(blocked, 0, mode)
                 sh_occ = jnp.where(do_oc, 0, sh_occ)
@@ -2565,10 +2760,17 @@ def _get_callable(c, spp, interpret):
                                     memory_space=pltpu.VMEM)
         n_out = 3 * (MIX_PPL if mixed else 1)
         n_tri_k = int(c.get("n_tri", 0))
+        mesh_k = n_tri_k > MAX_TRIS_GRID
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     dens_spec,
                     maj_spec]
-        if n_tri_k:
+        if mesh_k:
+            # mesh-class: VMEM triangle table + SMEM chunk bounds
+            T_pad = -(-n_tri_k // MESH_CHUNK) * MESH_CHUNK
+            in_specs.append(pl.BlockSpec((T_pad, 16), lambda b: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        elif n_tri_k:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         call = pl.pallas_call(
             kernel,
@@ -2605,7 +2807,9 @@ def _get_callable(c, spp, interpret):
             # tiled/mixed layouts require base == 0 (single-chip launches)
             sm = jnp.stack([seed.astype(jnp.uint32),
                             jnp.asarray(base, jnp.uint32)]).reshape(1, 2)
-            if n_tri_k:
+            if mesh_k:
+                out = call(sm, dens, maj, tris[0], tris[1])
+            elif n_tri_k:
                 out = call(sm, dens, maj, tris)
             else:
                 out = call(sm, dens, maj)
@@ -2686,8 +2890,14 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
             else:
                 maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant),
                                                   "up"))
-            tris = (jnp.asarray(pack_tri_table(scene))
-                    if c.get("n_tri", 0) else None)
+            n_tri_p = int(c.get("n_tri", 0))
+            if n_tri_p > MAX_TRIS_GRID:
+                tab_np, tb_np = pack_tri_chunks(scene)
+                tris = (jnp.asarray(tab_np), jnp.asarray(tb_np))
+            elif n_tri_p:
+                tris = jnp.asarray(pack_tri_table(scene))
+            else:
+                tris = None
             _PACK_CACHE[c["dens_pack"]] = (scene, (dens, maj, tris))
         # chunk spp across kernel launches: the fused DDA kernel's runtime
         # scales with spp and long launches can trip the TPU watchdog

@@ -2336,6 +2336,10 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
     if c.get("n_tri", 0):
         if not FIELD_MXU:
             return False  # surface field rows need the MXU field fetch
+        from .pallas_volpath import MAX_TRIS_GRID as _MTG
+
+        if int(c["n_tri"]) > _MTG:
+            return False  # mesh-class scenes: volpath kernel only
         # the VSPG kernel's surface machinery serves diffuse + smooth
         # delta lobes; rough/CookTorrance teaser variants run through the
         # volpath kernel or the XLA wave for now

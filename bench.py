@@ -650,13 +650,13 @@ def bench_config5m():
     assert np.isfinite(jax.device_get(acc)).all()
     mpaths = nx * ny * spp_done / dt / 1e6
     return {
-        "metric": "teaser_machines_pyro64_1080p_equal_time",
+        "metric": "teaser_machines_mesh_pyro64_1080p_equal_time",
         "value": round(mpaths, 3),
         "unit": "Mpaths/sec/chip",
         "vs_baseline": round(mpaths / CPU_PBRT_MPATHS, 3),
         "spp_in_budget": spp_done,
         "budget_s": budget,
-        "n_tri": 48,
+        "n_tri": len(mesh_tris),
     }
 
 
@@ -741,7 +741,7 @@ def bench_config5v():
         "spp_volpath": vol_spp,
         "spp_vspg": vspg_spp,
         "budget_s": budget,
-        "n_tri": len(mesh_tris),
+        "n_tri": 48,
     }
 
 

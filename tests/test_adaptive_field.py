@@ -52,6 +52,7 @@ def test_refine_addressing():
     assert int(f4.n_leaves) <= C + 64
 
 
+@pytest.mark.slow
 def test_adaptive_guided_render_unbiased():
     """Guided rendering with adaptive refinement ON stays unbiased (fog
     furnace) and actually refines where the samples concentrate."""

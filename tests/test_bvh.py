@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.ops.bvh import build_bvh
@@ -72,6 +73,7 @@ def test_bvh_matches_brute_force_occlusion():
     assert o1.sum() > 20
 
 
+@pytest.mark.slow
 def test_bvh_render_matches_brute_force():
     """Cornell render identical through BVH and brute force (same RNG)."""
     import os
@@ -147,6 +149,7 @@ def test_hlbvh_matches_brute_force():
                        rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_hlbvh_colocated_centroids_leaf_cap():
     """Primitives with identical quantized centroids exhaust the Morton bits;
     the build must median-split instead of emitting a leaf larger than the

@@ -24,6 +24,7 @@ def _clean_image(ny=32, nx=32):
     return jnp.asarray(img, jnp.float32)
 
 
+@pytest.mark.slow
 def test_untrained_head_is_gaussian():
     """Zero head weights + log-Gaussian bias => predicted kernels equal
     the init Gaussian everywhere, regardless of trunk activations."""
@@ -46,6 +47,7 @@ def test_apply_kernels_preserves_constants():
     assert np.allclose(np.asarray(out), 0.7, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_noise2noise_training_beats_noisy_input():
     """Train on two independent noisy halves; the denoised full buffer
     must be closer to the clean image than the noisy buffer is."""
@@ -89,6 +91,7 @@ def test_training_skipped_when_half_empty():
     assert np.isfinite(np.asarray(out_c)).all()
 
 
+@pytest.mark.slow
 def test_isgb_unet_integration():
     """ISGB with denoiser='unet': split-half accumulation + update keeps
     estimates finite; vsp in [0,1] where sampled."""

@@ -5,6 +5,7 @@ same scene its converged result must equal volpath's.
 """
 
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -36,6 +37,7 @@ def _sphere_on_floor():
     return volpath.Scene(geom, mats, Media.make(), lights)
 
 
+@pytest.mark.slow
 def test_ao():
     img = np.asarray(extras.render_ao(_sphere_on_floor(), _camera(),
                                       RGBFilm.make((32, 32)), spp=32, seed=1))
@@ -48,6 +50,7 @@ def test_ao():
     assert far > near, (near, far)
 
 
+@pytest.mark.slow
 def test_simplepath_matches_volpath():
     """BSDF-only estimator converges to the NEE+MIS estimator's result."""
     scene = _sphere_on_floor()
@@ -61,6 +64,7 @@ def test_simplepath_matches_volpath():
     assert abs(a.mean() - b.mean()) / b.mean() < 0.03, (a.mean(), b.mean())
 
 
+@pytest.mark.slow
 def test_randomwalk_furnace():
     """Diffuse sphere furnace via pure random walk: rho*L0 at the sphere."""
     from vspg_pbrt_v4_tpu.models.shapes import Geometry as G

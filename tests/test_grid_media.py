@@ -6,6 +6,7 @@ match the equivalent homogeneous medium exactly in expectation).
 """
 
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -39,18 +40,23 @@ def _grid_scene(density, sigma_a, sigma_s, g=0.0, env_L=None, point=None,
     return volpath.Scene(geom, Materials.build([]), media, lights)
 
 
+@pytest.mark.slow
 def test_constant_grid_matches_beer_lambert():
     """Constant-density grid absorber == homogeneous Beer-Lambert."""
     sigma_a = np.array([0.5, 1.0, 1.5])
     dens = np.ones((16, 16, 16), np.float32)
     scene = _grid_scene(dens, sigma_a, [0, 0, 0], env_L=[1, 1, 1])
-    img = np.asarray(volpath.render(scene, _camera(48), RGBFilm.make((48, 48)),
-                                    spp=256, seed=1))
-    center = img[20:28, 20:28].mean((0, 1))
+    # fast-tier shape (r4: was 48^2 x 256 spp, ~47 s of the pre-commit
+    # budget). Channels share each path's escape event, so the window
+    # errors are correlated — size the sample count for ~1% rel sigma.
+    img = np.asarray(volpath.render(scene, _camera(32), RGBFilm.make((32, 32)),
+                                    spp=128, seed=1))
+    center = img[12:20, 12:20].mean((0, 1))
     expected = np.exp(-sigma_a * 2.0)
-    assert np.allclose(center, expected, rtol=0.06), (center, expected)
+    assert np.allclose(center, expected, rtol=0.08), (center, expected)
 
 
+@pytest.mark.slow
 def test_linear_ramp_grid_transmittance():
     """Density ramp along z: tau = sigma * avg_density * chord."""
     n = 32
@@ -65,6 +71,7 @@ def test_linear_ramp_grid_transmittance():
     assert np.allclose(center, expected, rtol=0.06), (center, expected)
 
 
+@pytest.mark.slow
 def test_empty_supervoxels_skipped_correctly():
     """Two dense blobs separated by empty space: DDA must skip the void
     without biasing transmittance. Compare against analytic tau of the
@@ -94,6 +101,7 @@ def test_empty_supervoxels_skipped_correctly():
     assert np.allclose(center, expected, rtol=0.08), (center, expected, tau)
 
 
+@pytest.mark.slow
 def test_majorant_scale_unbiased():
     """Inflating the majorant (--volMajScale analog) must not change the
     expected image, only efficiency (null collisions)."""
@@ -112,6 +120,7 @@ def test_majorant_scale_unbiased():
     assert abs(c1 - np.exp(-1.6)) < 0.03
 
 
+@pytest.mark.slow
 def test_cloud_scattering_furnace():
     """Procedural cloud blob, pure scattering, uniform env: furnace holds
     for heterogeneous media too."""
@@ -129,6 +138,7 @@ def test_cloud_scattering_furnace():
     assert np.allclose(img.mean((0, 1)), L0, rtol=0.03), img.mean((0, 1))
 
 
+@pytest.mark.slow
 def test_cloud_point_light():
     """Cloud lit by a point light: positive, finite, brighter on light side."""
     n = 24

@@ -1,6 +1,7 @@
 """Volume-grid import tool (nanovdb2pbrt role) + scene gridfile path."""
 
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.tools.nanovdb2grid import convert, load_volume
 
@@ -81,6 +82,7 @@ def test_nvdb_roundtrip(tmp_path):
     assert np.allclose(bmin, np.asarray([-16, 0, 4088]) * 0.25)
 
 
+@pytest.mark.slow
 def test_rgb_grid_medium_beer_lambert():
     """RGBGridMedium (media.h:392): constant per-channel absorption grid
     must transmit exp(-sigma_k * L) per channel through the volpath

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.guiding import field as gfield
 from vspg_pbrt_v4_tpu.models.guiding import recording, vmf
@@ -102,6 +103,7 @@ def test_mixture_sample_pdf_consistent():
     assert abs(inv.mean() - 4 * np.pi) < 0.3, inv.mean()
 
 
+@pytest.mark.slow
 def test_em_fits_two_lobes():
     """EM over samples from a 2-lobe target recovers directions/weights."""
     f = gfield.GuidingField.make((-1, -1, -1), (1, 1, 1), res=2, n_lobes=4)
@@ -181,6 +183,7 @@ def test_propagate_backward_recursion():
     assert np.isclose(c_surf[0, 1], 2.0) and np.isclose(c_vol[0, 1], 0.0)
 
 
+@pytest.mark.slow
 def test_field_update_and_query():
     """End-to-end: train the volume field toward +z in one cell; the
     queried distribution concentrates there and VSP reflects observations."""

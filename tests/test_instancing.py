@@ -139,6 +139,7 @@ def test_instanced_memory_is_shared():
     assert bool(jnp.any(h.hit))
 
 
+@pytest.mark.slow
 def test_instances_mix_with_plain_geometry():
     """Instanced meshes coexist with regular (non-instanced) primitives;
     the closest of the two wins."""
@@ -160,6 +161,7 @@ def test_instances_mix_with_plain_geometry():
     assert bool(h2.hit[0]) and int(h2.mat_id[0]) == 1
 
 
+@pytest.mark.slow
 def test_parser_trianglemesh_instances(tmp_path):
     """ObjectInstance of a trianglemesh object goes through the TLAS/BLAS
     path (geometry NOT duplicated), and the scene renders."""

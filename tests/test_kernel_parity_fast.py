@@ -84,8 +84,16 @@ def test_grid_kernel_variant_furnace(variant):
 
 def test_vspg_kernel_variant_fast():
     """One tiny frozen-field VSPG kernel pass (interpret): runs, finite,
-    non-black. Heavy VSPG validation lives in tests/test_pallas_vspg.py."""
+    non-black, with every GUIDED route live. The field is HAND-CRAFTED
+    (the furnace idiom: any sampling distribution must integrate back)
+    instead of trained through the XLA wave — the wave's jit compile
+    alone cost ~60 s of fast-tier budget. Heavy VSPG validation lives in
+    tests/test_pallas_vspg.py."""
+    import jax.numpy as jnp
+
     import vspg_pbrt_v4_tpu.ops.pallas_vspg as pk
+    from vspg_pbrt_v4_tpu.models.guiding.field import GuidingField
+    from vspg_pbrt_v4_tpu.models.guiding.isgb import ISGB
     from vspg_pbrt_v4_tpu.models.integrators import guided_volpath as gvp
     from vspg_pbrt_v4_tpu.models.integrators import vspg
 
@@ -93,11 +101,34 @@ def test_vspg_kernel_variant_fast():
     gopt = gvp.GuidingOptions(field_res=4, record_depth=4,
                               min_train_weight=1.0)
     vopt = vspg.VSPGOptions()
-    _, field, isgb = vspg.render_vspg(
-        scene, camera, film, spp=2, cfg=cfg, gopt=gopt, vopt=vopt,
-        seed=0, spp_per_pass=2, use_pallas=False)
+    field = GuidingField.make((-1.05,) * 3, (1.05,) * 3, res=4, n_lobes=4)
+    L = 4 ** 3
+    K = 4
+    rng = np.random.default_rng(11)
+    mu = rng.standard_normal((L, K, 3)).astype(np.float32)
+    mu /= np.linalg.norm(mu, axis=-1, keepdims=True)
+    vol = field.volume.replace(
+        weights=jnp.full((L, K), 1.0 / K),
+        mu=jnp.asarray(mu),
+        kappa=jnp.full((L, K), 3.0),
+        stats_w=jnp.full((L, K), 16.0),
+        stats_dist=jnp.full((L, K), 16.0 * 0.5),
+        vsp_n=jnp.full((L,), 32.0),
+        vsp_c_vol=jnp.full((L,), 32.0 * 0.4),
+        vsp_c_surf=jnp.full((L,), 32.0 * 0.3),
+        vsp_c2_vol=jnp.full((L,), 32.0 * 0.4 ** 2 * 1.5),
+        vsp_c2_surf=jnp.full((L,), 32.0 * 0.3 ** 2 * 1.5),
+        vsp_lobe_vol=jnp.full((L, K), 8.0),
+        vsp_lobe_surf=jnp.full((L, K), 4.0),
+        flux=jnp.full((L, 3), 8.0),
+        flux_w=jnp.full((L,), 16.0),
+    )
+    field = field.replace(volume=vol, iteration=jnp.int32(3))
+    isgb = ISGB.make(film.resolution, "variance", "atrous")
     img = np.asarray(pk.render_vspg_pallas(
         scene, camera, film, 4, cfg, gopt, vopt, field, isgb, seed=1,
         interpret=True))
     assert np.isfinite(img).all()
-    assert img.mean() > 0.05
+    # furnace: the guided routes (VSP resampling walk, vMF RIS, guided
+    # RR) must keep the env constant
+    assert abs(img.mean() - 0.5) / 0.5 < 0.10, img.mean()

@@ -9,6 +9,7 @@ lightsamplers_test.cpp checks pmf/sample consistency the same way).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -78,6 +79,7 @@ def test_bvh_pmf_sums_to_one():
     assert np.allclose(total, 1.0, atol=1e-4), total
 
 
+@pytest.mark.slow
 def test_bvh_render_matches_power():
     """Diffuse box lit by several area+point lights: BVH and power sampler
     renders agree (MIS with position-dependent selection pmf is exact)."""

@@ -8,6 +8,7 @@ conservation bounds — plus a render-level furnace for the delta family.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models import materials as M
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
@@ -50,6 +51,7 @@ def _rho_two_ways(mtype, wo_z=0.6, n=200_000, seed=0, **kw):
     return rho_sample, rho_uniform
 
 
+@pytest.mark.slow
 def test_coated_diffuse_sample_pdf_consistent():
     a, b = _rho_two_ways(M.COATED_DIFFUSE, albedo=(0.8, 0.6, 0.4),
                          roughness=0.2, eta=1.5)
@@ -135,6 +137,7 @@ def test_coated_reciprocity():
     assert np.allclose(f_ab, f_ba, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_thin_dielectric_energy():
     """R + T == 1 per sample set: a thin glass pane in a furnace keeps the
     env radiance exact (all-specular, straight-through transmission)."""

@@ -7,6 +7,7 @@ import struct
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models import materials as M
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
@@ -18,6 +19,7 @@ from vspg_pbrt_v4_tpu.models.shapes import Geometry
 from vspg_pbrt_v4_tpu.utils import transform as tr
 
 
+@pytest.mark.slow
 def test_lambertian_table_matches_diffuse_render():
     """A measured table filled with albedo/pi must render exactly like the
     analytic diffuse material (furnace: rho * L0)."""
@@ -78,6 +80,7 @@ def test_merl_loader_roundtrip(tmp_path):
     assert np.allclose(table, expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_parser_measured_material(tmp_path):
     """Material "measured" from a .pbrt file: the MERL table loads into the
     Materials bank and the scene renders with non-trivial reflectance

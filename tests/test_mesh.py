@@ -32,6 +32,7 @@ def _cam(res):
         tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)), 30.0, (res, res))
 
 
+@pytest.mark.slow
 def test_rays_sharded_matches_single_device():
     res = 32
     scene, cam, film = _scene(), _cam(res), RGBFilm.make((32, 32))
@@ -62,6 +63,7 @@ def test_spp_psum_matches_single_device():
     assert rel < 0.03, (img_s.mean(), ref.mean())
 
 
+@pytest.mark.slow
 def test_vspg_sharded_matches_single_device():
     """The full VSPG wave sharded over 8 devices — film + ISGB rows
     sharded, TrainBatch reduced across devices for the field EM update —

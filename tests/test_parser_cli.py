@@ -58,6 +58,7 @@ def test_build_cornell_scene():
     assert np.allclose(c[0], [-0.45, 0.4, -0.4], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_render_fogbox_scene_through_api():
     """Parse + render end-to-end; fog glow is positive and finite."""
     from vspg_pbrt_v4_tpu.models.integrators import volpath
@@ -70,6 +71,7 @@ def test_render_fogbox_scene_through_api():
     assert img.mean() > 0.05
 
 
+@pytest.mark.slow
 def test_render_cornell_scene_through_api():
     from vspg_pbrt_v4_tpu.models.integrators import volpath
 
@@ -97,6 +99,7 @@ def test_exr_roundtrip(tmp_path):
     assert np.allclose(rgb, img, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_renders(tmp_path):
     out = str(tmp_path / "o.exr")
     env = dict(os.environ)
@@ -115,6 +118,7 @@ def test_cli_renders(tmp_path):
     assert np.isfinite(img).all() and img.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_textures_checker():
     """Checker texture on a floor renders alternating albedo."""
     import jax.numpy as jnp

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -21,6 +22,7 @@ def _const_portal(res=64, value=1.0):
                             res=res)
 
 
+@pytest.mark.slow
 def test_portal_pdf_normalized_and_samples_inside():
     pl = _const_portal()
     rng = np.random.default_rng(0)
@@ -57,6 +59,7 @@ def test_portal_importance_follows_image():
     assert frac_bright > 0.6, frac_bright
 
 
+@pytest.mark.slow
 def test_portal_render_vs_open_env():
     """A diffuse floor under a portal window: the portal render equals a
     plain env render where the env is masked to the portal cone (the two
@@ -101,6 +104,7 @@ def test_portal_render_vs_open_env():
     assert abs(center - expect) / expect < 0.15, (center, expect)
 
 
+@pytest.mark.slow
 def test_portal_guided_matches_unguided():
     """Portal-lit floor with guiding: guided_volpath's escaped-ray MIS must
     pass the previous vertex to pdf_li_escaped (portal pdfs depend on the

@@ -6,6 +6,7 @@ density semantics, and unbiased transport through the delta tracker.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -46,6 +47,7 @@ def test_cloud_density_range_and_majorant():
     assert np.all(st <= np.asarray(cm.majorant_rgb()) + 1e-6)
 
 
+@pytest.mark.slow
 def test_cloud_furnace():
     """Albedo-1 cloud in a unit furnace: energy conserved regardless of the
     density field (the TPU delta tracker must stay unbiased on procedural
@@ -88,6 +90,7 @@ def test_earth_cloud_shell_heightmap():
     assert float(sa_out[0, 0]) == 0.0
 
 
+@pytest.mark.slow
 def test_earth_furnace():
     """Scattering-only earth atmosphere in a furnace conserves energy."""
     em = EarthMedium.make(sigma_a_atm=(0, 0, 0), sigma_s_atm=(3, 3, 3),

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera, RealisticCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -32,6 +33,7 @@ def test_singlet_focuses_on_axis():
     assert z_cross.std() < 0.25, z_cross.std()
 
 
+@pytest.mark.slow
 def test_realistic_image_matches_perspective_layout():
     """A small emissive quad right of center: the realistic camera must put
     it on the same side as the perspective camera (the film flip cancels

@@ -79,6 +79,7 @@ def test_stratification_within_pixel(kind, bound):
         assert (counts > 0).mean() > 0.75, (kind, p, counts)
 
 
+@pytest.mark.slow
 def test_variance_reduction_vs_independent():
     """Integrating a smooth function: stratified & sobol beat independent."""
     spp = 64
@@ -181,6 +182,7 @@ def test_sobol_full_sampler_uniform_and_beats_independent():
     assert err_sobol < 0.35 * err_ind, (err_sobol, err_ind)
 
 
+@pytest.mark.slow
 def test_sobol_full_deep_dimensions_stratified():
     """Dimensions consumed deep into a path (dim counter > 0) still come
     from real generator matrices: per-pixel spp draws stratify."""

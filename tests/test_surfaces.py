@@ -7,6 +7,7 @@ that radiance; a convex lambertian body with albedo rho reflects rho * L0.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -60,6 +61,7 @@ def test_diffuse_rgb_albedo():
     assert np.allclose(center, rho, rtol=0.05), center
 
 
+@pytest.mark.slow
 def test_dielectric_sphere_furnace():
     """Glass sphere in a white furnace: reflection+refraction conserve energy
     -> image is L0 everywhere (tests Fresnel split, refraction, eta^2
@@ -74,6 +76,7 @@ def test_dielectric_sphere_furnace():
     assert np.allclose(img.mean((0, 1)), L0, rtol=0.03), img.mean((0, 1))
 
 
+@pytest.mark.slow
 def test_mirror_sphere_furnace():
     """Perfect mirror (F0=1) in uniform env: image = env everywhere."""
     L0 = 0.5
@@ -97,6 +100,7 @@ def test_rough_conductor_furnace():
     assert 0.88 < center <= 1.02, center
 
 
+@pytest.mark.slow
 def test_emissive_triangle_direct():
     """Camera staring at an emissive quad: pixel == Le."""
     Le = (2.0, 3.0, 4.0)
@@ -125,6 +129,7 @@ def test_emissive_triangle_direct():
     assert np.allclose(center, Le, rtol=1e-3), center
 
 
+@pytest.mark.slow
 def test_area_light_illumination_unbiased():
     """Diffuse floor lit by an emissive quad overhead: NEE+BSDF MIS estimate
     must match a brute-force quadrature of the form-factor integral."""
@@ -172,6 +177,7 @@ def test_area_light_illumination_unbiased():
     assert abs(center - expected) / expected < 0.05, (center, expected)
 
 
+@pytest.mark.slow
 def test_shadowing():
     """Opaque blocker between light and floor casts a dark shadow."""
     floor = [
@@ -199,6 +205,7 @@ def test_shadowing():
     assert c_b < 0.25 * c_o, (c_o, c_b)
 
 
+@pytest.mark.slow
 def test_power_light_sampler_unbiased():
     """Power-proportional light selection must not change the estimate
     (PowerLightSampler analog): two very unequal area lights over a floor."""
@@ -244,6 +251,7 @@ def test_power_light_sampler_unbiased():
     assert np.isfinite(v_p) and v_p < v_u * 1.5
 
 
+@pytest.mark.slow
 def test_spot_light_cone():
     """Spot light: inside-cone floor lit, outside-cone floor dark."""
     floor = [
@@ -273,6 +281,7 @@ def test_spot_light_cone():
     assert bright > 8 * max(dark, 1e-5), (bright, dark)
 
 
+@pytest.mark.slow
 def test_image_env_light_furnace_and_direction():
     """Equal-area image env light: constant map reproduces the uniform
     furnace; a single bright texel lights the scene from its direction."""

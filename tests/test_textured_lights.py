@@ -4,6 +4,7 @@ light; projection illuminates only inside its frustum."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspg_pbrt_v4_tpu.models.cameras import PerspectiveCamera
 from vspg_pbrt_v4_tpu.models.film import RGBFilm
@@ -28,6 +29,7 @@ def _setup():
     return geom, mats, cam, RGBFilm.make((24, 24))
 
 
+@pytest.mark.slow
 def test_uniform_gonio_equals_point():
     geom, mats, cam, film = _setup()
     I = [4.0, 3.0, 2.0]
@@ -44,6 +46,7 @@ def test_uniform_gonio_equals_point():
     assert np.allclose(out["point"], out["gonio"], rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_projection_frustum_and_lightpath_parity():
     geom, mats, cam, film = _setup()
     I = [4.0, 3.0, 2.0]

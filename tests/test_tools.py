@@ -101,6 +101,7 @@ def test_filters_normalized():
         assert w.mean() > 0.7, (kind, w.mean())
 
 
+@pytest.mark.slow
 def test_gaussian_filter_render_unbiased():
     """Furnace through a gaussian filter still averages to L0."""
     import jax.numpy as jnp

@@ -966,8 +966,22 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 qdx = jnp.where(do_oc, shx, dx)
                 qdy = jnp.where(do_oc, shy, dy)
                 qdz = jnp.where(do_oc, shz, dz)
-                (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h) = closest_hit(
-                    ox, oy, oz, qdx, qdy, qdz)
+
+                # skip the whole SMEM sweep on iterations where no lane
+                # has a pending query (walk-phase iterations dominate)
+                def _sweep(_):
+                    return closest_hit(ox, oy, oz, qdx, qdy, qdz)
+
+                def _idle(_):
+                    return (jnp.full((sub, 128), _BIG, jnp.float32),
+                            zf, zf, zf,
+                            jnp.full((sub, 128), -1, jnp.int32),
+                            jnp.full((sub, 128), -1, jnp.int32),
+                            jnp.full((sub, 128), -1, jnp.int32))
+
+                (t_h, nhx, nhy, nhz, m_h, mi_h,
+                 mo_h) = jax.lax.cond(jnp.any(do_is | do_oc),
+                                      _sweep, _idle, 0)
                 t_surf = jnp.where(do_is, t_h, t_surf)
                 hngx = jnp.where(do_is, nhx, hngx)
                 hngy = jnp.where(do_is, nhy, hngy)

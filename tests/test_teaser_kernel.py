@@ -191,7 +191,7 @@ def test_mesh_chunks_pack():
     c = pv.extract_constants(scene, camera, film, cfg)
     assert c is not None and c["n_tri"] == n_tri
     tab, tb = pv.pack_tri_chunks(scene)
-    assert tab.shape[0] % pv.MESH_CHUNK == 0 and tab.shape[1] == 16
+    assert tab.shape[0] % pv.MESH_CHUNK == 0 and tab.shape[1] == 24
     assert tb.shape == (tab.shape[0] // pv.MESH_CHUNK, 8)
     # chunk AABBs contain their triangles
     nc = tb.shape[0]
@@ -218,3 +218,33 @@ def test_mesh_kernel_matches_volpath():
     assert np.isfinite(img).all()
     rel = abs(img.mean() - ref.mean()) / max(float(ref.mean()), 1e-9)
     assert rel < 0.04, (img.mean(), ref.mean())
+
+
+def test_teaser_kernel_checker_texture_matches_volpath():
+    """Round-4: CHECKER albedo textures in the fused kernel (parity
+    select at the hit uv, textures.py checker semantics) — the kernel
+    must match the general jnp wavefront path on a checker-textured
+    diffuse cube in the cloud (textures.h:86 / surfscatter.cpp
+    texture-eval generality)."""
+    from vspg_pbrt_v4_tpu.models.textures import CHECKER, Textures
+
+    scene, camera, film, cfg = _teaser_scene()
+    texs = Textures.build([
+        dict(kind=CHECKER, c0=(0.8, 0.2, 0.1), c1=(0.1, 0.3, 0.8),
+             uvscale=(4.0, 4.0)),
+    ])
+    mats = M.Materials.build([
+        dict(type=M.DIFFUSE, albedo=(0.7, 0.4, 0.2), albedo_tex=0),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.7, 0.4), roughness=0.0),
+    ])
+    scene = scene._replace(materials=mats, textures=texs)
+    c = pv.extract_constants(scene, camera, film, cfg)
+    assert c is not None and c["mat_tex_kind"][0] == 1
+    ref = np.asarray(volpath.render(scene, camera, film, spp=48, seed=3,
+                                    spp_per_pass=8, cfg=cfg))
+    img = np.asarray(pv.render_homog_pallas(scene, camera, film, 48, cfg,
+                                            seed=7, interpret=True))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / max(float(ref.mean()), 1e-9)
+    assert rel < 0.035, (img.mean(), ref.mean())

@@ -207,7 +207,14 @@ def extract_constants(scene, camera, film, cfg):
                 if kind == 2 and float(rough[mid]) >= 1e-3:
                     return None  # rough dielectric: XLA path
                 if int(at[mid]) >= 0:
-                    return None
+                    # round-4: CHECKER albedo textures ride the fused
+                    # kernel (pure VPU parity select at the hit uv,
+                    # textures.h:86 checker semantics); other texture
+                    # kinds and mesh-class scenes stay on the XLA path
+                    tex = scene.textures
+                    tk = int(np.asarray(tex.kind)[int(at[mid])])
+                    if tk != 1 or n_tri > MAX_TRIS_GRID:
+                        return None
         if int(np.asarray(g.box_mat)[0]) >= 0:
             return None
         med_in = int(np.asarray(g.box_med_in)[0])
@@ -334,6 +341,28 @@ def extract_constants(scene, camera, film, cfg):
                                  for v in np.asarray(mats.eta, np.float32))
             c["mat_rough"] = tuple(
                 float(v) for v in np.asarray(mats.roughness, np.float32))
+            tex = scene.textures
+            at_np = np.asarray(mats.albedo_tex)
+            n_m = len(at_np)
+            if tex is None:
+                c["mat_tex_kind"] = (-1,) * n_m
+                c["mat_tex_c0"] = ((0.0, 0.0, 0.0),) * n_m
+                c["mat_tex_c1"] = ((0.0, 0.0, 0.0),) * n_m
+                c["mat_tex_uvs"] = ((1.0, 1.0),) * n_m
+            else:
+                tkind = np.asarray(tex.kind)
+                c["mat_tex_kind"] = tuple(
+                    int(tkind[t]) if t >= 0 else -1 for t in at_np)
+                c["mat_tex_c0"] = tuple(
+                    tuple(float(x) for x in np.asarray(tex.c0)[max(t, 0)])
+                    for t in at_np)
+                c["mat_tex_c1"] = tuple(
+                    tuple(float(x) for x in np.asarray(tex.c1)[max(t, 0)])
+                    for t in at_np)
+                c["mat_tex_uvs"] = tuple(
+                    tuple(float(x)
+                          for x in np.asarray(tex.uvscale)[max(t, 0)])
+                    for t in at_np)
         return c
     except Exception:
         return None
@@ -519,7 +548,7 @@ def pack_tri_table(scene):
     e1 = np.asarray(g.tri_p1, np.float32) - p0
     e2 = np.asarray(g.tri_p2, np.float32) - p0
     ng = np.asarray(g.tri_n0, np.float32)
-    tab = np.zeros((n_tri, 16), np.float32)
+    tab = np.zeros((n_tri, 24), np.float32)
     tab[:, 0:3] = p0
     tab[:, 3:6] = e1
     tab[:, 6:9] = e2
@@ -527,6 +556,10 @@ def pack_tri_table(scene):
     tab[:, 12] = np.asarray(g.tri_mat, np.float32)
     tab[:, 13] = np.asarray(g.tri_med_in, np.float32)
     tab[:, 14] = np.asarray(g.tri_med_out, np.float32)
+    # vertex uvs (cols 16-21): hit uv = uv0 + b1 (uv1-uv0) + b2 (uv2-uv0)
+    tab[:, 16:18] = np.asarray(g.tri_uv0, np.float32)
+    tab[:, 18:20] = np.asarray(g.tri_uv1, np.float32)
+    tab[:, 20:22] = np.asarray(g.tri_uv2, np.float32)
     return tab
 
 
@@ -555,7 +588,7 @@ def pack_tri_chunks(scene, chunk=MESH_CHUNK):
     nc = -(-T // chunk)
     pad = nc * chunk - T
     if pad:
-        fill = np.zeros((pad, 16), np.float32)
+        fill = np.zeros((pad, tab.shape[1]), np.float32)
         fill[:, 12:15] = -1.0  # mat/med ids
         tab = np.concatenate([tab, fill], 0)
     v0 = tab[:, 0:3]
@@ -1348,6 +1381,14 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             "mat_rough", (0.0,) * len(mat_kind)))
         n_mat = len(mat_kind)
         n_tri_chunks = -(-n_tri // MESH_CHUNK)
+        mat_tex_kind = tuple(c.get("mat_tex_kind", (-1,) * n_mat))
+        mat_tex_c0 = np.asarray(c.get("mat_tex_c0",
+                                      ((0.0,) * 3,) * n_mat), np.float32)
+        mat_tex_c1 = np.asarray(c.get("mat_tex_c1",
+                                      ((0.0,) * 3,) * n_mat), np.float32)
+        mat_tex_uvs = np.asarray(c.get("mat_tex_uvs",
+                                       ((1.0, 1.0),) * n_mat), np.float32)
+        any_tex = any(k >= 0 for k in mat_tex_kind)
         # Trowbridge-Reitz lanes present? (rough conductor / CookTorrance;
         # wavefront/surfscatter.cpp generality, util/scattering.h math)
         any_rough = any(
@@ -1592,7 +1633,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             mat=-1 on miss."""
 
             def tri(ti, carry):
-                (t_b, nxb, nyb, nzb, mb, mib, mob) = carry
+                (t_b, nxb, nyb, nzb, mb, mib, mob, uub, vvb) = carry
                 p0x, p0y, p0z = tris_ref[ti, 0], tris_ref[ti, 1], \
                     tris_ref[ti, 2]
                 e1x, e1y, e1z = tris_ref[ti, 3], tris_ref[ti, 4], \
@@ -1620,12 +1661,21 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 mb = jnp.where(ok, tris_ref[ti, 12].astype(jnp.int32), mb)
                 mib = jnp.where(ok, tris_ref[ti, 13].astype(jnp.int32), mib)
                 mob = jnp.where(ok, tris_ref[ti, 14].astype(jnp.int32), mob)
-                return (t_b, nxb, nyb, nzb, mb, mib, mob)
+                # hit uv from barycentrics + vertex uvs (cols 16-21)
+                uu = (tris_ref[ti, 16]
+                      + b1 * (tris_ref[ti, 18] - tris_ref[ti, 16])
+                      + b2 * (tris_ref[ti, 20] - tris_ref[ti, 16]))
+                vv = (tris_ref[ti, 17]
+                      + b1 * (tris_ref[ti, 19] - tris_ref[ti, 17])
+                      + b2 * (tris_ref[ti, 21] - tris_ref[ti, 17]))
+                uub = jnp.where(ok, uu, uub)
+                vvb = jnp.where(ok, vv, vvb)
+                return (t_b, nxb, nyb, nzb, mb, mib, mob, uub, vvb)
 
             init = (jnp.full((sub, 128), _BIG, jnp.float32), zf, zf, zf,
                     jnp.full((sub, 128), -1, jnp.int32),
                     jnp.full((sub, 128), -1, jnp.int32),
-                    jnp.full((sub, 128), -1, jnp.int32))
+                    jnp.full((sub, 128), -1, jnp.int32), zf, zf)
             return jax.lax.fori_loop(0, n_tri, tri, init)
 
         def seg_exit(px, py, pz, dx, dy, dz):
@@ -1698,6 +1748,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
               zi,                                       # sh_need_occ
               zi,                                       # spec_last
               *zeros3) if n_tri else ()) \
+          + ((zf, zf) if (n_tri and any_tex) else ()) \
           + ((lane_i * 0,) if PROBE_ITERS else ())  # sh_f; busy probe
 
         def cond(cy):
@@ -1718,6 +1769,9 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                  sh_occ, spec_last, shf0, shf1, shf2) = cy[base_x:
                                                            base_x + 13]
                 base_x += 13
+                if any_tex:
+                    huv_u, huv_v = cy[base_x:base_x + 2]
+                    base_x += 2
             busy = cy[base_x] if PROBE_ITERS else None
             alive = alive_i != 0
             is_sh = alive & (mode != 0)
@@ -1765,6 +1819,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                     t_cap = jnp.where(do_oc, occ_t, _BIG)
                     (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h) = mesh_hit(
                         ox, oy, oz, qdx, qdy, qdz, do_is | do_oc, t_cap)
+                    uu_h = vv_h = zf  # textures gated to <=64-tri class
                 else:
                     # skip the whole SMEM sweep on iterations where no
                     # lane has a pending query (walk-phase iterations
@@ -1778,11 +1833,15 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                                 zf, zf, zf,
                                 jnp.full((sub, 128), -1, jnp.int32),
                                 jnp.full((sub, 128), -1, jnp.int32),
-                                jnp.full((sub, 128), -1, jnp.int32))
+                                jnp.full((sub, 128), -1, jnp.int32),
+                                zf, zf)
 
-                    (t_h, nhx, nhy, nhz, m_h, mi_h,
-                     mo_h) = jax.lax.cond(jnp.any(do_is | do_oc),
+                    (t_h, nhx, nhy, nhz, m_h, mi_h, mo_h, uu_h,
+                     vv_h) = jax.lax.cond(jnp.any(do_is | do_oc),
                                           _sweep, _idle, 0)
+                if any_tex:
+                    huv_u = jnp.where(do_is, uu_h, huv_u)
+                    huv_v = jnp.where(do_is, vv_h, huv_v)
                 t_surf = jnp.where(do_is, t_h, t_surf)
                 hngx = jnp.where(do_is, nhx, hngx)
                 hngy = jnp.where(do_is, nhy, hngy)
@@ -2079,6 +2138,39 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 alive = alive & ~s_exceed
                 hit_s = hit_s & ~s_exceed
                 depth = jnp.where(hit_s, depth + 1, depth)
+                if any_tex:
+                    # CHECKER albedo textures (textures.py _eval_level
+                    # checker semantics: parity of floor(u us)+floor(v
+                    # vs) picks c0/c1) — pure VPU math at the hit uv
+                    us_m = jnp.ones_like(zf)
+                    vs_m = jnp.ones_like(zf)
+                    for mi_ in range(n_mat):
+                        if mat_tex_kind[mi_] >= 0:
+                            selm = hmat == mi_
+                            us_m = jnp.where(selm,
+                                             float(mat_tex_uvs[mi_, 0]),
+                                             us_m)
+                            vs_m = jnp.where(selm,
+                                             float(mat_tex_uvs[mi_, 1]),
+                                             vs_m)
+                    par0 = ((jnp.floor(huv_u * us_m)
+                             + jnp.floor(huv_v * vs_m)).astype(jnp.int32)
+                            % 2) == 0
+                    for mi_ in range(n_mat):
+                        if mat_tex_kind[mi_] >= 0:
+                            selm = hmat == mi_
+                            alb0 = jnp.where(
+                                selm, jnp.where(
+                                    par0, float(mat_tex_c0[mi_, 0]),
+                                    float(mat_tex_c1[mi_, 0])), alb0)
+                            alb1 = jnp.where(
+                                selm, jnp.where(
+                                    par0, float(mat_tex_c0[mi_, 1]),
+                                    float(mat_tex_c1[mi_, 1])), alb1)
+                            alb2 = jnp.where(
+                                selm, jnp.where(
+                                    par0, float(mat_tex_c0[mi_, 2]),
+                                    float(mat_tex_c1[mi_, 2])), alb2)
                 shade_df = hit_s & (kind_l == 0)
                 smooth_l = rough_l < 1e-3
                 shade_co = hit_s & (kind_l == 1) & smooth_l
@@ -2619,6 +2711,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 + ((t_surf, hngx, hngy, hngz, hmat, hmi, hmo, needs_i,
                     sh_occ, spec_last, shf0, shf1, shf2)
                    if n_tri else ()) \
+                + ((huv_u, huv_v) if (n_tri and any_tex) else ()) \
                 + ((jnp.where(alive_i != 0, busy + 1, busy),)
                    if PROBE_ITERS else ())
 
@@ -2782,7 +2875,7 @@ def _get_callable(c, spp, interpret):
         if mesh_k:
             # mesh-class: VMEM triangle table + SMEM chunk bounds
             T_pad = -(-n_tri_k // MESH_CHUNK) * MESH_CHUNK
-            in_specs.append(pl.BlockSpec((T_pad, 16), lambda b: (0, 0),
+            in_specs.append(pl.BlockSpec((T_pad, 24), lambda b: (0, 0),
                                          memory_space=pltpu.VMEM))
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         elif n_tri_k:

@@ -2357,10 +2357,14 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
         # the VSPG kernel's surface machinery serves diffuse + smooth
         # delta lobes; rough/CookTorrance teaser variants run through the
         # volpath kernel or the XLA wave for now
-        for mk, mr in zip(c["mat_kind"], c.get("mat_rough",
-                                               (0.0,) * len(c["mat_kind"]))):
+        for mk, mr, mt in zip(
+                c["mat_kind"],
+                c.get("mat_rough", (0.0,) * len(c["mat_kind"])),
+                c.get("mat_tex_kind", (-1,) * len(c["mat_kind"]))):
             if mk not in (0, 1, 2) or (mk in (1, 2) and mr >= 1e-3):
                 return False
+            if mt >= 0:
+                return False  # textured albedo: volpath kernel only
     # density lookups: chunk sweep for small grids, one-hot MXU gather
     # up to MXU_MAX_VOX (PERF.md addendum 5); beyond that the XLA wave
     # still serves the scene

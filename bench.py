@@ -707,7 +707,11 @@ def bench_config5v():
             w += 1
         return np.asarray(jax.device_get(acc)) / w, n_done
 
-    wave = 64
+    # 32-spp waves: the 6 s budget fits only ~3-5 VSPG waves at 64 spp,
+    # quantizing its equal-time spp by up to 25% (the reference's --time
+    # loop renders 1-spp waves, integrators.cpp:123); both competitors
+    # use the same wave size so the protocol stays fair
+    wave = 32
     vol_img, vol_spp = timed_accum(
         lambda s: volpath.render_persistent(scene, camera, film, spp=wave,
                                             cfg=cfg, seed=s,

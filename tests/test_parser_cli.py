@@ -99,6 +99,34 @@ def test_exr_roundtrip(tmp_path):
     assert np.allclose(rgb, img, atol=1e-6)
 
 
+def test_cli_pixelmaterial_probe(tmp_path, capsys):
+    """--pixelmaterial x,y prints the center-ray intersection chain:
+    material family + params, world p/n, camera distance
+    (cpu/render.cpp:110-161)."""
+    from vspg_pbrt_v4_tpu import cli
+
+    scene = tmp_path / "probe.pbrt"
+    scene.write_text('''
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+Material "diffuse" "rgb reflectance" [.6 .3 .2]
+Shape "sphere" "float radius" [1]
+''')
+    rc = cli.main([str(scene), "--pixelmaterial", "8,8", "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Intersection depth 1" in out
+    assert "diffuse" in out and "albedo=(0.6" in out
+    assert "Distance from camera: 3" in out  # sphere front at z=-1
+    # the ray continues through and reports the back side too
+    assert "Intersection depth 2" in out
+    # a miss pixel errors like the reference's ErrorExit
+    rc = cli.main([str(scene), "--pixelmaterial", "0,0", "--quiet"])
+    assert rc == 1
+
+
 @pytest.mark.slow
 def test_cli_renders(tmp_path):
     out = str(tmp_path / "o.exr")

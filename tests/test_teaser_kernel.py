@@ -191,7 +191,7 @@ def test_mesh_chunks_pack():
     c = pv.extract_constants(scene, camera, film, cfg)
     assert c is not None and c["n_tri"] == n_tri
     tab, tb = pv.pack_tri_chunks(scene)
-    assert tab.shape[0] % pv.MESH_CHUNK == 0 and tab.shape[1] == 24
+    assert tab.shape[0] % pv.MESH_CHUNK == 0 and tab.shape[1] == 16
     assert tb.shape == (tab.shape[0] // pv.MESH_CHUNK, 8)
     # chunk AABBs contain their triangles
     nc = tb.shape[0]

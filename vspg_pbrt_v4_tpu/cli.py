@@ -66,6 +66,10 @@ def main(argv=None):
     ap.add_argument("--debugstart", default=None, metavar="X,Y,S",
                     help="deterministically replay one pixel sample and "
                          "print its radiance (cpu/integrators.cpp:77-95)")
+    ap.add_argument("--pixelmaterial", default=None, metavar="X,Y",
+                    help="trace the center camera ray of pixel (x,y) and "
+                         "print every intersection's position, normal, "
+                         "material and media (cpu/render.cpp:110-161)")
     args = ap.parse_args(argv)
 
     from .utils import log
@@ -137,6 +141,10 @@ def main(argv=None):
                   ("depth", "alive", "lum"))
         if not args.quiet:
             print(f"[pixelstats] {base}_stats.exr", file=sys.stderr)
+
+    if args.pixelmaterial:
+        x, y = (int(v) for v in args.pixelmaterial.split(","))
+        return _pixel_material_probe(setup, x, y)
 
     if args.debugstart:
         # single-sample replay: the stateless counter RNG makes any
@@ -426,6 +434,79 @@ def main(argv=None):
     if args.stats:
         print(json.dumps({"seconds": dt, "spp": setup.spp,
                           "resolution": list(img.shape[:2])}), file=sys.stderr)
+    return 0
+
+
+def _pixel_material_probe(setup, x, y, max_depth=16):
+    """`--pixelmaterial x,y` (cpu/render.cpp:110-161): trace the center
+    camera ray of one pixel and print each intersection's world-space
+    position, normals, camera distance, material family + parameters and
+    interface media. Interface hits (mat_id == -1, pure medium
+    boundaries) are reported and skipped through, like the reference's
+    'Ignoring interface material' warning."""
+    import jax.numpy as jnp
+
+    from .models import materials as M
+    from .ops.intersect import offset_ray_origin
+
+    _FAM = {M.DIFFUSE: "diffuse", M.CONDUCTOR: "conductor",
+            M.DIELECTRIC: "dielectric", M.DIFFUSE_TRANS: "diffusetransmission",
+            M.THIN_DIELECTRIC: "thindielectric",
+            M.COATED_DIFFUSE: "coateddiffuse",
+            M.COATED_CONDUCTOR: "coatedconductor", M.MIX: "mix",
+            M.HAIR: "hair", M.SUBSURFACE: "subsurface",
+            M.MEASURED: "measured", M.COOK_TORRANCE: "cooktorrance"}
+
+    nx, ny = setup.film.resolution
+    if not (0 <= x < nx and 0 <= y < ny):
+        print(f"error: pixel ({x},{y}) outside film {nx}x{ny}",
+              file=sys.stderr)
+        return 1
+    p_raster = jnp.asarray([[x + 0.5, y + 0.5]], jnp.float32)
+    rays = setup.camera.generate_rays(p_raster, jnp.asarray([[0.5, 0.5]]))
+    o, d = rays[0], rays[1]
+    cam_o = np.asarray(o)[0]
+    mats = setup.scene.materials
+    depth = 1
+    for _ in range(max_depth):
+        h = setup.scene.geometry.intersect(o, d, jnp.full(o.shape[:-1],
+                                                          jnp.inf))
+        if not bool(np.asarray(h.hit)[0]):
+            if depth == 1:
+                print("error: no geometry visible at specified pixel.",
+                      file=sys.stderr)
+                return 1
+            break
+        p = np.asarray(h.p)[0]
+        n = np.asarray(h.n)[0]
+        ns = np.asarray(h.ns)[0]
+        mid = int(np.asarray(h.mat_id)[0])
+        mi, mo = int(np.asarray(h.med_in)[0]), int(np.asarray(h.med_out)[0])
+        if mid < 0:
+            print(f"(interface hit at t={float(np.asarray(h.t)[0]):.6g}, "
+                  f"media in/out = {mi}/{mo} — skipping)")
+        else:
+            dist = float(np.linalg.norm(p - cam_o))
+            print(f"Intersection depth {depth}")
+            print(f"World-space p: [ {p[0]:.6g}, {p[1]:.6g}, {p[2]:.6g} ]")
+            print(f"World-space n: [ {n[0]:.6g}, {n[1]:.6g}, {n[2]:.6g} ]")
+            print(f"World-space ns: [ {ns[0]:.6g}, {ns[1]:.6g}, "
+                  f"{ns[2]:.6g} ]")
+            print(f"Distance from camera: {dist:.6g}")
+            fam = _FAM.get(int(np.asarray(mats.mat_type)[mid]),
+                           f"type{int(np.asarray(mats.mat_type)[mid])}")
+            alb = np.asarray(mats.albedo)[mid]
+            print(f"Material[{mid}]: {fam} albedo=({alb[0]:.4g}, "
+                  f"{alb[1]:.4g}, {alb[2]:.4g}) "
+                  f"eta={float(np.asarray(mats.eta)[mid]):.4g} "
+                  f"roughness={float(np.asarray(mats.roughness)[mid]):.4g}")
+            if mi >= 0 or mo >= 0:
+                print(f"MediumInterface: inside={mi} outside={mo}")
+            print()
+            depth += 1
+        # continue straight through (SpawnRay(ray.d), render.cpp:157);
+        # offset_ray_origin signs the epsilon toward d itself
+        o = offset_ray_origin(h.p, h.n, d)
     return 0
 
 

@@ -567,8 +567,11 @@ def pack_tri_chunks(scene, chunk=MESH_CHUNK):
     """Morton-ordered MESH_CHUNK-tri chunks + per-chunk AABBs for the
     chunk-skip closest-hit sweep (mesh-class scenes). Returns
     (tris (T_pad, 16) f32 [VMEM layout], bounds (n_chunks, 8) f32
-    [SMEM: bmin, bmax, pad2]). Padding rows are degenerate (det == 0)."""
-    tab = pack_tri_table(scene)  # (T, 16)
+    [SMEM: bmin, bmax, pad2]). Padding rows are degenerate (det == 0).
+    Only columns 0-14 are read by the mesh sweep (uv columns are gated
+    to the <=MAX_TRIS_GRID SMEM class), so the 24-column full table is
+    sliced to 16 to save VMEM (~0.5 MB at the 16k-tri cap)."""
+    tab = pack_tri_table(scene)[:, :16]  # (T, 16)
     p0 = tab[:, 0:3]
     cen = p0 + (tab[:, 3:6] + tab[:, 6:9]) / 3.0
     lo = cen.min(0)
@@ -2875,7 +2878,7 @@ def _get_callable(c, spp, interpret):
         if mesh_k:
             # mesh-class: VMEM triangle table + SMEM chunk bounds
             T_pad = -(-n_tri_k // MESH_CHUNK) * MESH_CHUNK
-            in_specs.append(pl.BlockSpec((T_pad, 24), lambda b: (0, 0),
+            in_specs.append(pl.BlockSpec((T_pad, 16), lambda b: (0, 0),
                                          memory_space=pltpu.VMEM))
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         elif n_tri_k:

@@ -1920,8 +1920,19 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 # s_df (for pure cosine sampling s_df == 1, the volpath
                 # teaser identity)
                 s_df = cos_out * INV_PI / jnp.maximum(pdf_sv, 1e-30)
-                alive = alive & ~(shade_df & ~valid_sv)
-                shade_df = shade_df & valid_sv
+                # Invalid guided draws (vMF sample below the hemisphere:
+                # base_pdf 0 in the MIS branch) must NOT kill the lane
+                # here — the vertex's deferred surface NEE (nee_gs,
+                # armed below) would be silently dropped, biasing
+                # mode='mis' + surface_guiding renders dark. Mirror
+                # pallas_volpath's TINY_G trick instead: collapse the
+                # continuation weight so beta *= alb*TINY ~ 0 while the
+                # NEE fold sh_f = f_nee/s_df reconstructs the exact
+                # pre-continuation product; the ~zero-beta lane is then
+                # RR-killed at its next path event. XLA analog adds Ld
+                # before invalidating (vspg.py:1014 vs :1038).
+                TINY_G = 1e-18
+                s_df = jnp.where(shade_df & ~valid_sv, TINY_G, s_df)
                 hit_s = shade_df | shade_co | shade_dl
                 # conductor: mirror about ns, Schlick F0 tint
                 dnd = dx * nsx + dy * nsy + dz * nsz

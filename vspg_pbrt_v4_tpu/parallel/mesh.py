@@ -247,6 +247,11 @@ def render_vspg_pallas_sharded(scene, camera, film, spp, cfg, gopt, vopt,
     dens, maj, ftab, _tris = pk.pack_kernel_inputs(scene, field,
                                             vopt.vsp_criterion,
                                             field_mxu=gc["field_mxu"])
+    # The n_tri guard above rejects triangle scenes, so the kernel is
+    # built with no tris input and fn() below omits the tris arg. If
+    # that guard is ever relaxed (teaser-class sharding), _tris must be
+    # threaded through shard_fn or the kernel fails inside pallas_call.
+    assert _tris is None, "sharded VSPG path assumes a no-triangle scene"
     itab = pk.pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
     sub = 8
     while npix_l % (sub * 128) != 0:

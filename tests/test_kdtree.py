@@ -152,3 +152,46 @@ def test_kdtree_degenerate_single_prim():
     d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     k, t = _closest_kd(kd, o, d, jnp.full(1, jnp.inf), p0, p1, p2)
     assert int(k[0]) == 0 and abs(float(t[0]) - 1.0) < 1e-5
+
+
+def test_kdtree_wired_as_scene_accelerator():
+    """`Accelerator "kdtree"` flows parser -> builder -> Geometry.build
+    and the kd-tree serves Geometry.intersect / intersect_p: the render
+    aggregate matches the brute-force oracle (cpu/aggregates.h:76
+    KdTreeAggregate, wired per round-4 verdict task 7)."""
+    from vspg_pbrt_v4_tpu.models.shapes import Geometry
+    from vspg_pbrt_v4_tpu.ops.kdtree import KdTree
+    from vspg_pbrt_v4_tpu.scene import build_render_setup, parse_pbrt_string
+
+    rng = np.random.default_rng(5)
+    p0, p1, p2 = _tri_soup(90, rng)
+    tris = "\n".join(
+        f'Shape "trianglemesh" "point3 P" [{a[0]} {a[1]} {a[2]} '
+        f'{b[0]} {b[1]} {b[2]} {c[0]} {c[1]} {c[2]}] '
+        '"integer indices" [0 1 2]'
+        for a, b, c in zip(p0, p1, p2))
+    scene_txt = ('Film "rgb" "integer xresolution" [8] '
+                 '"integer yresolution" [8]\n'
+                 'Camera "perspective" "float fov" [45]\n'
+                 'Accelerator "kdtree"\n'
+                 'WorldBegin\nMaterial "diffuse"\n' + tris)
+    setup = build_render_setup(parse_pbrt_string(scene_txt))
+    g = setup.scene.geometry
+    assert isinstance(g.tri_bvh, KdTree)
+    # same geometry, brute force (no accelerator) as oracle
+    g_brute = g._replace(tri_bvh=None)
+    R = 256
+    o = jnp.asarray(rng.uniform(-4, 4, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    t_max = jnp.full(R, jnp.inf)
+    ha = g.intersect(o, d, t_max)
+    hb = g_brute.intersect(o, d, t_max)
+    assert (np.asarray(ha.hit) == np.asarray(hb.hit)).all()
+    m = np.asarray(ha.hit)
+    assert np.allclose(np.asarray(ha.t)[m], np.asarray(hb.t)[m], rtol=1e-4)
+    assert (np.asarray(ha.prim_id)[m] == np.asarray(hb.prim_id)[m]).all()
+    oa = np.asarray(g.intersect_p(o, d, t_max * 0 + 100.0))
+    ob = np.asarray(g_brute.intersect_p(o, d, t_max * 0 + 100.0))
+    assert (oa == ob).all()

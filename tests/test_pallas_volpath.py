@@ -83,6 +83,7 @@ def test_megakernel_matches_volpath_bench_scene():
     assert rel < 0.04, (img.mean(), ref.mean())
 
 
+@pytest.mark.mid
 def test_megakernel_scatter_furnace():
     """Pure-scattering fog in a uniform env furnace: every pixel must be
     exactly the env radiance (energy conservation of the closed-form
@@ -301,6 +302,7 @@ def test_grid_megakernel_i8_matches_volpath():
         pv.I8_THRESHOLD = old
 
 
+@pytest.mark.mid
 def test_grid_megakernel_mxu_stoch_furnace():
     """Force the MXU one-hot gather (production path for 4096+ voxel
     grids) together with stochastic one-corner filtering: the furnace
@@ -327,6 +329,7 @@ def test_grid_megakernel_mxu_stoch_furnace():
         pv._KERNEL_CACHE.clear()
 
 
+@pytest.mark.mid
 def test_grid_megakernel_mxu_matches_volpath():
     """MXU-gather path on the lit test cloud vs the jnp DDA loop: means
     agree within MC noise."""

@@ -100,6 +100,7 @@ def test_kernel_untrained_matches_volpath():
             assert abs(a - b) < 0.08 * max(a, 0.05), (a, b)
 
 
+@pytest.mark.mid
 def test_kernel_furnace_trained_field():
     """Scattering furnace with a TRAINED field + ready ISGB: the guided
     routes (VSP resampling + vMF direction MIS/RIS + guided RR) must keep
@@ -120,6 +121,7 @@ def test_kernel_furnace_trained_field():
     assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
 
 
+@pytest.mark.mid
 def test_kernel_trained_matches_xla_frozen():
     """Frozen-field render: kernel vs XLA wave path on the lit cloud."""
     scene = _grid_scene(_cloud_density(), [0.1] * 3, [2.0] * 3, g=0.3,
@@ -262,6 +264,7 @@ def test_kernel_stoch_trilerp_furnace_trained():
         pk._KERNEL_CACHE.clear()
 
 
+@pytest.mark.mid
 def test_kernel_mxu_gather_furnace_trained():
     """Force the MXU one-hot density gather (production path for 4096+
     voxel grids) through all the guided routes with a trained field: the
@@ -382,6 +385,7 @@ def _machines_scene(env_L=(0.12, 0.14, 0.16), point=((0.0, 0.4, 2.2),
     return volpath.Scene(geom, mats, Media.make(grids=(gm,)), lights)
 
 
+@pytest.mark.mid
 def test_kernel_teaser_triangles_matches_xla():
     """VSPG megakernel on the teaser scene class (triangles in the
     medium, guided-BSDF surface sampling): the trained-frozen kernel and
@@ -415,6 +419,7 @@ def test_kernel_teaser_triangles_matches_xla():
         assert abs(a - b) < 0.10 * max(a, 0.05), (a, b)
 
 
+@pytest.mark.mid
 def test_kernel_teaser_mis_surface_guiding_matches_xla():
     """mode='mis' + surface guiding on the teaser class: guided vMF
     draws land below the hemisphere with nonzero probability, which

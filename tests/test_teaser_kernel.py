@@ -73,6 +73,7 @@ def test_teaser_supported():
     assert c is not None and c["kind"] == "grid" and c["n_tri"] == 36
 
 
+@pytest.mark.mid
 def test_teaser_kernel_matches_volpath():
     """Glass + metal + diffuse cubes in the test cloud: the fused kernel's
     mean agrees with the general jnp wavefront estimator within MC noise
@@ -103,6 +104,7 @@ def test_teaser_rejects_rough_dielectric():
     assert pv.extract_constants(scene, camera, film, cfg) is None
 
 
+@pytest.mark.mid
 def test_teaser_kernel_rough_ct_matches_volpath():
     """Round-4: Trowbridge-Reitz rough conductor + the fork's
     CookTorrance (bxdfs.cpp:78-183) inside the fused kernel — VNDF
@@ -207,6 +209,7 @@ def test_mesh_chunks_pack():
             assert (pts[live] <= tb[ci, 3:6] + 1e-4).all()
 
 
+@pytest.mark.mid
 def test_mesh_kernel_matches_volpath():
     """Chunk-skip mesh sweep vs the general jnp wavefront estimator:
     the fused kernel must agree on the subdivided-machines cloud."""

@@ -468,15 +468,17 @@ def _pixel_material_probe(setup, x, y, max_depth=16):
     cam_o = np.asarray(o)[0]
     mats = setup.scene.materials
     depth = 1
+    any_hit = False
     for _ in range(max_depth):
         h = setup.scene.geometry.intersect(o, d, jnp.full(o.shape[:-1],
                                                           jnp.inf))
         if not bool(np.asarray(h.hit)[0]):
-            if depth == 1:
+            if not any_hit:
                 print("error: no geometry visible at specified pixel.",
                       file=sys.stderr)
                 return 1
             break
+        any_hit = True
         p = np.asarray(h.p)[0]
         n = np.asarray(h.n)[0]
         ns = np.asarray(h.ns)[0]

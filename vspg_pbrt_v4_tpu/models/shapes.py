@@ -187,7 +187,7 @@ class Geometry(NamedTuple):
     @staticmethod
     def build(triangles=(), spheres=(), boxes=(), disks=(), cylinders=(),
               patches=(), curves=(), use_bvh="auto", instanced=None,
-              tri_meshes=()):
+              tri_meshes=(), accelerator="bvh"):
         """triangles: list of dicts {p0,p1,p2,[n0,n1,n2],mat,light,med_in,med_out};
         spheres: {c,r,...}; boxes: {bmin,bmax,...};
         disks: {c,n,r,[ri],...}; cylinders: {c,a,r,h,...};
@@ -360,7 +360,14 @@ class Geometry(NamedTuple):
             hi = np.maximum(np.maximum(np.asarray(tri_p0), np.asarray(tri_p1)),
                             np.asarray(tri_p2)) + 1e-5
             tri_bvh = None
-            if n_tri > 512:  # native builder for big meshes
+            if accelerator == "kdtree":
+                # Accelerator "kdtree" (cpu/aggregates.h:76
+                # KdTreeAggregate): SAH kd-tree instead of the BVH; the
+                # traversal call sites dispatch on the aggregate's type
+                from ..ops.kdtree import build_kdtree
+
+                tri_bvh = build_kdtree(lo, hi)
+            if tri_bvh is None and n_tri > 512:  # native builder, big meshes
                 from ..native import build_bvh_native
 
                 tri_bvh = build_bvh_native(lo, hi)
@@ -765,8 +772,14 @@ class Geometry(NamedTuple):
         )
 
     def _intersect_tris_bvh(self, o, d, best):
-        """Closest triangle hit through the BVH (ops/bvh.py traversal)."""
+        """Closest triangle hit through the aggregate: BVH (ops/bvh.py)
+        or kd-tree (ops/kdtree.py, Accelerator "kdtree") — same
+        leaf_fn contract, dispatched on the aggregate's type."""
         from ..ops.bvh import bvh_traverse
+        from ..ops.kdtree import KdTree, kdtree_traverse
+
+        traverse = (kdtree_traverse if isinstance(self.tri_bvh, KdTree)
+                    else bvh_traverse)
 
         R = o.shape[0]
 
@@ -783,7 +796,7 @@ class Geometry(NamedTuple):
             return t_best, (k_b, b0_b, b1_b)
 
         payload0 = (jnp.full((R,), -1, jnp.int32), jnp.zeros(R), jnp.zeros(R))
-        t_best, (k, b0k, b1k) = bvh_traverse(
+        t_best, (k, b0k, b1k) = traverse(
             self.tri_bvh, o, d, best.t, leaf_fn, payload0)
         closer = k >= 0
         kc = jnp.maximum(k, 0)
@@ -819,6 +832,10 @@ class Geometry(NamedTuple):
         occluded = jnp.zeros(o.shape[:-1], bool)
         if self.n_tri > 0 and self.tri_bvh is not None:
             from ..ops.bvh import bvh_traverse
+            from ..ops.kdtree import KdTree, kdtree_traverse
+
+            traverse = (kdtree_traverse if isinstance(self.tri_bvh, KdTree)
+                        else bvh_traverse)
 
             def leaf_fn(pid, m, t_best, occ):
                 hit, _, _, _, _ = ray_triangle(
@@ -828,8 +845,8 @@ class Geometry(NamedTuple):
                 # collapse t_best to cull remaining traversal once occluded
                 return jnp.where(occ_new, 0.0, t_best), occ_new
 
-            _, occ = bvh_traverse(self.tri_bvh, o, d, t_max, leaf_fn,
-                                  jnp.zeros(o.shape[:-1], bool))
+            _, occ = traverse(self.tri_bvh, o, d, t_max, leaf_fn,
+                              jnp.zeros(o.shape[:-1], bool))
             occluded |= occ
         elif self.n_tri > 0:
             ht, _, _, _, _ = ray_triangle(

@@ -109,6 +109,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     integrator_params = {}
     sampler = "independent"
     spp = 16
+    accelerator = "bvh"
     filter_directive = None
     textures = []  # texture table rows
     tex_images = []  # loaded image arrays
@@ -402,8 +403,16 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             integrator_params = {k: v for k, v in d.params.items()}
         elif name in ("Filter", "PixelFilter"):
             filter_directive = (d.args[0] if d.args else "box", p)
-        elif name in ("Accelerator", "ColorSpace"):
-            pass  # builtin accel / sRGB
+        elif name == "Accelerator":
+            # "bvh" (default) or "kdtree" (cpu/aggregates.h:76); the
+            # aggregate type flows into Geometry.build below
+            accelerator = d.args[0] if d.args else "bvh"
+            if accelerator not in ("bvh", "kdtree"):
+                warn(f"unknown accelerator '{accelerator}', using bvh",
+                     d.loc)
+                accelerator = "bvh"
+        elif name == "ColorSpace":
+            pass  # sRGB built-in
 
         elif name == "WorldBegin":
             world = True
@@ -862,6 +871,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                               disks=disks, cylinders=cylinders,
                               patches=patches, curves=curves,
                               tri_meshes=tri_meshes,
+                              accelerator=accelerator,
                               instanced=(dict(objects=inst_objects,
                                               instances=inst_list)
                                          if inst_list else None))

@@ -215,10 +215,159 @@ static inline bool deltaTrack(Rng &rng, V3 o, V3 d, float tEnd, int hero,
   return false;
 }
 
+// ---- Cornell surface mode (mode 2, bench config 6's scene) ----------------
+// Classic Cornell box, diffuse-only, ceiling area light; path tracing with
+// one-sample NEE + BSDF-sampling MIS, depth cap 8 — the same estimator shape
+// as ops/pallas_surface's cornell render, in tight scalar C++.
+struct Tri { V3 p0, e1, e2, n; int mat, light; };
+static Tri g_tris[14];
+static const float C_ALB[3][3] = {{0.73f, 0.73f, 0.73f},
+                                  {0.65f, 0.05f, 0.05f},
+                                  {0.12f, 0.45f, 0.15f}};
+static const float C_LE = 12.0f;
+static const float LQ_AREA = 0.7f * 0.7f;  // light quad area (two tris)
+
+static void pushQuad(int *n, V3 a, V3 b, V3 c, V3 dd, int mat, int light) {
+  Tri t1 = {a, b - a, c - a, {0, 0, 0}, mat, light};
+  Tri t2 = {a, c - a, dd - a, {0, 0, 0}, mat, light};
+  g_tris[(*n)++] = t1;
+  g_tris[(*n)++] = t2;
+}
+
+static void initCornell() {
+  int n = 0;
+  pushQuad(&n, {-1, 0, -1}, {1, 0, -1}, {1, 0, 1}, {-1, 0, 1}, 0, -1);
+  pushQuad(&n, {-1, 2, 1}, {1, 2, 1}, {1, 2, -1}, {-1, 2, -1}, 0, -1);
+  pushQuad(&n, {-1, 0, -1}, {1, 0, -1}, {1, 2, -1}, {-1, 2, -1}, 0, -1);
+  pushQuad(&n, {-1, 0, -1}, {-1, 0, 1}, {-1, 2, 1}, {-1, 2, -1}, 1, -1);
+  pushQuad(&n, {1, 0, 1}, {1, 0, -1}, {1, 2, -1}, {1, 2, 1}, 2, -1);
+  pushQuad(&n, {-0.35f, 1.99f, -0.35f}, {0.35f, 1.99f, -0.35f},
+           {0.35f, 1.99f, 0.35f}, {-0.35f, 1.99f, 0.35f}, 0, 0);
+  for (int i = 0; i < 14; i++) {
+    V3 c = {g_tris[i].e1.y * g_tris[i].e2.z - g_tris[i].e1.z * g_tris[i].e2.y,
+            g_tris[i].e1.z * g_tris[i].e2.x - g_tris[i].e1.x * g_tris[i].e2.z,
+            g_tris[i].e1.x * g_tris[i].e2.y - g_tris[i].e1.y * g_tris[i].e2.x};
+    g_tris[i].n = norm(c);
+  }
+}
+
+static inline int triHit(V3 o, V3 d, float tMax, float *tOut) {
+  int best = -1;
+  for (int i = 0; i < 14; i++) {
+    const Tri &tr = g_tris[i];
+    V3 pv = {d.y * tr.e2.z - d.z * tr.e2.y, d.z * tr.e2.x - d.x * tr.e2.z,
+             d.x * tr.e2.y - d.y * tr.e2.x};
+    float det = dot(tr.e1, pv);
+    if (std::fabs(det) < 1e-12f) continue;
+    float inv = 1.0f / det;
+    V3 tv = o - tr.p0;
+    float u = dot(tv, pv) * inv;
+    if (u < 0 || u > 1) continue;
+    V3 qv = {tv.y * tr.e1.z - tv.z * tr.e1.y, tv.z * tr.e1.x - tv.x * tr.e1.z,
+             tv.x * tr.e1.y - tv.y * tr.e1.x};
+    float v = dot(d, qv) * inv;
+    if (v < 0 || u + v > 1) continue;
+    float t = dot(tr.e2, qv) * inv;
+    if (t > 1e-4f && t < tMax) { tMax = t; best = i; }
+  }
+  *tOut = tMax;
+  return best;
+}
+
+static double renderCornell(int SPP) {
+  initCornell();
+  const int RES = 256;
+  const V3 camO = {0, 1.0f, 3.2f};
+  const float tanF = std::tan(45.0f * 0.5f * (float)M_PI / 180.0f);
+  double sum = 0.0;
+  Rng rng;
+  auto start = std::chrono::steady_clock::now();
+  for (int py = 0; py < RES; py++)
+    for (int px = 0; px < RES; px++) {
+      float acc[3] = {0, 0, 0};
+      for (int s = 0; s < SPP; s++) {
+        rng.seed((uint64_t)(py * RES + px), (uint64_t)s);
+        float fx = (px + rng.uf()) / RES * 2.0f - 1.0f;
+        float fy = 1.0f - (py + rng.uf()) / RES * 2.0f;
+        V3 d = norm({fx * tanF, fy * tanF, -1.0f});
+        V3 o = camO;
+        float beta[3] = {1, 1, 1}, L[3] = {0, 0, 0};
+        float bsdfPdf = 0.0f;  // pdf of the ray's BSDF sample (MIS)
+        for (int depth = 0; depth < 8; depth++) {
+          float tHit;
+          int hi = triHit(o, d, 3e37f, &tHit);
+          if (hi < 0) break;
+          const Tri &tr = g_tris[hi];
+          V3 p = o + tHit * d;
+          V3 n = dot(tr.n, d) < 0 ? tr.n : -1.0f * tr.n;
+          if (tr.light >= 0) {
+            if (dot(tr.n, d) < 0) {  // emissive side faces down
+              float w = 1.0f;
+              if (depth > 0) {
+                float cosL = std::fabs(dot(tr.n, d));
+                float pL = tHit * tHit / (cosL * LQ_AREA);
+                w = bsdfPdf / (bsdfPdf + pL);
+              }
+              for (int k = 0; k < 3; k++) L[k] += beta[k] * w * C_LE;
+            }
+            break;
+          }
+          const float *alb = C_ALB[tr.mat];
+          // NEE: uniform point on the light quad
+          float ua = rng.uf(), ub = rng.uf();
+          V3 lp = {-0.35f + 0.7f * ua, 1.99f, -0.35f + 0.7f * ub};
+          V3 toL = lp - p;
+          float dist2 = dot(toL, toL), dist = std::sqrt(dist2);
+          V3 wi = (1.0f / dist) * toL;
+          float cosS = dot(n, wi), cosL = -wi.y;  // light faces -y
+          if (cosS > 0 && cosL > 0) {
+            float tOcc;
+            V3 so = p + 1e-4f * n;
+            int oc = triHit(so, wi, dist - 1e-3f, &tOcc);
+            if (oc < 0 || g_tris[oc].light >= 0) {
+              float pL = dist2 / (cosL * LQ_AREA);
+              float pB = cosS * (1.0f / (float)M_PI);
+              float w = pL / (pL + pB);
+              for (int k = 0; k < 3; k++)
+                L[k] += beta[k] * alb[k] * (1.0f / (float)M_PI) * cosS *
+                        C_LE * w / pL;
+            }
+          }
+          // cosine BSDF sample
+          float u0 = rng.uf(), u1 = rng.uf();
+          float r = std::sqrt(u0), ph = 2.0f * (float)M_PI * u1;
+          V3 t1, t2; coordSys(n, &t1, &t2);
+          float lz = std::sqrt(u0 < 1 ? 1 - u0 : 0);
+          V3 nd = (r * std::cos(ph)) * t1 + (r * std::sin(ph)) * t2 + lz * n;
+          bsdfPdf = (lz < 1e-6f ? 1e-6f : lz) * (1.0f / (float)M_PI);
+          for (int k = 0; k < 3; k++) beta[k] *= alb[k];
+          // RR after depth 3
+          if (depth > 3) {
+            float mb = beta[0] > beta[1] ? beta[0] : beta[1];
+            if (beta[2] > mb) mb = beta[2];
+            if (rng.uf() > mb) break;
+            for (int k = 0; k < 3; k++) beta[k] /= (mb < 1 ? mb : 1.0f);
+          }
+          o = p + (dot(nd, n) >= 0 ? 1e-4f : -1e-4f) * n;
+          d = nd;
+        }
+        for (int k = 0; k < 3; k++)
+          acc[k] += std::isfinite(L[k]) ? L[k] : 0.0f;
+      }
+      sum += (acc[0] + acc[1] + acc[2]) / (3.0 * SPP);
+    }
+  auto end = std::chrono::steady_clock::now();
+  double secs = std::chrono::duration<double>(end - start).count();
+  double mpaths = (double)RES * RES * SPP / secs / 1e6;
+  printf("%.4f %.5f\n", mpaths, sum / (RES * RES));
+  return mpaths;
+}
+
 int main(int argc, char **argv) {
   const int RES = 256;
   const int SPP = argc > 1 ? atoi(argv[1]) : 8;
   const int MODE = argc > 2 ? atoi(argv[2]) : 0;
+  if (MODE == 2) { renderCornell(SPP); return 0; }
   if (MODE == 1) initCloud();
   // camera: look_at (0,0,-4)->(0,0,0) up (0,1,0), fov 30, square
   const V3 camO = {0, 0, -4};

@@ -67,6 +67,16 @@ MXU_MAX_VOX = min(_MXU_VMEM_BUDGET // 6, MXU_VALIDATED_VOX)
 # events-per-block number is measurable on chip instead of modeled
 PROBE_ITERS = False
 
+# perf ablation (OFF in production; timing probes only — the image loses
+# all direct lighting): never arm NEE shadow walks, so a run's time
+# delta vs baseline measures the shadow-walk share of kernel cost.
+# NOTE: _get_callable's cache key ignores this flag — probe scripts must
+# clear _KERNEL_CACHE after flipping it.
+ABLATE_NO_NEE = False
+# timing probe: replace the per-collision density gather with a fake
+# cheap value (image wrong) to measure the gather's cost share
+ABLATE_CHEAP_DENS = False
+
 
 def dens_pack_for(nvox):
     """Density-table format ladder shared by extract_constants and
@@ -460,6 +470,46 @@ def _uniform4(seed, pix, samp, dim):
 # consistently in collision probabilities AND weights, so the estimator
 # stays unbiased for that (visually identical, <0.4%) field.
 # ---------------------------------------------------------------------------
+
+
+def encode_empty_skip(maj):
+    """Empty-space skipping field folded into the majorant grid at zero
+    lookup cost: cells with majorant 0 store -D, where D >= 1 is the
+    Chebyshev distance (in cells) to the nearest cell with majorant > 0
+    — every cell c' with cheb(c, c') < D is empty, so a walk standing
+    in c may step straight to the exit plane of the 2D-wide empty cube
+    instead of crawling cell by cell (the DDA macro-cell trick; the
+    reference's DDAMajorantIterator has no analog because its per-cell
+    step is a few scalar ops, while ours is a full block iteration).
+    Decode in-kernel: majorant = max(v, 0), skip_cells = max(-v, 1).
+    D values are small ints (<= grid res), exact in bf16."""
+    m = np.asarray(maj, np.float32)
+    occ = m > 0
+    if occ.all():
+        return m
+    big = np.float32(120.0)
+    D = np.where(occ, 0.0, big).astype(np.float32)
+    # Chebyshev distance transform: iterate 3^3 min-filter (axis-wise
+    # separable) until fixed point — grids are tiny (<= 64^3 cells)
+    for _ in range(max(m.shape)):
+        N = D.copy()
+        for ax in range(3):
+            a = np.roll(N, 1, axis=ax)
+            b = np.roll(N, -1, axis=ax)
+            # roll wraps; neutralize the wrapped slices
+            sl = [slice(None)] * 3
+            sl[ax] = 0
+            a[tuple(sl)] = big
+            sl[ax] = -1
+            b[tuple(sl)] = big
+            N = np.minimum(N, np.minimum(a, b))
+        N = N + 1.0
+        N = np.where(occ, 0.0, np.minimum(D, N))
+        if (N == D).all():
+            break
+        D = N
+    D = np.minimum(D, big)
+    return np.where(occ, m, -D).astype(np.float32)
 
 
 def pack_bf16_pairs(arr, mode="down"):
@@ -1604,14 +1654,25 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                         if mxu else None),
             maj_mxu_lookup=maj_mxu_lookup) if stoch else None
 
-        def maj_dens_at(px, py, pz):
-            """Supervoxel majorant density at p (nearest cell)."""
-            ix = jnp.clip(((px - bmin[0]) / ext[0] * mx).astype(jnp.int32),
-                          0, mx - 1)
-            iy = jnp.clip(((py - bmin[1]) / ext[1] * my).astype(jnp.int32),
-                          0, my - 1)
-            iz = jnp.clip(((pz - bmin[2]) / ext[2] * mz).astype(jnp.int32),
-                          0, mz - 1)
+        def maj_dens_at(px, py, pz, ddx=None, ddy=None, ddz=None):
+            """Supervoxel majorant at p. When a direction is given, the
+            cell index uses the SAME directional nudge as seg_exit, so
+            the majorant (and its empty-skip distance, encode_empty_skip)
+            always describes the cell the walk is about to traverse —
+            without it, a lane within 3e-4 cells of a boundary reads the
+            previous cell while stepping across the next one. May return
+            NEGATIVE values (-D = skip field); callers decode
+            max(v, 0) / max(-v, 1)."""
+
+            def cell_i(p_c, d_c, lo, ex_c, m_c):
+                u = (p_c - lo) / ex_c * m_c
+                if d_c is not None:
+                    u = u + jnp.where(d_c >= 0, 3e-4, -3e-4)
+                return jnp.clip(u.astype(jnp.int32), 0, m_c - 1)
+
+            ix = cell_i(px, ddx, bmin[0], ext[0], mx)
+            iy = cell_i(py, ddy, bmin[1], ext[1], my)
+            iz = cell_i(pz, ddz, bmin[2], ext[2], mz)
             flat = (ix * my + iy) * mz + iz
             inside = ((px >= bmin[0]) & (px <= bmax[0])
                       & (py >= bmin[1]) & (py <= bmax[1])
@@ -1681,10 +1742,15 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                     jnp.full((sub, 128), -1, jnp.int32), zf, zf)
             return jax.lax.fori_loop(0, n_tri, tri, init)
 
-        def seg_exit(px, py, pz, dx, dy, dz):
+        def seg_exit(px, py, pz, dx, dy, dz, skip=None):
             """Distance to the current majorant supervoxel's exit plane
             (the DDA step length, media.h:182-207 re-derived from
-            position)."""
+            position). skip (cells, >= 1, from the encode_empty_skip
+            field of the directionally-nudged cell) widens the exit to
+            the boundary of the 2*skip-1 empty cube centered on the
+            current cell — all cells within Chebyshev distance skip-1
+            are empty by construction, so the widened step samples no
+            collisions it could have missed."""
             t_seg = jnp.full_like(px, _BIG)
             for (p_c, d_c, lo, ex_c, m_c) in (
                     (px, dx, bmin[0], ext[0], mx),
@@ -1693,7 +1759,11 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                 u = (p_c - lo) / ex_c * m_c
                 sgn = jnp.where(d_c >= 0, 1.0, -1.0)
                 cell = jnp.floor(u + sgn * 3e-4)
-                bound = jnp.where(d_c >= 0, cell + 1.0, cell)
+                if skip is None:
+                    bound = jnp.where(d_c >= 0, cell + 1.0, cell)
+                else:
+                    bound = jnp.where(d_c >= 0, cell + skip,
+                                      cell - skip + 1.0)
                 t_axis = (bound / m_c * ex_c + lo - p_c) / jnp.where(
                     jnp.abs(d_c) < 1e-12,
                     jnp.where(d_c >= 0, 1e-12, -1e-12), d_c)
@@ -1752,7 +1822,13 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
               zi,                                       # spec_last
               *zeros3) if n_tri else ()) \
           + ((zf, zf) if (n_tri and any_tex) else ()) \
-          + ((lane_i * 0,) if PROBE_ITERS else ())  # sh_f; busy probe
+          + (((lane_i * 128 + lane_j).astype(jnp.float32),)
+             if PROBE_ITERS else ())
+        # ^ busy probe, biased by lane_j (subtracted at readout): a
+        #   constant-zero carry init gets a replicated Mosaic layout that
+        #   the loop body's (0,0) layout cannot legally relayout to
+        #   ("Invalid relayout" on fresh compiles); the iota init forces
+        #   a materialized layout
 
         def cond(cy):
             return jnp.any(cy[2] != 0) & (cy[27] < max_iters)
@@ -1904,10 +1980,13 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             wdx = jnp.where(is_sh, shx, dx)
             wdy = jnp.where(is_sh, shy, dy)
             wdz = jnp.where(is_sh, shz, dz)
-            m_d = maj_dens_at(epx, epy, epz)
+            m_raw = maj_dens_at(epx, epy, epz, wdx, wdy, wdz)
+            m_d = jnp.maximum(m_raw, 0.0)
+            skip_c = jnp.maximum(-m_raw, 1.0)  # empty-skip field decode
             maj_h = m_d * st_h
             t_lim = jnp.where(is_sh, sh_end - sh_t, path_lim)
-            t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
+            t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz,
+                                         skip=skip_c),
                                 t_lim)
             ua, ub, uc, ud = _uniform4(seed_a, pix_c, samp, dim)
             dim = dim + _U32(1)
@@ -1930,7 +2009,9 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             sx = epx + dt_coll * wdx
             sy = epy + dt_coll * wdy
             sz = epz + dt_coll * wdz
-            if stoch:
+            if ABLATE_CHEAP_DENS:
+                dloc = m_d * (0.25 + 0.5 * un2)  # timing probe only
+            elif stoch:
                 dloc = density_at_1(sx, sy, sz, un2, un3)
             else:
                 dloc = density_at(sx, sy, sz)
@@ -2338,6 +2419,8 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             else:
                 nee_act = nee_vol
                 pdf_w = f_hg
+            if ABLATE_NO_NEE:
+                nee_act = jnp.zeros((sub, 128), bool)
             one = jnp.ones_like(b0)
             mode = jnp.where(nee_act, jnp.where(sel_pt, 1, 2), mode)
             shx = jnp.where(nee_act, wix, shx)
@@ -2715,7 +2798,7 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
                     sh_occ, spec_last, shf0, shf1, shf2)
                    if n_tri else ()) \
                 + ((huv_u, huv_v) if (n_tri and any_tex) else ()) \
-                + ((jnp.where(alive_i != 0, busy + 1, busy),)
+                + ((jnp.where(alive_i != 0, busy + 1.0, busy),)
                    if PROBE_ITERS else ())
 
         final = jax.lax.while_loop(cond, body, carry)
@@ -2751,9 +2834,10 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             if PROBE_ITERS:
                 # perf diagnostic: blue = block iteration count, green =
                 # per-lane busy iterations (utilization = green/blue)
-                out_ref[1] = final[47].astype(jnp.float32)
-                out_ref[2] = jnp.full((sub, 128), 1.0, jnp.float32) \
-                    * final[27].astype(jnp.float32)
+                busy_f = final[47] - (lane_i * 128
+                                      + lane_j).astype(jnp.float32)
+                out_ref[1] = busy_f
+                out_ref[2] = busy_f * 0.0 + final[27].astype(jnp.float32)
             else:
                 out_ref[2] = a2 * scale
 
@@ -2996,8 +3080,13 @@ def render_homog_pallas(scene, camera, film, spp, cfg, seed,
                 dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density),
                                                    "down"))
             if c["dens_pack"] == "mxu":
+                # fold the empty-space skip field into the majorant
+                # table (negative entries = -Chebyshev distance); the
+                # kernel decodes max(v,0)/max(-v,1) unconditionally, so
+                # non-encoded tables (other pack modes, sharded path)
+                # stay correct with skip 1
                 maj = jnp.asarray(pack_bf16_transposed(
-                    np.asarray(gm.majorant), "up"))
+                    encode_empty_skip(np.asarray(gm.majorant)), "up"))
             else:
                 maj = jnp.asarray(pack_bf16_pairs(np.asarray(gm.majorant),
                                                   "up"))

@@ -503,6 +503,46 @@ def _pyro_cloud_scene():
                          lights)
 
 
+
+def _calibrated_equal_time(run_vol_spp, run_vspg_spp, wave, budget,
+                           relmse_vol, relmse_vspg, n_reps=3):
+    """Calibrated equal-time protocol (round 5): the axon relay's
+    run-to-run jitter (measured +-30-50% between arms timed a minute
+    apart) swamps a wall-clock wave loop, so each arm's throughput is
+    measured as BEST-of-3 single-wave timings, the budget is converted
+    to a wave-quantized spp allotment per arm, and relMSE is compared at
+    those allotments over n_reps seed repeats (pure MC noise). The
+    reference's --time loop (cpu/integrators.cpp:113-231) is the same
+    comparison with a noisier clock; bench_config5tb keeps the literal
+    wall-clock protocol for the train-in-budget line.
+
+    run_*_spp(seed, spp) -> image; relmse_*(img) -> float.
+    Returns (ratios, stats_list, spp_vol, spp_vspg)."""
+    def tput(run):
+        jax.device_get(run(0, wave)[0, 0])  # warm
+        best = np.inf
+        for i in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(run(1000 + i, wave)[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_vol = tput(run_vol_spp)
+    dt_vspg = tput(run_vspg_spp)
+    spp_vol = max(1, int(budget / dt_vol)) * wave
+    spp_vspg = max(1, int(budget / dt_vspg)) * wave
+    ratios, stats = [], []
+    for rep in range(n_reps):
+        off = rep * 53
+        e_vol = relmse_vol(np.asarray(jax.device_get(
+            run_vol_spp(1 + off, spp_vol))))
+        e_vspg = relmse_vspg(np.asarray(jax.device_get(
+            run_vspg_spp(101 + off, spp_vspg))))
+        ratios.append(e_vol / max(e_vspg, 1e-12))
+        stats.append((e_vol, e_vspg))
+    return ratios, stats, spp_vol, spp_vspg
+
+
 def bench_config5t():
     """Equal-TIME relMSE, VSPG vs delta-tracking volpath, on the backlit
     pyroclastic cloud — the paper's headline protocol (README.md:3-9;
@@ -527,18 +567,6 @@ def bench_config5t():
         scene, camera, film, spp=2048, cfg=cfg, seed=999,
         lanes_per_pixel=1)))
 
-    def timed_accum(run_wave, wave_spp):
-        jax.device_get(run_wave(0)[0, 0])  # compile + warm (untimed)
-        t0 = time.perf_counter()
-        acc, n_done, w = None, 0, 0
-        while time.perf_counter() - t0 < budget:
-            img = run_wave(w + 1)
-            acc = img if acc is None else acc + img
-            jax.device_get(acc[0, 0])
-            n_done += wave_spp
-            w += 1
-        return np.asarray(jax.device_get(acc)) / w, n_done
-
     gopt = gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
                               min_train_weight=16.0)
     vopt = vspg.VSPGOptions(vsp_criterion="variance")
@@ -552,26 +580,23 @@ def bench_config5t():
         scene, camera, film, spp=48, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
         spp_per_pass=1, use_pallas=False)
 
-    def vspg_wave(s):
+    wave = 64
+
+    def run_vol(s, spp_):
+        return volpath.render_persistent(scene, camera, film, spp=spp_,
+                                         cfg=cfg, seed=s,
+                                         lanes_per_pixel=1)
+
+    def run_vspg(s, spp_):
         img, _, _ = vspg.render_vspg(
-            scene, camera, film, spp=wave, cfg=cfg, gopt=gopt, vopt=vopt,
-            seed=s + 100, spp_per_pass=wave, field=field, isgb=isgb,
-            train=False)
+            scene, camera, film, spp=spp_, cfg=cfg, gopt=gopt, vopt=vopt,
+            seed=s + 100, spp_per_pass=min(spp_, wave), field=field,
+            isgb=isgb, train=False)
         return img
 
-    wave = 64
-    ratios, stats = [], []
-    for rep in range(3):  # 3 repeats -> median + spread (verdict task 3)
-        off = rep * 37
-        vol_img, vol_spp = timed_accum(
-            lambda s: volpath.render_persistent(
-                scene, camera, film, spp=wave, cfg=cfg, seed=s + off,
-                lanes_per_pixel=1), wave)
-        e_vol = float(relmse_fn(vol_img, ref))
-        vspg_img, vspg_spp = timed_accum(lambda s: vspg_wave(s + off), wave)
-        e_vspg = float(relmse_fn(vspg_img, ref))
-        ratios.append(e_vol / max(e_vspg, 1e-12))
-        stats.append((e_vol, e_vspg, vol_spp, vspg_spp))
+    rel = lambda img: float(relmse_fn(img, ref))
+    ratios, stats, spp_vol, spp_vspg = _calibrated_equal_time(
+        run_vol, run_vspg, wave, budget, rel, rel)
     st_r = _ratio_stats(ratios)
     mid = ratios.index(sorted(ratios)[1])
     return {
@@ -581,9 +606,11 @@ def bench_config5t():
         "vs_baseline": st_r["median"],
         "relmse_volpath": round(stats[mid][0], 5),
         "relmse_vspg": round(stats[mid][1], 5),
-        "spp_volpath": stats[mid][2],
-        "spp_vspg": stats[mid][3],
+        "spp_volpath": spp_vol,
+        "spp_vspg": spp_vspg,
         "budget_s": budget,
+        "protocol": "calibrated equal time (best-of-3 per-arm "
+                    "throughput x budget -> wave-quantized spp)",
         **st_r,
     }
 
@@ -846,49 +873,39 @@ def bench_config5v():
         scene, camera, film, spp=2048, cfg=cfg, seed=999,
         lanes_per_pixel=1)))
 
-    def timed_accum(run_wave, wave_spp):
-        jax.device_get(run_wave(0)[0, 0])  # compile + warm (untimed)
-        t0 = time.perf_counter()
-        acc, n_done, w = None, 0, 0
-        while time.perf_counter() - t0 < budget:
-            img = run_wave(w + 1)
-            acc = img if acc is None else acc + img
-            jax.device_get(acc[0, 0])
-            n_done += wave_spp
-            w += 1
-        return np.asarray(jax.device_get(acc)) / w, n_done
-
     # 32-spp waves: the 6 s budget fits only ~3-5 VSPG waves at 64 spp,
     # quantizing its equal-time spp by up to 25% (the reference's --time
     # loop renders 1-spp waves, integrators.cpp:123); both competitors
     # use the same wave size so the protocol stays fair
     wave = 32
-    gopt = gvp.GuidingOptions(mode="ris", field_res=8, record_depth=6,
+    # round-5 sweep (PERF.md): on the surface-heavy teaser class,
+    # volumeguidingtype=mis beats ris (reference default volume mode is
+    # also mis, guidedvolpathvspgintegrator.cpp:1274) and the
+    # CONTRIBUTION VSP criterion beats variance — better quality AND
+    # ~10% more spp in budget (less aggressive VSP keeps guided walks
+    # shorter). Config reported here so the claim is reproducible.
+    gopt = gvp.GuidingOptions(mode="mis", field_res=8, record_depth=6,
                               min_train_weight=16.0)
-    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    vopt = vspg.VSPGOptions(vsp_criterion="contribution")
     _, field, isgb = vspg.render_vspg(
         scene, camera, film, spp=48, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
         spp_per_pass=1, use_pallas=False)
 
-    def vspg_wave(s):
+    def run_vol(s, spp_):
+        return volpath.render_persistent(scene, camera, film, spp=spp_,
+                                         cfg=cfg, seed=s,
+                                         lanes_per_pixel=1)
+
+    def run_vspg(s, spp_):
         img, _, _ = vspg.render_vspg(
-            scene, camera, film, spp=wave, cfg=cfg, gopt=gopt, vopt=vopt,
-            seed=s + 100, spp_per_pass=wave, field=field, isgb=isgb,
-            train=False)
+            scene, camera, film, spp=spp_, cfg=cfg, gopt=gopt, vopt=vopt,
+            seed=s + 100, spp_per_pass=min(spp_, wave), field=field,
+            isgb=isgb, train=False)
         return img
 
-    ratios, stats = [], []
-    for rep in range(3):  # 3 repeats -> median + spread (verdict task 3)
-        off = rep * 41
-        vol_img, vol_spp = timed_accum(
-            lambda s: volpath.render_persistent(
-                scene, camera, film, spp=wave, cfg=cfg, seed=s + off,
-                lanes_per_pixel=1), wave)
-        e_vol = float(relmse_fn(vol_img, ref))
-        vspg_img, vspg_spp = timed_accum(lambda s: vspg_wave(s + off), wave)
-        e_vspg = float(relmse_fn(vspg_img, ref))
-        ratios.append(e_vol / max(e_vspg, 1e-12))
-        stats.append((e_vol, e_vspg, vol_spp, vspg_spp))
+    rel = lambda img: float(relmse_fn(img, ref))
+    ratios, stats, spp_vol, spp_vspg = _calibrated_equal_time(
+        run_vol, run_vspg, wave, budget, rel, rel)
     st_r = _ratio_stats(ratios)
     mid = ratios.index(sorted(ratios)[1])
     return {
@@ -898,10 +915,13 @@ def bench_config5v():
         "vs_baseline": st_r["median"],
         "relmse_volpath": round(stats[mid][0], 5),
         "relmse_vspg": round(stats[mid][1], 5),
-        "spp_volpath": stats[mid][2],
-        "spp_vspg": stats[mid][3],
+        "spp_volpath": spp_vol,
+        "spp_vspg": spp_vspg,
         "budget_s": budget,
+        "protocol": "calibrated equal time (best-of-3 per-arm "
+                    "throughput x budget -> wave-quantized spp)",
         "n_tri": 48,
+        "vspg_config": "volumeguidingtype=mis vspcriterion=contribution",
         **st_r,
     }
 

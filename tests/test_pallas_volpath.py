@@ -185,9 +185,10 @@ def test_grid_megakernel_matches_volpath():
 
 
 def test_i8_quad_pack_roundtrip():
-    """pack_i8_quads decodes to d_q with 0 <= d_q <= d and
-    d - d_q <= scale/255 everywhere (density rounds down; the decode
-    scale is the bf16-up supervoxel majorant)."""
+    """pack_i8_quads decodes to d_q with |d - d_q| <= scale/510 (density
+    rounds to NEAREST since the round-5 bias fix — truncation rendered a
+    thinner medium, +2-3% on point-lit scenes) and d_q <= the bf16-up
+    supervoxel majorant, so null coefficients stay >= 0."""
     rng = np.random.default_rng(0)
     n, m = 16, 4
     d = (rng.random((n, n, n), dtype=np.float32) ** 2) * 5.0
@@ -207,8 +208,8 @@ def test_i8_quad_pack_roundtrip():
     r = n // m
     scale = np.repeat(np.repeat(np.repeat(m_up, r, 0), r, 1), r, 2)
     d_q = q.astype(np.float32) * scale / 255.0
-    assert (d_q <= d + 1e-6).all()
-    assert (d - d_q <= scale / 255.0 + 1e-5).all()
+    assert (d_q <= scale + 1e-6).all()  # never above the walk majorant
+    assert (np.abs(d - d_q) <= scale / 510.0 + 1e-5).all()
 
 
 def test_grid_megakernel_stoch_trilerp_furnace():

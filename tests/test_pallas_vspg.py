@@ -490,3 +490,57 @@ def test_record_kernel_triangles_trains():
                                        0.0)).all())
     field2 = gv.train_step(field, batch)
     assert float(np.asarray(field2.surface.stats_w).sum()) >= 0.0
+
+
+@pytest.mark.mid
+def test_kernel_nds_furnace_trained():
+    """sampling_method='nds' through the megakernel (round-5: the ODS
+    walk + exact majorant-OD prepass run in-kernel,
+    media_sampleTMaj.h:250-491): the scattering furnace must stay exact
+    with a trained field — this sharply checks the truncated-exponential
+    pdf bookkeeping (tp), the one-sample MIS factor r_u_factor and the
+    defensive plain-exp mixture."""
+    L0 = 0.7
+    scene = _grid_scene(_cloud_density(), [0, 0, 0], [2.0] * 3, g=0.3,
+                        env_L=[L0] * 3)
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    vopt = vspg.VSPGOptions(sampling_method="nds")
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT, vopt=vopt, seed=3,
+        spp_per_pass=4, use_pallas=False)
+    assert int(field.iteration) > 0
+    assert pk.supports(scene, cam, film, _CFG, _GOPT, vopt, field)
+    img = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 64, _CFG, _GOPT, vopt, field, isgb, seed=9,
+        interpret=True))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - L0) < 0.05 * L0, img.mean()
+
+
+@pytest.mark.mid
+def test_kernel_nds_plus_matches_xla():
+    """NDS+ (TrBuffer-biased primary collisions) kernel vs the XLA wave
+    path on the lit cloud: independent unbiased estimators of the same
+    scene — means agree within MC noise."""
+    scene = _grid_scene(_cloud_density(), [0.1] * 3, [2.0] * 3, g=0.3,
+                        env_L=[0.15, 0.18, 0.2],
+                        point=((0.0, 1.8, 0.0), (8.0,) * 3))
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    vopt = vspg.VSPGOptions(sampling_method="nds+")
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=8, cfg=_CFG, gopt=_GOPT, vopt=vopt, seed=3,
+        spp_per_pass=4, use_pallas=False)
+    import jax.numpy as jnp
+
+    tr = jnp.full((film.npix, 3), 0.6)  # nontrivial gamma bias
+    img = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 64, _CFG, _GOPT, vopt, field, isgb, seed=33,
+        interpret=True, tr_buffer=tr))
+    assert np.isfinite(img).all()
+    ref, _, _ = vspg.render_vspg(
+        scene, cam, film, spp=64, cfg=_CFG, gopt=_GOPT, vopt=vopt,
+        seed=21, spp_per_pass=8, field=field, isgb=isgb, train=False,
+        use_pallas=False)
+    ref = np.asarray(ref)
+    a, b = ref.mean(), img.mean()
+    assert abs(a - b) < 0.07 * max(a, 0.05), (a, b)

@@ -1262,7 +1262,7 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
         img_k = _pk.render_vspg_pallas(
             scene, camera, film, remaining, cfg, gopt, vopt, field, isgb,
             seed=jnp.uint32(seed) + jnp.uint32(0x9E3779B9),
-            interpret=bool(interpret_pallas))
+            interpret=bool(interpret_pallas), tr_buffer=tr_buffer)
         parts.append((img_k, remaining))
     img = sum(im * w for im, w in parts) / sum(w for _, w in parts)
     return img, field, isgb
@@ -1270,8 +1270,9 @@ def render_vspg(scene: Scene, camera, film, spp=16, cfg=VolPathConfig(),
 
 def _pallas_supported(scene, camera, film, cfg, gopt, vopt, field,
                       interpret=False):
-    if vopt.sampling_method != "resampling":
-        return False  # NDS/NDS+ distance routes stay on the XLA path
+    # round 5: the megakernel serves all three distance routes —
+    # resampling, NDS and NDS+ (the ODS walk + exact OD prepass run
+    # in-kernel; NDS+ rides the TrBuffer as extra ISGB rows)
     import jax
 
     # TPU kernels only — CPU runs stay on the XLA path unless the caller

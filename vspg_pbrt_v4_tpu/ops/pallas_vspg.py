@@ -189,9 +189,11 @@ def _pack_half_rows(field, vol, criterion, k_top=None):
     return rows
 
 
-def pack_isgb_table(isgb, npix):
+def pack_isgb_table(isgb, npix, tr_buffer=None):
     """(3, npix) f32: [primary_vsp(-1 if not ready), pixel-estimate
-    luminance, pixel-estimate channel mean]."""
+    luminance, pixel-estimate channel mean]. With tr_buffer (the NDS+
+    per-pixel primary transmittance cache, trbuffer.h:17-101), rows 3-5
+    append its clipped RGB — (6, npix)."""
     from ..models.guiding import isgb as gisgb
 
     pid = jnp.arange(npix, dtype=jnp.int32)
@@ -199,7 +201,11 @@ def pack_isgb_table(isgb, npix):
     pe = gisgb.isgb_contribution(isgb, pid)
     lum = pe[:, 0] * _LUM[0] + pe[:, 1] * _LUM[1] + pe[:, 2] * _LUM[2]
     mean = jnp.mean(pe, -1)
-    return jnp.stack([vsp, lum, mean], 0).astype(jnp.float32)
+    rows = [vsp, lum, mean]
+    if tr_buffer is not None:
+        tr = jnp.clip(jnp.asarray(tr_buffer, jnp.float32), 0.0, 1.0)
+        rows += [tr[:, 0], tr[:, 1], tr[:, 2]]
+    return jnp.stack(rows, 0).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +338,14 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
     surf_guide = (with_surf and bool(gc.get("surface_guiding", True))
                   and bool(gc["trained"]))
     scale_vsp_cap = float(gc.get("scale_vsp_cap", 0.95))
+    # NDS / NDS+ optical-depth-space distance sampling
+    # (media_sampleTMaj.h:250-491; XLA analog vspg._heterogeneous_ods):
+    # a STATIC kernel configuration — guided lanes run an exact majorant
+    # OD prepass (mode 6) and then the ODS walk in the delta-step
+    # machinery (mode 2) instead of the reservoir route. Reservoir
+    # carries are reused as ODS state (see mode-6 block).
+    nds = str(gc.get("sampling_method", "resampling")) in ("nds", "nds+")
+    nds_plus = str(gc.get("sampling_method", "resampling")) == "nds+"
     INV_PI = float(1.0 / np.pi)
 
     def chan(vec3, h):
@@ -429,6 +443,9 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
         isgb_vsp = isgb_ref[0]
         isgb_pel = isgb_ref[1]
         isgb_pem = isgb_ref[2]
+        if nds_plus:
+            # previous-wave primary-transmittance cache (TrBuffer rows)
+            tr_prev = (isgb_ref[3], isgb_ref[4], isgb_ref[5])
 
         # -- grid helpers (as in pallas_volpath._make_grid_kernel) --------
 
@@ -1115,6 +1132,23 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 frozen = d_real_a | d_died_a | d_passed_a | res_done_a
                 walk_res_m = walk_res & ~frozen
                 walk_del_m = walk_del & ~frozen
+                if nds:
+                    # mode 2 is the ODS walk under the NDS config; the
+                    # reservoir machinery is statically absent. Carry
+                    # aliases (reservoir slots reused as ODS state):
+                    #   c_t   -> rem (candidate OD distance; -1 = draw,
+                    #            _BIG = passing to the surface)
+                    #   wT0   -> t_v_cur, wT1 -> t_n_cur
+                    #   tau_acc -> t_v (total), c_ste -> t_n (total)
+                    #   cn0..2 -> tp (per-channel truncation renorms)
+                    #   c_wi  -> dt_lane (1.0 = defensive plain-exp lane)
+                    #   w_sum -> inv_gamma (NDS+ primary bias exponent)
+                    walk_nds_m = walk_res_m
+                    walk_res_m = jnp.zeros((sub, 128), bool)
+                    walk_pre_m = alive & (mode == 1) & ~frozen
+                else:
+                    walk_nds_m = jnp.zeros((sub, 128), bool)
+                    walk_pre_m = jnp.zeros((sub, 128), bool)
                 is_sh_m = alive & (mode >= 4)
                 # -- one shared majorant+density event (micro-step body) ------
                 epx = jnp.where(is_sh_m, ox + sh_t * shx, ox + t_walk * dx)
@@ -1136,7 +1170,40 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 dt = jnp.where(maj_h > 0,
                                -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
                                _BIG)
-                stepper = walk_res_m | walk_del_m | is_sh_m
+                if nds:
+                    # ODS candidate draw (media_sampleTMaj.h:338-407):
+                    # lanes with no active candidate (rem < 0) draw an
+                    # OD-space distance from the truncated exponential on
+                    # [0, t_n_cur) — defensive (dt_lane) lanes draw the
+                    # plain exponential; both accumulate the truncation
+                    # renormalizations into tp (pdf bookkeeping for the
+                    # one-sample MIS factor r_u_factor).
+                    need_d = walk_nds_m & (c_t < 0)
+                    tn_pos = jnp.maximum(wT1, 0.0)
+                    step_tr = -jnp.expm1(-tn_pos)
+                    dist_g = -jnp.log1p(
+                        -ua * jnp.clip(step_tr, 0.0, 1.0 - 1e-7))
+                    dist = jnp.where(c_wi > 0.5, -jnp.log1p(-ua), dist_g)
+                    inv_sth = 1.0 / jnp.maximum(st_h, 1e-30)
+                    cn0 = jnp.where(need_d, cn0 * jnp.maximum(-jnp.expm1(
+                        -tn_pos * float(st[0]) * inv_sth), 1e-30), cn0)
+                    cn1 = jnp.where(need_d, cn1 * jnp.maximum(-jnp.expm1(
+                        -tn_pos * float(st[1]) * inv_sth), 1e-30), cn1)
+                    cn2 = jnp.where(need_d, cn2 * jnp.maximum(-jnp.expm1(
+                        -tn_pos * float(st[2]) * inv_sth), 1e-30), cn2)
+                    pass_n = need_d & (wT0 - dist < 1e-5)
+                    tailf = jnp.maximum(-jnp.expm1(-jnp.maximum(
+                        c_ste - tau_acc, 0.0)), 1e-30)
+                    cn0 = jnp.where(pass_n, cn0 / tailf, cn0)
+                    cn1 = jnp.where(pass_n, cn1 / tailf, cn1)
+                    cn2 = jnp.where(pass_n, cn2 / tailf, cn2)
+                    c_t = jnp.where(need_d,
+                                    jnp.where(pass_n, _BIG, dist), c_t)
+                    dt = jnp.where(walk_nds_m,
+                                   c_t / jnp.maximum(maj_h, 1e-30), dt)
+                    dt = jnp.where(walk_pre_m, _BIG, dt)
+                stepper = (walk_res_m | walk_del_m | is_sh_m
+                           | walk_nds_m | walk_pre_m)
                 coll = stepper & (dt < t_seg)
                 step = jnp.maximum(jnp.where(coll, dt, t_seg), 0.0)
                 Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
@@ -1261,8 +1328,13 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 mode = jnp.where(s_dead, 0, mode)
 
                 # ===== mode 3: one delta-tracking step =========================
-                d_coll = walk_del_m & coll
-                d_tail = walk_del_m & ~coll
+                # (under the NDS config, ODS lanes [mode 2] ride the same
+                # step algebra: their candidate distances were drawn in
+                # OD space above, and NDS-specific MIS/bias factors are
+                # applied after the shared updates)
+                wd_m = (walk_del_m | walk_nds_m) if nds else walk_del_m
+                d_coll = wd_m & coll
+                d_tail = wd_m & ~coll
                 wf0 = jnp.where(d_tail, wf0 * sc_tail[0], wf0)
                 wf1 = jnp.where(d_tail, wf1 * sc_tail[1], wf1)
                 wf2 = jnp.where(d_tail, wf2 * sc_tail[2], wf2)
@@ -1273,7 +1345,21 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 wl1 = jnp.where(d_tail, wl1 * sc_tail[1], wl1)
                 wl2 = jnp.where(d_tail, wl2 * sc_tail[2], wl2)
                 p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
-                d_real = d_coll & (ub < p_real)
+                if nds_plus:
+                    # NDS+ raises the primary-ray real-collision
+                    # probability to pScatter^(1/(1+Tr)) using the
+                    # previous-wave transmittance buffer
+                    # (guidedvolpathvspgintegrator.cpp:929-938); w_sum
+                    # aliases inv_gamma for ODS lanes
+                    prim_l = walk_nds_m & (depth == 0)
+                    p_cls = jnp.where(
+                        prim_l,
+                        jnp.clip(p_real, 1e-30, 1.0)
+                        ** jnp.clip(w_sum, 1e-3, 1.0),
+                        p_real)
+                else:
+                    p_cls = p_real
+                d_real = d_coll & (ub < p_cls)
                 d_real_a = d_real_a | d_real
                 d_null = d_coll & ~d_real
                 pdf_r = jnp.maximum(Tm_h * st_loc_h, 1e-30)
@@ -1308,9 +1394,97 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     | (jnp.maximum(jnp.maximum(wf0, wf1), wf2) == 0)))
                 del_t_new = jnp.where(d_coll, t_walk + dt + 1e-6,
                                       t_walk + step + 1e-6)
-                d_passed_a = d_passed_a \
-                    | (d_tail & (del_t_new >= plim))
-                t_walk = jnp.where(walk_del_m, del_t_new, t_walk)
+                pass_now_w = d_tail & (del_t_new >= plim)
+                d_passed_a = d_passed_a | pass_now_w
+                t_walk = jnp.where(wd_m, del_t_new, t_walk)
+                if nds:
+                    # ODS bookkeeping: consume the traversed OD from the
+                    # running interval; null collisions re-draw next step
+                    od_step = maj_h * step
+                    wT0 = jnp.where(walk_nds_m, wT0 - od_step, wT0)
+                    wT1 = jnp.where(walk_nds_m, wT1 - od_step, wT1)
+                    n_coll = walk_nds_m & coll
+                    c_t = jnp.where(n_coll, -one,
+                                    jnp.where(walk_nds_m & ~coll,
+                                              c_t - od_step, c_t))
+                    # one-sample MIS factor vs plain delta tracking
+                    # (media_sampleTMaj.h:389,435,461): applied to r_u at
+                    # real collisions and to r_u AND r_l at pass-exit
+                    ruf0 = mis_ratio / jnp.maximum(cn0, 1e-30) \
+                        + (1.0 - mis_ratio)
+                    ruf1 = mis_ratio / jnp.maximum(cn1, 1e-30) \
+                        + (1.0 - mis_ratio)
+                    ruf2 = mis_ratio / jnp.maximum(cn2, 1e-30) \
+                        + (1.0 - mis_ratio)
+                    nreal = d_real & walk_nds_m
+                    npass = pass_now_w & walk_nds_m
+                    wu0 = jnp.where(nreal | npass, wu0 * ruf0, wu0)
+                    wu1 = jnp.where(nreal | npass, wu1 * ruf1, wu1)
+                    wu2 = jnp.where(nreal | npass, wu2 * ruf2, wu2)
+                    wl0 = jnp.where(npass, wl0 * ruf0, wl0)
+                    wl1 = jnp.where(npass, wl1 * ruf1, wl1)
+                    wl2 = jnp.where(npass, wl2 * ruf2, wl2)
+                    if nds_plus:
+                        # exact r_u compensation for the biased
+                        # classification (channel-independent ratios)
+                        comp_r = m_d * p_cls / jnp.maximum(dloc, 1e-30)
+                        comp_n = m_d * (1.0 - p_cls) \
+                            / jnp.maximum(m_d - dloc, 1e-30)
+                        nr_p = nreal & prim_l
+                        nn_p = d_null & prim_l
+                        wu0 = jnp.where(nr_p, wu0 * comp_r,
+                                        jnp.where(nn_p, wu0 * comp_n,
+                                                  wu0))
+                        wu1 = jnp.where(nr_p, wu1 * comp_r,
+                                        jnp.where(nn_p, wu1 * comp_n,
+                                                  wu1))
+                        wu2 = jnp.where(nr_p, wu2 * comp_r,
+                                        jnp.where(nn_p, wu2 * comp_n,
+                                                  wu2))
+                    # ===== mode 1: exact majorant-OD prepass ==========
+                    # (media_sampleTMaj.h:298-314; tau_acc accumulates
+                    # t_v; at the chord end the lane either falls back to
+                    # plain delta tracking — NDS cannot LOWER the scatter
+                    # probability below 1-e^-t_v — or starts the ODS walk)
+                    tau_acc = jnp.where(walk_pre_m, tau_acc + maj_h * step,
+                                        tau_acc)
+                    pre_t_new = t_walk + step + 1e-6
+                    pre_done = walk_pre_m & (pre_t_new >= plim)
+                    t_walk = jnp.where(walk_pre_m,
+                                       jnp.where(pre_done, zf, pre_t_new),
+                                       t_walk)
+                    one_m_e = -jnp.expm1(-tau_acc)
+                    fb_nds = pre_done & ((vsp_c < one_m_e)
+                                         | (tau_acc <= 1e-7))
+                    go_nds = pre_done & ~fb_nds
+                    mode = jnp.where(pre_done,
+                                     jnp.where(fb_nds, 3, 2), mode)
+                    t_n0 = -jnp.log1p(-jnp.minimum(
+                        one_m_e / jnp.maximum(vsp_c, 1e-4), 1.0 - 1e-7))
+                    wT0 = jnp.where(go_nds, tau_acc, wT0)
+                    wT1 = jnp.where(go_nds, t_n0, wT1)
+                    c_ste = jnp.where(go_nds, t_n0, c_ste)
+                    c_t = jnp.where(go_nds, -one, c_t)
+                    cn0 = jnp.where(go_nds, one, cn0)
+                    cn1 = jnp.where(go_nds, one, cn1)
+                    cn2 = jnp.where(go_nds, one, cn2)
+                    # defensive-MIS technique pick (':338-345')
+                    c_wi = jnp.where(
+                        go_nds, (uc_ > mis_ratio).astype(jnp.float32),
+                        c_wi)
+                    if nds_plus:
+                        tr_h = jnp.where(hero == 0, tr_prev[0],
+                                         jnp.where(hero == 1, tr_prev[1],
+                                                   tr_prev[2]))
+                        w_sum = jnp.where(
+                            go_nds,
+                            jnp.where(depth == 0,
+                                      1.0 / (1.0 + jnp.clip(tr_h, 0.0,
+                                                            1.0)),
+                                      one),
+                            w_sum)
+                    else:
+                        w_sum = jnp.where(go_nds, one, w_sum)
 
                 # ===== mode 2: one reservoir-resampling step ===================
                 # One-pass TPU adaptation of the reference's TWO-pass resampling
@@ -1503,7 +1677,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             scat_w = d_real | r_scat
             term_w = d_died | r_dead
             passed = d_passed | pick_surf
-            t_sc = jnp.where(d_real, t_walk, c_t)  # delta: t at the real
+            if nds:
+                # c_t aliases the ODS candidate OD (can be _BIG): only
+                # delta/ODS real collisions carry a scatter t here
+                t_sc = jnp.where(d_real, t_walk, zf)
+            else:
+                t_sc = jnp.where(d_real, t_walk, c_t)  # delta: t at real
             alive = alive & ~term_w
             depth_exceeded = scat_w & (depth >= max_depth)
             alive = alive & ~depth_exceeded
@@ -1569,7 +1748,14 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 vsp = jnp.where(~primary, v_sec, vsp)
             guide = in_med & (vsp >= 0.0)
             vsp_c = jnp.where(in_med, jnp.clip(vsp, 0.001, 0.999), vsp_c)
-            mode = jnp.where(in_med, jnp.where(guide, 2, 3), mode)
+            if nds:
+                # guided lanes first run the EXACT majorant-OD prepass
+                # (mode 1, media_sampleTMaj.h:298-314) and then the ODS
+                # walk (mode 2); no majorant scaling in OD space. (Mode 1
+                # is free here; modes >= 4 are the shadow walks.)
+                mode = jnp.where(in_med, jnp.where(guide, 1, 3), mode)
+            else:
+                mode = jnp.where(in_med, jnp.where(guide, 2, 3), mode)
             t_walk = jnp.where(in_med, zf, t_walk)
             w_sum = jnp.where(in_med, zf, w_sum)
             tau_acc = jnp.where(in_med, zf, tau_acc)
@@ -1598,10 +1784,14 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             # the estimator stays unbiased.
             vsp_for_scale = jnp.minimum(vsp_c, scale_vsp_cap)
             min_total = -jnp.log(jnp.maximum(1.0 - vsp_for_scale, 1e-6))
-            maj_sc = jnp.where(
-                guide,
-                jnp.clip(min_total / jnp.maximum(tau_e, 1e-6), 1.0, 16.0),
-                jnp.where(in_med, one, maj_sc))
+            if nds:
+                maj_sc = jnp.where(in_med, one, maj_sc)
+            else:
+                maj_sc = jnp.where(
+                    guide,
+                    jnp.clip(min_total / jnp.maximum(tau_e, 1e-6), 1.0,
+                             16.0),
+                    jnp.where(in_med, one, maj_sc))
             # per-walk state init (delta + reservoir share wf/wu/wl)
             wf0 = jnp.where(in_med, one, wf0)
             wf1 = jnp.where(in_med, one, wf1)
@@ -1866,8 +2056,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                             pdf_df)
                         pdf_sv = mix_s
                         mis_pdf_s = mix_s
-                        valid_sv = jnp.where(take_gs, base_pdf_s > 0,
-                                             pdf_df > 0) & (pdf_sv > 0)
+                        # boolean algebra, not where(): i1-vector data
+                        # operands fail to lower in Mosaic ("Unsupported
+                        # target bitwidth for truncation")
+                        valid_sv = ((take_gs & (base_pdf_s > 0))
+                                    | (~take_gs & (pdf_df > 0))) \
+                            & (pdf_sv > 0)
                     else:
                         gsx, gsy, gsz, gspdf = mixture_sample(
                             sprod, u_g0, u_pk, u_sel)
@@ -2239,6 +2433,7 @@ def guiding_constants(field, gopt, vopt, trained=None):
         pg=float(gopt.guiding_prob),
         mode=str(gopt.mode),
         vsp_mis_ratio=float(vopt.vsp_mis_ratio),
+        sampling_method=str(vopt.sampling_method),
         guide_rr=bool(vopt.guide_rr),
         min_rr_depth=int(vopt.min_rr_depth),
         guide_primary=bool(vopt.guide_vsp and vopt.guide_primary_vsp),
@@ -2266,6 +2461,7 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
         return fn
     npix = c["nx"] * c["ny"]
     n_blocks = npix // (sub * 128)
+    ir = 6 if str(gc.get("sampling_method", "")) == "nds+" else 3
     nvox = int(np.prod(c["grid_res"]))
     nmaj = int(np.prod(c["maj_res"]))
     FC = int(gc["fres"]) ** 3 + int(gc.get("n_extra", 0))
@@ -2312,7 +2508,7 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
                    pl.BlockSpec((((P_ROWS + 1) // 2) * n_cc, 128),
                                 lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)),
-                  pl.BlockSpec((3, sub, 128), lambda b: (0, b, 0),
+                  pl.BlockSpec((ir, sub, 128), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM)]
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if n_tri else []),
         out_specs=out_spec,
@@ -2333,8 +2529,8 @@ def _get_callable(c, gc, spp, sub, interpret, tiled=False, record=False,
         if tiled:
             # ISGB rows ride per-block BlockSpec slices: permute them to
             # the tiled slot order so lane (i, j) still reads its pixel
-            itab = itab.reshape(3, npix)[:, pid_perm] \
-                .reshape(3, npix // 128, 128)
+            itab = itab.reshape(ir, npix)[:, pid_perm] \
+                .reshape(ir, npix // 128, 128)
         if n_tri:
             out = call(sm, dens, maj, ftab, itab, tris)
         else:
@@ -2454,7 +2650,8 @@ def pack_kernel_inputs(scene, field, crit, field_mxu=None,
             tuple(int(v) for v in gm.res),
             tuple(int(v) for v in gm.maj_res)))
     else:
-        dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density), "down"))
+        dens = jnp.asarray(pack_bf16_pairs(np.asarray(gm.density),
+                                           "nearest"))
     if pack == "mxu":
         maj = jnp.asarray(pack_bf16_transposed(np.asarray(gm.majorant),
                                                "up"))
@@ -2483,7 +2680,12 @@ def train_wave_pallas(scene, camera, film, cfg, gopt, vopt, field, isgb,
         scene, field, vopt.vsp_criterion, field_mxu=gc["field_mxu"],
         packed_scene=packed_scene)
     npix = c["nx"] * c["ny"]
-    itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
+    nds_plus_t = str(vopt.sampling_method) == "nds+"
+    ir_t = 6 if nds_plus_t else 3
+    itab = pack_isgb_table(
+        isgb, npix,
+        tr_buffer=(jnp.ones((npix, 3), jnp.float32) if nds_plus_t
+                   else None)).reshape(ir_t, npix // 128, 128)
     if sub is None:
         sub = 8
         while npix % (sub * 128) != 0:
@@ -2531,25 +2733,36 @@ _INPUT_CACHE = {}
 
 
 def render_vspg_pallas(scene, camera, film, spp, cfg, gopt, vopt, field,
-                      isgb, seed, interpret=False, sub=None):
+                      isgb, seed, interpret=False, sub=None,
+                      tr_buffer=None):
     """Render `spp` frozen-field VSPG samples per pixel via the
-    megakernel. Returns the (ny, nx, 3) mean image."""
+    megakernel. Returns the (ny, nx, 3) mean image. tr_buffer: (npix, 3)
+    previous-wave primary transmittance (REQUIRED for
+    sampling_method='nds+'; rides as extra ISGB table rows)."""
     c = extract_constants(scene, camera, film, cfg)
     if c is None or c["kind"] != "grid":
         raise ValueError("scene not supported by the VSPG megakernel")
     gc = guiding_constants(field, gopt, vopt)
     npix = c["nx"] * c["ny"]
+    nds_plus = str(vopt.sampling_method) == "nds+"
+    if nds_plus and tr_buffer is None:
+        tr_buffer = jnp.ones((npix, 3), jnp.float32)
+    ir = 6 if nds_plus else 3
     ck = (vopt.vsp_criterion, gc["field_mxu"], npix)
     hit = _INPUT_CACHE.get(ck)
     if (hit is not None and hit[0] is scene and hit[1] is field
-            and hit[2] is isgb):
+            and hit[2] is isgb and not nds_plus):
         dens, maj, ftab, itab, tris = hit[3]
     else:
         dens, maj, ftab, tris = pack_kernel_inputs(
             scene, field, vopt.vsp_criterion, field_mxu=gc["field_mxu"])
-        itab = pack_isgb_table(isgb, npix).reshape(3, npix // 128, 128)
-        _INPUT_CACHE[ck] = (scene, field, isgb,
-                            (dens, maj, ftab, itab, tris))
+        itab = pack_isgb_table(
+            isgb, npix,
+            tr_buffer=tr_buffer if nds_plus else None).reshape(
+                ir, npix // 128, 128)
+        if not nds_plus:  # tr varies per wave: never cache nds+ tables
+            _INPUT_CACHE[ck] = (scene, field, isgb,
+                                (dens, maj, ftab, itab, tris))
         if len(_INPUT_CACHE) > 8:
             _INPUT_CACHE.pop(next(iter(_INPUT_CACHE)))
     if sub is None:

@@ -511,10 +511,13 @@ def _random_walk(scene, sampler, v, k0, K, o, d, beta, pdf_solid, alive,
             new_d = _m(scat, wi_m, new_d)
             is_spec = jnp.where(scat, False, is_spec)
             ok = ok_s | ok_m
-            # surface bounces leave on the med_in/med_out side of h_n
-            # (volpath_bounce's medium switch on transmission)
-            med_new = jnp.where(dot(wi_w, h_n) < 0, h_med_in, h_med_out)
-            medium = jnp.where(ok_s, med_new, medium)
+            # reflection keeps the medium; only true crossings adopt
+            # the far side's label (volpath_bounce's round-5 robust rule)
+            wi_front_b = dot(wi_w, h_n) > 0
+            arr_front_b = dot(d, h_n) < 0
+            crossed_b = ok_s & (wi_front_b != arr_front_b)
+            med_new = jnp.where(wi_front_b, h_med_out, h_med_in)
+            medium = jnp.where(crossed_b, med_new, medium)
         if k > 0:
             prev_on_surface = _on_surface(v, k - 1)
             pdf_rev_area = convert_density(pdf_rev_solid, vtx_p,

@@ -399,9 +399,13 @@ def guided_bounce(scene: Scene, cfg: VolPathConfig, gopt: GuidingOptions,
     specular = jnp.where(bs_ok, bs_aux.is_specular & ~took_guide_s, specular)
     eta_scale = jnp.where(bs_ok & bs_aux.is_transmission & ~took_guide_s,
                           s.eta_scale * bs_aux.eta**2, s.eta_scale)
-    crossing = bs_ok & (dot(wi_s, h.n) < 0)
-    new_med_x = jnp.where(crossing, h.med_in, h.med_out)
-    medium_id = jnp.where(bs_ok, new_med_x, medium_id)
+    # reflection keeps the medium; only true crossings adopt the far
+    # side's label (see volpath_bounce's round-5 note)
+    wi_front_s = dot(wi_s, h.n) > 0
+    arr_front_s = dot(s.d, h.n) < 0
+    crossed_s = bs_ok & (wi_front_s != arr_front_s)
+    new_med_x = jnp.where(wi_front_s, h.med_out, h.med_in)
+    medium_id = jnp.where(crossed_s, new_med_x, medium_id)
     o_new = _m(bs_ok, offset_ray_origin(h.p, h.n, wi_s), o_new)
     d_new = _m(bs_ok, wi_s, d_new)
     prev_p = _m(bs_ok, h.p, prev_p)

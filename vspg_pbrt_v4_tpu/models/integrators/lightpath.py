@@ -147,9 +147,14 @@ def lightpath_bounce(scene: Scene, cfg: VolPathConfig, camera, s: LPState
                       scale, scale)
     eta2 = jnp.where(bs.is_transmission, bs.eta**2, 1.0)
     alpha = _m(bs_ok, alpha * scale * eta2[..., None], alpha)
-    crossing = bs_ok & (dot(wi_w, h.n) < 0)
-    medium_id = jnp.where(bs_ok,
-                          jnp.where(crossing, h.med_in, h.med_out), medium_id)
+    # reflection keeps the medium; only true crossings adopt the far
+    # side's label (volpath_bounce's round-5 robust rule)
+    wi_front_l = dot(wi_w, h.n) > 0
+    arr_front_l = dot(s.d, h.n) < 0
+    crossed_l = bs_ok & (wi_front_l != arr_front_l)
+    medium_id = jnp.where(crossed_l,
+                          jnp.where(wi_front_l, h.med_out, h.med_in),
+                          medium_id)
     o_new = _m(bs_ok, offset_ray_origin(h.p, h.n, wi_w), o_new)
     d_new = _m(bs_ok, wi_w, d_new)
 

@@ -748,10 +748,20 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     specular = jnp.where(bs_ok, bs.is_specular, specular)
     eta_scale = jnp.where(bs_ok & bs.is_transmission,
                           s.eta_scale * bs.eta * bs.eta, s.eta_scale)
-    # medium switch on transmission through the surface
-    crossing = bs_ok & (dot(wi_world, hn) < 0)
-    new_med_x = jnp.where(crossing, h.med_in, h.med_out)
-    medium_id = jnp.where(bs_ok, new_med_x, medium_id)
+    # ROBUST medium switch (round-5 bias hunt): a REFLECTED ray never
+    # changes medium — re-deriving the medium from the face's label side
+    # made reflections off inward-wound faces tunnel into the wrong
+    # medium (measured: the XLA path lost ALL post-reflection in-medium
+    # energy on such meshes, which the kernels' keep-medium rule
+    # preserved — the round-4 '+2-3%% kernel bias' was the REFERENCE
+    # being dark). Only a true crossing (wi on the opposite side of the
+    # arrival direction) adopts the far side's medium label
+    # (interaction.h SpawnRay semantics).
+    wi_front = dot(wi_world, hn) > 0
+    arr_front = dot(s.d, hn) < 0
+    crossed = bs_ok & (wi_front != arr_front)
+    new_med_x = jnp.where(wi_front, h.med_out, h.med_in)
+    medium_id = jnp.where(crossed, new_med_x, medium_id)
     o_new = _m(bs_ok, offset_ray_origin(hp, hn, wi_world), o_new)
     d_new = _m(bs_ok, wi_world, d_new)
     prev_p = _m(bs_ok, hp, prev_p)

@@ -25,10 +25,14 @@ class PerspectiveCamera:
     lens_radius: float = struct.field(pytree_node=False)
     focal_distance: float = struct.field(pytree_node=False)
     resolution: tuple = struct.field(pytree_node=False)  # (nx, ny)
+    # shutter interval (cameras.h:131-149): ray time ~ U[open, close];
+    # open == close == 0 disables motion blur
+    shutter_open: float = struct.field(pytree_node=False, default=0.0)
+    shutter_close: float = struct.field(pytree_node=False, default=0.0)
 
     @staticmethod
     def make(camera_to_world, fov_deg, resolution, lens_radius=0.0, focal_distance=1e6,
-             screen_window=None):
+             screen_window=None, shutter_open=0.0, shutter_close=0.0):
         nx, ny = resolution
         aspect = nx / ny
         if screen_window is None:
@@ -50,6 +54,7 @@ class PerspectiveCamera:
         return PerspectiveCamera(
             camera_to_world, raster_to_camera, float(lens_radius),
             float(focal_distance), (int(nx), int(ny)),
+            float(shutter_open), float(shutter_close),
         )
 
     def sample_wi(self, p):

@@ -316,7 +316,8 @@ def _homogeneous_medium_interaction(scene, cfg, o, d, seg_end, medium_id,
 
 
 def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
-                                 hero_idx, sampler, active, lam=None):
+                                 hero_idx, sampler, active, lam=None,
+                                 time=None):
     """Spectral transmittance along a shadow ray with rescaled pdfs.
 
     Walks interface segments (opaque hit => occluded) and ratio-tracks null
@@ -342,7 +343,7 @@ def transmittance_ratio_tracking(scene, cfg, o, wi, t_max, medium_start,
         (sampler, T_ray, r_l, r_u, t_cur, med_id, seg_active, it) = c
         p_cur = o + t_cur[..., None] * wi
         rem = t_max - t_cur
-        h = scene.geometry.intersect(p_cur, wi, rem)
+        h = scene.geometry.intersect(p_cur, wi, rem, time=time)
         blocked = h.hit & (h.mat_id >= 0) & (h.t < rem)
         T_ray = _m(seg_active & blocked, jnp.zeros_like(T_ray), T_ray)
         seg_len = jnp.where(h.hit & (h.t < rem), h.t, rem)
@@ -468,7 +469,7 @@ def _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u, r_p, beta, ok):
 
 
 def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
-                     r_p, active, lam=None):
+                     r_p, active, lam=None, time=None):
     """NEE from a medium scatter vertex (SampleLd with phase function)."""
     sampler, u_sel = sampler.get_1d()
     sampler, u2 = sampler.get_2d()
@@ -486,7 +487,8 @@ def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
     ok &= f_scalar > 0
 
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
-        scene, cfg, p, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok, lam
+        scene, cfg, p, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok,
+        lam, time=time
     )
     contrib, local = _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
                                  r_p, beta, ok)
@@ -495,7 +497,7 @@ def sample_ld_volume(scene, cfg, p, wo, g, medium_id, hero_idx, sampler, beta,
 
 def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
                       hero_idx, sampler, beta, r_p, active, lam=None,
-                      tangent=None):
+                      tangent=None, time=None):
     """NEE from a surface vertex (SampleLd with BSDF).
 
     Directions converted to the shading frame for masked BSDF dispatch.
@@ -522,8 +524,8 @@ def sample_ld_surface(scene, cfg, p, n_g, ns, wo_world, lanes, medium_id,
     ok &= jnp.max(f_hat, -1) > 0
 
     sampler, T_ray, tr_l, tr_u = transmittance_ratio_tracking(
-        scene, cfg, p_offset, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler, ok,
-        lam
+        scene, cfg, p_offset, ls.wi, ls.t_shadow, medium_id, hero_idx, sampler,
+        ok, lam, time=time
     )
     contrib, local = _combine_ld(ls, f_hat, scatter_pdf, T_ray, tr_l, tr_u,
                                  r_p, beta, ok)
@@ -552,10 +554,12 @@ class PathState(NamedTuple):
     prev_p: jnp.ndarray  # (R,3) previous scattering vertex (light ctx)
     lam: jnp.ndarray = None  # (R,4) sampled wavelengths (spectral mode)
     pdf_lam: jnp.ndarray = None  # (R,4) their pdfs
+    time: jnp.ndarray = None  # (R,) ray time in [0,1] (motion blur;
+    #     None = static scene — constant per path, cameras.h:131-149)
 
 
 def make_path_state(sampler, o, d, hero_idx, medium_id, pixel_like,
-                    lam=None, pdf_lam=None):
+                    lam=None, pdf_lam=None, time=None):
     """Fresh path state; carries derived from varying inputs."""
     nchan = 3 if lam is None else lam.shape[-1]
     # derived from the varying o so shard_map vma carries stay consistent
@@ -567,14 +571,14 @@ def make_path_state(sampler, o, d, hero_idx, medium_id, pixel_like,
         alive=pixel_like >= 0, specular=pixel_like < 0,
         hero_idx=hero_idx, medium_id=medium_id,
         eta_scale=jnp.ones_like(o[..., 0]), prev_p=jnp.zeros_like(o),
-        lam=lam, pdf_lam=pdf_lam,
+        lam=lam, pdf_lam=pdf_lam, time=time,
     )
 
 
 def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     """One path event for every lane."""
     t_far = jnp.full_like(s.o[..., 0], INF)
-    h = scene.geometry.intersect(s.o, s.d, t_far)
+    h = scene.geometry.intersect(s.o, s.d, t_far, time=s.time)
     seg_end = jnp.where(h.hit, h.t, INF)
 
     # ---- medium flight -----------------------------------------------------
@@ -594,7 +598,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     wo = -s.d
     sampler, Ld, _ = sample_ld_volume(
         scene, cfg, p_scat, wo, mr.g_scatter, s.medium_id, s.hero_idx, sampler,
-        beta, r_u, scat, s.lam,
+        beta, r_u, scat, s.lam, time=s.time,
     )
     L = _m(scat, L + Ld, L)
     sampler, u2 = sampler.get_2d()
@@ -720,7 +724,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
     can_nee = shade & ~lanes.is_specular
     sampler, Ld_s, _ = sample_ld_surface(
         scene, cfg, hp, hn, ns, -s.d, lanes, medium_id, s.hero_idx, sampler,
-        beta, r_u, can_nee, s.lam, h.tangent,
+        beta, r_u, can_nee, s.lam, h.tangent, time=s.time,
     )
     L = _m(can_nee, L + Ld_s, L)
 
@@ -784,7 +788,7 @@ def volpath_bounce(scene: Scene, cfg: VolPathConfig, s: PathState) -> PathState:
 
     return PathState(
         sampler, o_new, d_new, beta, r_u, r_l, L, depth, alive, specular,
-        s.hero_idx, medium_id, eta_scale, prev_p, s.lam, s.pdf_lam,
+        s.hero_idx, medium_id, eta_scale, prev_p, s.lam, s.pdf_lam, s.time,
     )
 
 
@@ -835,8 +839,17 @@ def start_camera_paths(camera, film, seed, sample_index, pixel_id, camera_medium
         lam = pdf_lam = None
         hero_idx = sample_hero_channel(u_wl)
     med0 = jnp.full_like(pixel_id, camera_medium)
+    # camera shutter (cameras.h:131-149): ray time = lerp(open, close, u);
+    # static cameras (shutter_open == shutter_close == 0) carry no time
+    sh_o = float(getattr(camera, "shutter_open", 0.0) or 0.0)
+    sh_c = float(getattr(camera, "shutter_close", 0.0) or 0.0)
+    if sh_c > sh_o:
+        sampler, u_time = sampler.get_1d()
+        ray_time = sh_o + (sh_c - sh_o) * u_time
+    else:
+        ray_time = None
     state = make_path_state(sampler, o, d, hero_idx, med0, pixel_id, lam,
-                            pdf_lam)
+                            pdf_lam, time=ray_time)
     if cam_w is not None:
         state = state._replace(beta=state.beta * cam_w[..., None],
                                alive=state.alive & (cam_w > 0))

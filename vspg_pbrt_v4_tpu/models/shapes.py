@@ -92,7 +92,13 @@ class Instances(NamedTuple):
         tl = build_two_level(
             obj_lo, obj_hi, obj_base,
             [int(it["obj"]) for it in instances],
-            [np.asarray(it["o2w"], np.float64) for it in instances])
+            [np.asarray(it["o2w"], np.float64) for it in instances],
+            # motion blur: optional end-keyframe transform per instance
+            # (AnimatedPrimitive, cpu/primitive.h:103)
+            inst_o2w_end=[
+                (np.asarray(it["o2w_end"], np.float64)
+                 if it.get("o2w_end") is not None else None)
+                for it in instances])
         asf = lambda x: jnp.asarray(np.asarray(x, np.float32))  # noqa: E731
         asi = lambda x: jnp.asarray(x, jnp.int32)  # noqa: E731
         return Instances(
@@ -454,8 +460,11 @@ class Geometry(NamedTuple):
         return 0 if self.crv_p0 is None else self.crv_p0.shape[0]
 
     # -- closest hit ---------------------------------------------------------
-    def intersect(self, o, d, t_max):
+    def intersect(self, o, d, t_max, time=None):
         """Brute-force closest hit over all primitives (vectorized over R).
+
+        time: optional (R,) per-lane ray times in [0,1] for animated
+        instances (motion blur; static geometry ignores it).
 
         Each primitive type is tested against every lane; the running minimum
         keeps the nearest. Replaced by BVH traversal for large T (ops/bvh.py)
@@ -702,11 +711,11 @@ class Geometry(NamedTuple):
             )
 
         if self.inst is not None:
-            best = self._intersect_instances(o, d, best)
+            best = self._intersect_instances(o, d, best, time=time)
 
         return best
 
-    def _intersect_instances(self, o, d, best):
+    def _intersect_instances(self, o, d, best, time=None):
         """Closest hit against instanced meshes through the two-level BVH
         (ops/bvh.py two_level_traverse). Triangles are tested in object
         space with the instance's unnormalized ray, so t is directly
@@ -732,7 +741,7 @@ class Geometry(NamedTuple):
                     jnp.full((R,), -1, jnp.int32),
                     jnp.zeros(R), jnp.zeros(R))
         t_best, (k, ii, b0k, b1k) = two_level_traverse(
-            ins.tl, o, d, best.t, leaf_fn, payload0)
+            ins.tl, o, d, best.t, leaf_fn, payload0, time=time)
         closer = k >= 0
         kc = jnp.maximum(k, 0)
         ic = jnp.maximum(ii, 0)
@@ -743,8 +752,11 @@ class Geometry(NamedTuple):
         ns_o = (b0k[..., None] * ins.n0[kc] + b1k[..., None] * ins.n1[kc]
                 + b2k[..., None] * ins.n2[kc])
         # normals transform by the inverse transpose of object-to-world,
-        # i.e. by the transpose of the stored world-to-object linear part
-        lin = ins.tl.w2o[ic][..., :3]  # (R,3,3)
+        # i.e. by the transpose of the world-to-object linear part (at
+        # the lane's ray time for animated instances)
+        from ..ops.bvh import interp_w2o
+
+        lin = interp_w2o(ins.tl, ic, time)[..., :3]  # (R,3,3)
         ngk = normalize(jnp.einsum("rij,ri->rj", lin, ng_o))
         nsk = normalize(jnp.einsum("rij,ri->rj", lin, ns_o))
         uvk = (b0k[..., None] * ins.uv0[kc] + b1k[..., None] * ins.uv1[kc]
@@ -826,9 +838,10 @@ class Geometry(NamedTuple):
             best.tangent,
         )
 
-    def intersect_p(self, o, d, t_max):
+    def intersect_p(self, o, d, t_max, time=None):
         """Any-hit against *opaque* primitives only (mat_id >= 0): occlusion
-        for shadow rays. Interface-only primitives never occlude."""
+        for shadow rays. Interface-only primitives never occlude.
+        time: per-lane ray times for animated instances."""
         occluded = jnp.zeros(o.shape[:-1], bool)
         if self.n_tri > 0 and self.tri_bvh is not None:
             from ..ops.bvh import bvh_traverse
@@ -932,6 +945,7 @@ class Geometry(NamedTuple):
                 return jnp.where(occ_new, 0.0, t_best), occ_new
 
             _, occ = two_level_traverse(
-                ins.tl, o, d, t_max, leaf_fn, jnp.zeros(o.shape[:-1], bool))
+                ins.tl, o, d, t_max, leaf_fn, jnp.zeros(o.shape[:-1], bool),
+                time=time)
             occluded |= occ
         return occluded

@@ -223,34 +223,84 @@ class TwoLevelBVH(NamedTuple):
     tlas_n: jnp.ndarray  # () int32: first BLAS node index
     blas_root: jnp.ndarray  # (I,) global root node per instance
     w2o: jnp.ndarray  # (I,3,4) world-to-object (rows of the 3x4 affine)
+    # motion blur (cpu/primitive.h:103 AnimatedPrimitive): per-instance
+    # TRS keyframes; None = all static. (T0 (I,3), q0 (I,4) wxyz,
+    # S0 (I,3,3), T1, q1, S1, animated (I,) bool)
+    anim: object = None
 
 
 def build_two_level(obj_bmin_list, obj_bmax_list, obj_tri_base,
-                    inst_obj, inst_o2w, max_leaf=4):
+                    inst_obj, inst_o2w, max_leaf=4, inst_o2w_end=None):
     """Host-side build. obj_bmin_list/obj_bmax_list: per-object arrays of
     object-space triangle bounds; obj_tri_base[j] = offset of object j's
     triangles in the global instanced-triangle arrays; inst_obj[i] = object
-    index of instance i; inst_o2w[i] = 4x4 object-to-world."""
+    index of instance i; inst_o2w[i] = 4x4 object-to-world.
+
+    inst_o2w_end: optional per-instance END-keyframe 4x4 (None entries =
+    static) — AnimatedPrimitive motion blur (cpu/primitive.h:103):
+    instance world bounds then cover the whole shutter (union over
+    sampled times, the conservative MotionBounds analog) and the
+    traversal interpolates TRS per lane time (transform.h
+    AnimatedTransform semantics)."""
+    from ..utils.transform import decompose
+
     n_obj = len(obj_bmin_list)
     blas = [build_bvh(obj_bmin_list[j], obj_bmax_list[j], max_leaf=max_leaf)
             for j in range(n_obj)]
 
     inst_obj = np.asarray(inst_obj, np.int32)
     n_inst = inst_obj.shape[0]
+    any_anim = inst_o2w_end is not None and any(
+        e is not None for e in inst_o2w_end)
     # instance world bounds: transform the object bbox corners
     iw_lo = np.zeros((n_inst, 3), np.float32)
     iw_hi = np.zeros((n_inst, 3), np.float32)
     w2o = np.zeros((n_inst, 3, 4), np.float32)
+    aT0 = np.zeros((n_inst, 3), np.float32)
+    aT1 = np.zeros((n_inst, 3), np.float32)
+    aq0 = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (n_inst, 1))
+    aq1 = aq0.copy()
+    aS0 = np.tile(np.eye(3, dtype=np.float32), (n_inst, 1, 1))
+    aS1 = aS0.copy()
+    a_on = np.zeros((n_inst,), bool)
     for i in range(n_inst):
         j = int(inst_obj[i])
         m = np.asarray(inst_o2w[i], np.float64).reshape(4, 4)
+        m_end = None
+        if inst_o2w_end is not None and inst_o2w_end[i] is not None:
+            m_end = np.asarray(inst_o2w_end[i], np.float64).reshape(4, 4)
+            if np.allclose(m_end, m):
+                m_end = None
         lo = np.asarray(blas[j].bmin[0])
         hi = np.asarray(blas[j].bmax[0])
         cs = np.array([[x, y, z] for x in (lo[0], hi[0])
                        for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
-        cw = cs @ m[:3, :3].T + m[:3, 3]
-        iw_lo[i] = cw.min(0) - 1e-5
-        iw_hi[i] = cw.max(0) + 1e-5
+        if m_end is None:
+            cw = cs @ m[:3, :3].T + m[:3, 3]
+            iw_lo[i] = cw.min(0) - 1e-5
+            iw_hi[i] = cw.max(0) + 1e-5
+        else:
+            # shutter-covering bounds: union over sampled times of the
+            # interpolated transform applied to the object bbox corners
+            T0, q0, S0 = decompose(m)
+            T1, q1, S1 = decompose(m_end)
+            if float(np.dot(q0, q1)) < 0:
+                q1 = -q1
+            aT0[i], aT1[i] = T0, T1
+            aq0[i], aq1[i] = q0, q1
+            aS0[i], aS1[i] = S0, S1
+            a_on[i] = True
+            los, his = [], []
+            for tt in np.linspace(0.0, 1.0, 9):
+                mt = _trs_matrix(T0 * (1 - tt) + T1 * tt,
+                                 _slerp_np(q0, q1, tt),
+                                 S0 * (1 - tt) + S1 * tt)
+                cw = cs @ mt[:3, :3].T + mt[:3, 3]
+                los.append(cw.min(0))
+                his.append(cw.max(0))
+            pad = 0.05 * (np.max(his, 0) - np.min(los, 0) + 1e-3)
+            iw_lo[i] = np.min(los, 0) - 1e-5 - pad
+            iw_hi[i] = np.max(his, 0) + 1e-5 + pad
         w2o[i] = np.linalg.inv(m)[:3, :4]
     tlas = build_bvh(iw_lo, iw_hi, max_leaf=max_leaf)
 
@@ -289,11 +339,73 @@ def build_two_level(obj_bmin_list, obj_bmax_list, obj_tri_base,
         jnp.asarray(tlas_n, jnp.int32),
         jnp.asarray(blas_root, jnp.int32),
         jnp.asarray(w2o),
+        ((jnp.asarray(aT0), jnp.asarray(aq0), jnp.asarray(aS0),
+          jnp.asarray(aT1), jnp.asarray(aq1), jnp.asarray(aS1),
+          jnp.asarray(a_on)) if any_anim else None),
     )
 
 
+def _slerp_np(q0, q1, t):
+    c = float(np.clip(np.dot(q0, q1), -1.0, 1.0))
+    th = np.arccos(c)
+    if np.sin(th) < 1e-6:
+        q = q0 * (1 - t) + q1 * t
+    else:
+        q = (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+    return q / np.linalg.norm(q)
+
+
+def _trs_matrix(T, q, S):
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]])
+    m = np.eye(4)
+    m[:3, :3] = R @ S
+    m[:3, 3] = T
+    return m
+
+
+def interp_w2o(tl: TwoLevelBVH, inst_idx, time):
+    """Per-lane world-to-object (R,3,4) at the lanes' ray times.
+    Static instances (or anim None / time None) return the prebuilt
+    w2o. Animated: TRS-interpolate o2w (transform.h AnimatedTransform)
+    and invert analytically (A = R S -> A^-1 via batched 3x3 inverse;
+    translation -A^-1 T)."""
+    base = tl.w2o[jnp.maximum(inst_idx, 0)]
+    if tl.anim is None or time is None:
+        return base
+    T0, q0, S0, T1, q1, S1, a_on = tl.anim
+    ii = jnp.maximum(inst_idx, 0)
+    on = a_on[ii]
+    t = jnp.clip(time, 0.0, 1.0)[..., None]
+    T = T0[ii] * (1 - t) + T1[ii] * t
+    ca = jnp.sum(q0[ii] * q1[ii], -1, keepdims=True)
+    th = jnp.arccos(jnp.clip(ca, -1.0, 1.0))
+    sth = jnp.sin(th)
+    w0 = jnp.where(sth > 1e-6, jnp.sin((1 - t) * th) / sth, 1 - t)
+    w1 = jnp.where(sth > 1e-6, jnp.sin(t * th) / sth, t)
+    q = w0 * q0[ii] + w1 * q1[ii]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    S = S0[ii] * (1 - t)[..., None] + S1[ii] * t[..., None]
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+                   2 * (qx * qz + qy * qw)], -1),
+        jnp.stack([2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz - qx * qw)], -1),
+        jnp.stack([2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+                   1 - 2 * (qx * qx + qy * qy)], -1)], -2)
+    A = jnp.einsum("...ij,...jk->...ik", R, S)
+    Ainv = jnp.linalg.inv(A)
+    tr = -jnp.einsum("...ij,...j->...i", Ainv, T)
+    m_anim = jnp.concatenate([Ainv, tr[..., None]], -1)
+    return jnp.where(on[..., None, None], m_anim, base)
+
+
 def two_level_traverse(tl: TwoLevelBVH, o, d, t_max, leaf_fn, payload0,
-                       max_leaf=4):
+                       max_leaf=4, time=None):
     """Instanced closest-hit traversal. ``leaf_fn(pid, inst, m, co, cd,
     t_best, payload) -> (t_best, payload)`` receives the OBJECT-SPACE ray
     (co, cd — cd unnormalized so t matches world t) of the owning instance.
@@ -310,7 +422,7 @@ def two_level_traverse(tl: TwoLevelBVH, o, d, t_max, leaf_fn, payload0,
     t_best = t_max
 
     def cur_ray(inst):
-        m = tl.w2o[jnp.maximum(inst, 0)]  # (R,3,4)
+        m = interp_w2o(tl, inst, time)  # (R,3,4); per-lane time (motion)
         in_i = (inst >= 0)[:, None]
         co = jnp.where(
             in_i, jnp.einsum("rij,rj->ri", m[..., :3], o) + m[..., 3], o)

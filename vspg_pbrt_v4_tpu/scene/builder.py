@@ -54,6 +54,7 @@ class RenderSetup(NamedTuple):
 class _GState:
     def __init__(self):
         self.ctm = tr.identity()
+        self.ctm_end = None  # end-keyframe CTM (None = static pair)
         self.material = 0
         self.area_light = None  # pending AreaLightSource params
         self.medium_in = -1
@@ -64,6 +65,7 @@ class _GState:
         g = _GState()
         g.__dict__.update(self.__dict__)
         g.ctm = self.ctm
+        g.ctm_end = self.ctm_end
         return g
 
 
@@ -124,7 +126,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     defining_object = [None]
     named_coord_systems = {}
     inst_objects = []  # per-object object-space triangle lists
-    inst_list = []  # instance records {obj, o2w}
+    inst_list = []  # instance records {obj, o2w[, o2w_end]}
+    active_xf = ["all"]  # ActiveTransform member selection
+    transform_times = [0.0, 1.0]  # TransformTimes start/end
 
     def handle_shape(d, p, st):
         def xf_pts(pts):
@@ -374,21 +378,39 @@ def build_render_setup(directives, spp_override=None, res_override=None):
         name = d.name
         p = ParameterDictionary(d.params)
 
+        def _apply_xf(op, replace=False):
+            # ActiveTransform semantics (parser.h ActiveTransform; the
+            # CTM is conceptually a keyframe PAIR — ops apply to the
+            # active member(s); a pair splits lazily on first non-All op)
+            if active_xf[0] != "all" and st.ctm_end is None:
+                st.ctm_end = st.ctm
+            if active_xf[0] in ("all", "start"):
+                st.ctm = op if replace else st.ctm @ op
+            if st.ctm_end is not None and active_xf[0] in ("all", "end"):
+                st.ctm_end = op if replace else st.ctm_end @ op
+
         if name == "LookAt":
             a = d.args
-            st.ctm = st.ctm @ tr.look_at(a[0:3], a[3:6], a[6:9]).inverse()
+            _apply_xf(tr.look_at(a[0:3], a[3:6], a[6:9]).inverse())
         elif name == "Translate":
-            st.ctm = st.ctm @ tr.translate(*d.args)
+            _apply_xf(tr.translate(*d.args))
         elif name == "Scale":
-            st.ctm = st.ctm @ tr.scale(*d.args)
+            _apply_xf(tr.scale(*d.args))
         elif name == "Rotate":
-            st.ctm = st.ctm @ tr.rotate(d.args[0], d.args[1:4])
+            _apply_xf(tr.rotate(d.args[0], d.args[1:4]))
+        elif name == "ActiveTransform":
+            a0 = (d.args[0] if d.args else "All").lower()
+            active_xf[0] = {"starttime": "start", "endtime": "end",
+                            "all": "all"}.get(a0, "all")
+        elif name == "TransformTimes":
+            transform_times[0] = float(d.args[0])
+            transform_times[1] = float(d.args[1])
         elif name in ("Transform", "ConcatTransform"):
             m = np.asarray(d.args, np.float32).reshape(4, 4).T  # column-major
             t = tr.from_matrix(m)
-            st.ctm = t if name == "Transform" else st.ctm @ t
+            _apply_xf(t, replace=(name == "Transform"))
         elif name == "Identity":
-            st.ctm = tr.identity()
+            _apply_xf(tr.identity(), replace=True)
 
         elif name == "Camera":
             camera_directive = (d.args[0], p)
@@ -733,7 +755,9 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                         inst_objects.append(obj_tris)
                     inst_list.append(dict(
                         obj=od["inst_idx"],
-                        o2w=np.asarray(st.ctm.m, np.float64)))
+                        o2w=np.asarray(st.ctm.m, np.float64),
+                        o2w_end=(np.asarray(st.ctm_end.m, np.float64)
+                                 if st.ctm_end is not None else None)))
                 else:
                     for d_shape, p_shape, snap in od["items"]:
                         inst = snap.copy()
@@ -745,7 +769,45 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             if defining_object[0] is not None:
                 object_defs[defining_object[0]]["items"].append(
                     (d, p, st.copy()))
+            elif (st.ctm_end is not None
+                  and d.args[0] in ("trianglemesh", "plymesh", "loopsubdiv")
+                  and st.area_light is None):
+                # animated CTM -> implicit animated instance
+                # (AnimatedPrimitive, cpu/primitive.h:103): capture the
+                # shape in OBJECT space, instance carries both keyframes
+                saved = len(tris)
+                saved_m = len(tri_meshes)
+                obj_st = st.copy()
+                obj_st.ctm = tr.identity()
+                obj_st.ctm_end = None
+                handle_shape(d, p, obj_st)
+                obj_tris = tris[saved:]
+                del tris[saved:]
+                for b in tri_meshes[saved_m:]:
+                    T = np.asarray(b["p0"]).shape[0]
+                    for i in range(T):
+                        trid = dict(p0=b["p0"][i], p1=b["p1"][i],
+                                    p2=b["p2"][i], mat=b["mat"],
+                                    med_in=b["med_in"],
+                                    med_out=b["med_out"])
+                        if "n0" in b:
+                            trid.update(n0=b["n0"][i], n1=b["n1"][i],
+                                        n2=b["n2"][i])
+                        if "uv0" in b:
+                            trid.update(uv0=b["uv0"][i], uv1=b["uv1"][i],
+                                        uv2=b["uv2"][i])
+                        obj_tris.append(trid)
+                del tri_meshes[saved_m:]
+                if obj_tris:
+                    inst_list.append(dict(
+                        obj=len(inst_objects),
+                        o2w=np.asarray(st.ctm.m, np.float64),
+                        o2w_end=np.asarray(st.ctm_end.m, np.float64)))
+                    inst_objects.append(obj_tris)
             else:
+                if st.ctm_end is not None:
+                    warn("animated transform on a non-instanceable shape "
+                         "ignored (start keyframe used)", d.loc)
                 handle_shape(d, p, st)
         elif name == "Texture":
             # Texture "name" "spectrum|float" "type" params
@@ -955,10 +1017,19 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     ctype, cp = camera_directive if camera_directive else ("perspective", None)
     if ctype == "perspective":
         fov = cp.get_float("fov", 90.0) if cp else 90.0
+        # shutter interval normalized into TransformTimes space: ray
+        # time 0 = transform start keyframe, 1 = end (cameras.h:131-149)
+        tt0, tt1 = transform_times
+        tspan = max(tt1 - tt0, 1e-9)
+        sh_o = ((cp.get_float("shutteropen", 0.0) - tt0) / tspan
+                if cp else 0.0)
+        sh_c = ((cp.get_float("shutterclose", 0.0) - tt0) / tspan
+                if cp else 0.0)
         camera = PerspectiveCamera.make(
             cam_to_world, fov, (nx, ny),
             lens_radius=cp.get_float("lensradius", 0.0) if cp else 0.0,
-            focal_distance=cp.get_float("focaldistance", 1e6) if cp else 1e6)
+            focal_distance=cp.get_float("focaldistance", 1e6) if cp else 1e6,
+            shutter_open=min(sh_o, sh_c), shutter_close=max(sh_o, sh_c))
     elif ctype == "orthographic":
         camera = OrthographicCamera.make(cam_to_world, (nx, ny))
     elif ctype == "spherical":

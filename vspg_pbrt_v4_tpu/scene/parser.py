@@ -34,6 +34,7 @@ _TOKEN_RE = re.compile(r'"[^"]*"|\[|\]|[^\s"\[\]]+')
 _NUMERIC_ARGS = {
     "LookAt": 9, "Translate": 3, "Rotate": 4, "Scale": 3,
     "Transform": 16, "ConcatTransform": 16,
+    "TransformTimes": 2,  # motion-blur keyframe times (parser.h)
 }
 # directives taking one quoted type then params
 _TYPED = {
@@ -119,6 +120,12 @@ def parse_pbrt_string(text, filename="<string>", search_path="."):
         if tok in _SIMPLE:
             out.append(Directive(tok, [], {}, loc))
             i += 1
+            continue
+
+        if tok == "ActiveTransform":
+            # one bare identifier: All | StartTime | EndTime
+            out.append(Directive(tok, [tokens[i + 1][0]], {}, loc))
+            i += 2
             continue
 
         if tok in _NUMERIC_ARGS:

@@ -165,3 +165,46 @@ def test_spectral_vspg_cloud_resampling_furnace():
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert abs(img.mean() - L0) < 0.045 * L0, img.mean()
+
+
+def test_spectral_film_buckets_uniform_env():
+    """SpectralFilm (film.h:498-563, round-5): a uniform white env in
+    vacuum deposits ~flat spectral radiance, so every wavelength bucket
+    converges to ~L * CIE_Y_integral (the reference's bucket algebra;
+    our importance-sampled wavelengths are reweighted to the uniform-pdf
+    estimator) and the RGB image stays ~L."""
+    import numpy as np
+
+    from vspg_pbrt_v4_tpu.models.film import SpectralFilm
+    from vspg_pbrt_v4_tpu.models.integrators import volpath
+    from vspg_pbrt_v4_tpu.scene import build_render_setup, parse_pbrt_string
+    from vspg_pbrt_v4_tpu.utils.spectrum import CIE_Y_INTEGRAL
+
+    L0 = 0.8
+    setup = build_render_setup(parse_pbrt_string('''
+Film "spectral" "integer xresolution" [8] "integer yresolution" [8]
+  "integer nbuckets" [12]
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [30]
+WorldBegin
+LightSource "infinite" "rgb L" [0.8 0.8 0.8]
+'''))
+    film = setup.film
+    assert isinstance(film, SpectralFilm) and film.n_buckets == 12
+    cfg = volpath.VolPathConfig(max_depth=4, max_events=8, spectral=True)
+    fstate = film.init_state()
+    for w in range(16):
+        fstate, _ = volpath.render_pass(
+            setup.scene, setup.camera, film, fstate, cfg, np.uint32(3),
+            np.int32(w), -1, 4, "independent", 64)
+    rgb = np.asarray(film.image(fstate))
+    assert abs(rgb.mean() - L0) < 0.1 * L0, rgb.mean()
+    sp = np.asarray(film.spectral_image(fstate))
+    assert sp.shape == (8, 8, 12)
+    names = film.spectral_channel_names()
+    assert len(names) == 12 and names[0].endswith("nm")
+    # interior visible buckets (skip the range edges where the Smits
+    # uplift basis rolls off): ~flat at L0 * CIE_Y_integral
+    exp = L0 * CIE_Y_INTEGRAL
+    mid = sp[:, :, 3:9].mean((0, 1))
+    assert np.all(np.abs(mid - exp) < 0.35 * exp), (mid, exp)

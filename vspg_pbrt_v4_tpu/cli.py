@@ -174,7 +174,12 @@ def main(argv=None):
     from .models.materials import SUBSURFACE as _SSS
 
     has_sss = bool((_np.asarray(setup.scene.materials.mat_type) == _SSS).any())
-    cfg = volpath.VolPathConfig(max_depth=max_depth, sss=has_sss)
+    from .models.film import SpectralFilm as _SpectralFilm
+
+    is_spectral_film = isinstance(setup.film, _SpectralFilm)
+    _spec_state = [None]  # SpectralFilm state held for the bucket EXR
+    cfg = volpath.VolPathConfig(max_depth=max_depth, sss=has_sss,
+                                spectral=is_spectral_film)
 
     ref = read_image(args.mse_reference_image) if args.mse_reference_image else None
     mse_log = []
@@ -342,12 +347,25 @@ def main(argv=None):
             seed=args.seed, spp_per_pass=spp_per_pass, cfg=cfg,
             camera_medium=setup.camera_medium))
     elif name in ("volpath", "path"):
-        img = volpath.render(setup.scene, setup.camera, setup.film,
-                             spp=setup.spp, cfg=cfg, seed=args.seed,
-                             camera_medium=setup.camera_medium,
-                             spp_per_pass=spp_per_pass,
-                             sampler=setup.sampler)
-        img = np.asarray(img)
+        if is_spectral_film:
+            # SpectralFilm: drive passes into a held film state so the
+            # per-bucket accumulators survive for the spectral EXR
+            fstate = setup.film.init_state()
+            for w in range(max(setup.spp // spp_per_pass, 1)):
+                fstate, _ = volpath.render_pass(
+                    setup.scene, setup.camera, setup.film, fstate, cfg,
+                    np.uint32(args.seed), np.int32(w),
+                    setup.camera_medium, spp_per_pass, setup.sampler,
+                    setup.spp)
+            _spec_state[0] = fstate
+            img = np.asarray(setup.film.image(fstate))
+        else:
+            img = volpath.render(setup.scene, setup.camera, setup.film,
+                                 spp=setup.spp, cfg=cfg, seed=args.seed,
+                                 camera_medium=setup.camera_medium,
+                                 spp_per_pass=spp_per_pass,
+                                 sampler=setup.sampler)
+            img = np.asarray(img)
     elif name in ("guidedpath", "guidedvolpath"):
         gopt = gvp.GuidingOptions(
             mode="ris" if ip.get_string("guidingtype", "ris") == "ris" else "mis",
@@ -423,6 +441,16 @@ def main(argv=None):
         write_png(out, img)
     else:
         write_exr(out, img)
+    if is_spectral_film and _spec_state[0] is not None:
+        # per-bucket spectral EXR next to the image (film.cpp:1174-1249
+        # WriteImage: RGB channels + "%.3fnm" bucket channels)
+        sp = np.asarray(setup.film.spectral_image(_spec_state[0]))
+        base = out.rsplit(".", 1)[0]
+        write_exr(base + "_spectrum.exr", sp,
+                  setup.film.spectral_channel_names())
+        if not args.quiet:
+            print(f"[spectral] {base}_spectrum.exr "
+                  f"({setup.film.n_buckets} buckets)", file=sys.stderr)
     if ref is not None:
         mse_log.append((setup.spp, mse_np(img, ref)))
         for s, m in mse_log:

@@ -107,6 +107,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
     camera_directive = None
     cam_to_world = tr.identity()
     film_params = {}
+    film_type = ["rgb"]
     integrator = "volpath"
     integrator_params = {}
     sampler = "independent"
@@ -417,6 +418,7 @@ def build_render_setup(directives, spp_override=None, res_override=None):
             cam_to_world = st.ctm.inverse()
         elif name == "Film":
             film_params = p
+            film_type[0] = d.args[0] if d.args else "rgb"
         elif name == "Sampler":
             sampler = d.args[0]
             spp = p.get_int("pixelsamples", 16)
@@ -1013,7 +1015,20 @@ def build_render_setup(directives, spp_override=None, res_override=None):
                                   sigma=fp.get_float("sigma", 0.5))
     else:
         film_filter = Filter.make("box")
-    film = RGBFilm.make((nx, ny), filter=film_filter)
+    if film_type[0] == "spectral":
+        # per-wavelength-bucket film (film.h SpectralFilm:498; channel
+        # naming film.cpp:1186); forces the N=4 spectral render mode
+        from ..models.film import SpectralFilm
+
+        film = SpectralFilm.make(
+            (nx, ny), filter=film_filter,
+            n_buckets=film_params.get_int("nbuckets", 16),
+            lambda_min=film_params.get_float("lambdamin", 360.0),
+            lambda_max=film_params.get_float("lambdamax", 830.0))
+    else:
+        if film_type[0] not in ("rgb", "gbuffer"):
+            warnings.warn(f"film '{film_type[0]}' unsupported; using rgb")
+        film = RGBFilm.make((nx, ny), filter=film_filter)
     ctype, cp = camera_directive if camera_directive else ("perspective", None)
     if ctype == "perspective":
         fov = cp.get_float("fov", 90.0) if cp else 90.0

@@ -78,6 +78,21 @@ ABLATE_NO_NEE = False
 ABLATE_CHEAP_DENS = False
 
 
+# multi-cell flight: majorant cells the cheap unrolled walk crosses per
+# body iteration before folding partial transmittance and resuming next
+# iteration (exponential memorylessness makes the resume exact).
+# Swept on chip (bench cloud, 256^2@32): K=2 10.9, K=3 11.6, K=4 11.6,
+# K=6 10.5, K=8 9.4 Mpaths/s — each extra step is one more one-hot MXU
+# majorant gather per body iteration, each fewer step re-runs the full
+# event body for flights that cross more cells.
+WALK_STEPS = 4
+
+# NOTE (measured, round 5): swapping the majorant MXU gather for a
+# pair-packed chunk sweep on small tables was 12% SLOWER on chip —
+# per-lane take_along_axis gathers cost more than the one-hot matmul,
+# which pipelines with VPU work. The MXU lookup stays.
+
+
 def dens_pack_for(nvox):
     """Density-table format ladder shared by extract_constants and
     pallas_vspg.pack_kernel_inputs (reads the module globals at call time
@@ -1387,6 +1402,9 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
     sa = np.asarray(c["sigma_a"], np.float32)   # per-channel base
     ss = np.asarray(c["sigma_s"], np.float32)
     st = sa + ss
+    # gray sigma_t: the hero-relative tail ratios exp(-(st_k-st_h)*S)
+    # are exactly 1 at trace time — skip the 18 tail-fold selects
+    sigma_gray = float(st[0]) == float(st[1]) == float(st[2])
     g_hg = c["g_hg"]
     bmin, bmax = c["bmin"], c["bmax"]
     ext = tuple(bmax[k] - bmin[k] for k in range(3))
@@ -1985,33 +2003,127 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             # lane's shadow walk (the round-2 kernel ran the whole shadow
             # walk as a nested while_loop: one scattering lane serialized
             # its entire block; PERF.md round-2 addendum 6).
+            #
+            # Multi-cell flight (round 5): each body iteration consumes
+            # ONE exponential optical-depth target tau ~ Exp(1) and walks
+            # it across majorant cells in a cheap inner loop (majorant
+            # lookup + DDA exit only), accumulating the distance-weighted
+            # majorant S = sum m_i*dt_i. The expensive event machinery
+            # (density gather, scatter/null algebra, NEE arm) then runs
+            # once per TENTATIVE COLLISION instead of once per cell
+            # crossing — crossings used to cost full body iterations
+            # (PERF.md round-5 addendum 2: "segment crossings dominate").
+            # Per-channel transmittances telescope to exp(-st_k*S), so
+            # the estimator is bit-for-bit the same algebra; lanes that
+            # exhaust WALK_STEPS mid-flight fold S into beta and resample
+            # tau next iteration (exponential memorylessness).
             epx = jnp.where(is_sh, ox + sh_t * shx, ox)
             epy = jnp.where(is_sh, oy + sh_t * shy, oy)
             epz = jnp.where(is_sh, oz + sh_t * shz, oz)
             wdx = jnp.where(is_sh, shx, dx)
             wdy = jnp.where(is_sh, shy, dy)
             wdz = jnp.where(is_sh, shz, dz)
-            m_raw = maj_dens_at(epx, epy, epz, wdx, wdy, wdz)
-            m_d = jnp.maximum(m_raw, 0.0)
-            skip_c = jnp.maximum(-m_raw, 1.0)  # empty-skip field decode
-            maj_h = m_d * st_h
             t_lim = jnp.where(is_sh, sh_end - sh_t, path_lim)
-            t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz,
-                                         skip=skip_c),
-                                t_lim)
             ua, ub, uc, ud = _uniform4(seed_a, pix_c, samp, dim)
             dim = dim + _U32(1)
-            dt_coll = jnp.where(maj_h > 0,
-                                -jnp.log1p(-ua)
-                                / jnp.maximum(maj_h, 1e-30), _BIG)
             walk = in_med | is_sh
-            coll = walk & (dt_coll < t_seg)
+            tau0 = -jnp.log1p(-ua)
+
+            # unrolled masked walk (a nested while_loop measured cost-
+            # neutral: per-step `any` reductions + loop spills ate the
+            # event savings). Per-flight constants hoisted: cell-space
+            # coordinates make the DDA exit 3 fma + 2 min per step, and
+            # the 3 direction divides happen once, not once per cell.
+            kx_, ky_, kz_ = mx / ext[0], my / ext[1], mz / ext[2]
+            u0x = (epx - bmin[0]) * kx_
+            u0y = (epy - bmin[1]) * ky_
+            u0z = (epz - bmin[2]) * kz_
+            du_x = wdx * kx_
+            du_y = wdy * ky_
+            du_z = wdz * kz_
+            den_x = jnp.where(jnp.abs(wdx) < 1e-12,
+                              jnp.where(wdx >= 0, 1e-12, -1e-12), wdx)
+            den_y = jnp.where(jnp.abs(wdy) < 1e-12,
+                              jnp.where(wdy >= 0, 1e-12, -1e-12), wdy)
+            den_z = jnp.where(jnp.abs(wdz) < 1e-12,
+                              jnp.where(wdz >= 0, 1e-12, -1e-12), wdz)
+            inv_du_x = (ext[0] / mx) / den_x
+            inv_du_y = (ext[1] / my) / den_y
+            inv_du_z = (ext[2] / mz) / den_z
+            eps_x = jnp.where(wdx >= 0, 3e-4, -3e-4)
+            eps_y = jnp.where(wdy >= 0, 3e-4, -3e-4)
+            eps_z = jnp.where(wdz >= 0, 3e-4, -3e-4)
+            t_cum = zf
+            S_acc = zf
+            tau_rem = tau0
+            m_d = zf
+            act = walk
+            coll_w = jnp.zeros((sub, 128), bool)
+            lim_w = jnp.zeros((sub, 128), bool)
+            for _k in range(WALK_STEPS):
+                ux = u0x + t_cum * du_x
+                uy = u0y + t_cum * du_y
+                uz = u0z + t_cum * du_z
+                cfx = jnp.floor(ux + eps_x)
+                cfy = jnp.floor(uy + eps_y)
+                cfz = jnp.floor(uz + eps_z)
+                ix = jnp.clip(cfx.astype(jnp.int32), 0, mx - 1)
+                iy = jnp.clip(cfy.astype(jnp.int32), 0, my - 1)
+                iz = jnp.clip(cfz.astype(jnp.int32), 0, mz - 1)
+                flat = (ix * my + iy) * mz + iz
+                if mxu:
+                    m_raw = maj_mxu_lookup(flat)
+                else:
+                    m_raw = table_lookup(maj_ref, n_maj_chunks, flat)
+                ins_w = ((ux >= 0) & (ux <= mx) & (uy >= 0) & (uy <= my)
+                         & (uz >= 0) & (uz <= mz))
+                m_raw = jnp.where(ins_w, m_raw, 0.0)
+                m_di = jnp.maximum(m_raw, 0.0)
+                skip_i = jnp.maximum(-m_raw, 1.0)
+                bx = jnp.where(wdx >= 0, cfx + skip_i, cfx - skip_i + 1.0)
+                by = jnp.where(wdy >= 0, cfy + skip_i, cfy - skip_i + 1.0)
+                bz = jnp.where(wdz >= 0, cfz + skip_i, cfz - skip_i + 1.0)
+                t_exit = jnp.minimum(jnp.minimum((bx - u0x) * inv_du_x,
+                                                 (by - u0y) * inv_du_y),
+                                     (bz - u0z) * inv_du_z)
+                t_exit = jnp.maximum(t_exit, t_cum + 1e-5)
+                end_c = jnp.minimum(t_exit, t_lim)
+                dtau = m_di * st_h * jnp.maximum(end_c - t_cum, 0.0)
+                hit_c = act & (tau_rem < dtau)
+                at_lim = act & ~hit_c & (t_lim <= t_exit + 1e-6)
+                t_next = jnp.where(
+                    hit_c,
+                    t_cum + tau_rem / jnp.maximum(m_di * st_h, 1e-30),
+                    end_c)
+                S_acc = jnp.where(act, S_acc + m_di * (t_next - t_cum),
+                                  S_acc)
+                # crossing lanes step a hair past the cell plane so the
+                # next lookup reads the next cell (the 1e-6 nudge the
+                # one-cell-per-iteration walk applied on advance)
+                t_cum = jnp.where(
+                    act,
+                    jnp.where(hit_c | at_lim, t_next, t_exit + 1e-6),
+                    t_cum)
+                tau_rem = jnp.where(act & ~hit_c, tau_rem - dtau, tau_rem)
+                m_d = jnp.where(hit_c, m_di, m_d)
+                coll_w = coll_w | hit_c
+                lim_w = lim_w | at_lim
+                act = act & ~hit_c & ~at_lim
+            coll = walk & coll_w
+            reached_lim = walk & lim_w
             p_coll = in_med & coll
             s_coll = is_sh & coll
-            step = jnp.maximum(jnp.where(coll, dt_coll, t_seg), 0.0)
-            Tm = tuple(jnp.exp(-m_d * float(st[k]) * step) for k in range(3))
-            Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
-            sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
+            maj_h = m_d * st_h
+            step = t_cum
+            dt_coll = t_cum           # collision-point distance (coll lanes)
+            Tm_h = jnp.maximum(jnp.exp(-st_h * S_acc), 1e-30)
+            if sigma_gray:
+                Tm = (Tm_h,) * 3
+                sc_tail = (jnp.ones_like(zf),) * 3
+            else:
+                Tm = tuple(jnp.exp(-float(st[k]) * S_acc)
+                           for k in range(3))
+                sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
 
             # collision point + local density (shared by both modes;
             # un2/un3 drive the stochastic corner pick)
@@ -2034,15 +2146,16 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
 
             # ===== shadow lanes: one ratio-tracking step ==================
             s_tail = is_sh & ~coll
-            sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
-            sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
-            sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
-            sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
-            sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
-            sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
-            su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
-            su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
-            su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
+            if not sigma_gray:
+                sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
+                sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
+                sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
+                sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
+                sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
+                sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
+                su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
+                su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
+                su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
             inv_spdf = 1.0 / pdf_n
             sT0 = jnp.where(s_coll, sT0 * Tm[0] * sn[0] * inv_spdf, sT0)
             sT1 = jnp.where(s_coll, sT1 * Tm[1] * sn[1] * inv_spdf, sT1)
@@ -2113,29 +2226,31 @@ def _make_grid_kernel(c, spp, sub, tiled=False, tile_w=TILE_W,
             if n_tri:
                 # a tail that reaches the next surface BEFORE the box
                 # wall is a surface interaction, not an interface skip
-                at_surf_m = (in_med & ~coll & (t_surf < wall_rem)
-                             & (t_seg >= t_surf - 1e-6))
-                at_wall = (in_med & ~coll & ~at_surf_m
-                           & (t_seg >= wall_rem - 1e-6))
+                at_surf_m = (in_med & ~coll & reached_lim
+                             & (t_surf < wall_rem))
+                at_wall = in_med & ~coll & reached_lim & ~at_surf_m
             else:
                 at_surf_m = jnp.zeros((sub, 128), bool)
-                at_wall = in_med & ~coll & (t_seg >= wall_rem - 1e-6)
+                at_wall = in_med & ~coll & reached_lim
             tail = in_med & ~coll
-            b0 = jnp.where(tail, b0 * sc_tail[0], b0)
-            b1 = jnp.where(tail, b1 * sc_tail[1], b1)
-            b2 = jnp.where(tail, b2 * sc_tail[2], b2)
-            ru0 = jnp.where(tail, ru0 * sc_tail[0], ru0)
-            ru1 = jnp.where(tail, ru1 * sc_tail[1], ru1)
-            ru2 = jnp.where(tail, ru2 * sc_tail[2], ru2)
-            rl0 = jnp.where(tail, rl0 * sc_tail[0], rl0)
-            rl1 = jnp.where(tail, rl1 * sc_tail[1], rl1)
-            rl2 = jnp.where(tail, rl2 * sc_tail[2], rl2)
+            if not sigma_gray:
+                b0 = jnp.where(tail, b0 * sc_tail[0], b0)
+                b1 = jnp.where(tail, b1 * sc_tail[1], b1)
+                b2 = jnp.where(tail, b2 * sc_tail[2], b2)
+                ru0 = jnp.where(tail, ru0 * sc_tail[0], ru0)
+                ru1 = jnp.where(tail, ru1 * sc_tail[1], ru1)
+                ru2 = jnp.where(tail, ru2 * sc_tail[2], ru2)
+                rl0 = jnp.where(tail, rl0 * sc_tail[0], rl0)
+                rl1 = jnp.where(tail, rl1 * sc_tail[1], rl1)
+                rl2 = jnp.where(tail, rl2 * sc_tail[2], rl2)
+            # the inner walk already nudged each crossing 1e-6 past its
+            # cell plane, so the advance applies t_cum verbatim
             adv = tail & ~at_wall & ~at_surf_m
-            ox = jnp.where(adv, ox + (step + 1e-6) * dx, ox)
-            oy = jnp.where(adv, oy + (step + 1e-6) * dy, oy)
-            oz = jnp.where(adv, oz + (step + 1e-6) * dz, oz)
+            ox = jnp.where(adv, ox + step * dx, ox)
+            oy = jnp.where(adv, oy + step * dy, oy)
+            oz = jnp.where(adv, oz + step * dz, oz)
             if n_tri:
-                t_surf = jnp.where(adv, t_surf - (step + 1e-6), t_surf)
+                t_surf = jnp.where(adv, t_surf - step, t_surf)
 
             sa_h = dloc * chan(sa, hero)
             ss_h = dloc * chan(ss, hero)

@@ -54,6 +54,18 @@ MAX_KAPPA = 2e3
 # spills more than the amortized fixed cost saves. Keep 1.
 WALK_UNROLL = 1
 
+# multi-cell flight inside each micro-step (pallas_volpath.WALK_STEPS
+# idiom, round 5): the walk consumes its collision target across up to
+# this many majorant cells in a fused unrolled loop (cell-space coords,
+# hoisted direction inverses) before the expensive event machinery runs.
+# Swept on chip (pyro cloud, frozen-field render): K=1 1.32, K=2 1.30,
+# K=3 1.23 Mpaths/s — unlike the volpath kernel (K=4 wins there), the
+# guided walks run at the VSP-SCALED majorant, so collisions dominate
+# crossings and extra steps only add one-hot majorant gathers. K=1
+# still beats the round-4 kernel (1.20) via the hoisted cell math,
+# exp-once-per-event transmittances, and gray-sigma tail-fold skips.
+WALK_STEPS = 1
+
 # Field-cell parameter fetch strategy: one one-hot MXU matmul per sublane
 # fetches ALL P_ROWS parameters of each lane's cell at once (every row
 # shares the cell index, so G = Ftab (P,FC) @ onehot (FC,128) yields the
@@ -242,6 +254,8 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
     sa = np.asarray(c["sigma_a"], np.float32)
     ss = np.asarray(c["sigma_s"], np.float32)
     st = sa + ss
+    # gray sigma_t: hero-relative tail ratios are exactly 1 at trace time
+    sigma_gray = float(st[0]) == float(st[1]) == float(st[2])
     g_hg = float(np.clip(c["g_hg"], -0.99, 0.99))
     bmin, bmax = c["bmin"], c["bmax"]
     ext = tuple(bmax[k] - bmin[k] for k in range(3))
@@ -1157,19 +1171,9 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 wdx = jnp.where(is_sh_m, shx, dx)
                 wdy = jnp.where(is_sh_m, shy, dy)
                 wdz = jnp.where(is_sh_m, shz, dz)
-                m_raw = maj_dens_at(epx, epy, epz)
-                # reservoir lanes walk the VSP-scaled majorant
-                # (media_sampleTMaj.h:170-181); prepass/delta/shadow unscaled
-                m_d = jnp.where(walk_res_m, m_raw * maj_sc, m_raw)
-                maj_h = m_d * st_h
                 t_lim = jnp.where(is_sh_m, sh_end - sh_t, plim - t_walk)
-                t_seg = jnp.minimum(seg_exit(epx, epy, epz, wdx, wdy, wdz),
-                                    t_lim)
                 ua, ub, uc_, ud_ = _uniform4(seed_a, pix, samp, dim)
                 dim = dim + _U32(1)
-                dt = jnp.where(maj_h > 0,
-                               -jnp.log1p(-ua) / jnp.maximum(maj_h, 1e-30),
-                               _BIG)
                 if nds:
                     # ODS candidate draw (media_sampleTMaj.h:338-407):
                     # lanes with no active candidate (rem < 0) draw an
@@ -1199,17 +1203,108 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     cn2 = jnp.where(pass_n, cn2 / tailf, cn2)
                     c_t = jnp.where(need_d,
                                     jnp.where(pass_n, _BIG, dist), c_t)
-                    dt = jnp.where(walk_nds_m,
-                                   c_t / jnp.maximum(maj_h, 1e-30), dt)
-                    dt = jnp.where(walk_pre_m, _BIG, dt)
                 stepper = (walk_res_m | walk_del_m | is_sh_m
                            | walk_nds_m | walk_pre_m)
-                coll = stepper & (dt < t_seg)
-                step = jnp.maximum(jnp.where(coll, dt, t_seg), 0.0)
-                Tm = tuple(jnp.exp(-m_d * float(st[k]) * step)
-                           for k in range(3))
-                Tm_h = jnp.maximum(jnp.exp(-maj_h * step), 1e-30)
-                sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
+                # -- multi-cell flight (pallas_volpath WALK_STEPS idiom):
+                # the collision target lives in rate-scaled OD units, so
+                # one target crosses any number of majorant cells; the
+                # per-cell exits use hoisted cell-space coordinates.
+                # reservoir lanes consume at the VSP-scaled rate
+                # (media_sampleTMaj.h:170-181); ODS lanes consume their
+                # candidate OD c_t at the unscaled rate; the prepass
+                # never collides (accumulates OD to the chord end).
+                rate = jnp.where(walk_res_m, maj_sc, one)
+                tau0 = -jnp.log1p(-ua)
+                if nds:
+                    tau0 = jnp.where(walk_nds_m, jnp.maximum(c_t, 0.0),
+                                     tau0)
+                    tau0 = jnp.where(walk_pre_m, _BIG, tau0)
+                kx_, ky_, kz_ = mx / ext[0], my / ext[1], mz / ext[2]
+                u0x = (epx - bmin[0]) * kx_
+                u0y = (epy - bmin[1]) * ky_
+                u0z = (epz - bmin[2]) * kz_
+                du_x = wdx * kx_
+                du_y = wdy * ky_
+                du_z = wdz * kz_
+                den_x = jnp.where(jnp.abs(wdx) < 1e-12,
+                                  jnp.where(wdx >= 0, 1e-12, -1e-12), wdx)
+                den_y = jnp.where(jnp.abs(wdy) < 1e-12,
+                                  jnp.where(wdy >= 0, 1e-12, -1e-12), wdy)
+                den_z = jnp.where(jnp.abs(wdz) < 1e-12,
+                                  jnp.where(wdz >= 0, 1e-12, -1e-12), wdz)
+                inv_du_x = (ext[0] / mx) / den_x
+                inv_du_y = (ext[1] / my) / den_y
+                inv_du_z = (ext[2] / mz) / den_z
+                eps_x = jnp.where(wdx >= 0, 3e-4, -3e-4)
+                eps_y = jnp.where(wdy >= 0, 3e-4, -3e-4)
+                eps_z = jnp.where(wdz >= 0, 3e-4, -3e-4)
+                t_cum = zf
+                S_raw = zf
+                tau_rem = tau0
+                m_last = zf
+                act_w = stepper
+                coll_w = jnp.zeros((sub, 128), bool)
+                for _kk in range(WALK_STEPS):
+                    ux = u0x + t_cum * du_x
+                    uy = u0y + t_cum * du_y
+                    uz = u0z + t_cum * du_z
+                    # lookup cell: truncation without nudge (maj_dens_at
+                    # semantics); exit bound: nudged floor (seg_exit)
+                    ix = jnp.clip(ux.astype(jnp.int32), 0, mx - 1)
+                    iy = jnp.clip(uy.astype(jnp.int32), 0, my - 1)
+                    iz = jnp.clip(uz.astype(jnp.int32), 0, mz - 1)
+                    flat_w = (ix * my + iy) * mz + iz
+                    if mxu:
+                        m_raw_i = maj_mxu_lookup(flat_w)
+                    else:
+                        m_raw_i = table_lookup(maj_ref, n_maj_chunks,
+                                               flat_w)
+                    cfx = jnp.floor(ux + eps_x)
+                    cfy = jnp.floor(uy + eps_y)
+                    cfz = jnp.floor(uz + eps_z)
+                    bx = jnp.where(wdx >= 0, cfx + 1.0, cfx)
+                    by = jnp.where(wdy >= 0, cfy + 1.0, cfy)
+                    bz = jnp.where(wdz >= 0, cfz + 1.0, cfz)
+                    t_exit = jnp.minimum(
+                        jnp.minimum((bx - u0x) * inv_du_x,
+                                    (by - u0y) * inv_du_y),
+                        (bz - u0z) * inv_du_z)
+                    t_exit = jnp.maximum(t_exit, t_cum + 1e-5)
+                    end_c = jnp.minimum(t_exit, t_lim)
+                    r_i = m_raw_i * rate * st_h
+                    dtau = r_i * jnp.maximum(end_c - t_cum, 0.0)
+                    hit_c = act_w & (tau_rem < dtau)
+                    at_lim = act_w & ~hit_c & (t_lim <= t_exit + 1e-6)
+                    t_next = jnp.where(
+                        hit_c, t_cum + tau_rem / jnp.maximum(r_i, 1e-30),
+                        end_c)
+                    S_raw = jnp.where(act_w,
+                                      S_raw + m_raw_i * (t_next - t_cum),
+                                      S_raw)
+                    t_cum = jnp.where(
+                        act_w,
+                        jnp.where(hit_c | at_lim, t_next, t_exit + 1e-6),
+                        t_cum)
+                    tau_rem = jnp.where(act_w & ~hit_c, tau_rem - dtau,
+                                        tau_rem)
+                    m_last = jnp.where(hit_c, m_raw_i, m_last)
+                    coll_w = coll_w | hit_c
+                    act_w = act_w & ~hit_c & ~at_lim
+                coll = stepper & coll_w
+                m_d = jnp.where(walk_res_m, m_last * maj_sc, m_last)
+                maj_h = m_d * st_h
+                dt = t_cum
+                step = t_cum
+                S_eff = S_raw * rate
+                od_raw = st_h * S_raw  # unscaled OD traversed this step
+                Tm_h = jnp.maximum(jnp.exp(-st_h * S_eff), 1e-30)
+                if sigma_gray:
+                    Tm = (Tm_h,) * 3
+                    sc_tail = (one,) * 3
+                else:
+                    Tm = tuple(jnp.exp(-float(st[k]) * S_eff)
+                               for k in range(3))
+                    sc_tail = tuple(Tm[k] / Tm_h for k in range(3))
                 un0, un1, un2, un3 = _uniform4(seed_a, pix, samp, dim)
                 dim = dim + _U32(1)
                 cpx = epx + dt * wdx
@@ -1227,15 +1322,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 # ===== modes 4/5: one shadow ratio-tracking step ===============
                 s_coll = is_sh_m & coll
                 s_tail = is_sh_m & ~coll
-                sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
-                sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
-                sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
-                sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
-                sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
-                sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
-                su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
-                su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
-                su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
+                if not sigma_gray:
+                    sT0 = jnp.where(s_tail, sT0 * sc_tail[0], sT0)
+                    sT1 = jnp.where(s_tail, sT1 * sc_tail[1], sT1)
+                    sT2 = jnp.where(s_tail, sT2 * sc_tail[2], sT2)
+                    sl0 = jnp.where(s_tail, sl0 * sc_tail[0], sl0)
+                    sl1 = jnp.where(s_tail, sl1 * sc_tail[1], sl1)
+                    sl2 = jnp.where(s_tail, sl2 * sc_tail[2], sl2)
+                    su0 = jnp.where(s_tail, su0 * sc_tail[0], su0)
+                    su1 = jnp.where(s_tail, su1 * sc_tail[1], su1)
+                    su2 = jnp.where(s_tail, su2 * sc_tail[2], su2)
                 pdf_sh = jnp.maximum(Tm_h * maj_h, 1e-30)
                 inv_spdf = 1.0 / pdf_sh
                 sT0 = jnp.where(s_coll, sT0 * Tm[0] * sn[0] * inv_spdf, sT0)
@@ -1335,15 +1431,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 wd_m = (walk_del_m | walk_nds_m) if nds else walk_del_m
                 d_coll = wd_m & coll
                 d_tail = wd_m & ~coll
-                wf0 = jnp.where(d_tail, wf0 * sc_tail[0], wf0)
-                wf1 = jnp.where(d_tail, wf1 * sc_tail[1], wf1)
-                wf2 = jnp.where(d_tail, wf2 * sc_tail[2], wf2)
-                wu0 = jnp.where(d_tail, wu0 * sc_tail[0], wu0)
-                wu1 = jnp.where(d_tail, wu1 * sc_tail[1], wu1)
-                wu2 = jnp.where(d_tail, wu2 * sc_tail[2], wu2)
-                wl0 = jnp.where(d_tail, wl0 * sc_tail[0], wl0)
-                wl1 = jnp.where(d_tail, wl1 * sc_tail[1], wl1)
-                wl2 = jnp.where(d_tail, wl2 * sc_tail[2], wl2)
+                if not sigma_gray:
+                    wf0 = jnp.where(d_tail, wf0 * sc_tail[0], wf0)
+                    wf1 = jnp.where(d_tail, wf1 * sc_tail[1], wf1)
+                    wf2 = jnp.where(d_tail, wf2 * sc_tail[2], wf2)
+                    wu0 = jnp.where(d_tail, wu0 * sc_tail[0], wu0)
+                    wu1 = jnp.where(d_tail, wu1 * sc_tail[1], wu1)
+                    wu2 = jnp.where(d_tail, wu2 * sc_tail[2], wu2)
+                    wl0 = jnp.where(d_tail, wl0 * sc_tail[0], wl0)
+                    wl1 = jnp.where(d_tail, wl1 * sc_tail[1], wl1)
+                    wl2 = jnp.where(d_tail, wl2 * sc_tail[2], wl2)
                 p_real = st_loc_h / jnp.maximum(maj_h, 1e-30)
                 if nds_plus:
                     # NDS+ raises the primary-ray real-collision
@@ -1400,7 +1497,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 if nds:
                     # ODS bookkeeping: consume the traversed OD from the
                     # running interval; null collisions re-draw next step
-                    od_step = maj_h * step
+                    od_step = od_raw
                     wT0 = jnp.where(walk_nds_m, wT0 - od_step, wT0)
                     wT1 = jnp.where(walk_nds_m, wT1 - od_step, wT1)
                     n_coll = walk_nds_m & coll
@@ -1446,7 +1543,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     # t_v; at the chord end the lane either falls back to
                     # plain delta tracking — NDS cannot LOWER the scatter
                     # probability below 1-e^-t_v — or starts the ODS walk)
-                    tau_acc = jnp.where(walk_pre_m, tau_acc + maj_h * step,
+                    tau_acc = jnp.where(walk_pre_m, tau_acc + od_raw,
                                         tau_acc)
                     pre_t_new = t_walk + step + 1e-6
                     pre_done = walk_pre_m & (pre_t_new >= plim)
@@ -1495,7 +1592,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 # the volume-ratio weight is formed at conclusion instead.
                 # Halves the volume traversals per guided segment; the RIS
                 # weights stay self-consistent, so the estimator is unbiased.
-                tau_acc = jnp.where(walk_res_m, tau_acc + m_raw * st_h * step,
+                tau_acc = jnp.where(walk_res_m, tau_acc + od_raw,
                                     tau_acc)
                 r_coll = walk_res_m & coll
                 r_tail = walk_res_m & ~coll

@@ -450,6 +450,52 @@ def test_kernel_teaser_mis_surface_guiding_matches_xla():
         assert abs(a - b) < 0.10 * max(a, 0.05), (a, b)
 
 
+def _rough_machines_scene():
+    """_machines_scene with Trowbridge-Reitz rough conductor and
+    CookTorrance cubes (the r4-verdict gap: the VSPG kernel refused the
+    rough teaser variants the volpath kernel serves)."""
+    from vspg_pbrt_v4_tpu.models import materials as M
+
+    base = _machines_scene()
+    mats = M.Materials.build([
+        dict(type=M.COOK_TORRANCE, albedo=(0.65, 0.3, 0.2), eta=1.5,
+             roughness=0.3),
+        dict(type=M.DIELECTRIC, eta=1.5, roughness=0.0),
+        dict(type=M.CONDUCTOR, albedo=(0.9, 0.75, 0.5), roughness=0.25),
+    ])
+    return volpath.Scene(base.geometry, mats, base.media, base.lights)
+
+
+@pytest.mark.mid
+def test_kernel_teaser_rough_surfaces_matches_xla():
+    """Rough conductor + CookTorrance in the VSPG megakernel (round 5:
+    supports() no longer routes them to the XLA wave): TR VNDF
+    continuation + per-channel deferred glossy NEE folds must keep the
+    kernel an unbiased estimator — means agree with the XLA volpath
+    reference within MC noise."""
+    scene = _rough_machines_scene()
+    cam, film = _camera(), RGBFilm.make((RES, RES))
+    cfg = volpath.VolPathConfig(max_depth=16, max_events=64)
+    gopt = gvp.GuidingOptions(mode="mis", field_res=4, record_depth=6,
+                              min_train_weight=8.0)
+    vopt = vspg.VSPGOptions(vsp_criterion="variance")
+    _, field, isgb = vspg.render_vspg(
+        scene, cam, film, spp=6, cfg=cfg, gopt=gopt, vopt=vopt, seed=0,
+        spp_per_pass=1, use_pallas=False, train_pallas=False)
+    assert pk.supports(scene, cam, film, cfg, gopt, vopt, field)
+    img_k = np.asarray(pk.render_vspg_pallas(
+        scene, cam, film, 96, cfg, gopt, vopt, field, isgb, seed=5,
+        interpret=True))
+    assert np.isfinite(img_k).all()
+    ref = np.asarray(volpath.render(scene, cam, film, spp=192, seed=13,
+                                    spp_per_pass=8, cfg=cfg))
+    h = RES // 2
+    for sy in (slice(0, h), slice(h, RES)):
+        a = ref[sy].mean()
+        b = img_k[sy].mean()
+        assert abs(a - b) < 0.10 * max(a, 0.05), (a, b)
+
+
 def test_record_kernel_triangles_trains():
     """Training records on the teaser scene class: surface vertices ride
     with is_volume=False (they train the surface half, guiding.h:786),

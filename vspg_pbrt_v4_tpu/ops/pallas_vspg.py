@@ -343,6 +343,15 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
         mat_kind = c["mat_kind"]
         mat_alb = np.asarray(c["mat_albedo"], np.float32)
         mat_eta = c["mat_eta"]
+        mat_rough = tuple(float(v) for v in c.get(
+            "mat_rough", (0.0,) * len(mat_kind)))
+        # Trowbridge-Reitz glossy lanes (rough conductor / CookTorrance,
+        # pallas_volpath's any_rough machinery): sampled UNGUIDED in this
+        # kernel (the XLA path guides them; guiding only changes sampling
+        # distributions, so the mixed estimator stays unbiased)
+        any_rough = any(
+            (mat_kind[i] == 1 and mat_rough[i] >= 1e-3)
+            or mat_kind[i] == 11 for i in range(len(mat_kind)))
         n_mat = len(mat_kind)
         # vMF approximation of the clamped-cosine lobe (vmf.COSINE_KAPPA,
         # OpenPGL ApplyCosineProduct)
@@ -936,7 +945,8 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
               zi,                                       # 86 sh_need_occ
               zi) if n_tri else ()) \
           + ((zi,) if record else ()) \
-          + ((jnp.ones_like(zf),) * 3 if (record and n_tri) else ())
+          + ((jnp.ones_like(zf),) * 3 if (record and n_tri) else ()) \
+          + ((zf, zf) if (n_tri and any_rough) else ())  # sh_f1 sh_f2
 
         def cond(cy):
             return jnp.any(cy[2] != 0) & (cy[27] < max_iters_u)
@@ -962,6 +972,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 xi += 1
             if record and n_tri:
                 ra0, ra1, ra2 = cy[xi:xi + 3]
+                xi += 3
+            if n_tri and any_rough:
+                # per-channel deferred-NEE fold values (glossy f is
+                # channel-dependent, unlike cos/pi / f_hg whose albedo
+                # rides in beta); sh_f doubles as channel 0
+                sh_f1, sh_f2 = cy[xi:xi + 2]
                 xi += 3
             alive = alive_i != 0
             is_sh = alive & (mode >= 4)
@@ -1371,9 +1387,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                         avg3((sl0 * ru0 * pmf, sl1 * ru1 * pmf,
                               sl2 * ru2 * pmf)), 1e-30)
                     w = sh_f / (sh_d2 * denom)
+                    if n_tri and any_rough:
+                        w1_ = sh_f1 / (sh_d2 * denom)
+                        w2_ = sh_f2 / (sh_d2 * denom)
+                    else:
+                        w1_ = w2_ = w
                     L0 = jnp.where(okp, L0 + b0 * sT0 * float(lI[0]) * w, L0)
-                    L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w, L1)
-                    L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w, L2)
+                    L1 = jnp.where(okp, L1 + b1 * sT1 * float(lI[1]) * w1_,
+                                   L1)
+                    L2 = jnp.where(okp, L2 + b2 * sT2 * float(lI[2]) * w2_,
+                                   L2)
                     if record:
                         # beta-free direct at the vertex (_combine_ld local:
                         # r_p == 1 in the MIS denominator); ra* carry the
@@ -1398,9 +1421,16 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                               sl1 * ru1 * p_l + su1 * ru1 * sh_pdf,
                               sl2 * ru2 * p_l + su2 * ru2 * sh_pdf)), 1e-30)
                     w = sh_f / denom
+                    if n_tri and any_rough:
+                        w1_ = sh_f1 / denom
+                        w2_ = sh_f2 / denom
+                    else:
+                        w1_ = w2_ = w
                     L0 = jnp.where(oke, L0 + b0 * sT0 * float(envL[0]) * w, L0)
-                    L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w, L1)
-                    L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w, L2)
+                    L1 = jnp.where(oke, L1 + b1 * sT1 * float(envL[1]) * w1_,
+                                   L1)
+                    L2 = jnp.where(oke, L2 + b2 * sT2 * float(envL[2]) * w2_,
+                                   L2)
                     if record:
                         den_le = jnp.maximum(
                             avg3((sl0 * p_l + su0 * sh_pdf,
@@ -1935,6 +1965,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 alb1 = zf
                 alb2 = zf
                 eta_l = jnp.ones_like(zf)
+                rough_l = zf
                 for mi_ in range(n_mat):
                     selm = hmat == mi_
                     kind_l = jnp.where(selm, mat_kind[mi_], kind_l)
@@ -1942,10 +1973,67 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     alb1 = jnp.where(selm, float(mat_alb[mi_, 1]), alb1)
                     alb2 = jnp.where(selm, float(mat_alb[mi_, 2]), alb2)
                     eta_l = jnp.where(selm, max(mat_eta[mi_], 1e-3), eta_l)
+                    rough_l = jnp.where(selm, max(mat_rough[mi_], 1e-4),
+                                        rough_l)
+                smooth_l = rough_l < 1e-3
                 shade_df = hit_s & (kind_l == 0)
-                shade_co = hit_s & (kind_l == 1)
+                shade_co = hit_s & (kind_l == 1) & smooth_l
                 shade_dl = hit_s & (kind_l == 2)
                 spec_lane = shade_co | shade_dl
+                if any_rough:
+                    # Trowbridge-Reitz glossy lanes (rough conductor /
+                    # CookTorrance; util/scattering.h math, sampled
+                    # unguided — see any_rough note above)
+                    shade_cr = hit_s & (kind_l == 1) & ~smooth_l
+                    shade_ct = hit_s & (kind_l == 11)
+                    glossy = shade_cr | shade_ct
+                    (g1x, g1y, g1z), (g2x, g2y, g2z) = _coord_system(
+                        nsx, nsy, nsz)
+
+                    def to_loc(vx, vy, vz):
+                        return (vx * g1x + vy * g1y + vz * g1z,
+                                vx * g2x + vy * g2y + vz * g2z,
+                                vx * nsx + vy * nsy + vz * nsz)
+
+                    def to_wld(lx, ly, lz):
+                        return (lx * g1x + ly * g2x + lz * nsx,
+                                lx * g1y + ly * g2y + lz * nsy,
+                                lx * g1z + ly * g2z + lz * nsz)
+
+                    alpha_l = rough_l
+
+                    def tr_d_z(mz2):
+                        c2 = jnp.maximum(mz2, 1e-8)
+                        t2 = (1.0 - c2) / c2
+                        a2 = alpha_l * alpha_l
+                        e_ = 1.0 + t2 / a2
+                        return 1.0 / (np.pi * a2 * c2 * c2 * e_ * e_)
+
+                    def tr_lam(wz):
+                        c2 = jnp.clip(wz * wz, 1e-8, 1.0)
+                        t2 = (1.0 - c2) / c2
+                        return 0.5 * (jnp.sqrt(
+                            1.0 + alpha_l * alpha_l * t2) - 1.0)
+
+                    def frd(ci, eta):
+                        ci_ = jnp.clip(ci, 0.0, 1.0)
+                        s2_ = (1.0 - ci_ * ci_) / jnp.maximum(
+                            eta * eta, 1e-12)
+                        tir_ = s2_ >= 1.0
+                        ct_ = jnp.sqrt(jnp.maximum(1.0 - s2_, 0.0))
+                        rp_ = (eta * ci_ - ct_) / jnp.maximum(
+                            eta * ci_ + ct_, 1e-12)
+                        rq_ = (ci_ - eta * ct_) / jnp.maximum(
+                            ci_ + eta * ct_, 1e-12)
+                        return jnp.where(tir_, 1.0,
+                                         0.5 * (rp_ * rp_ + rq_ * rq_))
+
+                    wo_lx, wo_ly, wo_lz = to_loc(-dx, -dy, -dz)
+                    lam_o = tr_lam(wo_lz)
+                    G1o = 1.0 / (1.0 + lam_o)
+                    zo_s = jnp.maximum(jnp.abs(wo_lz), 1e-6)
+                else:
+                    glossy = jnp.zeros((sub, 128), bool)
                 if surf_guide:
                     # GuidedBSDF.init: cosine product about the shading
                     # normal (vMF approximation, guiding.h:83-109)
@@ -2024,6 +2112,51 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 else:
                     spdf_srf = bpdf_nee
                 f_srf_nee = cosn * INV_PI
+                if any_rough:
+                    # glossy NEE: TR f + pdf at the light direction
+                    # (bxdfs.h ConductorBxDF::f/PDF, CookTorrance
+                    # bxdfs.cpp:127-183 — pallas_volpath math verbatim)
+                    nee_glo = glossy & (cosn > 0)
+                    wi_lx, wi_ly, wi_lz = to_loc(wix, wiy, wiz)
+                    hmx_ = wo_lx + wi_lx
+                    hmy_ = wo_ly + wi_ly
+                    hmz_ = wo_lz + wi_lz
+                    hmx_, hmy_, hmz_ = _normalize(hmx_, hmy_, hmz_)
+                    hsg_ = jnp.where(hmz_ < 0, -1.0, 1.0)
+                    hmx_, hmy_, hmz_ = (hmx_ * hsg_, hmy_ * hsg_,
+                                        hmz_ * hsg_)
+                    Dm_n = tr_d_z(hmz_ * hmz_)
+                    lam_i = tr_lam(wi_lz)
+                    G2_ = 1.0 / (1.0 + lam_o + lam_i)
+                    zi_s = jnp.maximum(jnp.abs(wi_lz), 1e-6)
+                    pdf_spec_n = G1o * Dm_n / (4.0 * zo_s)
+                    c_owm = jnp.abs(wo_lx * hmx_ + wo_ly * hmy_
+                                    + wo_lz * hmz_)
+                    omcw = jnp.clip(1.0 - c_owm, 0.0, 1.0)
+                    omcw5 = omcw * omcw * omcw * omcw * omcw
+                    spec_c = Dm_n * G2_ / (4.0 * zo_s * zi_s)
+                    F_ct_n = frd(c_owm, eta_l)
+                    pr_ct = frd(jnp.abs(wo_lz), eta_l)
+                    fne0 = jnp.where(
+                        shade_ct,
+                        spec_c * F_ct_n + alb0 * INV_PI * (1.0 - F_ct_n),
+                        spec_c * (alb0 + (1.0 - alb0) * omcw5))
+                    fne1 = jnp.where(
+                        shade_ct,
+                        spec_c * F_ct_n + alb1 * INV_PI * (1.0 - F_ct_n),
+                        spec_c * (alb1 + (1.0 - alb1) * omcw5))
+                    fne2 = jnp.where(
+                        shade_ct,
+                        spec_c * F_ct_n + alb2 * INV_PI * (1.0 - F_ct_n),
+                        spec_c * (alb2 + (1.0 - alb2) * omcw5))
+                    pdf_glo = jnp.where(
+                        shade_ct,
+                        pr_ct * pdf_spec_n
+                        + (1.0 - pr_ct) * jnp.maximum(cosn, 0.0) * INV_PI,
+                        pdf_spec_n)
+                    spdf_srf = jnp.where(nee_glo, pdf_glo, spdf_srf)
+                else:
+                    nee_glo = jnp.zeros((sub, 128), bool)
 
             # direction sampling: one-sample MIS or RIS ------------------
             u_p0, u_p1, u_sel, u_pk = _uniform4(seed_a, pix, samp, dim)
@@ -2224,7 +2357,101 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 # before invalidating (vspg.py:1014 vs :1038).
                 TINY_G = 1e-18
                 s_df = jnp.where(shade_df & ~valid_sv, TINY_G, s_df)
+                if any_rough:
+                    # glossy continuation: Trowbridge-Reitz VNDF sample
+                    # (Heitz 2018; scattering.h Sample_wm) in the local
+                    # frame — pallas_volpath math verbatim; CookTorrance
+                    # picks glossy-vs-Lambertian by Fresnel(cos_o) and
+                    # the diffuse lobe reuses the cosine sample above
+                    u_r0, u_r1, u_r2, _ = _uniform4(seed_a, pix, samp,
+                                                    dim)
+                    dim = dim + _U32(1)
+                    whx = alpha_l * wo_lx
+                    why = alpha_l * wo_ly
+                    whz = wo_lz
+                    whx, why, whz = _normalize(whx, why, whz)
+                    sgn_h = jnp.where(whz < 0, -1.0, 1.0)
+                    whx, why, whz = whx * sgn_h, why * sgn_h, whz * sgn_h
+                    tlen = jnp.sqrt(jnp.maximum(whx * whx + why * why,
+                                                1e-18))
+                    big_z = whz > 0.999999
+                    t1hx = jnp.where(big_z, 1.0, -why / tlen)
+                    t1hy = jnp.where(big_z, 0.0, whx / tlen)
+                    t2hx = -whz * t1hy
+                    t2hy = whz * t1hx
+                    t2hz = whx * t1hy - why * t1hx
+                    r_d = jnp.sqrt(u_r0)
+                    ph_d = (2.0 * np.pi) * u_r1
+                    px_d = r_d * jnp.cos(ph_d)
+                    py_d = r_d * jnp.sin(ph_d)
+                    h_d = jnp.sqrt(jnp.maximum(1.0 - px_d * px_d, 0.0))
+                    mixz = (1.0 + whz) * 0.5
+                    py_d = mixz * py_d + (1.0 - mixz) * h_d
+                    pz_d = jnp.sqrt(jnp.maximum(
+                        1.0 - px_d * px_d - py_d * py_d, 0.0))
+                    nhx = px_d * t1hx + py_d * t2hx + pz_d * whx
+                    nhy = px_d * t1hy + py_d * t2hy + pz_d * why
+                    nhz = px_d * 0.0 + py_d * t2hz + pz_d * whz
+                    wmx = alpha_l * nhx
+                    wmy = alpha_l * nhy
+                    wmz = jnp.maximum(nhz, 1e-6)
+                    wmx, wmy, wmz = _normalize(wmx, wmy, wmz)
+                    owm_s = wo_lx * wmx + wo_ly * wmy + wo_lz * wmz
+                    rix = 2.0 * owm_s * wmx - wo_lx
+                    riy = 2.0 * owm_s * wmy - wo_ly
+                    riz = 2.0 * owm_s * wmz - wo_lz
+                    pr_s = frd(jnp.abs(wo_lz), eta_l)
+                    take_spec = shade_cr | (shade_ct & (u_r2 < pr_s))
+                    wi_glx = jnp.where(take_spec, rix, lx_)
+                    wi_gly = jnp.where(take_spec, riy, ly_)
+                    wi_glz = jnp.where(take_spec, riz, lz_)
+                    ziL = wi_glz
+                    hsx = wo_lx + wi_glx
+                    hsy = wo_ly + wi_gly
+                    hsz = wo_lz + wi_glz
+                    hsx, hsy, hsz = _normalize(hsx, hsy, hsz)
+                    hsg2 = jnp.where(hsz < 0, -1.0, 1.0)
+                    hsx, hsy, hsz = hsx * hsg2, hsy * hsg2, hsz * hsg2
+                    Dm_s = tr_d_z(hsz * hsz)
+                    lam_i2 = tr_lam(ziL)
+                    G2s = 1.0 / (1.0 + lam_o + lam_i2)
+                    zi_c = jnp.maximum(jnp.abs(ziL), 1e-6)
+                    pdf_spec_s = G1o * Dm_s / (4.0 * zo_s)
+                    c_owm_s = jnp.abs(wo_lx * hsx + wo_ly * hsy
+                                      + wo_lz * hsz)
+                    omcs = jnp.clip(1.0 - c_owm_s, 0.0, 1.0)
+                    omcs5 = omcs * omcs * omcs * omcs * omcs
+                    spec_s = Dm_s * G2s / (4.0 * zo_s * zi_c)
+                    F_ct_s = frd(c_owm_s, eta_l)
+                    fg0 = jnp.where(
+                        shade_ct,
+                        spec_s * F_ct_s + alb0 * INV_PI * (1.0 - F_ct_s),
+                        spec_s * (alb0 + (1.0 - alb0) * omcs5))
+                    fg1 = jnp.where(
+                        shade_ct,
+                        spec_s * F_ct_s + alb1 * INV_PI * (1.0 - F_ct_s),
+                        spec_s * (alb1 + (1.0 - alb1) * omcs5))
+                    fg2 = jnp.where(
+                        shade_ct,
+                        spec_s * F_ct_s + alb2 * INV_PI * (1.0 - F_ct_s),
+                        spec_s * (alb2 + (1.0 - alb2) * omcs5))
+                    pdf_gs = jnp.where(
+                        shade_ct,
+                        pr_s * pdf_spec_s + (1.0 - pr_s) * zi_c * INV_PI,
+                        pdf_spec_s)
+                    valid_g = (ziL > 1e-6) & (pdf_gs > 1e-12)
+                    pdf_gs = jnp.maximum(pdf_gs, 1e-12)
+                    inv_pgs = 1.0 / pdf_gs
+                    # invalid draws: continuation collapses to TINY so
+                    # the pending NEE fold still reconstructs the exact
+                    # product (the TINY_G idiom above)
+                    wg0 = jnp.where(valid_g, fg0 * ziL * inv_pgs, TINY_G)
+                    wg1 = jnp.where(valid_g, fg1 * ziL * inv_pgs, TINY_G)
+                    wg2 = jnp.where(valid_g, fg2 * ziL * inv_pgs, TINY_G)
+                    wi_wx, wi_wy, wi_wz = to_wld(wi_glx, wi_gly, wi_glz)
                 hit_s = shade_df | shade_co | shade_dl
+                if any_rough:
+                    hit_s = hit_s | glossy
                 # conductor: mirror about ns, Schlick F0 tint
                 dnd = dx * nsx + dy * nsy + dz * nsz
                 wrx = dx - 2.0 * dnd * nsx
@@ -2256,6 +2483,10 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                                  jnp.where(go_refl, wry, wty))
                 n_dz = jnp.where(shade_df, wsz,
                                  jnp.where(go_refl, wrz, wtz))
+                if any_rough:
+                    n_dx = jnp.where(glossy, wi_wx, n_dx)
+                    n_dy = jnp.where(glossy, wi_wy, n_dy)
+                    n_dz = jnp.where(glossy, wi_wz, n_dz)
                 omc = (1.0 - cos_o)
                 omc5 = omc * omc * omc * omc * omc
                 fs0 = alb0 + (1.0 - alb0) * omc5
@@ -2274,19 +2505,28 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                                  jnp.where(shade_co, fs2,
                                            jnp.where(refl_dl, 1.0,
                                                      trans_sc)))
+                if any_rough:
+                    w_b0 = jnp.where(glossy, wg0, w_b0)
+                    w_b1 = jnp.where(glossy, wg1, w_b1)
+                    w_b2 = jnp.where(glossy, wg2, w_b2)
                 b0 = jnp.where(hit_s, b0 * w_b0, b0)
                 b1 = jnp.where(hit_s, b1 * w_b1, b1)
                 b2 = jnp.where(hit_s, b2 * w_b2, b2)
-                # MIS bookkeeping: diffuse rl = ru/mis_pdf; delta lobes
-                # rl = ru (no light-sampling competitor)
+                # MIS bookkeeping: diffuse/glossy rl = ru/pdf; delta
+                # lobes rl = ru (no light-sampling competitor)
                 inv_mis_s = 1.0 / jnp.maximum(mis_pdf_s, 1e-30)
-                rl0 = jnp.where(hit_s, jnp.where(shade_df,
+                if any_rough:
+                    inv_mis_s = jnp.where(glossy, inv_pgs, inv_mis_s)
+                    nondelta_s = shade_df | glossy
+                else:
+                    nondelta_s = shade_df
+                rl0 = jnp.where(hit_s, jnp.where(nondelta_s,
                                                  ru0 * inv_mis_s, ru0),
                                 rl0)
-                rl1 = jnp.where(hit_s, jnp.where(shade_df,
+                rl1 = jnp.where(hit_s, jnp.where(nondelta_s,
                                                  ru1 * inv_mis_s, ru1),
                                 rl1)
-                rl2 = jnp.where(hit_s, jnp.where(shade_df,
+                rl2 = jnp.where(hit_s, jnp.where(nondelta_s,
                                                  ru2 * inv_mis_s, ru2),
                                 rl2)
                 # medium switch on dielectric transmission (per-tri
@@ -2303,7 +2543,7 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 dy = jnp.where(hit_s, n_dy, dy)
                 dz = jnp.where(hit_s, n_dz, dz)
                 spec_last = jnp.where(hit_s,
-                                      jnp.where(shade_df, 0, 1),
+                                      jnp.where(nondelta_s, 0, 1),
                                       jnp.where(scat, 0, spec_last))
                 t_surf = jnp.where(hit_s | scat, _BIG, t_surf)
                 needs_i = jnp.where(hit_s | scat, 1, needs_i)
@@ -2335,10 +2575,11 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 # dropped, matching the XLA recorder
                 rec_v = scat
                 if n_tri:
-                    rec_v = scat | shade_df
-                    rpx = jnp.where(shade_df, hx, sx)
-                    rpy = jnp.where(shade_df, hy, sy)
-                    rpz = jnp.where(shade_df, hz, sz)
+                    rec_nd = (shade_df | glossy) if any_rough else shade_df
+                    rec_v = scat | rec_nd
+                    rpx = jnp.where(rec_nd, hx, sx)
+                    rpy = jnp.where(rec_nd, hy, sy)
+                    rpz = jnp.where(rec_nd, hz, sz)
                     rwx = jnp.where(shade_df, wsx, wvx)
                     rwy = jnp.where(shade_df, wsy, wvy)
                     rwz = jnp.where(shade_df, wsz, wvz)
@@ -2346,6 +2587,14 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                     rsw1 = jnp.where(shade_df, alb1 * s_df, scale_v)
                     rsw2 = jnp.where(shade_df, alb2 * s_df, scale_v)
                     rpdf = jnp.where(shade_df, pdf_sv, pdf_v)
+                    if any_rough:
+                        rwx = jnp.where(glossy, wi_wx, rwx)
+                        rwy = jnp.where(glossy, wi_wy, rwy)
+                        rwz = jnp.where(glossy, wi_wz, rwz)
+                        rsw0 = jnp.where(glossy, wg0, rsw0)
+                        rsw1 = jnp.where(glossy, wg1, rsw1)
+                        rsw2 = jnp.where(glossy, wg2, rsw2)
+                        rpdf = jnp.where(glossy, pdf_gs, rpdf)
                 else:
                     rpx, rpy, rpz = sx, sy, sz
                     rwx, rwy, rwz = wvx, wvy, wvz
@@ -2394,9 +2643,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
             nee_go = nee_act & alive
             if n_tri:
                 nee_gs = nee_srf & alive & shade_df
-                nee_all = nee_go | nee_gs
+                nee_gl = (nee_glo & alive) if any_rough \
+                    else jnp.zeros((sub, 128), bool)
+                nee_all = nee_go | nee_gs | nee_gl
             else:
                 nee_gs = jnp.zeros((sub, 128), bool)
+                nee_gl = jnp.zeros((sub, 128), bool)
                 nee_all = nee_go
             mode = jnp.where(nee_all, jnp.where(sel_pt, 4, 5), mode)
             shx = jnp.where(nee_all, wix, shx)
@@ -2410,11 +2662,27 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                              f_hg / jnp.maximum(scale_v, 1e-30), sh_f)
             sh_fl = jnp.where(nee_go, f_hg, sh_fl)
             if n_tri:
-                sh_pdf = jnp.where(nee_gs, spdf_srf, sh_pdf)
+                sh_pdf = jnp.where(nee_gs | nee_gl, spdf_srf, sh_pdf)
                 sh_f = jnp.where(
                     nee_gs, f_srf_nee / jnp.maximum(s_df, 1e-30), sh_f)
                 sh_fl = jnp.where(nee_gs, f_srf_nee, sh_fl)
                 sh_occ = jnp.where(nee_all, 1, sh_occ)
+                if any_rough:
+                    # glossy deferred fold is per-channel: f is tinted
+                    # (conductor Fresnel / CT mix) and the continuation
+                    # weight wg_k it divides by is too
+                    sh_f1 = jnp.where(nee_go | nee_gs, sh_f, sh_f1)
+                    sh_f2 = jnp.where(nee_go | nee_gs, sh_f, sh_f2)
+                    sh_f = jnp.where(
+                        nee_gl,
+                        fne0 * cosn / jnp.maximum(wg0, 1e-30), sh_f)
+                    sh_f1 = jnp.where(
+                        nee_gl,
+                        fne1 * cosn / jnp.maximum(wg1, 1e-30), sh_f1)
+                    sh_f2 = jnp.where(
+                        nee_gl,
+                        fne2 * cosn / jnp.maximum(wg2, 1e-30), sh_f2)
+                    sh_fl = jnp.where(nee_gl, cosn, sh_fl)
             if record and n_tri:
                 # surface NEE records carry the material albedo tint
                 # (the XLA recorder's f_hat2 includes the BSDF albedo)
@@ -2424,6 +2692,12 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                                 ra1)
                 ra2 = jnp.where(nee_all, jnp.where(nee_gs, alb2, one),
                                 ra2)
+                if any_rough:
+                    # glossy records: sh_fl carries cosn, the tint rows
+                    # carry the per-channel TR f at the light direction
+                    ra0 = jnp.where(nee_gl, fne0, ra0)
+                    ra1 = jnp.where(nee_gl, fne1, ra1)
+                    ra2 = jnp.where(nee_gl, fne2, ra2)
             sT0 = jnp.where(nee_go, one, sT0)
             sT1 = jnp.where(nee_go, one, sT1)
             sT2 = jnp.where(nee_go, one, sT2)
@@ -2493,7 +2767,8 @@ def _make_vspg_kernel(c, gc, spp, sub, tiled=False, record=False,
                 + ((t_surf, hngx, hngy, hngz, hmat, hmi, hmo, needs_i,
                     sh_occ, spec_last) if n_tri else ()) \
                 + ((rslot,) if record else ()) \
-                + ((ra0, ra1, ra2) if (record and n_tri) else ())
+                + ((ra0, ra1, ra2) if (record and n_tri) else ()) \
+                + ((sh_f1, sh_f2) if (n_tri and any_rough) else ())
 
         final = jax.lax.while_loop(cond, body, carry)
         a0, a1, a2 = final[24], final[25], final[26]
@@ -2658,14 +2933,15 @@ def supports(scene, camera, film, cfg, gopt, vopt, field):
 
         if int(c["n_tri"]) > _MTG:
             return False  # mesh-class scenes: volpath kernel only
-        # the VSPG kernel's surface machinery serves diffuse + smooth
-        # delta lobes; rough/CookTorrance teaser variants run through the
-        # volpath kernel or the XLA wave for now
+        # surface machinery: diffuse + smooth delta lobes + (round 5)
+        # Trowbridge-Reitz rough conductor / CookTorrance, sampled
+        # unguided in-kernel; rough DIELECTRIC and textured albedo
+        # still route to the volpath kernel / XLA wave
         for mk, mr, mt in zip(
                 c["mat_kind"],
                 c.get("mat_rough", (0.0,) * len(c["mat_kind"])),
                 c.get("mat_tex_kind", (-1,) * len(c["mat_kind"]))):
-            if mk not in (0, 1, 2) or (mk in (1, 2) and mr >= 1e-3):
+            if mk not in (0, 1, 2, 11) or (mk == 2 and mr >= 1e-3):
                 return False
             if mt >= 0:
                 return False  # textured albedo: volpath kernel only
